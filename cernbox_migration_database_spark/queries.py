@@ -1,0 +1,820 @@
+"""Query catalog: every operator from SURVEY.md §2 (+ the extended
+large-scale data-pipeline set) as a named (PySpark builder, DuckDB oracle)
+pair, consumed by ``__spark_entry__.py`` and the driver's differential
+harness.
+
+Cross-engine determinism rules used throughout (see functions/numeric.py):
+  * every SUM/AVG over doubles goes through an exact DECIMAL accumulator on
+    BOTH sides, so value hashes match bit-for-bit at any partition count;
+  * every window/top-k has a total tie-break order;
+  * timestamps compare in UTC (session.py pins the session time zone).
+
+Each builder takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle is
+ANSI SQL over the same parquet, runnable by DuckDB. Column names are aliased
+identically on both sides — the harness sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions.kv import length_prefixed_value, parse_kv_map, safe_cast_long
+from .functions.numeric import davg, dsum
+from .functions.paths import path_base, path_dir, path_parent_name, versions_path
+from .operators.merge import merge_updates
+from .operators.router import decision_col
+from .sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2/2.6 — scan, filter, project, sort  (S1/S2, P1-P3, O1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project_sort",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def scan_filter_project_sort(spark, sf_dir):
+    """S1 scan shape (main.go:86-97): projection to 4 cols, two constant
+    equi-predicates, total sort — all pushed into the parquet scan by
+    Catalyst (PushedFilters + ReadSchema in the physical plan)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "scan_param_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    """,
+)
+def scan_param_filter(spark, sf_dir):
+    """S2 parameterized variant (main.go:89-91) — the -user flag as a bound
+    filter, never string-interpolated SQL."""
+    flag = "R"  # the 'parameter'
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_returnflag") == F.lit(flag)) & (F.col("l_linestatus") == "F"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """Top-k with total tie-break (extended §2.6). Spark plans this as
+    TakeOrderedAndProject — no global sort materialized."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregations (extended: TPC-H Q1 shape, distinct, cube, rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the headline partial-aggregation benchmark. Map-side
+    combine + 2-col group keys; decimal accumulators for run-to-run and
+    cross-engine bit-equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc, scale=6).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_group_count",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_group_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_customers(spark, sf_dir):
+    """Exact distinct — expands to a two-phase aggregate in Spark. (The
+    approximate twin, approx_count_distinct/HLL, is deliberately not oracled:
+    sketches differ across engines.)"""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins (J1/J2 lookup-enrichment, semi/anti, multiway)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_enrich_parts",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand
+    """,
+)
+def join_enrich_parts(spark, sf_dir):
+    """J1 enrichment shape: fact ⋈ two small dims. Both dims broadcast
+    (verified via explain) — the set-at-a-time analogue of the reference's
+    per-row `eos file info` lookups (main.go:120-137)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_dims_region",
+    """
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_dims_region(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — the join-reordering benchmark. Expressed
+    declaratively; Catalyst+AQE pick broadcast for the dims and reorder."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_semi_returned_orders",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    """,
+)
+def join_semi_returned_orders(spark, sf_dir):
+    """Left-semi join — the reference's router drop-branches are morally
+    anti/semi eliminations (SURVEY §2.3 note)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "join_anti_customers_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_no_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "merge_update_orders",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS new_total
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.new_total, o.o_totalprice) AS o_totalprice,
+           u.o_orderkey IS NOT NULL AS updated
+    FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_update_orders(spark, sf_dir):
+    """S6/J3 merge sink shape via operators.merge.merge_updates: computed
+    update set joined back on the key, exactly-one cardinality asserted,
+    non-matched rows pass through untouched (main.go:217-240)."""
+    o = _t(spark, sf_dir, "orders")
+    # +100.0 keeps the update bit-exact on both engines (x*1.1 would hit
+    # double->decimal rounding-mode differences at the half-cent boundary)
+    updates = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+    )
+    merged = merge_updates(o, updates, key="o_orderkey", update_cols=["o_totalprice"])
+    return merged.select("o_orderkey", "o_totalprice", "updated")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations (extended)
+# ---------------------------------------------------------------------------
+
+_SEG_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SEG_B = "SELECT c_custkey FROM customer WHERE c_nationkey < 10"
+
+
+def _segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_nationkey") < 10).select("c_custkey")
+    return a, b
+
+
+@register("set_union", f"{_SEG_A} UNION {_SEG_B}")
+def set_union(spark, sf_dir):
+    a, b = _segments(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@register("set_intersect", f"{_SEG_A} INTERSECT {_SEG_B}")
+def set_intersect(spark, sf_dir):
+    a, b = _segments(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register("set_except", f"{_SEG_A} EXCEPT {_SEG_B}")
+def set_except(spark, sf_dir):
+    a, b = _segments(spark, sf_dir)
+    return a.subtract(b)  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — window functions (extended: dedup-by-recency, running, top-k, sessions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_dedup_recency",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def window_dedup_recency(spark, sf_dir):
+    """Keep the most recent event per user — the canonical window dedup
+    (SURVEY §2.5). Total order via (ts, event_id) tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "window_sessionize",
+    """
+    SELECT event_id, user_id, session_id FROM (
+      SELECT event_id, user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT event_id, user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                         > 1800000000 OR
+                         LAG(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)))
+    """,
+)
+def window_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min flag + running sum = session id.
+    Microsecond integer arithmetic on both engines (unix_micros/epoch_us) —
+    no float time math."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9-adjacent — batch event-time operators over `events`
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_bucket_agg",
+    """
+    SELECT epoch_us(ts) // 600000000 AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY bucket, event_type
+    """,
+)
+def time_bucket_agg(spark, sf_dir):
+    """10-minute tumbling window as integer microsecond buckets — the batch
+    twin of the streaming windowed aggregation (streaming/events.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.expr("unix_micros(ts) div 600000000"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured JSON extraction (extended F-layer): Spark side uses the
+    real JSON path operator; the oracle re-derives the same value lexically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — path/string function layer + router over derived paths
+# ---------------------------------------------------------------------------
+
+_DOC_PATH_SQL = "'/data/' || source || '/' || lang || '/doc_' || doc_id || '.txt'"
+
+
+@register(
+    "path_functions",
+    f"""
+    SELECT doc_id,
+           p AS path,
+           string_split(p, '/')[-1] AS base,
+           p[1 : len(p) - len(string_split(p, '/')[-1]) - 1] AS dir,
+           string_split(p, '/')[-2] AS parent_name,
+           p[1 : len(p) - len(string_split(p, '/')[-1]) - 1]
+             || '/.sys.v#.' || string_split(p, '/')[-1] AS versions_path
+    FROM (SELECT doc_id, {_DOC_PATH_SQL} AS p FROM documents)
+    """,
+)
+def path_functions(spark, sf_dir):
+    """F1/F2/F3/F7 over a derived path column (main.go:141-146)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "path",
+        F.concat(
+            F.lit("/data/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "path",
+        path_base("path").alias("base"),
+        path_dir("path").alias("dir"),
+        path_parent_name("path").alias("parent_name"),
+        versions_path("path").alias("versions_path"),
+    )
+
+
+@register(
+    "router_4way",
+    """
+    SELECT doc_id, p AS path,
+           CASE
+             WHEN starts_with(string_split(p, '/')[-1], '.sys.v#.') THEN 'ALREADY_POINTS_TO_VERSION_FOLDER'
+             WHEN NOT starts_with(p, '/eos/') THEN 'NOT_UNDER_HOME'
+             WHEN starts_with(string_split(p, '/')[-2], '.sys.v#.') THEN 'POINTS_TO_A_VERSION'
+             ELSE 'DEFAULT'
+           END AS decision
+    FROM (SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '/eos/user/d/docs/.sys.v#.doc_' || doc_id || '.txt'
+                   WHEN 1 THEN '/tmp/out/doc_' || doc_id || '.txt'
+                   WHEN 2 THEN '/eos/user/d/.sys.v#.doc_' || doc_id || '/r1.bin'
+                   ELSE '/eos/user/d/docs/doc_' || doc_id || '.txt'
+                 END AS p
+          FROM documents)
+    """,
+)
+def router_4way(spark, sf_dir):
+    """P4-P6 4-way router (main.go:280-315) over synthesized paths hitting
+    every branch; decision computed by operators.router.decision_col."""
+    d = _t(spark, sf_dir, "documents")
+    doc_id_s = F.col("doc_id").cast("string")
+    path = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/eos/user/d/docs/.sys.v#.doc_"), doc_id_s, F.lit(".txt")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/tmp/out/doc_"), doc_id_s, F.lit(".txt")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("/eos/user/d/.sys.v#.doc_"), doc_id_s, F.lit("/r1.bin")),
+        )
+        .otherwise(F.concat(F.lit("/eos/user/d/docs/doc_"), doc_id_s, F.lit(".txt")))
+    )
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        decision_col(path, home_prefix="/eos/").alias("decision"),
+    )
+
+
+@register(
+    "kv_parse_map",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(raw, 'uid=([0-9]+)', 1) AS BIGINT) AS uid,
+           regexp_extract(raw, 'type=([a-z]+)', 1) AS etype
+    FROM (SELECT event_id,
+                 'uid=' || user_id || ' type=' || event_type || ' raw' AS raw
+          FROM events)
+    """,
+)
+def kv_parse_map(spark, sf_dir):
+    """F5/F6 key=value parse (main.go:184-190): build the wire format, parse
+    it with the exact keep-len==2 semantics, extract typed fields."""
+    # Go map assignment is last-wins; the driver may hand us a session
+    # without this conf, so pin it here (runtime-settable SQL conf).
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "raw",
+        F.concat(
+            F.lit("uid="),
+            F.col("user_id").cast("string"),
+            F.lit(" type="),
+            F.col("event_type"),
+            F.lit(" raw"),  # a bare token the parser must skip
+        ),
+    )
+    m = parse_kv_map("raw")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "uid").try_cast("long").alias("uid"),
+        F.element_at(m, "type").alias("etype"),
+    )
+
+
+@register(
+    "kv_length_prefixed",
+    """
+    SELECT doc_id,
+           raw[16 + len(regexp_extract(raw, '^keylength.file=([0-9]+) file=', 1)) + 6 :
+               15 + len(regexp_extract(raw, '^keylength.file=([0-9]+) file=', 1)) + 6
+                  + CAST(regexp_extract(raw, '^keylength.file=([0-9]+) file=', 1) AS INT)]
+             AS file_path
+    FROM (SELECT doc_id,
+                 'keylength.file=' || len(p) || ' file=' || p || ' ino=' || doc_id AS raw
+          FROM (SELECT doc_id, '/eos/docs/' || lang || '/doc ' || doc_id || ' v1.txt' AS p
+                FROM documents))
+    """,
+)
+def kv_length_prefixed(spark, sf_dir):
+    """F10 — the #1 parity trap (main.go:192-198): length-prefixed extraction
+    of a path containing spaces; Go 0-indexed +7 becomes 1-indexed +8."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "p",
+        F.concat(
+            F.lit("/eos/docs/"),
+            F.col("lang"),
+            F.lit("/doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" v1.txt"),
+        ),
+    )
+    raw = d.withColumn(
+        "raw",
+        F.concat(
+            F.lit("keylength.file="),
+            F.length("p").cast("string"),
+            F.lit(" file="),
+            F.col("p"),
+            F.lit(" ino="),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return raw.select("doc_id", length_prefixed_value("raw").alias("file_path"))
+
+
+@register(
+    "cast_deadletter",
+    """
+    SELECT event_id,
+           TRY_CAST(s AS BIGINT) AS parsed,
+           (s IS NOT NULL AND TRY_CAST(s AS BIGINT) IS NULL) AS is_dead
+    FROM (SELECT event_id,
+                 CASE WHEN user_id % 7 = 0 THEN 'x' || user_id
+                      ELSE CAST(user_id AS VARCHAR) END AS s
+          FROM events)
+    """,
+)
+def cast_deadletter(spark, sf_dir):
+    """F9 Go-error-vs-Spark-null parity: garbled numerics must be *flagged*
+    (dead-letter), not silently nulled (main.go:193-202)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "s",
+        F.when(
+            F.col("user_id") % 7 == 0, F.concat(F.lit("x"), F.col("user_id").cast("string"))
+        ).otherwise(F.col("user_id").cast("string")),
+    )
+    r = safe_cast_long("s")
+    return ev.select(
+        "event_id",
+        r.getField("value").alias("parsed"),
+        r.getField("is_dead").alias("is_dead"),
+    )

@@ -1,0 +1,109 @@
+"""Table catalog over the fixture parquet directories.
+
+The reference scans one MySQL table with filter/projection/sort pushed into
+the SQL text (main.go:86-97). Here the scan surface is columnar parquet read
+through Spark's vectorized reader; Catalyst pushes predicates and prunes
+columns automatically, which `.explain()` shows as ``PushedFilters`` /
+``ReadSchema``. A JDBC source (`jdbc_scan`) mirrors the reference's actual
+source shape for deployments that read a live database.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table. Schemas come from the parquet footer (written by
+    the driver with fixed schemas — no inference involved).
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long (legacy conf, settable
+    at session runtime) and truncate to microsecond timestamps — the same
+    ns->us truncation DuckDB applies, so both engines see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can be written in SQL."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 20,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC scan mirroring the reference's pushed-down SELECT
+    (main.go:86-97: projection to 6/15 columns, two equi-predicates, ORDER BY).
+
+    Filters/projection applied on the returned DataFrame are pushed into the
+    remote SQL by Spark's JDBC source. ``partition_column`` splits the scan
+    into ``num_partitions`` parallel range queries — the set-at-a-time
+    replacement for the reference's 20-goroutine semaphore (main.go:260-271).
+    User-supplied values are passed via options, never interpolated into SQL
+    text (the reference's Sprintf at main.go:89-91 is an injection hazard we
+    deliberately do not reproduce).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", str(num_partitions))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if columns:
+        df = df.select(*columns)
+    for p in predicates or []:
+        df = df.filter(p)
+    return df
