@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+  * exact dedup is a hash-groupBy — one shuffle on the fingerprint;
+  * Jaccard pairs go through a shingle inverted index (explode + equi-join on
+    the shingle) with blocking (here: language) — never a cross join;
+  * MinHash/LSH replaces the full shingle join with a band-bucket join:
+    candidate generation touches only rows sharing a band value, then exact
+    Jaccard verifies just the candidates;
+  * SimHash produces a 64-bit signature per document for Hamming-distance
+    bucketing downstream.
+
+Everything is md5-based so results are engine-reproducible (Spark's
+xxhash64/hash are not portable to other engines); all hot paths are built-in
+expressions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+NUM_MINHASHES = 8
+BAND_SIZE = 2  # 4 bands x 2 rows
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined). Empty array when the document
+    has fewer than k tokens — note Spark's sequence(a, b) runs *descending*
+    when b < a, so the short-doc case must be guarded explicitly."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - k)
+    parts = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]  # noqa: E731
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one row per distinct
+    fingerprint with the keeper (min id) and the copy count."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, block_col: str | None, k: int
+) -> DataFrame:
+    cols = [F.col(id_col), shingles(text_col, k).alias("sh")]
+    if block_col:
+        cols.insert(1, F.col(block_col))
+    return df.select(*cols).withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
+
+    Inverted-index join: explode shingles, equi-join on (block, shingle),
+    count intersections per pair, then |A u B| = |A| + |B| - |A n B|. The
+    heavy join key includes the blocking column, which is also the natural
+    salting lever for skewed shingles at scale.
+    """
+    sets_a = _shingle_sets(df, text_col, id_col, block_col, k)
+    ex = sets_a.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        F.col("n_sh"), F.explode("sh").alias("shingle"),
+    )
+    # NB: every column gets a side-specific alias — a self-join on a column
+    # that keeps its attribute id on both sides degenerates into a
+    # trivially-true predicate (Spark warns and mis-joins).
+    a = ex.select(
+        F.col(id_col).alias("ia"), F.col("n_sh").alias("na"),
+        F.col("shingle").alias("sh_a"),
+        *([F.col(block_col).alias("ba")] if block_col else []),
+    )
+    b = ex.select(
+        F.col(id_col).alias("ib"), F.col("n_sh").alias("nb"),
+        F.col("shingle").alias("sh_b"),
+        *([F.col(block_col).alias("bb")] if block_col else []),
+    )
+    cond = (a.ia < b.ib) & (a.sh_a == b.sh_b)
+    if block_col:
+        cond = cond & (a.ba == b.bb)
+    inter = (
+        a.join(b, cond)
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min(md5(i || '|' || shingle)).
+    md5-hex min is engine-portable; one groupBy over the exploded shingles
+    computes all hashes in a single pass (no per-seed shuffle)."""
+    ex = _shingle_sets(df, text_col, id_col, None, k).select(
+        F.col(id_col), F.col("n_sh"), F.explode("sh").alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col, "n_sh").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs sharing >=1 band
+    value. This join touches only same-bucket rows — the 100 TB-safe path
+    (vs the full inverted-index join of jaccard_pairs)."""
+    n_bands = num_hashes // band_size
+    stack_args = []
+    for bnd in range(n_bands):
+        parts = [F.col(f"h{bnd * band_size + r}") for r in range(band_size)]
+        stack_args.append((bnd, F.md5(F.concat_ws("|", *parts))))
+    bands = None
+    for bnd, bv in stack_args:
+        one = sigs.select(
+            F.col(id_col), F.lit(bnd).alias("band"), bv.alias("bv")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col(id_col).alias("ia"), "band", "bv")
+    b = bands.select(F.col(id_col).alias("ib"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> exact Jaccard verification on candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    sets_df = _shingle_sets(df, text_col, id_col, None, k).select(
+        F.col(id_col), "sh", "n_sh"
+    )
+    sa = sets_df.select(
+        F.col(id_col).alias("ia"), F.col("sh").alias("sa"), F.col("n_sh").alias("na")
+    )
+    sb = sets_df.select(
+        F.col(id_col).alias("ib"), F.col("sh").alias("sb"), F.col("n_sh").alias("nb")
+    )
+    verified = (
+        cands.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "jaccard"
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document as a '0'/'1' bitstring.
+
+    Bit j of token t = bit (3 - j%4) of hex digit j//4 of md5(t); the
+    signature bit is the sign of the +/-1 vote sum over distinct tokens.
+    Pure integer/string arithmetic (instr-based hex decode) so any engine
+    reproduces it exactly.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("hex", F.md5("tok"))
+    bits = toks.select(
+        F.col(id_col),
+        F.col("hex"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+    )
+    digit = F.expr(
+        "instr('0123456789abcdef', substring(hex, CAST(j/4 AS INT)+1, 1)) - 1"
+    )
+    shift = F.when(F.col("j") % 4 == 0, 8).when(F.col("j") % 4 == 1, 4).when(
+        F.col("j") % 4 == 2, 2
+    ).otherwise(1)
+    bit = (digit / shift).cast("int") % 2
+    votes = (
+        bits.withColumn("vote", bit * 2 - 1)
+        .groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.withColumn("b", F.when(F.col("s") >= 0, "1").otherwise("0"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "b"))),
+                    lambda x: x.getField("b"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

@@ -818,3 +818,359 @@ def cast_deadletter(spark, sf_dir):
         r.getField("value").alias("parsed"),
         r.getField("is_dead").alias("is_dead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended: text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import multimodal as M  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+from .operators import text as TX  # noqa: E402
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(text) AS n_chars,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens_regex
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer (extended
+    text layer). Pure codegen expressions."""
+    d = _t(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        TX.regex_token_count("text").alias("n_tokens_regex"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id, n_tokens, stop_ratio, distinct_ratio, mean_token_len,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN distinct_ratio < 0.3 THEN 'repetitive'
+                ELSE 'ok' END AS quality
+    FROM (
+      SELECT doc_id, len(t) AS n_tokens,
+             len(list_filter(t, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(t) AS stop_ratio,
+             len(list_distinct(t))::DOUBLE / len(t) AS distinct_ratio,
+             list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_token_len
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring (length / stopword / repetition heuristics) with a
+    routing label — the doc-filtering stage of a training-data pipeline."""
+    d = TX.with_quality(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_tokens", "stop_ratio", "distinct_ratio", "mean_token_len", "quality"
+    )
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN list_contains(t, 'the') THEN 'en'
+                WHEN list_contains(t, 'data') THEN 'en-tech'
+                ELSE 'und' END AS lang_guess
+    FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-based language ID scaffold (deterministic, oracle-mirrored);
+    a real char-n-gram classifier plugs in as a pandas UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.langid_heuristic("text").alias("lang_guess"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint (engine-portable, unlike xxhash64).
+    NB: DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all default."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Extended: deduplication over `documents`
+# ---------------------------------------------------------------------------
+
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(t)-2),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized fingerprint — one shuffle,
+    the O(n) baseline every pipeline starts with."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT ia AS doc_a, ib AS doc_b,
+           inter::DOUBLE / (na + nb - inter) AS jaccard
+    FROM inter WHERE inter::DOUBLE / (na + nb - inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard near-dup pairs via an inverted-index join
+    blocked by language — never a cross join (operators/dedup.py)."""
+    return D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.2
+    )
+
+
+_MINHASH_SIGS = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shs AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle
+           FROM shs WHERE len(s) > 0),
+    sigs AS (
+      SELECT doc_id, ANY_VALUE(n_sh) AS n_sh,
+             {', '.join(f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+      FROM ex GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_SIGS},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bv FROM sigs"
+        for b in range(4))}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, s, len(s) AS n FROM shs),
+    verified AS (
+      SELECT ia, ib,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+             (sa.n + sb.n - len(list_intersect(sa.s, sb.s))) AS jaccard
+      FROM cands JOIN sets sa ON sa.doc_id = ia
+                 JOIN sets sb ON sb.doc_id = ib)
+    SELECT ia AS doc_a, ib AS doc_b, jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands x 2): candidate pairs from band-bucket joins,
+    exact-Jaccard verification on candidates only — the 100 TB-safe near-dup
+    path. md5-derived hashes keep the (probabilistic) result deterministic
+    and engine-reproducible."""
+    return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+    tok AS (SELECT doc_id, md5(unnest(t)) AS hex FROM toks),
+    bits AS (SELECT doc_id, hex, unnest(generate_series(0, 63)) AS j FROM tok),
+    v AS (
+      SELECT doc_id, j,
+             SUM(2 * ((CAST(strpos('0123456789abcdef',
+                                   substring(hex, (j // 4) + 1, 1)) - 1 AS INT)
+                       // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1) AS s
+      FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+             AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures from md5 token bits — integer/string
+    arithmetic only, bit-identical across engines."""
+    return D.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extended: vector similarity over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Engine-exact dot product (see operators/similarity.py): float ->
+    DOUBLE -> DECIMAL(12,9) per element, exact decimal sum, back to double."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(CAST(x[1] AS DOUBLE) AS DECIMAL(12,9)) * "
+        f"CAST(CAST(x[2] AS DOUBLE) AS DECIMAL(12,9)))) AS DOUBLE)"
+    )
+
+
+@register(
+    "similarity_knn",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_knn(spark, sf_dir):
+    """Brute-force cosine top-5 for 20 query vectors: broadcast queries x
+    full corpus scan, window-ranked with a total tie-break. Exact-decimal
+    dots make ranks/ties engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, emb.where(F.col("vec_id") < 20), top_k=5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9)
+             AS cosine
+    FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs, label-blocked self-join (at scale the block
+    key is an LSH bucket — embedding_lsh_buckets below)."""
+    return S.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(sqrt({_dot_sql('embedding', 'embedding')})
+                         AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    emb = S.with_norm(_t(spark, sf_dir, "embeddings"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("norm").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+    )
+
+
+_LSH_BIT_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+    f"i -> CAST(CASE WHEN strpos('89abcdef', substring(md5('{p}:' || (i-1)), 1, 1)) > 0 "
+    "THEN 1 ELSE -1 END AS DECIMAL(2,0)) * "
+    "CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)))) >= 0 "
+    "THEN '1' ELSE '0' END)"
+    for p in range(8)
+)
+
+
+@register(
+    "embedding_lsh_buckets",
+    f"SELECT vec_id, {_LSH_BIT_SQL} AS bucket FROM embeddings",
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket per vector (8 md5-derived planes) — the
+    blocking key that makes ANN candidate generation an equi-join at scale."""
+    return S.with_lsh_bucket(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended: multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bytes",
+    """
+    SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp,
+           (octet_length(text::BLOB) % 640 + 1) AS fake_width
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Opaque-binary column handling: encode to bytes, hash and measure them
+    JVM-side (the metadata half of the multimodal plumbing)."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("fp"),
+        (F.octet_length(blob) % 640 + 1).alias("fake_width"),
+    )
+
+
+@register("multimodal_decode")  # no oracle: mapInPandas decode (rows-only check)
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched pandas-UDF decode over binary media blobs
+    (operators/multimodal.py) — deterministic fake features standing in for
+    the codec; plumbing (schema/batching/partitioning) is the real thing."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    return M.decode_media(media, fake=True)

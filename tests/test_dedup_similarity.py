@@ -1,0 +1,156 @@
+"""Unit tests for dedup/similarity/text/multimodal operators on controlled
+inputs (the fixture-scale differential checks live in the query catalog)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    shingles,
+    simhash64,
+)
+from cernbox_migration_database_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    frame_sample_plan,
+)
+from cernbox_migration_database_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    dot_exact,
+    knn_bruteforce,
+    with_lsh_bucket,
+)
+from cernbox_migration_database_spark.operators.text import (
+    normalize_text,
+    tokens,
+    with_quality,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),   # near-dup of 1
+        (3, "completely different words entirely here now", "en"),
+        (4, "the  quick brown fox jumps over the  lazy dog ", "en"),  # exact after norm
+        (5, "short one", "en"),                                      # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark).select("doc_id", shingles("text").alias("sh"))
+    got = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert got[5] == []
+    assert "the quick brown" in got[1]
+
+
+def test_exact_dedup_normalized(spark):
+    out = exact_dedup(_docs(spark))
+    by_keeper = {r["keeper"]: r["n_copies"] for r in out.collect()}
+    assert by_keeper[1] == 2  # doc 4 normalizes to doc 1
+    assert out.count() == 4
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    out = jaccard_pairs(_docs(spark), threshold=0.5)
+    rows = [(r["doc_a"], r["doc_b"]) for r in out.collect()]
+    assert (1, 2) in rows and (1, 4) in rows and (2, 4) in rows
+    assert all(a != 3 and b != 3 for a, b in rows)
+
+
+def test_minhash_lsh_matches_bruteforce_on_high_sim(spark):
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(_docs(spark), block_col=None, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(_docs(spark), threshold=0.9).collect()
+    }
+    # docs 1 and 4 tokenize identically -> identical signatures -> every band
+    # collides -> LSH is guaranteed (not just likely) to catch the pair
+    assert (1, 4) in lsh
+    assert lsh == brute == {(1, 4)}
+
+
+def test_simhash_properties(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in out.values())
+    ham12 = sum(a != b for a, b in zip(out[1], out[2]))
+    ham13 = sum(a != b for a, b in zip(out[1], out[3]))
+    assert ham12 < ham13  # near-dup is closer in Hamming space
+    assert out[1] == out[4]  # identical token sets -> identical signature
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_dot_exact(spark):
+    df = _vecs(spark)
+    r = df.where("vec_id = 2").select(
+        dot_exact(F.col("embedding"), F.col("embedding")).alias("d")
+    ).collect()[0]["d"]
+    # float32 storage: 0.99 and 0.1 round to their nearest float32 first
+    assert math.isclose(r, 0.99**2 + 0.1**2, rel_tol=1e-6)
+
+
+def test_knn_ranks_nearest_first(spark):
+    df = _vecs(spark)
+    out = knn_bruteforce(df, df.where("vec_id = 1"), top_k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 2 and order[-1] == 4  # most similar .. opposite
+
+
+def test_cosine_near_dup_blocked(spark):
+    out = cosine_near_dup_pairs(_vecs(spark), threshold=0.9).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in out] == [(1, 2)]
+
+
+def test_lsh_bucket_shape(spark):
+    out = with_lsh_bucket(_vecs(spark)).select("bucket").collect()
+    assert all(len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"} for r in out)
+
+
+def test_quality_and_normalize(spark):
+    d = with_quality(_docs(spark))
+    got = {r["doc_id"]: r for r in d.collect()}
+    assert got[5]["quality"] == "too_short"
+    assert got[1]["n_tokens"] == 9
+    norm = _docs(spark).select(normalize_text("text").alias("n")).collect()
+    assert norm[3]["n"] == norm[0]["n"]  # doc 4 == doc 1 after normalization
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = documents_as_media(_docs(spark))
+    out = decode_media(media, fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert len(rows[1]["sha"]) == 64
+    assert 0.0 <= rows[1]["mean_luma"] <= 1.0
+
+
+def test_multimodal_decode_real_is_marked_stub(spark):
+    media = documents_as_media(_docs(spark))
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 3500)], "media_id long, duration_ms long")
+    out = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["sample_ms"] for r in out] == [0, 1000, 2000, 3000]
