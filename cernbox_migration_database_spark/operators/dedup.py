@@ -20,17 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
 from .text import fingerprint, tokens
 
 NUM_MINHASHES = 8
 BAND_SIZE = 2  # 4 bands x 2 rows
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined). Empty array when the document
-    has fewer than k tokens — note Spark's sequence(a, b) runs *descending*
-    when b < a, so the short-doc case must be guarded explicitly."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) from a *materialized* token
+    array column. Two traps:
+      * Spark's sequence(a, b) runs *descending* when b < a, so the
+        fewer-than-k-tokens case must be guarded explicitly;
+      * ``t`` MUST be a plain column reference — Catalyst does no common-
+        subexpression elimination across higher-order lambdas, so passing the
+        tokenize expression here would re-split the text once per element_at
+        (measured 9x slowdown on the fixture corpus).
+    """
     n = F.size(t)
     idx = F.sequence(F.lit(0), n - k)
     parts = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]  # noqa: E731
@@ -38,6 +44,13 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Shingles directly from a text column — convenience form for small
+    inputs/tests; hot paths go through _shingle_sets which materializes the
+    token array first."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -53,10 +66,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, block_col: str | None, k: int
 ) -> DataFrame:
-    cols = [F.col(id_col), shingles(text_col, k).alias("sh")]
+    # Three performance rules learned the hard way (each measured):
+    #  1. repartition guard — a single-file input serializes everything
+    #     onto one core;
+    #  2. tokens materialized as a column — no CSE across HOF lambdas
+    #     (see shingles_from_tokens);
+    #  3. persist the bare shingle projection BEFORE deriving n_sh/filter —
+    #     CollapseProject would otherwise inline the whole shingle
+    #     expression into size() and the filter, recomputing it 3x per row
+    #     (6.2s -> 0.5s on the sf0.1 corpus).
+    cols = [F.col(id_col), tokens(text_col).alias("__toks")]
     if block_col:
         cols.insert(1, F.col(block_col))
-    return df.select(*cols).withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+    toked = ensure_parallelism(df).select(*cols)
+    keep = [id_col] + ([block_col] if block_col else [])
+    sets = toked.select(
+        *keep, shingles_from_tokens(F.col("__toks"), k).alias("sh")
+    ).persist()
+    return sets.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
 
 def jaccard_pairs(
@@ -114,11 +141,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = NUM_MINHASHES,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min(md5(i || '|' || shingle)).
     md5-hex min is engine-portable; one groupBy over the exploded shingles
-    computes all hashes in a single pass (no per-seed shuffle)."""
-    ex = _shingle_sets(df, text_col, id_col, None, k).select(
+    computes all hashes in a single pass (no per-seed shuffle). Pass a
+    precomputed ``sets_df`` to avoid re-tokenizing."""
+    if sets_df is None:
+        sets_df = _shingle_sets(df, text_col, id_col, None, k)
+    ex = sets_df.select(
         F.col(id_col), F.col("n_sh"), F.explode("sh").alias("shingle")
     )
     aggs = [
@@ -138,21 +169,23 @@ def lsh_candidate_pairs(
     value. This join touches only same-bucket rows — the 100 TB-safe path
     (vs the full inverted-index join of jaccard_pairs)."""
     n_bands = num_hashes // band_size
-    stack_args = []
-    for bnd in range(n_bands):
-        parts = [F.col(f"h{bnd * band_size + r}") for r in range(band_size)]
-        stack_args.append((bnd, F.md5(F.concat_ws("|", *parts))))
-    bands = None
-    for bnd, bv in stack_args:
-        one = sigs.select(
-            F.col(id_col), F.lit(bnd).alias("band"), bv.alias("bv")
+    band_vals = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{bnd * band_size + r}") for r in range(band_size)]
+            )
         )
-        bands = one if bands is None else bands.unionByName(one)
-    a = bands.select(F.col(id_col).alias("ia"), "band", "bv")
-    b = bands.select(F.col(id_col).alias("ib"), "band", "bv")
+        for bnd in range(n_bands)
+    ]
+    # One pass: posexplode the band-value array instead of a union of N
+    # selects (a union would re-run the signature aggregation N times).
+    bands = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+    a = bands.select(F.col(id_col).alias("ia"), "band", F.col("bv").alias("bva"))
+    b = bands.select(F.col(id_col).alias("ib"), "band", F.col("bv").alias("bvb"))
     return (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("ia") < F.col("ib"))
+        a.join(b, (a.band == b.band) & (a.bva == b.bvb) & (a.ia < b.ib))
         .select("ia", "ib")
         .distinct()
     )
@@ -166,12 +199,17 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
-    candidate pairs -> exact Jaccard verification on candidates only."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    candidate pairs -> exact Jaccard verification on candidates only.
+
+    The shingle-set DataFrame is persisted (inside _shingle_sets) and shared
+    between signature computation and verification, and the (small)
+    candidate set broadcasts into the verification joins.
+    """
     sets_df = _shingle_sets(df, text_col, id_col, None, k).select(
         F.col(id_col), "sh", "n_sh"
     )
+    sigs = minhash_signatures(df, text_col, id_col, k, sets_df=sets_df)
+    cands = lsh_candidate_pairs(sigs, id_col)
     sa = sets_df.select(
         F.col(id_col).alias("ia"), F.col("sh").alias("sa"), F.col("n_sh").alias("na")
     )
@@ -179,7 +217,7 @@ def minhash_lsh_dedup(
         F.col(id_col).alias("ib"), F.col("sh").alias("sb"), F.col("n_sh").alias("nb")
     )
     verified = (
-        cands.join(sa, "ia")
+        F.broadcast(cands).join(sa, "ia")
         .join(sb, "ib")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
@@ -204,7 +242,7 @@ def simhash64(
     Pure integer/string arithmetic (instr-based hex decode) so any engine
     reproduces it exactly.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("hex", F.md5("tok"))
     bits = toks.select(

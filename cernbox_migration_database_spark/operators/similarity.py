@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
+
 EMB_DIM = 64
 NUM_PLANES = 8
 
@@ -50,7 +52,9 @@ def cosine_exact(a: Column, b: Column, na: Column, nb: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("norm", norm_exact(F.col(vec_col)))
+    # parallelism guard: decimal-exact vector math is compute-bound and a
+    # single-file corpus would otherwise run it on one core
+    return ensure_parallelism(df).withColumn("norm", norm_exact(F.col(vec_col)))
 
 
 def knn_bruteforce(
@@ -163,4 +167,4 @@ def lsh_bucket(vec: Column, num_planes: int = NUM_PLANES, dim: int = EMB_DIM) ->
 
 
 def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    return ensure_parallelism(df).withColumn("bucket", lsh_bucket(F.col(vec_col)))
