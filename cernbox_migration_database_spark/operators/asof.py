@@ -1,0 +1,72 @@
+"""As-of (most-recent-match) join — an operator Spark has no native form of.
+
+For each left row, find the latest right row with the same key and
+``right.ts <= left.ts``. The scalable formulation is the union trick:
+
+  1. tag both sides and union them into one stream of (key, ts, side, ...);
+  2. sort within key by (ts, side) — right rows before left rows at equal ts
+     so a same-timestamp right row is visible to the left row (<= semantics);
+  3. last(right_value, ignoreNulls) over an unbounded-preceding window
+     carries the most recent right row forward;
+  4. keep only left rows.
+
+One shuffle on the key (same cost as a regular join), no per-group pandas,
+no range explosion — this is the 100 TB-safe shape. A merge_asof via
+applyInPandas would be the fallback for semantics this can't express
+(tolerance windows, nearest-rather-than-previous).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, enriched with ``right_cols`` from
+    the most recent ``right`` row at or before its ``ts`` (NULLs when none).
+
+    ``right`` should be pre-deduplicated to one row per (key, ts) — with
+    duplicates the carried row is the last under the internal sort, which is
+    deterministic only if the caller makes it so.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (key, ts)
+        ],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    ).select(*lcols, "__is_left", *[f"{prefix}{c}" for c in right_cols])
+
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        F.col("__is_left"),
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")

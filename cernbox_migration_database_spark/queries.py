@@ -1174,3 +1174,195 @@ def multimodal_decode(spark, sf_dir):
     the codec; plumbing (schema/batching/partitioning) is the real thing."""
     media = M.documents_as_media(_t(spark, sf_dir, "documents"))
     return M.decode_media(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming counterparts (§2.9 generalization): a real Structured Streaming
+# plan drained to completion — results equal the batch oracle because the
+# memory-sink drain sees all data (no late drops).
+# ---------------------------------------------------------------------------
+
+from . import streaming as ST  # noqa: E402
+
+
+@register(
+    "streaming_window_agg",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+             AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def streaming_window_agg(spark, sf_dir):
+    """Watermarked tumbling-window aggregation executed as an actual
+    streaming query (readStream -> window agg -> memory sink, drained
+    synchronously); the oracle is the equivalent batch bucket aggregation."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    agg = ST.windowed_counts(stream, window="10 minutes")
+    ST.run_stream_to_memory(agg, "stream_window_agg_out", output_mode="complete")
+    return spark.table("stream_window_agg_out")
+
+
+@register(
+    "streaming_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       > 1800000000
+                    OR LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM seq)
+    SELECT make_timestamp(MIN(us)) AS session_start, user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark, sf_dir):
+    """Native session_window (30-minute gap) as a streaming query; the
+    oracle derives the identical sessions with the batch lag+cumsum method —
+    a strong cross-check that the two formulations agree."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    agg = ST.session_window_agg(stream, gap="30 minutes")
+    ST.run_stream_to_memory(agg, "stream_session_out", output_mode="complete")
+    return spark.table("stream_session_out")
+
+
+# ---------------------------------------------------------------------------
+# As-of join + remaining relational surface (pivot, dates, percentiles,
+# array aggregation)
+# ---------------------------------------------------------------------------
+
+from .operators.asof import asof_join  # noqa: E402
+
+
+@register(
+    "asof_join_purchases",
+    """
+    WITH purch AS (
+      SELECT user_id, ts, MAX(event_id) AS p_event
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, p.p_event AS asof_event_id
+    FROM events e
+    ASOF LEFT JOIN purch p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_purchases(spark, sf_dir):
+    """As-of join (operators/asof.py): each event enriched with the most
+    recent purchase event at-or-before it per user. The oracle uses DuckDB's
+    *native* ASOF JOIN — a strong cross-formulation differential against the
+    union+last-window implementation."""
+    ev = _t(spark, sf_dir, "events")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))  # dedup: one row per (key, ts)
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purch.select("user_id", "ts", "event_id"),
+        key="user_id",
+        ts="ts",
+        right_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", F.col("asof_event_id"))
+
+
+@register(
+    "events_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """Pivot: event-type counts per user with a fixed column list (dynamic
+    pivot would need a collect for the distinct values — fixed keeps the
+    plan one-pass)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY y, m
+    """,
+)
+def date_functions(spark, sf_dir):
+    """Date part extraction + grouping (extended §2.8 — the reference carries
+    a timestamp but never computes on it; the engine surfaces the full
+    date/time function family)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines implement the same
+    continuous-quantile formula; rounded 6dp to absorb last-ulp
+    interpolation arithmetic differences)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@register(
+    "array_agg_sorted",
+    """
+    SELECT o_orderstatus,
+           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def array_agg_sorted(spark, sf_dir):
+    """Array aggregation with deterministic ordering: collect_set is
+    unordered by construction, so a sort_array makes the result stable and
+    comparable."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )

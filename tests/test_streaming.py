@@ -1,0 +1,58 @@
+"""Structured Streaming operators: drained-stream results must equal their
+batch twins (the strongest equivalence check available locally)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark import streaming as ST
+from cernbox_migration_database_spark.sources.catalog import load_table
+
+
+def test_windowed_counts_equals_batch(spark, sf_dir):
+    stream = ST.read_event_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agg = ST.windowed_counts(stream)
+    ST.run_stream_to_memory(agg, "t_win_out")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("t_win_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.window("ts", "10 minutes").getField("start").alias("ws"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
+    assert got == want
+
+
+def test_session_window_counts_total(spark, sf_dir):
+    stream = ST.read_event_stream(spark, sf_dir)
+    agg = ST.session_window_agg(stream)
+    ST.run_stream_to_memory(agg, "t_sess_out")
+    out = spark.table("t_sess_out")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events  # every event lands in exactly one session
+
+
+def test_stateful_user_counts(spark, sf_dir):
+    stream = ST.read_event_stream(spark, sf_dir)
+    out = ST.stateful_user_counts(stream)
+    ST.run_stream_to_memory(out, "t_state_out", output_mode="update")
+    got = {
+        r["user_id"]: r["n_events"] for r in spark.table("t_state_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
