@@ -1,12 +1,54 @@
+from .asof import asof_join
+from .dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash64,
+)
+from .enrich import external_service_lookup, lookup_join
+from .merge import assert_exactly_one, jdbc_upsert_writer, merge_updates
+from .multimodal import decode_media, documents_as_media, frame_sample_plan
 from .router import DECISIONS, route_shares, with_decision
-from .enrich import lookup_join
-from .merge import merge_updates, assert_exactly_one
+from .similarity import (
+    cosine_near_dup_pairs,
+    dot_exact,
+    knn_bruteforce,
+    lsh_bucket,
+    with_lsh_bucket,
+    with_norm,
+)
+from .text import fingerprint, langid_heuristic, normalize_text, tokens, with_quality
 
 __all__ = [
     "DECISIONS",
     "with_decision",
     "route_shares",
     "lookup_join",
+    "external_service_lookup",
     "merge_updates",
     "assert_exactly_one",
+    "jdbc_upsert_writer",
+    "asof_join",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_lsh_dedup",
+    "simhash64",
+    "knn_bruteforce",
+    "cosine_near_dup_pairs",
+    "dot_exact",
+    "with_norm",
+    "lsh_bucket",
+    "with_lsh_bucket",
+    "tokens",
+    "normalize_text",
+    "fingerprint",
+    "with_quality",
+    "langid_heuristic",
+    "documents_as_media",
+    "decode_media",
+    "frame_sample_plan",
 ]
