@@ -1366,3 +1366,336 @@ def array_agg_sorted(spark, sf_dir):
         F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship end-to-end differential: the FULL migration pipeline (§3.1) over
+# synthetic oc_share/eos_meta tables derived deterministically from `orders`,
+# with a SQL oracle reproducing every stage (scan -> enrich -> route ->
+# versions lookup -> update set -> merge / audit / dead letter).
+# ---------------------------------------------------------------------------
+
+from .plans.migration import run_migration  # noqa: E402
+
+# Branch design by o_orderkey k:
+#   k%5==0            -> filtered out by scan (share_type=1)
+#   k%7==0            -> filtered out by scan (item_type='folder')
+#   k%11==0           -> file_source=-k: no inode in catalog -> dead letter
+#   else by k%4: 0 -> ALREADY (basename .sys.v#.), 1 -> NOT_UNDER_HOME,
+#                2 -> PARENT_IS_VERSION, 3 -> DEFAULT (versions folder
+#                     exists iff k%3!=0; k%3==0 -> missing -> dead letter)
+
+_MIG_SHARES_SQL = """
+  shares AS (
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 3 END AS share_type,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'folder' ELSE 'file' END AS item_type,
+           'old' AS item_source, '/old' AS item_target,
+           CASE WHEN o_orderkey % 11 = 0 THEN -o_orderkey
+                ELSE o_orderkey END AS file_source,
+           '/old' AS file_target
+    FROM orders)
+"""
+
+_MIG_META_SQL = """
+  meta AS (
+    SELECT o_orderkey AS inode,
+           CASE o_orderkey % 4
+             WHEN 0 THEN '/eos/u/.sys.v#.f' || o_orderkey
+             WHEN 1 THEN '/tmp/f' || o_orderkey
+             WHEN 2 THEN '/eos/u/.sys.v#.d' || o_orderkey || '/v1'
+             ELSE '/eos/u/f' || o_orderkey
+           END AS path
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 10000000, '/eos/u/.sys.v#.d' || o_orderkey
+    FROM orders WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey + 20000000, '/eos/u/.sys.v#.f' || o_orderkey
+    FROM orders WHERE o_orderkey % 4 = 3 AND o_orderkey % 3 <> 0)
+"""
+
+_MIG_PIPE_SQL = f"""
+  WITH {_MIG_SHARES_SQL}, {_MIG_META_SQL},
+  scan AS (
+    SELECT * FROM shares WHERE share_type = 3 AND item_type = 'file'),
+  enriched AS (
+    SELECT s.*, m.inode AS f_inode, m.path AS f_path
+    FROM scan s LEFT JOIN meta m ON s.file_source = m.inode),
+  routed AS (
+    SELECT *,
+      CASE
+        WHEN f_inode IS NULL THEN 'DEAD'
+        WHEN starts_with(string_split(f_path, '/')[-1], '.sys.v#.')
+          THEN 'ALREADY_POINTS_TO_VERSION_FOLDER'
+        WHEN NOT starts_with(f_path, '/eos/') THEN 'NOT_UNDER_HOME'
+        WHEN starts_with(string_split(f_path, '/')[-2], '.sys.v#.')
+          THEN 'POINTS_TO_A_VERSION'
+        ELSE 'DEFAULT'
+      END AS decision,
+      CASE
+        WHEN f_inode IS NULL THEN NULL
+        WHEN starts_with(string_split(f_path, '/')[-2], '.sys.v#.')
+          THEN f_path[1 : len(f_path) - len(string_split(f_path, '/')[-1]) - 1]
+        ELSE f_path[1 : len(f_path) - len(string_split(f_path, '/')[-1]) - 1]
+             || '/.sys.v#.' || string_split(f_path, '/')[-1]
+      END AS target_path
+    FROM enriched),
+  updates AS (
+    SELECT r.id,
+           CAST(v.inode AS VARCHAR) AS item_source,
+           '/' || v.inode AS item_target,
+           v.inode AS file_source,
+           '/' || string_split(v.path, '/')[-1] AS file_target
+    FROM routed r JOIN meta v ON r.target_path = v.path
+    WHERE r.decision IN ('POINTS_TO_A_VERSION', 'DEFAULT'))
+"""
+
+
+@register(
+    "migration_merged",
+    f"""
+    {_MIG_PIPE_SQL}
+    SELECT s.id,
+           COALESCE(u.item_source, s.item_source) AS item_source,
+           COALESCE(u.item_target, s.item_target) AS item_target,
+           COALESCE(u.file_source, s.file_source) AS file_source,
+           COALESCE(u.file_target, s.file_target) AS file_target,
+           u.id IS NOT NULL AS updated
+    FROM shares s LEFT JOIN updates u ON s.id = u.id
+    """,
+)
+def migration_merged(spark, sf_dir):
+    """END-TO-END: the composed migration plan (plans/migration.py) on
+    synthetic oc_share/eos_meta derived from `orders`, every stage mirrored
+    in the oracle CTEs. Exercises scan filters, the enrichment join, all
+    four router branches, derived-path lookup, update-set construction
+    (main.go:218,228 semantics) and the merge."""
+    res = _run_mig(spark, sf_dir)
+    return res.merged.select(
+        "id", "item_source", "item_target", "file_source", "file_target", "updated"
+    )
+
+
+@register(
+    "migration_audit",
+    f"""
+    {_MIG_PIPE_SQL}
+    SELECT id, decision FROM routed
+    WHERE decision IN ('ALREADY_POINTS_TO_VERSION_FOLDER', 'NOT_UNDER_HOME')
+    UNION ALL
+    SELECT r.id, r.decision
+    FROM routed r JOIN meta v ON r.target_path = v.path
+    WHERE r.decision IN ('POINTS_TO_A_VERSION', 'DEFAULT')
+    """,
+)
+def migration_audit(spark, sf_dir):
+    """The audit stream (S8) as a queryable output: one decision row per
+    routed share that reached a terminal state."""
+    return _run_mig(spark, sf_dir).audit.select("id", "decision")
+
+
+@register(
+    "migration_dead_letters",
+    f"""
+    {_MIG_PIPE_SQL}
+    SELECT id, 'eos_info_by_inode' AS error_stage FROM routed
+    WHERE decision = 'DEAD'
+    UNION ALL
+    SELECT r.id, 'versions_folder_missing' AS error_stage
+    FROM routed r LEFT JOIN meta v ON r.target_path = v.path
+    WHERE r.decision = 'DEFAULT' AND v.path IS NULL
+    """,
+)
+def migration_dead_letters(spark, sf_dir):
+    """The dead-letter stream (S9/X4): rows that failed enrichment or whose
+    versions folder is missing (no create sink configured here)."""
+    return _run_mig(spark, sf_dir).dead.select("id", "error_stage")
+
+
+def _run_mig(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    shares = o.select(
+        k.alias("id"),
+        F.when(k % 5 == 0, 1).otherwise(3).alias("share_type"),
+        F.when(k % 7 == 0, "folder").otherwise("file").alias("item_type"),
+        F.lit("old").alias("item_source"),
+        F.lit("/old").alias("item_target"),
+        F.when(k % 11 == 0, -k).otherwise(k).alias("file_source"),
+        F.lit("/old").alias("file_target"),
+    )
+    base_meta = o.select(
+        k.alias("inode"),
+        F.when(k % 4 == 0, F.concat(F.lit("/eos/u/.sys.v#.f"), ks))
+        .when(k % 4 == 1, F.concat(F.lit("/tmp/f"), ks))
+        .when(k % 4 == 2, F.concat(F.lit("/eos/u/.sys.v#.d"), ks, F.lit("/v1")))
+        .otherwise(F.concat(F.lit("/eos/u/f"), ks))
+        .alias("path"),
+    )
+    parents = (
+        o.where(k % 4 == 2)
+        .select((k + 10000000).alias("inode"),
+                F.concat(F.lit("/eos/u/.sys.v#.d"), ks).alias("path"))
+    )
+    versions = (
+        o.where((k % 4 == 3) & (k % 3 != 0))
+        .select((k + 20000000).alias("inode"),
+                F.concat(F.lit("/eos/u/.sys.v#.f"), ks).alias("path"))
+    )
+    meta = (
+        base_meta.unionByName(parents).unionByName(versions)
+        .withColumn("uid", F.lit("u"))
+        .withColumn("gid", F.lit("g"))
+        .withColumn("size", F.col("inode"))
+    )
+    return run_migration(shares, meta, home_prefix="/eos/", create_fn=None)
+
+
+# ---------------------------------------------------------------------------
+# Remaining analytic surface: lag/lead/rank family, range frames, explode,
+# grouping sets, union-all, string functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_analytics",
+    """
+    SELECT event_id, user_id,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def window_analytics(spark, sf_dir):
+    """The analytic-function family over a single total-ordered window
+    (lag/lead/rank/dense_rank/ntile)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over integer microseconds: a 1-hour rolling sum — the
+    value-based frame the ROWS variant can't express."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "rolling_1h"
+        ),
+    )
+
+
+@register(
+    "token_frequencies",
+    """
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def token_frequencies(spark, sf_dir):
+    """explode + aggregate + top-k: the corpus vocabulary histogram."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond cube/rollup) via the SQL surface —
+    DataFrame and SQL APIs share one Catalyst plan space."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_nationkey < 10
+    """,
+)
+def set_union_all(spark, sf_dir):
+    a, b = _segments(spark, sf_dir)
+    return a.union(b)  # bag semantics (UNION ALL)
+
+
+@register(
+    "string_functions",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+           substring(source, 4) AS src_num,
+           replace(source, 'src', 'source-') AS src_long,
+           concat_ws('|', lang, source) AS joined,
+           length(trim(text)) AS trimmed_len
+    FROM documents
+    """,
+)
+def string_functions(spark, sf_dir):
+    """The scalar string-function family (§2.8 extended: case, pad,
+    substring, replace, concat_ws, trim)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.substring("source", 4, 2147483647).alias("src_num"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source-")).alias("src_long"),
+        F.concat_ws("|", "lang", "source").alias("joined"),
+        F.length(F.trim("text")).alias("trimmed_len"),
+    )
