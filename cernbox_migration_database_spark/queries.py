@@ -120,13 +120,13 @@ def topk_orders(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+           (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_disc_price,
+           (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_charge,
+           (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(l_quantity) AS avg_qty,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(l_extendedprice) AS avg_price,
+           (CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -160,7 +160,7 @@ def q1_pricing_summary(spark, sf_dir):
     "agg_group_count",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total
     FROM orders GROUP BY o_orderstatus, o_orderpriority
     """,
 )
@@ -194,7 +194,7 @@ def agg_distinct_customers(spark, sf_dir):
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -231,7 +231,7 @@ def agg_rollup(spark, sf_dir):
     """
     SELECT p_brand,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
                   JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY p_brand
@@ -261,7 +261,7 @@ def join_enrich_parts(spark, sf_dir):
     "join_dims_region",
     """
     SELECT r_name, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+           (CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
@@ -286,7 +286,7 @@ def join_dims_region(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -324,7 +324,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_region_revenue",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -588,7 +588,7 @@ def window_sessionize(spark, sf_dir):
     """
     SELECT epoch_us(ts) // 600000000 AS bucket, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
     FROM events GROUP BY bucket, event_type
     """,
 )
@@ -1038,13 +1038,21 @@ def dedup_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_SCALED_EL = (
+    "CAST(CAST(CAST({v} AS DOUBLE) AS DECIMAL(12,7)) * 10000000 AS BIGINT)"
+)
+
+
 def _dot_sql(a: str, b: str) -> str:
-    """Engine-exact dot product (see operators/similarity.py): float ->
-    DOUBLE -> DECIMAL(12,9) per element, exact decimal sum, back to double."""
+    """Engine-exact dot product, mirroring operators/similarity.py: each
+    float element -> DOUBLE -> DECIMAL(12,7) -> x10^7 as BIGINT; exact
+    integer sum; one double division by 10^14. The integer sum stays under
+    2^53, so the BIGINT->DOUBLE conversion is exact on both engines."""
+    ea = _SCALED_EL.format(v="x[1]")
+    eb = _SCALED_EL.format(v="x[2]")
     return (
-        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        f"x -> CAST(CAST(x[1] AS DOUBLE) AS DECIMAL(12,9)) * "
-        f"CAST(CAST(x[2] AS DOUBLE) AS DECIMAL(12,9)))) AS DOUBLE)"
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> {ea} * {eb})) AS DOUBLE) / 100000000000000.0)"
     )
 
 
@@ -1103,8 +1111,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     "embedding_norm_stats",
     f"""
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST(sqrt({_dot_sql('embedding', 'embedding')})
-                         AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_norm
+           round(CAST(SUM(CAST(sqrt({_dot_sql('embedding', 'embedding')})
+                         AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 9) AS avg_norm
     FROM embeddings GROUP BY label
     """,
 )
@@ -1112,19 +1120,22 @@ def embedding_norm_stats(spark, sf_dir):
     emb = S.with_norm(_t(spark, sf_dir, "embeddings"))
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        (
+        # round 9dp: double->decimal quantization of irrational norms can
+        # disagree across engines by 1e-12 (different rounding algorithms)
+        F.round(
             F.sum(F.col("norm").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.lit(1)),
+            9,
         ).alias("avg_norm"),
     )
 
 
 _LSH_BIT_SQL = " || ".join(
     "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-    f"i -> CAST(CASE WHEN strpos('89abcdef', substring(md5('{p}:' || (i-1)), 1, 1)) > 0 "
-    "THEN 1 ELSE -1 END AS DECIMAL(2,0)) * "
-    "CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)))) >= 0 "
-    "THEN '1' ELSE '0' END)"
+    f"i -> (CASE WHEN strpos('89abcdef', substring(md5('{p}:' || (i-1)), 1, 1)) > 0 "
+    "THEN 1 ELSE -1 END) * "
+    + _SCALED_EL.format(v="embedding[i]")
+    + ")) >= 0 THEN '1' ELSE '0' END)"
     for p in range(8)
 )
 
@@ -1191,7 +1202,7 @@ from . import streaming as ST  # noqa: E402
     SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
              AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
     FROM events GROUP BY window_start, event_type
     """,
 )
@@ -1311,7 +1322,7 @@ def events_pivot(spark, sf_dir):
     """
     SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total
     FROM orders GROUP BY y, m
     """,
 )

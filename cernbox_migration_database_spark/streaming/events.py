@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum
+
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, "
     "props string"
@@ -47,12 +49,7 @@ def windowed_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",

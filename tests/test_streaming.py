@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cernbox_migration_database_spark import streaming as ST
+from cernbox_migration_database_spark.functions.numeric import dsum
 from cernbox_migration_database_spark.sources.catalog import load_table
 
 
@@ -23,10 +24,7 @@ def test_windowed_counts_equals_batch(spark, sf_dir):
         ev.groupBy(
             F.window("ts", "10 minutes").getField("start").alias("ws"), "event_type"
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("tv"))
         .collect()
     )
     want = {(r["ws"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
