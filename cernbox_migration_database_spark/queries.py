@@ -1710,3 +1710,111 @@ def string_functions(spark, sf_dir):
         F.concat_ws("|", "lang", "source").alias("joined"),
         F.length(F.trim("text")).alias("trimmed_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON struct parse, conditional aggregation, correlated scalar subquery,
+# null-handling functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "from_json_struct",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10
+             AS k_bucket
+    FROM events
+    """,
+)
+def from_json_struct(spark, sf_dir):
+    """Schema-declared JSON parsing (from_json -> struct, then field
+    access) — the typed counterpart of get_json_object."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "j", F.from_json("props", "k long")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           COUNT(*) AS n_total,
+           (CAST(SUM(CAST(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                    ELSE 0 END AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def conditional_agg(spark, sf_dir):
+    """count_if / sum(case when) — conditional aggregation without
+    pre-filter scans."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.count(F.lit(1)).alias("n_total"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purchase_value"),
+    )
+
+
+@register(
+    "scalar_subquery",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+            WHERE o_custkey = c_custkey) AS max_order
+    FROM customer
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates it into a left
+    outer aggregate join (visible in the plan), the textbook subquery
+    rewrite the reference never needed but a full engine must have."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("__sq_customer")
+    o.createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM __sq_orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM __sq_customer
+        """
+    )
+
+
+@register(
+    "null_functions",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'none') AS prio,
+           o_totalprice IS NOT NULL AS has_price
+    FROM orders
+    """,
+)
+def null_functions(spark, sf_dir):
+    """NULL-handling family: coalesce / nullif / ifnull / IS NOT NULL —
+    the F9 null-semantics toolkit generalized."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.ifnull(
+            F.nullif("o_orderpriority", F.col("o_orderpriority")), F.lit("none")
+        ).alias("prio"),
+        F.col("o_totalprice").isNotNull().alias("has_price"),
+    )
