@@ -1818,3 +1818,103 @@ def null_functions(spark, sf_dir):
         ).alias("prio"),
         F.col("o_totalprice").isNotNull().alias("has_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation + LSH-candidate ANN (the scale paths, proven
+# equivalent to their exact formulations by the oracle)
+# ---------------------------------------------------------------------------
+
+from .operators.skew import salted_agg  # noqa: E402
+
+
+@register(
+    "salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_query(spark, sf_dir):
+    """Hot-key-safe aggregation: shuffle on (key, salt) then combine
+    partials — the oracle is the PLAIN group-by, proving the salted plan is
+    semantics-preserving (operators/skew.py)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__v", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    out = salted_agg(
+        ev,
+        key_cols=["event_type"],
+        agg_exprs={"n": "count", "__sv": "sum_long:__v"},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", (F.col("__sv").cast("double") / 100.0).alias("total_value")
+    )
+
+
+@register(
+    "similarity_ann_lsh",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+             {_LSH_BIT_SQL} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM nv q JOIN nv c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (an equi-join, not a corpus cross-join) — the shape that scales to 10^9
+    vectors. Deterministic buckets make even the *approximation* exactly
+    reproducible cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = S.with_norm(emb).withColumn("bucket", S.lsh_bucket_scaled(F.col("svec")))
+    q = d.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"), F.col("bucket").alias("qb"),
+    )
+    c = d.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("svec").alias("cs"),
+        F.col("norm").alias("cn"), F.col("bucket").alias("cb"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("cb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine", S.cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+@register("approx_sketches")  # no oracle: HLL/quantile sketches differ per engine
+def approx_sketches(spark, sf_dir):
+    """Approximate family (rows-only check by design — sketch internals are
+    engine-specific): HyperLogLog distinct + approximate quantiles. The
+    error-bound contract is asserted in tests/test_approx.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    )
