@@ -1918,3 +1918,67 @@ def approx_sketches(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC apply (merge-sink generalization) — emulated relationally since
+# no transactional table format ships in this environment
+# ---------------------------------------------------------------------------
+
+from .operators.scd2 import scd2_apply  # noqa: E402
+
+
+@register(
+    "scd2_apply",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             c_acctbal + 50.0 AS c_acctbal,
+             TIMESTAMP '2024-06-01 00:00:00' AS ts
+      FROM customer WHERE c_custkey % 3 = 0),
+    joined AS (
+      SELECT d.*, u.c_mktsegment AS u_seg, u.c_acctbal AS u_bal, u.ts AS u_ts
+      FROM dim d LEFT JOIN upd u USING (c_custkey)),
+    kept AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+             CASE WHEN u_ts IS NOT NULL
+                       AND (c_mktsegment IS DISTINCT FROM u_seg
+                            OR c_acctbal IS DISTINCT FROM u_bal)
+                  THEN u_ts ELSE valid_to END AS valid_to
+      FROM joined),
+    opened AS (
+      SELECT c_custkey, u_seg AS c_mktsegment, u_bal AS c_acctbal,
+             u_ts AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM joined
+      WHERE u_ts IS NOT NULL
+        AND (c_mktsegment IS DISTINCT FROM u_seg
+             OR c_acctbal IS DISTINCT FROM u_bal))
+    SELECT * FROM kept UNION ALL SELECT * FROM opened
+    """,
+)
+def scd2_apply_query(spark, sf_dir):
+    """SCD2/CDC apply (operators/scd2.py): a +50.0 balance change for every
+    third customer closes the current version at the effective ts and opens
+    a new one; unchanged rows pass through bit-for-bit."""
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey", "c_mktsegment",
+            (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    return scd2_apply(dim, updates, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"])

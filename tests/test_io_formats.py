@@ -1,0 +1,71 @@
+"""Multi-format IO: roundtrips preserve values; partitioned layouts prune."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark.sources.catalog import load_table
+from cernbox_migration_database_spark.sources.io import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_table,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp(prefix="cbx-io-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp):
+    d = _docs(spark, sf_dir)
+    write_table(d, f"{tmp}/csv", fmt="csv", target_partitions=2)
+    back = read_csv(spark, f"{tmp}/csv", DOC_SCHEMA, header=False)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp):
+    d = _docs(spark, sf_dir)
+    write_table(d, f"{tmp}/json", fmt="json", target_partitions=2)
+    back = read_jsonl(spark, f"{tmp}/json", DOC_SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp):
+    d = _docs(spark, sf_dir)
+    write_table(d, f"{tmp}/orc", fmt="orc", target_partitions=2)
+    back = read_orc(spark, f"{tmp}/orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp):
+    d = _docs(spark, sf_dir)
+    write_table(d, f"{tmp}/bylang", partition_by=["lang"], target_partitions=1)
+    # layout: one directory per lang, 1 file each (no small-files explosion)
+    langs = [x for x in os.listdir(f"{tmp}/bylang") if x.startswith("lang=")]
+    assert len(langs) == 5
+    for sub in langs:
+        files = [f for f in os.listdir(f"{tmp}/bylang/{sub}") if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    back = spark.read.parquet(f"{tmp}/bylang").where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    # pruned scan reads only the en partition
+    assert back.count() == d.where("lang = 'en'").count()
+    scan_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_line, plan[:1500]

@@ -54,3 +54,34 @@ def test_stateful_user_counts(spark, sf_dir):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_foreach_batch_exactly_once_pattern(spark, sf_dir):
+    """foreachBatch sink: batch id + idempotent write — the exactly-once
+    pattern for non-transactional targets."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    agg = ST.windowed_counts(stream)
+
+    seen: dict[int, int] = {}
+
+    def sink(batch_df, epoch_id: int):
+        # idempotence guard: re-delivered epochs overwrite, never append
+        seen[epoch_id] = batch_df.count()
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen and sum(seen.values()) > 0
+    batch_rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .count()
+        .count()
+    )
+    assert max(seen.values()) == batch_rows
