@@ -1982,3 +1982,71 @@ def scd2_apply_query(spark, sf_dir):
         )
     )
     return scd2_apply(dim, updates, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"])
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT (CAST(SUM(CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))
+                          * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + multi-predicate filter + global agg —
+    the pushdown/codegen stress test (zero shuffles beyond the final
+    single-row combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100.0) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100.0) > 300)
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-join with a HAVING filter — the
+    aggregation output drives the join (semi-reduction before the fact
+    join, the plan a naive join-first formulation would miss)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
