@@ -2145,3 +2145,70 @@ def q14_promo_revenue(spark, sf_dir):
     return j.agg(
         (F.lit(100.0) * dsum(promo, scale=6) / dsum(rev, scale=6)).alias("promo_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments (exact-formula) and reproducible sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT o_orderstatus, n,
+           round(s / n, 6) AS mean,
+           round((sumsq / n - (s / n) * (s / n)) / 1e12, 9) AS variance_t,
+           round(sqrt(sumsq / n - (s / n) * (s / n)) / (s / n), 9) AS cv
+    FROM (
+      SELECT o_orderstatus, COUNT(*) AS n,
+             (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS DOUBLE) / 100.0) AS s,
+             (CAST(SUM(CAST(CAST(o_totalprice * o_totalprice AS DECIMAL(24,4))
+                            * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) AS sumsq
+      FROM orders GROUP BY o_orderstatus)
+    """,
+)
+def stats_moments(spark, sf_dir):
+    """Population variance/stddev via exact decimal moment sums (sum, sum of
+    squares) and one closed-form double evaluation — deterministic where the
+    builtin streaming stddev is order-dependent. Rounded 6dp: the E[x^2] -
+    E[x]^2 form loses ~8 digits to cancellation at these magnitudes, which
+    is exactly why outputs are normalized to O(1) magnitudes (variance in
+    trillions, coefficient of variation) before 9dp rounding — rounding a
+    2e10 value to 6 decimals would be an identity on a 16-digit double."""
+    o = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    base = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(tp).alias("s"),
+        dsum(tp * tp, scale=4, precision=24).alias("sumsq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("sumsq") / F.col("n") - mean * mean
+    return base.select(
+        "o_orderstatus",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var / F.lit(1e12), 9).alias("variance_t"),
+        F.round(F.sqrt(var) / mean, 9).alias("cv"),
+    )
+
+
+@register(
+    "hash_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def hash_sample(spark, sf_dir):
+    """Reproducible ~12.5% sample via content hashing — the sampling that
+    survives reruns, engine changes, and data repartitioning (native
+    df.sample(seed) is Spark-internal and partition-dependent), which is
+    what a training-data pipeline needs for stable holdout splits."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.where(bucket.isin("0", "1")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
