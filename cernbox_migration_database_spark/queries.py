@@ -2212,3 +2212,29 @@ def hash_sample(spark, sf_dir):
     return o.where(bucket.isin("0", "1")).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT p.event_id AS l_event, c.event_id AS r_event
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join run as a REAL streaming query (two
+    watermarked streams, bounded state, drained to memory); the oracle is
+    the equivalent batch interval join — purchases matched to same-user
+    clicks within the preceding 30 minutes."""
+    purchases = ST.read_event_stream(spark, sf_dir).where("event_type = 'purchase'")
+    clicks = ST.read_event_stream(spark, sf_dir).where("event_type = 'click'")
+    joined = ST.stream_stream_join(purchases, clicks, within="30 minutes")
+    out = joined.select(
+        F.col("l_event").alias("l_event"), F.col("r_event").alias("r_event")
+    )
+    ST.run_stream_to_memory(out, "stream_ij_out", output_mode="append")
+    return spark.table("stream_ij_out")

@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NB: spark.sql.optimizer.runtime.bloomFilter.enabled +
+        # runtimeFilter.semiJoinReduction.enabled HANG this Spark build on
+        # trivial queries (optimizer loop) — do not enable; runtime join
+        # pruning stays a backlog item.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -116,3 +116,39 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each left event
+    matched to right events for the same key within [-within, 0] of its
+    timestamp. Watermarks on BOTH sides bound the join state — without them
+    a stream-stream join buffers forever."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped; state for older keys is reclaimed
+    (dropDuplicatesWithinWatermark vs the unbounded dropDuplicates)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

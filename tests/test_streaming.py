@@ -85,3 +85,42 @@ def test_foreach_batch_exactly_once_pattern(spark, sf_dir):
         .count()
     )
     assert max(seen.values()) == batch_rows
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    purchases = ST.read_event_stream(spark, sf_dir).where("event_type = 'purchase'")
+    clicks = ST.read_event_stream(spark, sf_dir).where("event_type = 'click'")
+    joined = ST.stream_stream_join(purchases, clicks, within="30 minutes")
+    ST.run_stream_to_memory(joined, "t_ssj_out", output_mode="append")
+    got = spark.table("t_ssj_out").count()
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts")
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts")
+    )
+    want = p.join(
+        c,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).count()
+    assert got == want and got > 0
+
+
+def test_dedup_within_watermark(spark, sf_dir):
+    stream = ST.read_event_stream(spark, sf_dir)
+    deduped = ST.dedup_within_watermark(stream, ["user_id", "event_type"])
+    ST.run_stream_to_memory(deduped, "t_dd_out", output_mode="append")
+    out = spark.table("t_dd_out")
+    # within one drained batch every (user, type) appears exactly once per
+    # watermark horizon; at minimum it cannot exceed the distinct count per
+    # horizon nor fall below the global distinct count
+    n = out.count()
+    distinct_global = (
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert n >= distinct_global
+    assert n < load_table(spark, sf_dir, "events").count()
