@@ -2238,3 +2238,31 @@ def streaming_interval_join(spark, sf_dir):
     )
     ST.run_stream_to_memory(out, "stream_ij_out", output_mode="append")
     return spark.table("stream_ij_out")
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT i - 1 AS dim, COUNT(*) AS n,
+           (CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,7))
+                          * 10000000 AS BIGINT)) AS DOUBLE) / 10000000.0)
+             / COUNT(*) AS mean,
+           MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY i
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Positional array analytics: posexplode the embedding and aggregate
+    per dimension (mean via exact fixed-point sum; min/max are order-free).
+    The unnest-with-position shape every feature-store health check uses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    q = (F.col("x").cast("double").cast("decimal(12,7)") * 10_000_000).cast("long")
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(q).cast("double") / F.lit(1e7) / F.count(F.lit(1))).alias("mean"),
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"),
+    )
