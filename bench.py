@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cernbox_migration_database_spark import queries as Q
+from cernbox_migration_database_spark import util as U
 from cernbox_migration_database_spark.session import get_spark
 
 # Representative coverage: scan/topk, heavy aggregation, multi-join, window,
@@ -58,6 +59,7 @@ def main() -> None:
         # Force full execution of every operator in the plan.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        U.release_persisted()
 
     total = round(sum(timings.values()), 3)
     print(

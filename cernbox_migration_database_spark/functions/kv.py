@@ -31,8 +31,9 @@ def parse_kv_map(raw: Column | str) -> Column:
     only tokens that split into exactly two parts on ``=`` contribute an
     entry ("keep only len==2 splits"). Plain ``str_to_map`` would also admit
     ``a=b=c`` (as key ``a`` -> ``b=c``), so we filter explicitly:
-    split -> keep tokens with exactly one '=' and a non-empty key ->
-    map_from_entries.
+    split -> keep tokens with exactly one '=' -> map_from_entries. Note a
+    token like ``=v`` IS kept (empty-string key), exactly as the Go map
+    assignment admits it — no extra key-non-empty filtering.
     """
     toks = F.split(_col(raw), " ")
     pairs = F.filter(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import ensure_parallelism
+from ..util import ensure_parallelism, tracked_persist
 from .text import fingerprint, tokens
 
 NUM_MINHASHES = 8
@@ -83,9 +83,9 @@ def _shingle_sets(
         cols.insert(1, F.col(block_col))
     toked = ensure_parallelism(df).select(*cols)
     keep = [id_col] + ([block_col] if block_col else [])
-    sets = toked.select(
-        *keep, shingles_from_tokens(F.col("__toks"), k).alias("sh")
-    ).persist()
+    sets = tracked_persist(
+        toked.select(*keep, shingles_from_tokens(F.col("__toks"), k).alias("sh"))
+    )
     return sets.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
 
@@ -96,6 +96,7 @@ def jaccard_pairs(
     block_col: str | None = "lang",
     k: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
 
@@ -103,12 +104,36 @@ def jaccard_pairs(
     count intersections per pair, then |A u B| = |A| + |B| - |A n B|. The
     heavy join key includes the blocking column, which is also the natural
     salting lever for skewed shingles at scale.
+
+    ``max_df`` is the skew guard: a shingle appearing in more than max_df
+    documents (a "stop shingle" — boilerplate, headers) would contribute
+    O(df^2) join pairs on one key and concentrate them in one shuffle
+    partition. With the cap, document frequencies are counted first (a
+    groupBy — map-side combine collapses the hot key, so the COUNT itself is
+    skew-immune), the small hot set is broadcast-anti-joined away, and
+    per-document sizes are recomputed so the result is exact Jaccard over
+    the surviving shingle space on both engines.
     """
     sets_a = _shingle_sets(df, text_col, id_col, block_col, k)
     ex = sets_a.select(
         F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
         F.col("n_sh"), F.explode("sh").alias("shingle"),
     )
+    if max_df is not None:
+        keys = ([block_col] if block_col else []) + ["shingle"]
+        hot = (
+            ex.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select(*keys)
+        )
+        ex = ex.join(F.broadcast(hot), keys, "left_anti")
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+        ex = (
+            ex.drop("n_sh")
+            .join(sizes, id_col)
+            .withColumnRenamed("__n", "n_sh")
+        )
     # NB: every column gets a side-specific alias — a self-join on a column
     # that keeps its attribute id on both sides degenerates into a
     # trivially-true predicate (Spark warns and mis-joins).
@@ -188,10 +213,22 @@ def lsh_candidate_pairs(
     bands = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band", "bv")
     )
-    a = bands.select(F.col(id_col).alias("ia"), "band", F.col("bv").alias("bva"))
-    b = bands.select(F.col(id_col).alias("ib"), "band", F.col("bv").alias("bvb"))
+    # Side-specific alias for EVERY join column, band index included: a
+    # self-join on an un-aliased 'band' keeps the same attribute id on both
+    # sides and Spark drops it as a trivially-true predicate — candidates
+    # would then pair band values across DIFFERENT band positions.
+    a = bands.select(
+        F.col(id_col).alias("ia"),
+        F.col("band").alias("banda"),
+        F.col("bv").alias("bva"),
+    )
+    b = bands.select(
+        F.col(id_col).alias("ib"),
+        F.col("band").alias("bandb"),
+        F.col("bv").alias("bvb"),
+    )
     return (
-        a.join(b, (a.band == b.band) & (a.bva == b.bvb) & (a.ia < b.ib))
+        a.join(b, (a.banda == b.bandb) & (a.bva == b.bvb) & (a.ia < b.ib))
         .select("ia", "ib")
         .distinct()
     )
@@ -247,37 +284,35 @@ def simhash64(
     signature bit is the sign of the +/-1 vote sum over distinct tokens.
     Pure integer/string arithmetic (instr-based hex decode) so any engine
     reproduces it exactly.
+
+    Plan shape: ONE row per (doc, token) with 64 bit expressions, aggregated
+    by a single groupBy(doc) over 64 partial sums. The earlier formulation
+    exploded sequence(0,63) per token — same answer, but 64x the shuffle
+    rows; the vote-column form keeps the shuffle linear in token count and
+    every sum map-side combinable (a constant factor that dominates at
+    corpus scale). Vote sign uses sum(vote_j) = 2*sum(bit_j) - n_tokens, so
+    only 0/1 bits and one count are aggregated.
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("hex", F.md5("tok"))
-    bits = toks.select(
-        F.col(id_col),
-        F.col("hex"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
-    )
-    digit = F.expr(
-        "instr('0123456789abcdef', substring(hex, CAST(j/4 AS INT)+1, 1)) - 1"
-    )
-    shift = F.when(F.col("j") % 4 == 0, 8).when(F.col("j") % 4 == 1, 4).when(
-        F.col("j") % 4 == 2, 2
-    ).otherwise(1)
-    bit = (digit / shift).cast("int") % 2
-    votes = (
-        bits.withColumn("vote", bit * 2 - 1)
-        .groupBy(id_col, "j")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return (
-        votes.withColumn("b", F.when(F.col("s") >= 0, "1").otherwise("0"))
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "b"))),
-                    lambda x: x.getField("b"),
-                ),
-                "",
-            ).alias("simhash")
+
+    def _bit(j: int) -> Column:
+        # hex digit j//4 decoded via instr (portable), bit (3 - j%4) of it
+        digit = F.expr(
+            f"instr('0123456789abcdef', substring(hex, {j // 4 + 1}, 1)) - 1"
         )
+        return F.shiftright(digit, 3 - (j % 4)) % 2
+
+    aggs = [F.sum(_bit(j)).alias(f"s{j}") for j in range(64)]
+    aggs.append(F.count(F.lit(1)).alias("n_tok"))
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(2 * F.col(f"s{j}") - F.col("n_tok") >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(64)
+        ]
     )
+    return votes.select(F.col(id_col), sig.alias("simhash"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..util import ensure_parallelism
+from ..util import ensure_parallelism, tracked_persist
 
 EMB_DIM = 64
 NUM_PLANES = 8
@@ -78,13 +78,13 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     Persisted: downstream pairwise joins reference `svec` once per pair, and
     without materialization the scaling transform would re-run per pair
-    (lineage recompute). Parallelism guard for single-file corpora.
+    (lineage recompute). Parallelism guard for single-file corpora. Tracked
+    for release_persisted() so harness loops don't leak cached partitions.
     """
-    return (
+    return tracked_persist(
         ensure_parallelism(df)
         .withColumn("svec", scaled_vector(F.col(vec_col)))
         .withColumn("norm", F.sqrt(dot_scaled(F.col("svec"), F.col("svec"))))
-        .persist()
     )
 
 

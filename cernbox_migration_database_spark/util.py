@@ -4,6 +4,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# DataFrames persisted by operators for intra-query reuse (shingle sets,
+# scaled vectors). A long-lived session running the catalog repeatedly
+# (driver / bench / selfcheck loops) would otherwise accumulate cached
+# partitions until the block manager evicts under pressure — harnesses call
+# release_persisted() between queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() with lifecycle tracking so harness loops can reclaim."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked DataFrame (non-blocking); returns the count."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    return n
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only when the input has fewer partitions than the session's

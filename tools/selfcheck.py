@@ -18,6 +18,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from cernbox_migration_database_spark import queries as Q
+from cernbox_migration_database_spark import util as U
 from cernbox_migration_database_spark.session import get_spark
 from cernbox_migration_database_spark.sources.catalog import TABLES
 
@@ -43,9 +44,11 @@ def main() -> int:
         )
 
     failures = []
+    n_run = 0
     for name, fn in Q.QUERIES.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -88,8 +91,9 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+        U.release_persisted()
 
-    print(f"\n{len(Q.QUERIES) - len(failures)}/{len(Q.QUERIES)} ok")
+    print(f"\n{n_run - len(failures)}/{n_run} ok")
     return 1 if failures else 0
 
 
