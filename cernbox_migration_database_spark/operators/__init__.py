@@ -8,7 +8,12 @@ from .dedup import (
     simhash64,
 )
 from .enrich import external_service_lookup, lookup_join
-from .merge import assert_exactly_one, jdbc_upsert_writer, merge_updates
+from .merge import (
+    assert_exactly_one,
+    dbapi_upsert_writer,
+    jdbc_upsert_writer,
+    merge_updates,
+)
 from .multimodal import decode_media, documents_as_media, frame_sample_plan
 from .router import DECISIONS, route_shares, with_decision
 from .similarity import (
@@ -29,6 +34,7 @@ __all__ = [
     "external_service_lookup",
     "merge_updates",
     "assert_exactly_one",
+    "dbapi_upsert_writer",
     "jdbc_upsert_writer",
     "asof_join",
     "exact_dedup",

@@ -34,10 +34,17 @@ def merge_updates(
     key: str,
     update_cols: list[str],
     check_cardinality: bool = True,
+    broadcast_updates: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame MERGE: rows of ``base`` with ``update_cols`` overwritten
     where ``updates`` has a matching key, untouched otherwise (upsert-style
-    output, S6). ``updates`` must carry ``key`` + ``update_cols``."""
+    output, S6). ``updates`` must carry ``key`` + ``update_cols``.
+
+    ``broadcast_updates`` is a caller-supplied hint for when the update set is
+    known to be small relative to base (the common migration shape: a few
+    thousand updates against a billion-row table) — AQE also converts to
+    broadcast from runtime statistics, so leaving it False is never wrong,
+    but the explicit hint skips the initial shuffle plan entirely."""
     if check_cardinality:
         assert_exactly_one(updates, key)
     upd = updates.select(
@@ -45,7 +52,7 @@ def merge_updates(
         *[F.col(c).alias(f"__new_{c}") for c in update_cols],
         F.lit(True).alias("__matched"),
     )
-    joined = base.join(F.broadcast(upd) if _small(upd) else upd, key, "left")
+    joined = base.join(F.broadcast(upd) if broadcast_updates else upd, key, "left")
     out_cols = []
     for c in base.columns:
         if c in update_cols:
@@ -58,28 +65,107 @@ def merge_updates(
     return joined.select(*out_cols)
 
 
-def _small(df: DataFrame) -> bool:
-    # Heuristic only — Catalyst/AQE will still pick broadcast on its own from
-    # statistics; this hint path exists for callers that know the update set
-    # is tiny relative to base.
-    return False
+def dbapi_upsert_writer(
+    connect,
+    table: str,
+    key: str,
+    update_cols: list[str],
+    batch_size: int = 1000,
+    placeholder: str = "?",
+):
+    """foreachPartition sink for a live DBAPI target: one connection + one
+    prepared ``UPDATE ... WHERE key = ?`` per partition, executemany in
+    bounded batches — the reference's per-row prepared UPDATE
+    (main.go:217-240) amortized set-at-a-time. Use as::
+
+        merged.filter("updated").foreachPartition(
+            dbapi_upsert_writer(connect, "oc_share", "id", [...]))
+
+    ``connect`` is a zero-arg callable returning a DBAPI connection; it runs
+    ON EXECUTORS, so any driver import belongs inside it. The reference's
+    exactly-one-row-affected assertion (main.go:232-238) becomes a per-batch
+    rowcount check: affected rows must equal batch size, else the partition
+    task fails (and upstream assert_exactly_one has already rejected
+    duplicate keys before any write started).
+    """
+    # placeholder follows the driver's paramstyle: '?' (qmark — sqlite3),
+    # '%s' (format — mysql-connector). Values always travel as bind
+    # parameters, never interpolated (unlike the reference's Sprintf scan).
+    set_clause = ", ".join(f"{c} = {placeholder}" for c in update_cols)
+    sql = f"UPDATE {table} SET {set_clause} WHERE {key} = {placeholder}"  # noqa: S608
+    cols = list(update_cols) + [key]
+
+    def _write(rows) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+
+            def flush(batch: list[tuple]) -> None:
+                if not batch:
+                    return
+                cur.executemany(sql, batch)
+                if cur.rowcount not in (-1, len(batch)):  # -1: driver opts out
+                    raise ValueError(
+                        f"upsert affected {cur.rowcount} rows, expected "
+                        f"{len(batch)} (missing or duplicate {key} in {table})"
+                    )
+
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    flush(batch)
+                    batch = []
+            flush(batch)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    return _write
 
 
 def jdbc_upsert_writer(url: str, table: str, key: str, update_cols: list[str], properties: dict | None = None):
-    """foreachPartition sink for a live JDBC target: one connection + one
-    prepared UPDATE per partition, executemany over the partition's rows —
-    the reference's per-row prepare (main.go:223) amortized. Returned function
-    is used as ``merged.filter("updated").foreachPartition(writer)``.
+    """URL-dispatching wrapper over :func:`dbapi_upsert_writer`.
 
-    Import of the DBAPI driver happens inside the closure (executor-side);
-    stubbed to raise if no driver is installed in this environment.
+    ``sqlite:///path`` works out of the box (stdlib sqlite3 — also the
+    integration-test path); ``jdbc:mysql://`` / ``mysql://`` builds a lazy
+    mysql-connector factory matching the reference's actual sink
+    (main.go:217-240). The driver import stays inside the returned closure so
+    it resolves executor-side.
     """
+    props = properties or {}
+    if url.startswith("sqlite://"):
+        path = url[len("sqlite://"):]
 
-    def _write(rows) -> None:
-        raise NotImplementedError(
-            "live JDBC upsert requires a DBAPI driver on executors; "
-            "wire in e.g. mysql-connector here. Plan/merge logic is fully "
-            "testable via merge_updates()."
-        )
+        def connect():
+            import sqlite3
 
-    return _write
+            conn = sqlite3.connect(path, timeout=60.0)  # writer-lock patience
+            return conn
+
+    elif url.startswith(("jdbc:mysql://", "mysql://")):
+        hostpart = url.split("://", 1)[1]
+
+        def connect():
+            try:
+                import mysql.connector  # type: ignore[import-not-found]
+            except ImportError as e:  # pragma: no cover - driver not in env
+                raise RuntimeError(
+                    "mysql-connector-python is required on executors for a "
+                    "live MySQL upsert sink"
+                ) from e
+
+            host, _, rest = hostpart.partition("/")
+            h, _, p = host.partition(":")
+            return mysql.connector.connect(
+                host=h, port=int(p or 3306), database=rest or None, **props
+            )
+
+    else:
+        raise ValueError(f"unsupported upsert sink url: {url!r}")
+
+    ph = "?" if url.startswith("sqlite://") else "%s"
+    return dbapi_upsert_writer(connect, table, key, update_cols, placeholder=ph)

@@ -44,6 +44,29 @@ from ..operators.router import (
 
 UPDATE_COLS = ["item_source", "item_target", "file_source", "file_target"]
 
+# Columns the create sink is guaranteed to receive (stage 4b misses keep the
+# full enriched row): the file's path AND its owner. The reference's create
+# is privilege-dropped — `eos -r <uid> <gid> file version <path>`
+# (main.go:208-216) runs as the FILE OWNER, never root (contrast the root
+# `eos -r 0 0 file info` read at main.go:121).
+CREATE_SINK_COLS = ["id", "f_path", "f_uid", "f_gid", "target_path"]
+
+
+def create_command(row) -> list[str]:
+    """argv for one versions-folder create, matching createVersionsFolder
+    (main.go:208-216): privilege-dropped to the file owner's uid/gid, target
+    is the FILE path (eos derives the versions folder itself). Use inside a
+    ``create_fn``'s foreachPartition when shelling out for real."""
+    return [
+        "/usr/bin/eos",
+        "-r",
+        str(row["f_uid"]),
+        str(row["f_gid"]),
+        "file",
+        "version",
+        row["f_path"],
+    ]
+
 
 @dataclass
 class MigrationResult:
@@ -80,11 +103,14 @@ def run_migration(
     ``eos_meta``-shaped catalog DataFrame (FIXTURES.md §B).
 
     ``create_fn`` is the S10 side-effecting create sink: given the DataFrame
-    of versions folders that do not exist, it must create them and return the
-    catalog rows for the created folders (in tests, a synthesizer; in
-    production, a foreachPartition that shells out / calls the catalog, then
-    a re-read). Its invocation is an action barrier — stage 4's laziness is
-    deliberately broken here and nowhere else.
+    of versions folders that do not exist (carrying at least
+    ``CREATE_SINK_COLS`` — including ``f_uid``/``f_gid``, because each create
+    must run privilege-dropped as the file owner, see :func:`create_command`),
+    it must create them and return the catalog rows for the created folders
+    (in tests, a synthesizer; in production, a foreachPartition that shells
+    out / calls the catalog, then a re-read). Its invocation is an action
+    barrier — stage 4's laziness is deliberately broken here and nowhere
+    else.
     """
     # -- 1. scan shape (main.go:86-97): projection + equi-filters (+ user)
     scan = shares.filter(

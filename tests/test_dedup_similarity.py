@@ -154,3 +154,89 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 3500)], "media_id long, duration_ms long")
     out = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["sample_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_jaccard_hot_shingle_cap_matches_oracle(spark):
+    """Skew guard: an adversarial boilerplate shingle shared by EVERY doc
+    would drive an O(n^2) blow-up on one join key. With max_df the hot
+    shingles are dropped on both engines and the capped result is exact
+    Jaccard over the surviving shingle space — compared value-for-value
+    against a DuckDB oracle implementing the identical cap."""
+    import duckdb
+    import pandas as pd
+
+    boiler = "copyright acme corp all rights reserved"
+    rows = []
+    for i in range(1, 41):
+        if i in (1, 2):  # true near-dup pair: shared unique content
+            body = f"alpha beta gamma delta epsilon zeta eta theta{' iota' if i == 2 else ' kappa'}"
+        else:
+            body = f"unique{i} content{i} words{i} body{i} tail{i}"
+        rows.append((i, f"{boiler} {body}", "en"))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cap = 5
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sdf, threshold=0.2, max_df=cap).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])  # noqa: F841
+    oracle = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM pdf),
+        sh AS (SELECT doc_id, lang,
+                      list_distinct(list_transform(generate_series(1, len(t)-2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks WHERE len(t) >= 3),
+        ex AS (SELECT doc_id, lang, unnest(s) AS shingle
+               FROM sh WHERE len(s) > 0),
+        freq AS (SELECT lang, shingle, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+        kept AS (SELECT ex.* FROM ex JOIN freq USING (lang, shingle)
+                 WHERE freq.c <= {cap}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM kept a JOIN kept b
+            ON a.lang = b.lang AND a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia, ib,
+               inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = ia
+                   JOIN sizes sb ON sb.doc_id = ib
+        WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.2
+        """
+    ).fetchall()
+    want = {(ia, ib): j for ia, ib, j in oracle}
+
+    assert got == pytest.approx(want)
+    assert (1, 2) in got  # the true near-dup survives the cap
+    # the boilerplate-only cross pairs are gone: every surviving pair shares
+    # non-boilerplate content
+    assert all(a in (1, 2) and b in (1, 2) for (a, b) in got)
+
+
+def test_jaccard_cap_bounds_join_fanout(spark):
+    """The cap's point at scale: no join key's row count exceeds max_df, so
+    the biggest possible per-key pair fan-out is max_df^2 regardless of how
+    hot the corpus's boilerplate is."""
+    from cernbox_migration_database_spark.operators.dedup import _shingle_sets
+
+    rows = [(i, f"spam spam spam ham{i} eggs{i} extra{i}", "en") for i in range(1, 31)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cap = 4
+    sets = _shingle_sets(sdf, "text", "doc_id", "lang", 3)
+    ex = sets.select("doc_id", "lang", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    hot = freq.filter(F.col("c") > cap).select("lang", "shingle")
+    kept = ex.join(F.broadcast(hot), ["lang", "shingle"], "left_anti")
+    max_key = (
+        kept.groupBy("lang", "shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_key is not None and max_key <= cap
+    # and the hot key really was hot before the cap
+    assert freq.agg(F.max("c")).collect()[0][0] == 30

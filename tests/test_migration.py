@@ -50,7 +50,7 @@ def _meta(spark):
     rows = [
         (101, "/eos/user/j/jdoe/a.txt", "u", "g", 10),
         (201, "/eos/user/j/jdoe/.sys.v#.a.txt", "u", "g", 0),      # versions of 101
-        (102, "/eos/user/j/jdoe/b.txt", "u", "g", 10),             # versions MISSING
+        (102, "/eos/user/j/jdoe/b.txt", "u2", "g2", 10),           # versions MISSING
         (103, "/eos/user/j/jdoe/.sys.v#.c.txt", "u", "g", 0),      # already-version
         (104, "/tmp/elsewhere/d.txt", "u", "g", 10),               # not under home
         (105, "/eos/user/j/jdoe/.sys.v#.e.txt/v42", "u", "g", 5),  # version FILE
@@ -102,6 +102,9 @@ def test_migration_all_branches(spark):
 
     # exactly one create call, containing exactly share 2
     assert len(calls) == 1 and [r["id"] for r in calls[0]] == [2]
+    # privilege drop (main.go:208-216): the create runs as the FILE OWNER
+    # (inode 102 belongs to u2/g2), never root
+    assert (calls[0][0]["f_uid"], calls[0][0]["f_gid"]) == ("u2", "g2")
 
     merged = {r["id"]: r.asDict() for r in res.merged.collect()}
     assert len(merged) == 9  # every base row survives the merge
@@ -131,3 +134,18 @@ def test_missing_create_fn_dead_letters(spark):
     dead = {r["id"]: r["error_stage"] for r in res.dead.collect()}
     assert dead[2] == "versions_folder_missing"
     assert dead[6] == "eos_info_by_inode"
+
+
+def test_create_command_privilege_drop():
+    """createVersionsFolder (main.go:208-216): `eos -r <uid> <gid> file
+    version <path>` — the create runs as the file owner, never root, and
+    targets the FILE path (eos derives the versions folder)."""
+    from cernbox_migration_database_spark.plans.migration import create_command
+
+    args = create_command(
+        {"f_uid": "u2", "f_gid": "g2", "f_path": "/eos/user/j/jdoe/b.txt"}
+    )
+    assert args == [
+        "/usr/bin/eos", "-r", "u2", "g2", "file", "version",
+        "/eos/user/j/jdoe/b.txt",
+    ]

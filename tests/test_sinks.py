@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cernbox_migration_database_spark.operators.merge import (
+    dbapi_upsert_writer,
     jdbc_upsert_writer,
     merge_updates,
 )
@@ -55,10 +56,81 @@ def test_foreach_partition_bounded_sink(spark):
     assert written[3] == 3 * 2.0 + 1000
 
 
-def test_jdbc_writer_is_marked_stub(spark):
-    writer = jdbc_upsert_writer("jdbc:mysql://x", "t", "id", ["v"])
-    with pytest.raises(NotImplementedError, match="DBAPI"):
+def test_jdbc_upsert_sqlite_roundtrip(spark, tmp_path):
+    """The reference's actual side effect (main.go:217-240): a prepared
+    UPDATE ... WHERE id=? against a live DB. Here executed end-to-end through
+    foreachPartition against stdlib sqlite3, then re-read to verify exactly
+    the updated keys mutated."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE oc_share (id INTEGER PRIMARY KEY,"
+        " item_source TEXT, item_target TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO oc_share VALUES (?, 'old', '/old')", [(i,) for i in range(50)]
+    )
+    con.commit()
+    con.close()
+
+    updates = spark.range(0, 50, 3).select(
+        F.col("id"),
+        F.concat(F.lit("inode-"), F.col("id")).alias("item_source"),
+        F.concat(F.lit("/eos/"), F.col("id")).alias("item_target"),
+    )
+    writer = jdbc_upsert_writer(
+        f"sqlite://{db}", "oc_share", "id", ["item_source", "item_target"]
+    )
+    updates.repartition(2).foreachPartition(writer)
+
+    con = sqlite3.connect(db)
+    rows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("SELECT id, item_source, item_target FROM oc_share")
+    }
+    con.close()
+    for i in range(50):
+        if i % 3 == 0:
+            assert rows[i] == (f"inode-{i}", f"/eos/{i}")
+        else:
+            assert rows[i] == ("old", "/old")
+
+
+def test_dbapi_upsert_rowcount_assertion(tmp_path):
+    """A2 at the sink: a batch whose affected-row count mismatches its size
+    (key missing in the target) fails the partition task — the reference's
+    'expected 1 row affected' check (main.go:232-238), set-at-a-time."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.execute("INSERT INTO t VALUES (1, 'a')")
+    con.commit()
+    con.close()
+
+    writer = dbapi_upsert_writer(
+        lambda: sqlite3.connect(db), "t", "id", ["v"]
+    )
+    with pytest.raises(ValueError, match="affected 1 rows, expected 2"):
+        writer(iter([{"id": 1, "v": "x"}, {"id": 999, "v": "y"}]))
+    # failed batch rolled back — row 1 untouched
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT v FROM t WHERE id=1").fetchone()[0] == "a"
+    con.close()
+
+
+def test_jdbc_writer_mysql_needs_driver():
+    writer = jdbc_upsert_writer("jdbc:mysql://h:3306/db", "t", "id", ["v"])
+    with pytest.raises(RuntimeError, match="mysql-connector"):
         writer(iter([]))
+
+
+def test_jdbc_writer_rejects_unknown_scheme():
+    with pytest.raises(ValueError, match="unsupported"):
+        jdbc_upsert_writer("postgres://h/db", "t", "id", ["v"])
 
 
 def test_merge_rejects_duplicate_update_keys(spark):
