@@ -17,10 +17,13 @@ from .merge import (
 from .multimodal import decode_media, documents_as_media, frame_sample_plan
 from .router import DECISIONS, route_shares, with_decision
 from .similarity import (
+    ann_ivf,
     cosine_near_dup_pairs,
     dot_exact,
+    kmeans_train,
     knn_bruteforce,
     lsh_bucket,
+    seed_centroids,
     with_lsh_bucket,
     with_norm,
 )
@@ -43,7 +46,10 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_lsh_dedup",
     "simhash64",
+    "ann_ivf",
+    "kmeans_train",
     "knn_bruteforce",
+    "seed_centroids",
     "cosine_near_dup_pairs",
     "dot_exact",
     "with_norm",

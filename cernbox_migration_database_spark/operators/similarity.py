@@ -210,3 +210,187 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .withColumn("bucket", lsh_bucket_scaled(F.col("svec")))
         .drop("svec")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus into k centroid cells, search
+# only the nprobe cells closest to each query. Complements hyperplane LSH:
+# data-adaptive cells (trained or seeded from the corpus) usually beat
+# data-oblivious hyperplanes on clustered embeddings.
+#
+# Scale shape: cell assignment is k dot products per vector computed row-
+# locally against literal centroids — NO shuffle, no join; candidate
+# generation is an equi-join on the cell id against the (tiny, broadcast)
+# query-probe list. At 10^9 vectors the assigned corpus is written out
+# partitioned by cell once and reused across query batches.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_cosines(
+    svec: Column, norm: Column, centroids: list[tuple[list[int], float]]
+) -> list[Column]:
+    """One exact cosine per centroid; centroids are (scaled-long vector,
+    norm) pairs embedded as literals — like plane_signs, evaluating them as
+    expressions per row would waste work Catalyst doesn't constant-fold."""
+    out = []
+    for csvec, cnorm in centroids:
+        carr = F.array(*[F.lit(int(v)).cast("long") for v in csvec])
+        out.append(dot_scaled(svec, carr) / (norm * F.lit(float(cnorm))))
+    return out
+
+
+def cell_of(
+    svec: Column, norm: Column, centroids: list[tuple[list[int], float]]
+) -> Column:
+    """argmax-cosine cell id; ties resolve to the smallest centroid index
+    (array_position returns the FIRST occurrence of the max)."""
+    arr = F.array(*_centroid_cosines(svec, norm, centroids))
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def probe_cells(
+    svec: Column,
+    norm: Column,
+    centroids: list[tuple[list[int], float]],
+    nprobe: int,
+) -> Column:
+    """The nprobe closest cells for a query, as array<int>; sort key is
+    (-cosine, cell index) so ties break identically to cell_of."""
+    structs = [
+        F.struct((-c).alias("nc"), F.lit(j).cast("int").alias("j"))
+        for j, c in enumerate(_centroid_cosines(svec, norm, centroids))
+    ]
+    top = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    return F.transform(top, lambda s: s.getField("j"))
+
+
+def seed_centroids(
+    df: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[list[int], float]]:
+    """Deterministic seed centroids: the corpus vectors with id < k (ids are
+    dense from 0 in the fixtures; an oracle can name the same rows with a
+    WHERE clause). Scaling/norm run IN Spark so the collected literals match
+    executor arithmetic bit-for-bit. Driver collect is k rows — metadata-
+    sized, same budget class as a broadcast."""
+    rows = (
+        with_norm(df.where(F.col(id_col) < k), vec_col)
+        .select(F.col(id_col), "svec", "norm")
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(list(r["svec"]), float(r["norm"])) for r in rows]
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[list[int], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    top_k: int = 5,
+) -> DataFrame:
+    """IVF ANN search: rank the corpus vectors of each query's nprobe
+    closest cells by exact cosine. Same output shape / determinism contract
+    as knn_bruteforce (total tie-break, 9 dp rounding)."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("svec").alias("cs"),
+        F.col("norm").alias("cn"),
+    )
+    c = c.withColumn("cell", cell_of(F.col("cs"), F.col("cn"), centroids))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"),
+    )
+    probe = q.select(
+        "query_id",
+        "qs",
+        "qn",
+        F.explode(
+            probe_cells(F.col("qs"), F.col("qn"), centroids, nprobe)
+        ).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(probe), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine", cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 9).alias("cosine")
+        )
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd k-means for IVF cell training.
+
+    Each iteration: (1) assignment — argmin squared-distance against the
+    current centroids as literal expressions, row-local JVM arithmetic, no
+    shuffle; (2) update — per-cell vector mean via applyInPandas (Arrow-
+    batched, numpy-vectorized; one shuffle on the k-valued cell key, k tiny
+    rows back to the driver). Deterministic init (k smallest-id vectors);
+    empty cells keep their previous centroid. Float means are partition-
+    order sensitive in the last ulp — fine for training (consumers rank by
+    exact fixed-point cosine against whatever centroids come out).
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [list(r["v"]) for r in base.orderBy(id_col).limit(k).collect()]
+
+    def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["v"].to_numpy()).mean(axis=0)
+        return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "centroid": [m.tolist()]})
+
+    for _ in range(iters):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cvec in cents
+        ]
+        arr = F.array(*dists)
+        assigned = base.withColumn(
+            "cell", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+        means = assigned.groupBy("cell").applyInPandas(
+            _mean, schema="cell int, centroid array<double>"
+        )
+        got = {r["cell"]: list(r["centroid"]) for r in means.collect()}
+        cents = [got.get(j, cents[j]) for j in range(k)]
+    return cents
+
+
+def centroid_literals(spark, vectors: list[list[float]]) -> list[tuple[list[int], float]]:
+    """Convert trained float centroids to the (scaled-long vector, norm)
+    literal form ann_ivf consumes — scaled IN Spark so literals match
+    executor arithmetic exactly."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)], "vec_id int, embedding array<double>"
+    )
+    rows = (
+        with_norm(df).select("vec_id", "svec", "norm").orderBy("vec_id").collect()
+    )
+    return [(list(r["svec"]), float(r["norm"])) for r in rows]

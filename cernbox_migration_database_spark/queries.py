@@ -2302,6 +2302,62 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_ann_ivf",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.py): corpus partitioned into 16
+    centroid cells (deterministic seed centroids = vectors with id < 16, so
+    the oracle names the same rows), each query searched in its 4 closest
+    cells only. Cell assignment is row-local arithmetic against literal
+    centroids — no shuffle; candidates come from a broadcast equi-join on
+    the cell id. The kmeans-trained variant (data-adaptive centroids via
+    applyInPandas Lloyd iterations) is recall-tested in pytest — training is
+    float-mean based and not cross-engine exact by design."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(emb, k=16)
+    return S.ann_ivf(
+        emb, emb.where(F.col("vec_id") < 20), cents, nprobe=4, top_k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest

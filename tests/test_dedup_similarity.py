@@ -240,3 +240,61 @@ def test_jaccard_cap_bounds_join_fanout(spark):
     assert max_key is not None and max_key <= cap
     # and the hot key really was hot before the cap
     assert freq.agg(F.max("c")).collect()[0][0] == 30
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF quality gate: searching only nprobe=4 of 16 cells (25% of the
+    corpus) must keep mean recall@10 well above the 25% a random subset
+    would give. Measured 2026-08: seed centroids 0.805, kmeans-trained 0.79
+    at sf0.01 — asserted with margin (float kmeans means are partition-order
+    sensitive in the last ulp)."""
+    from cernbox_migration_database_spark.operators.similarity import (
+        ann_ivf,
+        centroid_literals,
+        kmeans_train,
+        seed_centroids,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    truth: dict[int, set[int]] = {}
+    for r in knn_bruteforce(emb, queries, top_k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def mean_recall(pred_df):
+        pmap: dict[int, set[int]] = {}
+        for r in pred_df.collect():
+            pmap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        vals = [len(pmap.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        return sum(vals) / len(vals)
+
+    seed = seed_centroids(emb, k=16)
+    assert mean_recall(ann_ivf(emb, queries, seed, nprobe=4, top_k=10)) >= 0.6
+
+    trained = centroid_literals(spark, kmeans_train(emb, k=16, iters=2))
+    assert mean_recall(ann_ivf(emb, queries, trained, nprobe=4, top_k=10)) >= 0.6
+
+
+def test_kmeans_train_shapes_and_determinism(spark):
+    """Lloyd training returns k centroids of the input dimension; the
+    assignment expression covers every corpus vector (no dropped cells)."""
+    from cernbox_migration_database_spark.operators.similarity import (
+        cell_of,
+        centroid_literals,
+        kmeans_train,
+        with_norm,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_train(emb, k=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    lits = centroid_literals(spark, cents)
+    d = with_norm(emb).withColumn(
+        "cell", cell_of(F.col("svec"), F.col("norm"), lits)
+    )
+    cells = d.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    assert all(0 <= r["cell"] < 8 for r in cells)
