@@ -2302,6 +2302,127 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+# Exact fixed-point revenue sum (the q5/q14 parity pattern) as a reusable
+# SQL fragment for the subquery family below.
+_REV_SUM = (
+    "(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+    " * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0)"
+)
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT p_partkey, s_suppkey, s_name, l_extendedprice AS min_price
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 10
+      AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: lineitem is the part-supplier offer table —
+    the fixture has no partsupp): for each small part, the supplier(s)
+    offering its minimum price, selected by a CORRELATED scalar aggregate
+    subquery. Catalyst decorrelates the inner MIN into an aggregate +
+    join — the rewrite that makes this one pass over lineitem instead of a
+    per-row rescan. Float equality against MIN is exact: both sides are
+    stored values, no arithmetic."""
+    for t in ("part", "lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q2_{t}")
+    return spark.sql(
+        """
+        SELECT p_partkey, s_suppkey, s_name, l_extendedprice AS min_price
+        FROM __q2_part JOIN __q2_lineitem ON l_partkey = p_partkey
+             JOIN __q2_supplier ON s_suppkey = l_suppkey
+        WHERE p_size <= 10
+          AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                 FROM __q2_lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    SELECT l_partkey, {_REV_SUM} AS value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING {_REV_SUM} >
+      (SELECT {_REV_SUM} * 0.002
+       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                     JOIN nation ON n_nationkey = s_nationkey
+       WHERE n_name = 'NATION_3')
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value within one nation, kept only above a
+    fraction of the nation's total — an UNCORRELATED scalar subquery in
+    HAVING, evaluated once and broadcast into the filter. Both the group
+    sums and the threshold run through the exact fixed-point accumulator,
+    so the strict > comparison is engine-stable."""
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q11_{t}")
+    return spark.sql(
+        f"""
+        SELECT l_partkey, {_REV_SUM} AS value
+        FROM __q11_lineitem JOIN __q11_supplier ON s_suppkey = l_suppkey
+             JOIN __q11_nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING {_REV_SUM} >
+          (SELECT {_REV_SUM} * 0.002
+           FROM __q11_lineitem JOIN __q11_supplier ON s_suppkey = l_suppkey
+                JOIN __q11_nation ON n_nationkey = s_nationkey
+           WHERE n_name = 'NATION_3')
+        """
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {_REV_SUM} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue VIEW over a ship-date quarter, the top
+    supplier(s) selected by a scalar MAX subquery over that view. The view
+    is referenced twice (join + subquery); exact fixed-point sums make the
+    double equality at the MAX boundary deterministic, and ties at the max
+    surface identically on both engines."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+            "total_revenue"
+        )
+    )
+    rev.createOrReplaceTempView("__q15_revenue")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, total_revenue
+        FROM __q15_supplier JOIN __q15_revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM __q15_revenue)
+        """
+    )
+
+
 @register(
     "similarity_ann_ivf",
     f"""
@@ -2389,8 +2510,10 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q12_shipmode_priority",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q18_large_orders",
-    "agg_group_count",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
     "grouping_sets",
     "join_dims_region",
     "join_semi_returned_orders",
@@ -2398,8 +2521,6 @@ _PRIORITY = [
     "scalar_subquery",
     "window_topk_per_group",
     "window_sessionize",
-    "time_bucket_agg",
-    "percentiles",
     "stats_moments",
     "salted_agg",
     "scd2_apply",
