@@ -213,23 +213,34 @@ def lsh_candidate_pairs(
     bands = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band", "bv")
     )
-    # Side-specific alias for EVERY join column, band index included: a
-    # self-join on an un-aliased 'band' keeps the same attribute id on both
-    # sides and Spark drops it as a trivially-true predicate — candidates
-    # would then pair band values across DIFFERENT band positions.
-    a = bands.select(
-        F.col(id_col).alias("ia"),
-        F.col("band").alias("banda"),
-        F.col("bv").alias("bva"),
+    # Bucket-aggregate instead of a self-join: group ids per (band, bv)
+    # bucket and expand pairs inside the array. One aggregation + one
+    # distinct = two shuffles, vs three for join+distinct, and no join hash
+    # table. Grouping on (band, bv) keeps band POSITION in the key — an
+    # earlier self-join formulation lost it to an un-aliased-column
+    # trivially-true predicate and paired values across band positions.
+    # Pair fan-out per bucket is quadratic in bucket size for BOTH
+    # formulations (inherent to LSH banding); array_sort gives ia < ib.
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
     )
-    b = bands.select(
-        F.col(id_col).alias("ib"),
-        F.col("band").alias("bandb"),
-        F.col("bv").alias("bvb"),
+    # (x, i) lambda = (element, index); slice is 1-based, so i+2 starts at
+    # the element AFTER x and over-length is clamped.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
     )
     return (
-        a.join(b, (a.banda == b.bandb) & (a.bva == b.bvb) & (a.ia < b.ib))
-        .select("ia", "ib")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .distinct()
     )
 
