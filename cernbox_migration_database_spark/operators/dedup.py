@@ -286,6 +286,63 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: each node gets the
+    minimum id reachable from it (the canonical "keep one doc per dup
+    cluster" step after pair generation).
+
+    Iterative min-label propagation: per round, every node takes the min of
+    its own label and its neighbors' labels (one equi-join + one groupBy
+    min). Converges in graph-diameter rounds — near-dup clusters are
+    shallow, so this terminates in a handful of passes; the loop stops
+    early via a monotone invariant (labels only decrease, so the global
+    label sum strictly decreases until fixpoint — one cheap agg action per
+    round, no extra join). Each round's labels are persisted and lineage is
+    cut so plan depth stays constant. For billion-edge skewed graphs the
+    two-phase large-star/small-star variant replaces this inner step; the
+    driver loop shape is identical.
+    """
+    both = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = tracked_persist(
+        both.unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        ).distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = tracked_persist(labels)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("src").alias("id"), "nlabel")
+        )
+        # localCheckpoint: materializes this round's labels and cuts lineage
+        # (block cleanup is handled by the context cleaner when the previous
+        # round's RDD goes unreferenced).
+        labels = labels.join(neigh, "id", "left").select(
+            F.col("id"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -963,6 +963,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      WHERE inter::DOUBLE / (na + nb - inter) >= 0.2),
+    edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+    SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: jaccard pairs -> connected components via
+    iterative min-label propagation (operators/dedup.py
+    connected_components) — the canonical keep-one-per-cluster step, and
+    the engine's iterative-algorithm showpiece (driver-side loop, each
+    round one distributed join+agg, early stop on a monotone invariant).
+    The oracle computes the same fixpoint with a recursive CTE — a strong
+    cross-formulation differential (iteration vs recursion)."""
+    prs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.2
+    )
+    return D.connected_components(prs)
+
+
 _MINHASH_SIGS = f"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     shs AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
@@ -1206,6 +1247,63 @@ def multimodal_decode(spark, sf_dir):
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, octet_length(text::BLOB) % 5000, 1000))
+             AS sample_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.py
+    frame_sample_plan): expand (media_id, duration_ms) into one row per
+    sample timestamp with sequence/explode — pure Catalyst, no decode
+    involved. Durations are a deterministic function of the blob bytes so
+    the expansion is oracle-checkable end-to-end."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents")).withColumn(
+        "duration_ms", (F.octet_length("blob") % 5000).cast("long")
+    )
+    return M.frame_sample_plan(media, every_ms=1000)
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH sc AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,7)) * 10000000
+                         AS BIGINT)) AS s
+      FROM embeddings),
+    m AS (SELECT vec_id, s,
+                 list_max(list_transform(s, x -> abs(x))) AS mx
+          FROM sc)
+    SELECT vec_id, i - 1 AS dim,
+           CASE WHEN mx = 0 THEN 0 ELSE (s[i] * 127) // mx END AS q
+    FROM m, generate_series(1, 64) AS g(i)
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization per vector — the embedding-compression
+    step of a training-data pipeline. All arithmetic is scaled-long integer
+    (q_i = s_i * 127 div max|s|), so quantized values are bit-identical
+    across engines and partitionings; exploded to (vec_id, dim, q) rows
+    (the driver's canonicalizer cannot hash array columns). NB Spark's
+    `div` and DuckDB's `//` both truncate toward zero on BIGINT."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s = S.scaled_vector(F.col("embedding"))
+    d = emb.select(F.col("vec_id"), s.alias("s")).withColumn(
+        "mx", F.array_max(F.transform(F.col("s"), lambda x: F.abs(x)))
+    )
+    ex = d.select("vec_id", "mx", F.posexplode("s").alias("dim", "sv"))
+    q = F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+        F.expr("sv * 127 div mx")
+    )
+    return ex.select("vec_id", "dim", q.alias("q"))
 
 
 # ---------------------------------------------------------------------------
@@ -2419,6 +2517,115 @@ def q15_top_supplier(spark, sf_dir):
         SELECT s_suppkey, s_name, total_revenue
         FROM __q15_supplier JOIN __q15_revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM __q15_revenue)
+        """
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with an extra predicate ON THE JOIN
+    (not a post-filter — customers with only urgent orders must still appear
+    with count 0), then a distribution-of-counts re-aggregation. Adapted to
+    o_orderpriority (the fixture has no o_comment)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_QTY_AVG = (
+    "(CAST(SUM(CAST(CAST(l2.l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    " AS DOUBLE) / 1000000.0 / COUNT(*))"
+)
+
+_PRICE_SUM = (
+    "(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    " AS DOUBLE) / 1000000.0)"
+)
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT {_PRICE_SUM} / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * {_QTY_AVG}
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: a CORRELATED scalar AVG subquery gating the fact
+    filter (orders below 20% of the part's average quantity). Catalyst
+    decorrelates the per-part average into an aggregate join. The average
+    runs through the exact fixed-point accumulator on both engines, so the
+    strict < threshold comparison cannot drift."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q17_{t}")
+    return spark.sql(
+        f"""
+        SELECT {_PRICE_SUM} / 7.0 AS avg_yearly
+        FROM __q17_lineitem JOIN __q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.2 * {_QTY_AVG}
+                            FROM __q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+_BAL_SUM = (
+    "(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    " AS DOUBLE) / 1000000.0)"
+)
+
+
+@register(
+    "q22_inactive_customers",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS numcust, {_BAL_SUM} AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT {_BAL_SUM} / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_inactive_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with NO orders —
+    an uncorrelated scalar AVG subquery plus NOT EXISTS, which Catalyst
+    plans as a left-anti join (the same anti-join shape the migration's
+    dead-letter split uses). Adapted: segment = c_mktsegment (no phone
+    column) and 'inactive' = no URGENT order (every fixture customer has
+    some order, so the literal Q22 predicate would be vacuously empty)."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q22_{t}")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, COUNT(*) AS numcust, {_BAL_SUM} AS totacctbal
+        FROM __q22_customer c
+        WHERE c_acctbal > (SELECT {_BAL_SUM} / COUNT(*)
+                           FROM __q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM __q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
         """
     )
 

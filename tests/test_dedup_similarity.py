@@ -298,3 +298,30 @@ def test_kmeans_train_shapes_and_determinism(spark):
     cells = d.groupBy("cell").count().collect()
     assert sum(r["count"] for r in cells) == emb.count()
     assert all(0 <= r["cell"] < 8 for r in cells)
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    """Min-label propagation on a known graph: a 4-chain (tests multi-hop
+    propagation past one round), a triangle, and an isolated pair — every
+    node must land on its component's minimum id, untouched docs absent."""
+    from cernbox_migration_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (10, 11), (11, 12), (12, 13),   # chain 10-11-12-13
+            (20, 21), (21, 22), (20, 22),   # triangle
+            (30, 31),                        # pair
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
