@@ -2373,6 +2373,30 @@ def streaming_interval_join(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_counts(spark, sf_dir):
+    """CUSTOM stateful streaming operator (applyInPandasWithState): a
+    per-user running counter carried in explicit GroupState across
+    micro-batches — the template for bespoke streaming state machines
+    Spark has no built-in operator for. Drained to completion in update
+    mode, the final state per user equals the batch COUNT(*) oracle; the
+    memory sink may hold multiple updates per key, so the query keeps the
+    LAST (max) count per user — deterministic because counts only grow."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    counted = ST.stateful_user_counts(stream)
+    ST.run_stream_to_memory(counted, "stream_state_out", output_mode="update")
+    return (
+        spark.table("stream_state_out")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@register(
     "embedding_dim_stats",
     """
     SELECT i - 1 AS dim, COUNT(*) AS n,
