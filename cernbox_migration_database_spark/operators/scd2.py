@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-OPEN_END = "9999-12-31 00:00:00"
+# Open-ended "current version" sentinel. NOT 9999-12-31: nanosecond-epoch
+# systems (pandas/Arrow datetime64[ns] — including differential harnesses
+# that canonicalize through pandas — and most ns-based stores) overflow
+# past 2262-04-11, turning the conventional sentinel into a crash.
+OPEN_END = "2261-12-31 00:00:00"
 
 
 def scd2_apply(

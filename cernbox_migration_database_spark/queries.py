@@ -2062,7 +2062,7 @@ from .operators.scd2 import scd2_apply  # noqa: E402
     WITH dim AS (
       SELECT c_custkey, c_mktsegment, c_acctbal,
              TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
-             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+             TIMESTAMP '2261-12-31 00:00:00' AS valid_to
       FROM customer),
     upd AS (
       SELECT c_custkey,
@@ -2083,7 +2083,7 @@ from .operators.scd2 import scd2_apply  # noqa: E402
     opened AS (
       SELECT c_custkey, u_seg AS c_mktsegment, u_bal AS c_acctbal,
              u_ts AS valid_from,
-             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+             TIMESTAMP '2261-12-31 00:00:00' AS valid_to
       FROM joined
       WHERE u_ts IS NOT NULL
         AND (c_mktsegment IS DISTINCT FROM u_seg
@@ -2099,7 +2099,7 @@ def scd2_apply_query(spark, sf_dir):
     dim = c.select(
         "c_custkey", "c_mktsegment", "c_acctbal",
         F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit("2261-12-31 00:00:00").cast("timestamp").alias("valid_to"),
     )
     updates = (
         c.where(F.col("c_custkey") % 3 == 0)
@@ -2213,10 +2213,10 @@ def q4_order_priority(spark, sf_dir):
     "q12_shipmode_priority",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

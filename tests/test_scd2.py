@@ -10,7 +10,7 @@ from cernbox_migration_database_spark.operators.scd2 import OPEN_END, scd2_apply
 
 T0 = dt.datetime(2020, 1, 1)
 T1 = dt.datetime(2024, 6, 1)
-END = dt.datetime(9999, 12, 31)
+END = dt.datetime(2261, 12, 31)
 
 
 def _dim(spark):
