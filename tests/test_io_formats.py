@@ -69,3 +69,37 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp):
     assert back.count() == d.where("lang = 'en'").count()
     scan_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_line, plan[:1500]
+
+
+def test_dbapi_parallel_scan_live_sqlite(spark, tmp):
+    """Live partitioned DB read: 10k rows pulled through 4 disjoint range
+    queries against a real sqlite database, executor-side connections."""
+    import os
+    import sqlite3
+
+    from cernbox_migration_database_spark.sources.io import dbapi_parallel_scan
+
+    db = os.path.join(tmp, "src.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"v{i}") for i in range(10_000)]
+    )
+    con.commit()
+    con.close()
+
+    df = dbapi_parallel_scan(
+        spark,
+        lambda: __import__("sqlite3").connect(db),
+        "t",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=9_999,
+        schema="id long, v string",
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert len(got) == 10_000 and got[1234] == "v1234"
+    # ranges are disjoint and complete: re-aggregate proves no dup/loss
+    assert df.groupBy().count().collect()[0][0] == 10_000
