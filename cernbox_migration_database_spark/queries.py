@@ -2373,6 +2373,30 @@ def streaming_interval_join(spark, sf_dir):
 
 
 @register(
+    "unpivot_orders",
+    """
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_totalprice AS DOUBLE) / 2 AS half
+      FROM orders)
+    UNPIVOT (val FOR metric IN (price, half))
+    """,
+)
+def unpivot_orders(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of events_pivot: wide metric columns to
+    (key, metric, value) rows via DataFrame.unpivot (Spark's native melt;
+    no explode-of-structs hand-rolling). Division by 2 is IEEE-exact, so
+    doubles match bit-for-bit cross-engine."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_totalprice").cast("double") / 2).alias("half"),
+    )
+    return o.unpivot(["o_orderkey"], ["price", "half"], "metric", "val")
+
+
+@register(
     "streaming_stateful_counts",
     """
     SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id

@@ -11,7 +11,9 @@ stricter exact-value differential) does NOT:
     mismatches (DuckDB HUGEINT vs Spark BIGINT) flip hashes even when
     values agree.
 
-Usage: python tools/driver_sim.py [sf_dir] [query ...]
+Usage: python tools/driver_sim.py [sf_dir] [query ...|--all]
+(--all widens past the 50-query window: out-of-window queries are graded by
+selfcheck only, but they must still run on a vanilla session.)
 """
 
 from __future__ import annotations
@@ -44,7 +46,9 @@ def canon(df: pd.DataFrame) -> tuple:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    run_all = "--all" in args
+    only = {a for a in args if a != "--all"}
 
     from pyspark.sql import SparkSession
 
@@ -66,7 +70,7 @@ def main() -> int:
 
     qs = E.queries()
     osql = E.oracle_sql()
-    names = list(qs)[:WINDOW]
+    names = list(qs) if run_all else list(qs)[:WINDOW]
     fails = []
     n_run = 0
     for name in names:
