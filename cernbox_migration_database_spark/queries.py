@@ -828,6 +828,7 @@ from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as M  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import text as TX  # noqa: E402
+from .util import ensure_parallelism  # noqa: E402
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -2370,6 +2371,82 @@ def streaming_interval_join(spark, sf_dir):
     )
     ST.run_stream_to_memory(out, "stream_ij_out", output_mode="append")
     return spark.table("stream_ij_out")
+
+
+@register(
+    "text_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tfc FROM toks GROUP BY doc_id, tok),
+    dlen AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           round((tfc::DOUBLE / n_tok)
+                 * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 9) AS tfidf
+    FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (tok), n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF per (doc, token) — the text-pipeline feature op: term
+    frequency normalized by document length, smoothed inverse document
+    frequency (ln((N+1)/(df+1)) + 1). Three aggregations over one exploded
+    token relation; the corpus size joins in as a broadcast scalar rather
+    than a driver constant. Rounded 9 dp: ln() is the one function here
+    without a cross-engine correctly-rounded guarantee."""
+    d = _t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tfc"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = (
+        tf.join(dlen, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("tfc").cast("double") / F.col("n_tok"))
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+                    )
+                    + 1
+                ),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    return out
+
+
+@register(
+    "train_shuffle",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':epoch7'),
+                              doc_id) AS rank
+    FROM documents
+    """,
+)
+def train_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training epochs: a content-hash
+    sort key gives the same permutation on any cluster size or engine
+    (df.orderBy(rand(seed)) is partition-layout-dependent — useless for
+    reproducible epochs). Seed goes in the hashed string; one total sort,
+    which is exactly the cost a global permutation requires."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch7")))
+    w = W.orderBy(key, "doc_id")
+    return d.select("doc_id", F.row_number().over(w).alias("rank"))
 
 
 @register(
