@@ -828,7 +828,7 @@ from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as M  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import text as TX  # noqa: E402
-from .util import ensure_parallelism  # noqa: E402
+from .util import ensure_parallelism, tracked_persist  # noqa: E402
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -2402,9 +2402,16 @@ def text_tfidf(spark, sf_dir):
     toks = ensure_parallelism(d).select(
         "doc_id", F.explode(TX.tokens("text")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tfc"))
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is persisted and re-aggregated for BOTH doc lengths and document
+    # frequencies: the expensive tokenize + (doc, tok) shuffle runs once;
+    # deriving dlen/dfreq from raw tokens instead would tokenize and
+    # shuffle the corpus three times (exchange reuse is not guaranteed
+    # across aggregation branches — measured as three Generate subplans).
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tfc"))
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tfc").alias("n_tok"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     out = (
         tf.join(dlen, "doc_id")
