@@ -2853,10 +2853,8 @@ _PRIORITY = [
     "q18_large_orders",
     "q2_min_cost_supplier",
     "q11_important_parts",
+    "q17_small_quantity_revenue",
     "grouping_sets",
-    "join_dims_region",
-    "join_semi_returned_orders",
-    "join_anti_customers_no_orders",
     "scalar_subquery",
     "window_topk_per_group",
     "window_sessionize",
@@ -2867,11 +2865,12 @@ _PRIORITY = [
     "array_agg_sorted",
     "text_token_stats",
     "text_quality",
-    "text_langid",
+    "text_tfidf",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "similarity_knn",
     "similarity_ann_lsh",
@@ -2880,6 +2879,7 @@ _PRIORITY = [
     "multimodal_decode",
     "streaming_window_agg",
     "streaming_session_window",
+    "streaming_stateful_counts",
 ]
 
 
