@@ -73,6 +73,13 @@ per table per call). The catalog hands back the same resolved DataFrame
 per (applicationId, sf_dir, table) — fixed-overhead removal for an
 86-query session over 10 immutable tables.
 
+### Mechanical plan audit (tools/plan_audit.py)
+Every catalog query's physical plan is swept for row-at-a-time Python
+(BatchEvalPython) and non-broadcast cartesian products: 0 flagged across
+all 90 queries; the only Python boundary in any plan is the Arrow-batched
+MapInPandas of the multimodal decode. Exchange counts are printed per
+query so shuffle regressions show up in review.
+
 ### Cold/warm decomposition of the headline number
 Cold sum 18.6 s vs warm sum 11.9 s (same session, same plans): the ~7 s
 delta is plan analysis + codegen compile + JIT, amortized away on any
