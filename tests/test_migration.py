@@ -149,3 +149,19 @@ def test_create_command_privilege_drop():
         "/usr/bin/eos", "-r", "u2", "g2", "file", "version",
         "/eos/user/j/jdoe/b.txt",
     ]
+
+
+def test_migration_shuffle_join_path(spark):
+    """broadcast_meta=False: the enrichment/versions joins run as shuffle
+    joins (the 100 TB-metadata shape) — branch results identical to the
+    broadcast path."""
+    create, calls = _create_fn(spark)
+    res = run_migration(
+        _shares(spark), _meta(spark), create_fn=create, broadcast_meta=False
+    )
+    updates = {r["id"]: r.asDict() for r in res.updates.collect()}
+    assert set(updates) == {1, 2, 5, 9}
+    assert updates[1]["item_source"] == "201"
+    dead = {r["id"]: r["error_stage"] for r in res.dead.collect()}
+    assert dead == {6: "eos_info_by_inode"}
+    assert [r["id"] for r in calls[0]] == [2]

@@ -138,3 +138,17 @@ def test_merge_rejects_duplicate_update_keys(spark):
     dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id long, v double")
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_updates(base, dup, key="id", update_cols=["v"])
+
+
+def test_merge_broadcast_hint_in_plan(spark):
+    """broadcast_updates=True must surface as a broadcast join in the plan
+    (the caller-knows-best hint for tiny update sets against huge bases);
+    default False leaves the strategy to Catalyst/AQE."""
+    base = spark.range(10_000).select(F.col("id"), F.lit(1.0).alias("v"))
+    upd = spark.range(5).select(F.col("id"), F.lit(2.0).alias("v"))
+    hinted = merge_updates(
+        base, upd, key="id", update_cols=["v"], broadcast_updates=True
+    )
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert {r["v"] for r in hinted.filter("updated").collect()} == {2.0}
