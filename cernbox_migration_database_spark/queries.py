@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .functions.kv import length_prefixed_value, parse_kv_map, safe_cast_long
-from .functions.numeric import davg, dsum, dsum_decimal
+from .functions.numeric import davg, dsum, dsum_decimal, dsum_expr
 from .functions.paths import path_base, path_dir, path_parent_name, versions_path
 from .operators.merge import merge_updates
 from .operators.router import decision_col
@@ -2815,6 +2815,124 @@ def similarity_ann_ivf(spark, sf_dir):
     cents = S.seed_centroids(emb, k=16)
     return S.ann_ivf(
         emb, emb.where(F.col("vec_id") < 20), cents, nprobe=4, top_k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended: array higher-order functions, stratified sampling, range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hof_array_pipeline",
+    f"""
+    SELECT vec_id,
+           CAST(length(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_pos,
+           CAST(COALESCE(list_sum(list_transform(
+                  list_filter(embedding, v -> v > 0),
+                  v -> {_SCALED_EL.format(v='v')})), 0) AS DOUBLE)
+             / 10000000.0 AS sum_pos,
+           round({_dot_sql('embedding', 'list_reverse(embedding)')}, 9)
+             AS rev_dot
+    FROM embeddings
+    """,
+)
+def hof_array_pipeline(spark, sf_dir):
+    """Array higher-order function pipeline over the embedding column —
+    ``filter``/``transform``/``aggregate``/``zip_with``/``reverse`` composed
+    in one row-local projection (no shuffle, whole-stage codegen; the moral
+    equivalent of the reference's per-row derivations at main.go:141-146 but
+    over vectors). Outputs are scalars (driver hasher rejects list columns):
+    positive-element count, exact scaled sum of the positive elements, and
+    the vector's dot product with its own reversal (zip_with). All float
+    math goes through the DECIMAL(12,7)->BIGINT fixed-point path so both
+    engines sum exactly; empty positive set coalesces to 0 on both sides
+    (Spark's aggregate returns the 0L seed, DuckDB's list_sum returns NULL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = F.filter("embedding", lambda v: v > 0)
+    sum_pos = F.aggregate(
+        S.scaled_vector(pos), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    sv = S.scaled_vector(F.col("embedding"))
+    rev_dot = S.dot_scaled(sv, F.reverse(sv))
+    return emb.select(
+        "vec_id",
+        F.size(pos).cast("long").alias("n_pos"),
+        (sum_pos.cast("double") / F.lit(1e7)).alias("sum_pos"),
+        F.round(rev_dot, 9).alias("rev_dot"),
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (SELECT *, substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS d
+          FROM orders)
+    WHERE (o_orderstatus = 'O' AND d IN ('0', '1', '2', '3'))
+       OR (o_orderstatus = 'F' AND d IN ('0', '1'))
+       OR (o_orderstatus = 'P' AND d = '0')
+    """,
+)
+def stratified_hash_sample(spark, sf_dir):
+    """Stratified sampling with per-stratum rates (O: 25%, F: 12.5%,
+    P: 6.25%) keyed on a content hash — the reproducible analogue of
+    ``df.sampleBy(fractions, seed)`` for training-data splits. Native
+    sampleBy draws from Spark-internal partition-seeded RNG, so its output
+    changes under repartitioning and can never be oracle-matched; hashing
+    the row key makes the stratified split stable across engines, reruns,
+    and cluster layouts. Pure scan-side filter: no shuffle, pushdown-safe
+    projection, scales linearly."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    rates = {"O": ("0", "1", "2", "3"), "F": ("0", "1"), "P": ("0",)}
+    keep = F.lit(False)
+    for status, digits in rates.items():
+        keep = keep | ((F.col("o_orderstatus") == status) & d.isin(*digits))
+    return o.where(keep).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "range_join_price_bands",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('p00_under_75k',  CAST(0      AS DOUBLE), CAST(75000  AS DOUBLE)),
+      ('p01_to_150k',    CAST(75000  AS DOUBLE), CAST(150000 AS DOUBLE)),
+      ('p02_to_300k',    CAST(150000 AS DOUBLE), CAST(300000 AS DOUBLE)),
+      ('p03_over_300k',  CAST(300000 AS DOUBLE), CAST('inf'  AS DOUBLE)))
+    SELECT band, COUNT(*) AS n,
+           {dsum_expr('o_totalprice')} AS revenue
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark, sf_dir):
+    """Range (non-equi) join: orders matched to a small price-band dimension
+    on ``lo <= price < hi`` — the interval-lookup shape Spark has no native
+    operator for. With the dimension broadcast, Catalyst plans a
+    BroadcastNestedLoopJoin: each executor streams its order partitions
+    against the 4 in-memory bands, so cost is scan-linear and shuffle-free
+    regardless of fact size — the 100 TB-safe plan for any small interval
+    dimension (the same shape serves date calendars and SLA tiers). Exact
+    DECIMAL revenue accumulator per the repo parity rules."""
+    bands = spark.createDataFrame(
+        [
+            ("p00_under_75k", 0.0, 75000.0),
+            ("p01_to_150k", 75000.0, 150000.0),
+            ("p02_to_300k", 150000.0, 300000.0),
+            ("p03_over_300k", 300000.0, float("inf")),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = _t(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("revenue")
     )
 
 
