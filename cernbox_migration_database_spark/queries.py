@@ -3172,6 +3172,196 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           round({dsum_expr("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END", scale=6)}
+                 / {dsum_expr('volume', scale=6)}, 9) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_REV} AS volume, n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier-nation's share of ECONOMY-part revenue
+    into EUROPE customers, per order year — a ratio of two conditional
+    aggregates over a 7-table join. Every dimension broadcasts; the
+    conditional numerator folds into the same aggregate pass as the
+    denominator (one shuffle on o_year). Round 9dp: the ratio is the one
+    double division after exact fixed-point sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    num = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0.0))
+    return base.groupBy("o_year").agg(
+        F.round(dsum(num, scale=6) / dsum(F.col("volume"), scale=6), 9).alias(
+            "mkt_share"
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, {dsum_expr('profit', scale=6)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+               AS profit
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for parts
+    whose name matches a pattern. Adapted: no partsupp fixture, so unit cost
+    is p_retailprice (profit = revenue - retail cost of quantity); the LIKE
+    filter prunes the broadcast part dim before the join. Doubles multiply
+    identically on both engines; the difference quantizes through one
+    DECIMAL(18,6) fixed-point accumulator."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("profit"), scale=6).alias("sum_profit"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 11, 15, 23, 31, 37, 41)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    excluding blacklisted suppliers via NOT IN — the null-aware anti-join
+    Catalyst plans specially (adapted: the supplier-part relation comes
+    from lineitem, there is no partsupp fixture; 'complaints' =
+    negative account balance). COUNT(DISTINCT) expands to a two-phase
+    partial-distinct aggregate."""
+    for t in ("lineitem", "part", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q16_{t}")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM __q16_lineitem JOIN __q16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 11, 15, 23, 31, 37, 41)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM __q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    """
+    WITH per AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS DOUBLE) / 100.0 AS q
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    tot AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS DOUBLE) / 100.0 AS tq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT DISTINCT s_name
+    FROM supplier JOIN per ON s_suppkey = l_suppkey
+                  JOIN tot USING (l_partkey)
+    WHERE q > 0.2 * tq
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding a dominant share (>20%) of any
+    part's total shipped quantity. Adapted from the partsupp formulation:
+    lineitem is scanned ONCE: the per-(supplier, part) aggregate carries an
+    exact scaled-long quantity sum, and the per-part total is a window SUM
+    over those longs (partition by part) — no second scan, no self-join.
+    Long sums are exact, so the 0.2 threshold compares identical doubles on
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    qs_long = F.sum(
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    )
+    per = li.groupBy("l_suppkey", "l_partkey").agg(qs_long.alias("qs"))
+    tot_win = F.sum("qs").over(W.partitionBy("l_partkey"))
+    return (
+        per.withColumn("q", F.col("qs").cast("double") / 100.0)
+        .withColumn("tq", tot_win.cast("double") / 100.0)
+        .where(F.col("q") > 0.2 * F.col("tq"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
