@@ -343,6 +343,59 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
+def label_propagation(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation: every node
+    starts labeled with its own id; each round, every node adopts the most
+    frequent label among its neighbors, ties broken toward the smallest
+    label. A fixed iteration count with a total tie-break order makes the
+    algorithm fully deterministic — the asynchronous/randomized LPA of the
+    literature is not, and could never be differentially tested. Unlike
+    :func:`connected_components` (min-label fixpoint = transitive closure),
+    frequency voting can split a weakly-bridged component into denser
+    communities.
+
+    Per round: one equi-join of the edge list against the label table plus
+    two aggregations — count per (node, neighbor label), then an argmax per
+    node via a single ``max(struct(count, -label))`` (no window, map-side
+    combinable). Labels are re-materialized each round with lineage cut, so
+    plan depth stays constant; edge state is partition-stable across rounds.
+    """
+    both = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = tracked_persist(
+        both.unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        ).distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(iterations):
+        cnt = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count DESC, label ASC): max over (c, -label) structs
+        best = cnt.groupBy("src").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
+        )
+        labels = best.select(
+            F.col("src").alias("id"), (-F.col("m.nl")).alias("label")
+        ).localCheckpoint()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("community")
+    )
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3362,6 +3362,59 @@ def q20_dominant_supplier(spark, sf_dir):
     )
 
 
+_LPA_ROUND = """
+    c{i} AS (
+      SELECT e.src, l.lab, COUNT(*) AS c
+      FROM edges e JOIN l{prev} l ON l.id = e.dst
+      GROUP BY 1, 2),
+    l{i} AS (
+      SELECT src AS id, lab FROM (
+        SELECT src, lab,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY c DESC, lab) AS rn
+        FROM c{i}) WHERE rn = 1)"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      WHERE inter::DOUBLE / (na + nb - inter) >= 0.2),
+    edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs),
+    l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges),
+    {','.join(_LPA_ROUND.format(i=i, prev=i - 1) for i in (1, 2, 3))}
+    SELECT id AS doc_id, lab AS community FROM l3
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection on the near-dup graph: 3 synchronous rounds of
+    deterministic label propagation (operators/dedup.py label_propagation)
+    over the same Jaccard edges dedup_clusters uses — frequency voting vs
+    transitive closure, the second graph algorithm on one edge relation.
+    The oracle unrolls the identical three rounds as SQL CTEs (argmax via
+    ROW_NUMBER with the same (count DESC, label ASC) total order), so
+    Spark's iterative join-agg loop is differentially checked round-for-
+    round against a pure-SQL derivation."""
+    prs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.2
+    )
+    return D.label_propagation(prs, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest

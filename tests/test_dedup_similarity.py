@@ -325,3 +325,27 @@ def test_connected_components_chain_triangle_pair(spark):
         20: 20, 21: 20, 22: 20,
         30: 30, 31: 30,
     }
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    from cernbox_migration_database_spark.operators.dedup import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two triangles joined by one bridge edge (3-4): connected components
+    # merges them into one cluster; frequency-voting LPA keeps them apart
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    lpa = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(pairs, iterations=3).collect()
+    }
+    # hand-traced synchronous rounds with (count DESC, label ASC) tie-break
+    assert lpa == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    cc = {
+        r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()
+    }
+    assert set(cc.values()) == {1}
