@@ -3441,18 +3441,18 @@ _PRIORITY = [
     "kv_length_prefixed",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
+    "q21_waiting_supplier",
     "q5_region_revenue",
-    "q6_forecast_revenue",
+    "q19_disjunctive_join",
     "q12_shipmode_priority",
-    "q14_promo_revenue",
+    "q8_market_share",
     "q15_top_supplier",
     "q18_large_orders",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q17_small_quantity_revenue",
     "grouping_sets",
-    "scalar_subquery",
+    "graph_label_propagation",
     "window_topk_per_group",
     "window_sessionize",
     "stats_moments",
