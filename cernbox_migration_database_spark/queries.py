@@ -3362,6 +3362,128 @@ def q20_dominant_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      WHERE inter::DOUBLE / (na + nb - inter) >= 0.2),
+    edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+    clusters AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.cluster IS NULL OR c.cluster = d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The dedup operator a pipeline actually RUNS: the corpus with near-
+    duplicates dropped — one canonical document (minimum id) kept per
+    near-dup cluster, singletons passed through untouched. Composes
+    jaccard_pairs -> connected_components -> a broadcast-able left join
+    back onto the corpus (cluster table is |near-dup docs| rows, tiny
+    relative to the corpus, so the final join never shuffles the documents
+    at scale). End-to-end differential: the oracle recomputes pairs,
+    clusters (recursive CTE), and the keep-filter from scratch."""
+    docs = _t(spark, sf_dir, "documents")
+    prs = D.jaccard_pairs(docs, block_col="lang", k=3, threshold=0.2)
+    clusters = D.connected_components(prs)
+    keep = docs.join(F.broadcast(clusters), "doc_id", "left").where(
+        F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
+    )
+    return keep.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "train_token_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin
+    FROM ordered
+    """,
+)
+def train_token_packing(spark, sf_dir):
+    """Token-budget packing for training batches: documents are laid out in
+    a deterministic content-hash order and greedily packed into 512-token
+    bins via a running token sum — bin = floor(preceding_tokens / budget).
+    Partitioned by language, so the window parallelizes across groups AND
+    each language's bins stay contiguous (the layout a curriculum/bucketing
+    dataloader wants). The hash order makes the packing stable across
+    engines, reruns, and partition counts — df.sample-style RNG never is.
+    At 100 TB the same plan holds: one shuffle on lang (or (lang,
+    hash-prefix) for finer parallelism), running sums map-side within each
+    partition."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens("text")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return docs.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0)
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+@register(
+    "text_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g'),
+             '(<NUM> ){2,}<NUM>', '<NUMSEQ>', 'g') AS redacted,
+           len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+    FROM documents
+    """,
+)
+def text_redact(spark, sf_dir):
+    """Scrubbing pass of a text-cleaning pipeline: numbers masked to <NUM>,
+    runs of masked numbers collapsed to <NUMSEQ>, plus a digit-count audit
+    column (how much was redacted — the dead-letter-style evidence trail,
+    main.go:277's audit instinct applied to corpus hygiene). Two chained
+    regexp_replace passes, pure codegen, scan-linear; DuckDB needs the 'g'
+    flag to match Spark's replace-all default."""
+    t = F.col("text")
+    masked = F.regexp_replace(t, r"[0-9]+(\.[0-9]+)?", "<NUM>")
+    collapsed = F.regexp_replace(masked, r"(<NUM> ){2,}<NUM>", "<NUMSEQ>")
+    n_digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        collapsed.alias("redacted"),
+        n_digits.cast("long").alias("n_digits"),
+    )
+
+
 _LPA_ROUND = """
     c{i} AS (
       SELECT e.src, l.lab, COUNT(*) AS c
