@@ -1374,6 +1374,58 @@ def streaming_session_window(spark, sf_dir):
     return spark.table("stream_session_out")
 
 
+@register(
+    "batch_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       > 1800000000
+                    OR LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, us, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM seq)
+    SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def batch_session_window(spark, sf_dir):
+    """Native ``session_window`` in BATCH mode (30-minute gap) with a value
+    aggregate — the third formulation of sessionization in the catalog,
+    cross-checked against the lag+cumsum SQL derivation (window_sessionize
+    proves lag+cumsum on both engines; streaming_session_window proves the
+    native operator under Structured Streaming; this proves the native
+    operator's batch planning — one shuffle on user_id, sessions assembled
+    in the aggregate, no window function at all). Output keys on
+    session_start, not session end: Spark defines end = last event + gap,
+    which the oracle formulation has no analogue for."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join + remaining relational surface (pivot, dates, percentiles,
 # array aggregation)
