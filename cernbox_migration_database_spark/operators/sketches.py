@@ -1,0 +1,99 @@
+"""Count-min sketch over a token stream — the mergeable heavy-hitter
+summary a 100 TB ingest pipeline keeps instead of an exact token->count
+table.
+
+Design for scale (and why this shape, not the naive one):
+
+* Frequencies are aggregated ONCE (``groupBy(token)``) before the sketch is
+  built. The naive formulation explodes every token OCCURRENCE ``depth``
+  times and shuffles ``depth x corpus`` rows; here the depth fan-out happens
+  on the *distinct-token* table (orders of magnitude smaller), each row
+  carrying its pre-summed weight. Same counters, ~depth x corpus fewer
+  shuffled rows — the same lesson as the r1 simhash fix.
+* The sketch itself is ``depth * width`` rows (a few KiB) — it broadcasts
+  for the estimate join and unions/merges across corpora by simple counter
+  addition (CMS is linear), which is the whole point of keeping a sketch
+  rather than the exact table at 100 TB.
+* Hashes are md5-derived (first two hex digits of ``md5(token || '#row')``),
+  so the (probabilistic) sketch is deterministic and bit-identical across
+  engines — the DuckDB oracle rebuilds the exact same counters.
+
+Reference scope note: the reference CLI (main.go) has no sketching; this is
+part of the extended large-scale pipeline set required alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _bucket(token: Column, row: Column, width: int) -> Column:
+    """md5-derived bucket in [0, width): first two hex digits (8 bits) of
+    ``md5(token || '#' || row)``, reduced mod width — pure built-in string
+    arithmetic, replayed verbatim by the DuckDB oracle
+    (queries.cms_heavy_hitters)."""
+    h = F.md5(F.concat(token, F.lit("#"), row.cast("string")))
+    d1 = F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
+    return ((d1 * 16 + d2) % width).cast("int")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact per-token occurrence counts (whitespace tokens, empties
+    dropped) — the single full-corpus shuffle everything downstream reuses.
+    """
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    return tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_sketch(
+    counts: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the ``depth x width`` counter table from exact token counts.
+
+    Returns (row, bucket, counter). Each distinct token contributes its
+    pre-aggregated weight to one bucket per sketch row — a weighted
+    histogram, all map-side combinable.
+    """
+    rows = counts.select(
+        "token",
+        "cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    )
+    return (
+        rows.select(
+            "row",
+            "cnt",
+            _bucket(F.col("token"), F.col("row"), width).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each probe token: min over the ``depth``
+    counters the token hashes to. The sketch is tiny — broadcast it so the
+    probe side never shuffles for the join."""
+    pb = probes.select(
+        "token",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    ).select(
+        "token",
+        "row",
+        _bucket(F.col("token"), F.col("row"), width).alias("bucket"),
+    )
+    return (
+        pb.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("counter").alias("cms_est"))
+    )

@@ -3590,6 +3590,217 @@ def graph_label_propagation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sketching, incremental re-aggregation, and time-series gap-fill — the
+# round-2 breadth set for the large-scale pipeline story.
+# ---------------------------------------------------------------------------
+
+from .operators import sketches as SK  # noqa: E402
+
+
+_CMS_BUCKET = (
+    "(strpos('0123456789abcdef',"
+    " substring(md5(token || '#' || CAST({j} AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef',"
+    " substring(md5(token || '#' || CAST({j} AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    fan AS (
+      SELECT token, cnt, unnest(generate_series(0, 3)) AS row FROM cnt),
+    hashed AS (
+      SELECT token, cnt, row,
+             ({_CMS_BUCKET.format(j='row')}) % 256 AS bucket
+      FROM fan),
+    sketch AS (
+      SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+      FROM hashed GROUP BY row, bucket),
+    probes AS (
+      SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 10),
+    est AS (
+      SELECT h.token, MIN(s.counter) AS cms_est
+      FROM (SELECT token, row, bucket FROM hashed
+            WHERE token IN (SELECT token FROM probes)) h
+      JOIN sketch s ON s.row = h.row AND s.bucket = h.bucket
+      GROUP BY h.token)
+    SELECT p.token, CAST(p.cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM probes p JOIN est e ON e.token = p.token
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (depth 4 x width 256, md5-derived hashes) built over
+    the document token stream, point-queried for the 10 most frequent
+    tokens; output pairs each exact count with its CMS estimate (estimate >=
+    exact always — the one-sided CMS error). The sketch is built from
+    pre-aggregated token counts, so the depth fan-out shuffles distinct
+    tokens, not occurrences (operators/sketches.py has the scale analysis),
+    and the DuckDB oracle reconstructs the identical counters from the same
+    md5 arithmetic — a full differential over a probabilistic structure."""
+    counts = tracked_persist(
+        SK.token_counts(_t(spark, sf_dir, "documents"))
+    )
+    sketch = SK.count_min_sketch(counts, depth=4, width=256)
+    probes = counts.orderBy(F.col("cnt").desc(), "token").limit(10)
+    est = SK.cms_estimate(sketch, probes, depth=4, width=256)
+    return probes.select(
+        "token", F.col("cnt").cast("long").alias("exact_cnt")
+    ).join(est, "token").select("token", "exact_cnt", "cms_est")
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    WITH direct AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100.0) AS total_value,
+             (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100.0) / COUNT(value) AS avg_value,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY event_type),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT d.event_type, d.n_events, d.total_value, d.avg_value,
+           d.min_value, d.max_value,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(dl.n) AS BIGINT) AS peak_day_events
+    FROM direct d JOIN daily dl ON dl.event_type = d.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def rollup_incremental_merge(spark, sf_dir):
+    """Incremental re-aggregation: per-(type, day) PARTIAL aggregates
+    (count, integer-scaled sum, min, max) merged into per-type totals purely
+    by combining partials — sum-of-sums, min-of-mins, count-of-partials —
+    with avg derived at the end from the merged exact sum. This is the
+    mergeable-rollup pattern a 100 TB pipeline uses to maintain daily
+    partitions and serve monthly totals without rescanning raw data; the
+    oracle computes the totals DIRECTLY from raw rows, so the differential
+    proves the partial-merge algebra is lossless (the decimal-scaled-long
+    accumulator makes the sum exact and associative, which is what makes it
+    re-aggregatable at all — see functions/numeric.py). The daily level also
+    yields n_days / peak_day_events for free."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("sum_scaled"),
+        F.count("value").alias("n_vals"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+            F.sum("n_vals").alias("n_vals"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("n").alias("peak_day_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("sum_scaled").cast("double") / 100.0).alias("total_value"),
+            (
+                F.col("sum_scaled").cast("double") / 100.0 / F.col("n_vals")
+            ).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "n_days",
+            "peak_day_events",
+        )
+    )
+
+
+@register(
+    "ts_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100.0) AS hour_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    span AS (
+      SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM hourly GROUP BY event_type),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM span),
+    joined AS (
+      SELECT g.event_type, g.hour,
+             COALESCE(h.n_events, 0) AS n_events,
+             (h.event_type IS NULL) AS is_gap,
+             h.hour_value
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour)
+    SELECT event_type, hour, n_events, is_gap,
+           LAST_VALUE(hour_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM joined
+    """,
+)
+def ts_gap_fill(spark, sf_dir):
+    """Time-series gap-fill + forward-fill: per-type hourly aggregates, a
+    dense hour grid generated per type from its own observed span
+    (``sequence`` + ``explode`` — no driver loop, no cross join; the grid
+    derives from a per-type min/max aggregate so each series densifies only
+    its own range), left-joined back and forward-filled with
+    ``last(ignorenulls)`` over an ordered window. The standard shape for
+    regularizing sensor/event streams before training or windowed features;
+    at 100 TB the grid is tiny (types x hours) while the heavy side is
+    pre-aggregated once. Leading rows can't be NULL: each series' grid
+    starts at its first observed hour."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("hour_value"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("hour_value").isNull().alias("is_gap"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
 # evidence only. Rebuild the registry so the load-bearing queries — the
