@@ -47,9 +47,19 @@ def parse_kv_map(raw: Column | str) -> Column:
             F.split(t, "=", -1).getItem(1).alias("value"),
         ),
     )
-    # Last-wins on duplicate keys, same as the Go map assignment loop —
-    # requires spark.sql.mapKeyDedupPolicy=LAST_WIN (set by session.get_spark).
-    return F.map_from_entries(entries)
+    # Last-wins on duplicate keys, same as the Go map assignment loop.
+    # Done structurally (reverse, keep the FIRST occurrence of each key,
+    # which is the last in original order) so the result is independent of
+    # spark.sql.mapKeyDedupPolicy — map_from_entries only ever sees distinct
+    # keys and cannot throw under the Spark-default EXCEPTION policy. The
+    # array_position scan is O(n^2) per row over a handful of reply tokens —
+    # row-local, no measurable cost.
+    rev = F.reverse(entries)
+    keys = F.transform(rev, lambda e: e["key"])
+    dedup = F.filter(
+        rev, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
+    )
+    return F.map_from_entries(dedup)
 
 
 def length_prefixed_value(raw: Column | str) -> Column:

@@ -340,6 +340,18 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # The monotone label-sum check proves non-convergence here: silently
+        # returning partial labels would surface downstream as an
+        # unexplained differential red (the recursive-CTE oracles compute
+        # the true closure). Fail loudly instead — a component with
+        # diameter > max_iters needs a bigger budget (or the
+        # large-star/small-star variant, which converges in O(log d)).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(label sum still decreasing: {prev_sum}); raise max_iters or "
+            "switch to the large-star/small-star iteration"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 

@@ -152,6 +152,9 @@ def jdbc_upsert_writer(url: str, table: str, key: str, update_cols: list[str], p
         def connect():
             try:
                 import mysql.connector  # type: ignore[import-not-found]
+                from mysql.connector.constants import (  # type: ignore[import-not-found]
+                    ClientFlag,
+                )
             except ImportError as e:  # pragma: no cover - driver not in env
                 raise RuntimeError(
                     "mysql-connector-python is required on executors for a "
@@ -160,8 +163,24 @@ def jdbc_upsert_writer(url: str, table: str, key: str, update_cols: list[str], p
 
             host, _, rest = hostpart.partition("/")
             h, _, p = host.partition(":")
+            # CLIENT_FOUND_ROWS: make cursor.rowcount mean MATCHED rows, not
+            # CHANGED rows (MySQL's default). Without it a no-op
+            # re-application — a Spark task retry after the partition already
+            # committed, or a re-run of an idempotent migration — reports
+            # rowcount < batch size and permanently fails the task even
+            # though every key matched. With it the strict per-batch check
+            # keeps the reference's exactly-one-row semantics
+            # (main.go:232-238) AND stays retry-safe.
+            kwargs = dict(props)
+            flags = list(kwargs.pop("client_flags", []))
+            if ClientFlag.FOUND_ROWS not in flags:
+                flags.append(ClientFlag.FOUND_ROWS)
             return mysql.connector.connect(
-                host=h, port=int(p or 3306), database=rest or None, **props
+                host=h,
+                port=int(p or 3306),
+                database=rest or None,
+                client_flags=flags,
+                **kwargs,
             )
 
     else:

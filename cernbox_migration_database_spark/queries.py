@@ -728,10 +728,10 @@ def router_4way(spark, sf_dir):
 )
 def kv_parse_map(spark, sf_dir):
     """F5/F6 key=value parse (main.go:184-190): build the wire format, parse
-    it with the exact keep-len==2 semantics, extract typed fields."""
-    # Go map assignment is last-wins; the driver may hand us a session
-    # without this conf, so pin it here (runtime-settable SQL conf).
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    it with the exact keep-len==2 semantics, extract typed fields.
+    parse_kv_map dedupes keys structurally (last-wins), so no session conf
+    is touched — the duplicate-map-key policy of the caller's session stays
+    whatever the caller set it to."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "raw",
         F.concat(
@@ -2500,12 +2500,52 @@ def train_shuffle(spark, sf_dir):
     """Deterministic global shuffle for training epochs: a content-hash
     sort key gives the same permutation on any cluster size or engine
     (df.orderBy(rand(seed)) is partition-layout-dependent — useless for
-    reproducible epochs). Seed goes in the hashed string; one total sort,
-    which is exactly the cost a global permutation requires."""
+    reproducible epochs). Seed goes in the hashed string.
+
+    The materialized global rank uses the classic two-pass partition-offset
+    scheme instead of ``row_number`` over an UNPARTITIONED window (which
+    Spark executes as a SINGLE task — the whole corpus through one core):
+
+      1. range-repartition on the hash key (the same exchange a global
+         orderBy pays — range partition i holds keys strictly below
+         partition i+1's), sort within partitions;
+      2. ``monotonically_increasing_id`` = (partitionId << 33) | localRow,
+         assigned in the sorted row order, all map-side;
+      3. one metadata-sized job collects per-partition counts (#partitions
+         rows — same class as the IVF k-means centroid collects), prefix-
+         sums them driver-side, and rejoins as a broadcast literal map;
+      4. global rank = offset[pid] + localRow + 1 — every pass parallel.
+
+    The persisted midpoint guarantees the count job and the final job see
+    the SAME physical layout (range-sampling boundaries are resolved once).
+    """
     d = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch7")))
-    w = W.orderBy(key, "doc_id")
-    return d.select("doc_id", F.row_number().over(w).alias("rank"))
+    n_part = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = (
+        d.select("doc_id", key.alias("_k"))
+        .repartitionByRange(n_part, "_k", "doc_id")
+        .sortWithinPartitions("_k", "doc_id")
+    )
+    with_id = tracked_persist(
+        ranged.select(
+            "doc_id", "_k", F.monotonically_increasing_id().alias("_mid")
+        )
+    )
+    pid = (F.col("_mid") / F.lit(1 << 33)).cast("long")
+    local = F.col("_mid") % F.lit(1 << 33)
+    counts = (
+        with_id.groupBy(pid.alias("_pid")).count().orderBy("_pid").collect()
+    )
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.extend([F.lit(row["_pid"]), F.lit(acc)])
+        acc += row["count"]
+    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    return with_id.select(
+        "doc_id",
+        (off_map[pid] + local + F.lit(1)).cast("long").alias("rank"),
+    )
 
 
 @register(
@@ -3007,8 +3047,10 @@ def map_functions_pipeline(spark, sf_dir):
     wire format for audit sinks, main.go:277). The oracle recomputes the
     same result from the base columns — an independent derivation, not a
     mirrored map pipeline. floor() before the cents cast on BOTH engines:
-    Spark's double->long cast truncates while DuckDB's rounds."""
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    Spark's double->long cast truncates while DuckDB's rounds. The wire
+    format built here has three fixed, distinct keys (uid/type/v), so
+    str_to_map can never see a duplicate and no mapKeyDedupPolicy conf is
+    needed — the caller's session conf is left untouched."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         F.concat(
@@ -3483,25 +3525,67 @@ def train_token_packing(spark, sf_dir):
     """Token-budget packing for training batches: documents are laid out in
     a deterministic content-hash order and greedily packed into 512-token
     bins via a running token sum — bin = floor(preceding_tokens / budget).
-    Partitioned by language, so the window parallelizes across groups AND
-    each language's bins stay contiguous (the layout a curriculum/bucketing
-    dataloader wants). The hash order makes the packing stable across
-    engines, reruns, and partition counts — df.sample-style RNG never is.
-    At 100 TB the same plan holds: one shuffle on lang (or (lang,
-    hash-prefix) for finer parallelism), running sums map-side within each
-    partition."""
+    The hash order makes the packing stable across engines, reruns, and
+    partition counts — df.sample-style RNG never is.
+
+    TWO-LEVEL running sum, so parallelism is |langs| x 16 instead of
+    |langs| (a real corpus has a handful of languages — a per-lang window
+    serializes each language's whole token stream through one reducer at
+    scale). The chunk key is the FIRST HEX CHAR of the same md5 used for
+    ordering, so sorting by (chunk, md5) IS sorting by md5 — the two-level
+    cumulative sum is exactly the per-lang one:
+
+      1. window per (lang, chunk): within-chunk running sum, 16x the
+         parallelism, same shuffle volume;
+      2. per-(lang, chunk) token totals -> a |langs|x16-row table; prefix-
+         sum those per lang (a window over the tiny aggregate, itself
+         partitioned) -> the offset each chunk starts at;
+      3. broadcast-join offsets back; global cum = chunk offset + within-
+         chunk cum. For still-finer grain, widen the prefix to 2 hex chars
+         (256 chunks/lang) — same plan.
+    """
     docs = _t(spark, sf_dir, "documents")
-    n_tok = F.size(TX.tokens("text")).cast("long")
-    w = (
-        W.partitionBy("lang")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    k = F.md5(F.col("doc_id").cast("string"))
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(TX.tokens("text")).cast("long").alias("n_tok"),
+            k.alias("_k"),
+            F.substring(k, 1, 1).alias("_chunk"),
+        )
+    )
+    w_in = (
+        W.partitionBy("lang", "_chunk")
+        .orderBy("_k", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return docs.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+    within = base.select(
         "doc_id",
         "lang",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0)
+        "_chunk",
+        F.sum("n_tok").over(w_in).alias("_cum_in"),
+    )
+    w_off = (
+        W.partitionBy("lang")
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("lang", "_chunk")
+        .agg(F.sum("n_tok").alias("_tot"))
+        .select(
+            "lang",
+            "_chunk",
+            F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return within.join(F.broadcast(offsets), ["lang", "_chunk"]).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.col("_off") + F.col("_cum_in") - F.col("n_tok")) / 512.0)
         .cast("long")
         .alias("bin"),
     )

@@ -49,14 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # Single-app cache: a long-lived process cycling SparkSessions would
+    # otherwise accumulate DataFrames pinned to dead SparkContexts (the key
+    # includes applicationId, so stale entries could never be hit — only
+    # leak). Evict anything from a different app before serving.
+    stale = [k for k in _DF_CACHE if k[0] != app_id]
+    for k in stale:
+        del _DF_CACHE[k]
+    if name == "events":
+        # Set UNCONDITIONALLY (not only on cache miss): the cached plan
+        # captures the conf at build, but a session that unset it after the
+        # miss would fail at EXECUTION of the cached plan — execution reads
+        # the live session conf. Runtime-settable, idempotent, cheap.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (app_id, sf_dir, name)
     hit = _DF_CACHE.get(key)
     if hit is not None:
         return hit
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         df = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -95,7 +95,11 @@ def dbapi_parallel_scan(
         for i in range(num_partitions)
         if lower_bound + i * step <= upper_bound
     ]
-    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(
+    # repartitionByRange on 'lo' guarantees ONE range per task: the range
+    # values are distinct, so range partitioning into len(bounds) partitions
+    # is a bijection. A hash repartition("lo") could collide 2+ ranges into
+    # one task and leave others empty, silently serializing the scan.
+    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartitionByRange(
         len(bounds), "lo"
     )
 

@@ -70,3 +70,17 @@ def test_safe_cast_long(spark):
     rows = df.select(safe_cast_long("s").alias("r")).collect()
     vals = [(r["r"]["value"], r["r"]["is_dead"]) for r in rows]
     assert vals == [(42, False), (None, True), (None, False)]
+
+
+def test_parse_kv_last_wins_without_session_conf(spark):
+    """Last-wins is STRUCTURAL (reverse + keep-first-occurrence), not a
+    mapKeyDedupPolicy side effect: under the Spark-default EXCEPTION policy
+    duplicate keys must still resolve to the last value instead of
+    throwing — the driver hands us vanilla sessions."""
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        m = _one(spark, parse_kv_map("raw"), "k=1 j=0 k=2 k=3")
+        assert m == {"k": "3", "j": "0"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)

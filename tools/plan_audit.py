@@ -8,11 +8,20 @@ Flags:
   * CartesianProduct                 - a NON-broadcast cross join
     (BroadcastNestedLoopJoin over a small broadcast side is allowed: that
     is the exact-KNN / scalar-join shape);
+  * UNPARTITIONED Window             - a Window node with an empty
+    partition spec: Spark funnels EVERY row through ONE task (Exchange
+    SinglePartition -> single-threaded WindowExec). The round-2 verdict
+    caught `train_shuffle` shipping exactly this; the rule makes the class
+    unrepeatable. (A SinglePartition exchange alone is NOT flagged — final
+    scalar aggregates legitimately use one, moving only partial-agg rows.)
   * count of Exchange operators      - reported per query so shuffle-count
     regressions show up in review diffs.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
-Exit 1 if any query trips a hard flag.
+       python tools/plan_audit.py --selftest   (rule must flag a known-bad
+                                                fixture plan and pass a
+                                                known-good one)
+Exit 1 if any query trips a hard flag (or a selftest expectation fails).
 """
 
 from __future__ import annotations
@@ -37,7 +46,99 @@ ARROW = (
 # loop); their plan text is the already-executed result — still auditable.
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups in a plan-node argument list (nested
+    brackets inside expressions are handled by depth counting)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                buf = []
+                continue
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose simple-string lacks a partition spec.
+
+    WindowExec prints ``Window [exprs], [partitionSpec], [orderSpec]`` with
+    empty specs OMITTED, so bracket-group arity alone is ambiguous: both an
+    unpartitioned ordered window (``[exprs], [orderSpec]``) and a
+    partitioned unordered one (``[exprs], [partitionSpec]`` — e.g. a
+    whole-partition SUM like q20's share-of-part total) print two groups.
+    They are distinguishable because an order spec ALWAYS carries a sort
+    direction (`` ASC``/`` DESC``) and a partition spec never does:
+
+      * 3 groups                      -> partitioned, ordered: fine
+      * 2 groups, 2nd has ASC/DESC    -> UNPARTITIONED ordered: FLAG
+      * 2 groups, no direction        -> partitioned, unordered: fine
+      * 1 group (over ())             -> unpartitioned, unordered: FLAG
+    """
+    hits = []
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:*()").rstrip()
+        if not node.startswith("Window "):
+            continue
+        groups = _top_level_groups(node)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue
+        hits.append(node[:100])
+    return hits
+
+
+def audit_plan(plan: str) -> list[str]:
+    """All hard-flag reasons for one physical-plan string."""
+    reasons = [h for h in HARD if h in plan]
+    if unpartitioned_windows(plan):
+        reasons.append("UnpartitionedWindow")
+    return reasons
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def selftest() -> int:
+    """The rule must flag a deliberately-bad plan and pass a good one."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="plan_audit_selftest", shuffle_partitions=8)
+    df = spark.range(10).toDF("x")
+    bad = df.select(F.row_number().over(W.orderBy("x")).alias("r"))
+    good = df.select(
+        F.row_number()
+        .over(W.partitionBy((F.col("x") % 2)).orderBy("x"))
+        .alias("r")
+    )
+    failures = []
+    if "UnpartitionedWindow" not in audit_plan(_explain(bad)):
+        failures.append("bad fixture NOT flagged")
+    if audit_plan(_explain(good)):
+        failures.append("good fixture flagged")
+    for f in failures:
+        print(f"SELFTEST FAIL: {f}")
+    print("selftest ok" if not failures else "selftest FAILED")
+    return 1 if failures else 0
+
+
 def main() -> int:
+    if "--selftest" in sys.argv:
+        return selftest()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="plan_audit", shuffle_partitions=8)
@@ -47,19 +148,17 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "simple"
-            )
+            plan = _explain(df)
         except Exception as e:  # noqa: BLE001
             bad.append(name)
             print(f"FLAG {name}: build error {type(e).__name__}: {e}")
             continue
-        hard_hits = [h for h in HARD if h in plan]
+        reasons = audit_plan(plan)
         arrow_hits = [a for a in ARROW if a in plan]
         n_exchange = len(re.findall(r"\bExchange ", plan))
-        if hard_hits:
+        if reasons:
             bad.append(name)
-            print(f"FLAG {name}: {hard_hits} (exchanges={n_exchange})")
+            print(f"FLAG {name}: {reasons} (exchanges={n_exchange})")
         else:
             arrow = f" arrow={arrow_hits}" if arrow_hits else ""
             print(f"ok   {name}: exchanges={n_exchange}{arrow}", flush=True)
