@@ -360,6 +360,7 @@ def label_propagation(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     iterations: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation: every node
     starts labeled with its own id; each round, every node adopts the most
@@ -376,11 +377,23 @@ def label_propagation(
     node via a single ``max(struct(count, -label))`` (no window, map-side
     combinable). Labels are re-materialized each round with lineage cut, so
     plan depth stays constant; edge state is partition-stable across rounds.
+
+    ``weight_col``: when set, votes are ``SUM(weight)`` per neighbor label
+    instead of ``COUNT(*)`` — weighted LPA, where a strong near-duplicate
+    edge counts for more than a borderline one. Pass an INTEGER weight
+    (e.g. floor(jaccard * 1e6)) so the vote sums stay exact and
+    order-independent; float weights would make the argmax engine- and
+    partitioning-dependent. Same plan shape and cost either way.
     """
-    both = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    w_cols = [F.col(weight_col).alias("w")] if weight_col else []
+    both = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"), *w_cols
+    )
     edges = tracked_persist(
         both.unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst"), *w_cols
+            )
         ).distinct()
     )
     labels = (
@@ -388,13 +401,14 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    vote = F.sum("w") if weight_col else F.count(F.lit(1))
     for _ in range(iterations):
         cnt = (
             edges.join(
                 labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
             )
             .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(vote.alias("c"))
         )
         # argmax by (count DESC, label ASC): max over (c, -label) structs
         best = cnt.groupBy("src").agg(

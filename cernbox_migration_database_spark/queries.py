@@ -3670,6 +3670,127 @@ def graph_label_propagation(spark, sf_dir):
     return D.label_propagation(prs, iterations=3)
 
 
+_LPA_ROUND_W = """
+    c{i} AS (
+      SELECT e.src, l.lab, SUM(e.w) AS c
+      FROM edges e JOIN l{prev} l ON l.id = e.dst
+      GROUP BY 1, 2),
+    l{i} AS (
+      SELECT src AS id, lab FROM (
+        SELECT src, lab,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY c DESC, lab) AS rn
+        FROM c{i}) WHERE rn = 1)"""
+
+
+@register(
+    "graph_label_propagation_weighted",
+    f"""
+    WITH
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT ia, ib,
+             CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000)
+                  AS BIGINT) AS w
+      FROM inter
+      WHERE inter::DOUBLE / (na + nb - inter) >= 0.2),
+    edges AS (
+      SELECT ia AS src, ib AS dst, w FROM pairs
+      UNION ALL SELECT ib, ia, w FROM pairs),
+    l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges),
+    {','.join(_LPA_ROUND_W.format(i=i, prev=i - 1) for i in (1, 2, 3))}
+    SELECT id AS doc_id, lab AS community FROM l3
+    """,
+)
+def graph_label_propagation_weighted(spark, sf_dir):
+    """WEIGHTED label propagation on the near-dup graph: votes are summed
+    edge weights (how near-duplicate the neighbor is) instead of neighbor
+    counts — a strong 0.9-Jaccard edge outvotes two borderline 0.2 ones.
+    The weight is floor(jaccard * 1e6) as a LONG: both engines compute the
+    identical IEEE double ratio inter/(na+nb-inter), scale, and floor it,
+    so vote sums are exact integers and the argmax is deterministic — the
+    float-weighted formulation would be partitioning-dependent. Oracle:
+    the same three rounds unrolled as CTEs with SUM(w) votes."""
+    prs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.2
+    )
+    prs_w = prs.withColumn(
+        "w", F.floor(F.col("jaccard") * 1000000).cast("long")
+    )
+    return D.label_propagation(prs_w, iterations=3, weight_col="w")
+
+
+@register(
+    "bucketed_join_priority_revenue",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_expr(_REV, scale=6)} AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_priority_revenue(spark, sf_dir):
+    """Bucketed-write + co-located join: both fact tables are written
+    ``bucketBy(8, key).sortBy(key)`` into the session warehouse, then
+    joined WITHOUT any exchange — the bucketed scans already satisfy the
+    sort-merge join's clustering+ordering requirement, so the only shuffle
+    in the plan is the final small aggregation. This is the 100 TB lever
+    for a join repeated every pipeline run (the migration's share/file
+    join, main.go:150-170): pay the shuffle once at write time, never at
+    read time. The ``merge`` hint pins sort-merge join so the plan shape
+    is bucketing-driven, not broadcast-threshold-driven (no session conf
+    touched). tests/test_bucketing.py asserts the zero-exchange plan; the
+    oracle checks the join-agg result itself."""
+
+    def _drop_managed(table: str) -> None:
+        # A fresh in-memory catalog doesn't know about a previous session's
+        # managed-table directory, so mode("overwrite") alone raises
+        # LOCATION_ALREADY_EXISTS; drop from the catalog AND sweep the
+        # leftover local warehouse path. (On a real cluster the warehouse
+        # is durable storage and the DROP TABLE path is the operative one.)
+        import os
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        local = wh[len("file:") :] if wh.startswith("file:") else wh
+        if local.startswith("//"):
+            local = local[local.find("/", 2) :]
+        shutil.rmtree(os.path.join(local, table), ignore_errors=True)
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    _drop_managed("cbx_bucketed_orders")
+    _drop_managed("cbx_bucketed_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("cbx_bucketed_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("cbx_bucketed_lineitem")
+    bo = spark.table("cbx_bucketed_orders")
+    bl = spark.table("cbx_bucketed_lineitem")
+    joined = bo.hint("merge").join(
+        bl, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.expr(_REV), scale=6).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketching, incremental re-aggregation, and time-series gap-fill — the
 # round-2 breadth set for the large-scale pipeline story.

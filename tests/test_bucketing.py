@@ -43,3 +43,30 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_catalog_query_plan_and_exchanges(spark, sf_dir):
+    """The catalog query itself: the ONLY exchange in the plan must be the
+    final aggregation's — the join runs on bucketed scans (merge hint), so
+    no shuffle sits between the scans and the SortMergeJoin."""
+    from cernbox_migration_database_spark import queries as Q
+
+    df = Q.QUERIES["bucketed_join_priority_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, join_part[:2000]
+    rows = {r["o_orderpriority"]: r["n_items"] for r in df.collect()}
+    import pyspark.sql.functions as F
+
+    expected = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert rows == {r["o_orderpriority"]: r["count"] for r in expected}

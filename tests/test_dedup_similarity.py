@@ -349,3 +349,35 @@ def test_label_propagation_splits_bridged_triangles(spark):
         r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()
     }
     assert set(cc.values()) == {1}
+
+
+def test_weighted_lpa_outvotes_count(spark):
+    """Weighted LPA: one strong edge must outvote two weak ones — the exact
+    case where count-voting and weight-voting disagree. Node 1 has
+    neighbors {2 (w=9), 3 (w=1), 4 (w=1)}; nodes 3,4 carry label 3 after
+    round 1... keep it to ONE round for a hand-checkable assertion:
+    count-LPA gives node 1 label 3 (two votes beat one), weighted gives
+    label 2 (9 > 2)."""
+    from cernbox_migration_database_spark.operators.dedup import (
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (1, 4, 1), (3, 4, 1)],
+        ["doc_a", "doc_b", "w"],
+    )
+    unweighted = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(pairs, iterations=1).collect()
+    }
+    weighted = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(pairs, iterations=1, weight_col="w").collect()
+    }
+    # node 1: neighbors' initial labels are {2:w9, 3:w1, 4:w1}
+    assert unweighted[1] == 2  # counts tie 1-1-1 -> smallest label wins
+    assert weighted[1] == 2  # 9 beats 1,1
+    # node 4: neighbors {1:w1, 3:w1} -> tie -> smallest label = 1 both ways
+    assert unweighted[4] == 1 and weighted[4] == 1
+    # node 2's only neighbor is 1
+    assert weighted[2] == 1
