@@ -4013,7 +4013,18 @@ def ts_gap_fill(spark, sf_dir):
 # are skipped, so new queries can claim a slot by being added to the list.
 # ---------------------------------------------------------------------------
 
+# Round-3 rotation (VERDICT r2 item 1): the driver grades only the first
+# 50 entries, and 38 queries had never earned a driver row after two
+# rounds. Window = a 12-query sentinel core (migration trio, scan pair,
+# merge/router/kv/path, flagship dedup + ANN — all driver-green in BOTH
+# prior rounds, they pin the load-bearing paths) + text_langid (semantics
+# REPLACED this round — needs fresh driver evidence) + all 37
+# never-driver-verified oracle-paired queries. approx_sketches stays out:
+# it is rows-only by design and a no-oracle row counts as red under the
+# driver. Everything rotated out remains selfcheck/pytest-green; round 4
+# rotates the two new round-3 queries (weighted LPA, bucketed join) in.
 _PRIORITY = [
+    # --- sentinel core (driver-green r1 AND r2) ---
     "scan_filter_project_sort",
     "scan_param_filter",
     "migration_merged",
@@ -4021,49 +4032,53 @@ _PRIORITY = [
     "migration_dead_letters",
     "join_enrich_parts",
     "merge_update_orders",
-    "cast_deadletter",
     "router_4way",
     "path_functions",
     "kv_parse_map",
-    "kv_length_prefixed",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q21_waiting_supplier",
-    "q5_region_revenue",
-    "q19_disjunctive_join",
-    "q12_shipmode_priority",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q17_small_quantity_revenue",
-    "grouping_sets",
-    "graph_label_propagation",
-    "window_topk_per_group",
-    "window_sessionize",
-    "stats_moments",
-    "salted_agg",
-    "scd2_apply",
-    "asof_join_purchases",
-    "array_agg_sorted",
-    "text_token_stats",
-    "text_quality",
-    "text_tfidf",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "similarity_knn",
-    "similarity_ann_lsh",
     "similarity_ann_ivf",
-    "multimodal_bytes",
-    "multimodal_decode",
-    "streaming_window_agg",
-    "streaming_session_window",
-    "streaming_stateful_counts",
+    # --- changed this round ---
+    "text_langid",
+    # --- never driver-verified: TPC-H remainder ---
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q20_dominant_supplier",
+    "q22_inactive_customers",
+    # --- never driver-verified: agg/set/window/function basics ---
+    "window_analytics",
+    "window_range_frame",
+    "token_frequencies",
+    "set_union_all",
+    "string_functions",
+    "from_json_struct",
+    "conditional_agg",
+    "scalar_subquery",
+    "null_functions",
+    "unpivot_orders",
+    "map_functions_pipeline",
+    "hof_array_pipeline",
+    "range_join_price_bands",
+    # --- never driver-verified: pipeline/training set ---
+    "hash_sample",
+    "stratified_hash_sample",
+    "train_shuffle",
+    "train_token_packing",
+    "dedup_keep_canonical",
+    "text_redact",
+    "cms_heavy_hitters",
+    "rollup_incremental_merge",
+    "ts_gap_fill",
+    "batch_session_window",
+    "embedding_quantize",
+    "embedding_dim_stats",
+    "multimodal_frame_sample",
+    "streaming_interval_join",
 ]
 
 
