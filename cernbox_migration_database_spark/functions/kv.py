@@ -48,16 +48,23 @@ def parse_kv_map(raw: Column | str) -> Column:
         ),
     )
     # Last-wins on duplicate keys, same as the Go map assignment loop.
-    # Done structurally (reverse, keep the FIRST occurrence of each key,
-    # which is the last in original order) so the result is independent of
+    # Done structurally (a fold: drop the key from the accumulator, append
+    # the new entry) so the result is independent of
     # spark.sql.mapKeyDedupPolicy — map_from_entries only ever sees distinct
-    # keys and cannot throw under the Spark-default EXCEPTION policy. The
-    # array_position scan is O(n^2) per row over a handful of reply tokens —
-    # row-local, no measurable cost.
-    rev = F.reverse(entries)
-    keys = F.transform(rev, lambda e: e["key"])
-    dedup = F.filter(
-        rev, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
+    # keys and cannot throw under the Spark-default EXCEPTION policy.
+    # Shape matters: the fold's lambdas reference ONLY their own arguments
+    # (acc, e, x), never an outer array expression — Catalyst does no CSE
+    # across higher-order lambdas, so a filter/array_position formulation
+    # that mentions `entries` inside the lambda re-evaluates the whole
+    # split pipeline per element (measured +0.7 s on the sf0.1 bench).
+    # The fold evaluates `entries` exactly once; the O(n^2) accumulator
+    # scan is over a handful of reply tokens, row-local and cheap.
+    dedup = F.aggregate(
+        entries,
+        F.array().cast("array<struct<key:string,value:string>>"),
+        lambda acc, e: F.concat(
+            F.filter(acc, lambda x: x["key"] != e["key"]), F.array(e)
+        ),
     )
     return F.map_from_entries(dedup)
 

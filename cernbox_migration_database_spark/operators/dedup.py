@@ -355,6 +355,98 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation — the
+    billion-edge-scale variant the min-label fixpoint
+    (:func:`connected_components`) documents as its swap-in.
+
+    Why it scales where min-label doesn't: min-label needs graph-DIAMETER
+    rounds and keeps the full edge relation live every round; star
+    alternation converges in O(log d) rounds and each round REWRITES the
+    edge set toward a star (every edge ends up (member, component-min)),
+    so long chains collapse exponentially. Each half-round is one
+    aggregate + one equi-join — no neighbor-list materialization:
+
+      large-star: every node points its LARGER neighbors at the minimum
+                  of its closed neighborhood;
+      small-star: every node and its SMALLER neighbors re-attach to the
+                  minimum of the smaller side.
+
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" — a
+    public algorithm; re-expressed here as DataFrame joins.)
+
+    Convergence = edge-set fixpoint, tested EXACTLY: same edge count AND an
+    empty anti-join of new-vs-previous (a hash/sum signature would be
+    probabilistic — a collision would silently stop early with wrong
+    labels — and summing 64-bit hashes overflows under ANSI). Two
+    metadata-sized actions per round, same budget class as min-label's
+    label-sum check. Raises on max_iters exhaustion (silent partial labels
+    would surface as an unexplained differential red).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    nodes = tracked_persist(
+        pairs.select(a.alias("id"))
+        .unionByName(pairs.select(b.alias("id")))
+        .distinct()
+    )
+    e = (
+        pairs.select(F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    for _ in range(max_iters):
+        bidir = e.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        large = (
+            bidir.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.greatest("v", "m").alias("hi"), F.least("v", "m").alias("lo")
+            )
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(mins2, "hi")
+            .select(F.col("lo").alias("x"), "m")
+            .unionByName(mins2.select(F.col("hi").alias("x"), "m"))
+            .select(
+                F.greatest("x", "m").alias("hi"), F.least("x", "m").alias("lo")
+            )
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        prev_e = e
+        e = small.localCheckpoint()
+        n = e.count()
+        if prev_n == n and (
+            e.join(prev_e, ["hi", "lo"], "left_anti").limit(1).count() == 0
+        ):
+            break
+        prev_n = n
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge fixpoint in "
+            f"{max_iters} rounds"
+        )
+    roots = e.groupBy("hi").agg(F.min("lo").alias("root"))
+    return nodes.join(roots, nodes["id"] == roots["hi"], "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("id")).alias("cluster"),
+    )
+
+
 def label_propagation(
     pairs: DataFrame,
     a_col: str = "doc_a",
