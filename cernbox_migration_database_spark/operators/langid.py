@@ -116,6 +116,24 @@ def _fit() -> dict[str, tuple[int, ...]]:
 MODEL: dict[str, tuple[int, ...]] = _fit()
 
 
+def _fit_en_lm() -> tuple[dict[str, int], int]:
+    """English bigram LM for FLUENCY scoring (how English-like a document
+    reads — the LM-perplexity quality signal of training-data pipelines,
+    here as an exact integer sum). Returns (bigram -> quantized logP,
+    quantized smoothing floor for unseen bigrams)."""
+    counts = Counter(_bigrams_py(_normalize_py(_TRAIN["en"])))
+    total = sum(counts.values())
+    lm = {
+        bg: round(math.log((c + 1) / (total + _ALPHABET)) * SCALE)
+        for bg, c in sorted(counts.items())
+    }
+    floor = round(math.log(1 / (total + _ALPHABET)) * SCALE)
+    return lm, floor
+
+
+EN_LM, EN_FLOOR = _fit_en_lm()
+
+
 # --------------------------------------------------------------------------
 # Spark-side scoring (pure Catalyst; literal-folded model)
 # --------------------------------------------------------------------------
@@ -164,6 +182,70 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", F.element_at(langs_lit, idx.cast("int"))).withColumn(
         "lang_score", best.cast("long")
     )
+
+
+def with_fluency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_bigrams`` (long), ``fluency_q`` (long: exact quantized
+    log-prob sum under the English bigram LM) and ``fluency`` (double:
+    mean log-prob per bigram — higher = more English-like). Row-local
+    aggregate over a literal map, scan-linear; n_bigrams derives from
+    length(norm) rather than re-walking the bigram array (no second HOF
+    pass)."""
+    norm = norm_expr(text_col)
+    entries: list[Column] = []
+    for bg, q in EN_LM.items():
+        entries.append(F.lit(bg))
+        entries.append(F.lit(q).cast("long"))
+    lm_map = F.create_map(*entries)
+    tot = F.aggregate(
+        _bigram_expr(norm),
+        F.lit(0).cast("long"),
+        lambda acc, bg: acc
+        + F.coalesce(lm_map[bg], F.lit(EN_FLOOR).cast("long")),
+    )
+    n = F.when(F.length(norm) >= 2, F.length(norm) - 1).otherwise(F.lit(0))
+    return (
+        df.withColumn("n_bigrams", n.cast("long"))
+        .withColumn("fluency_q", tot)
+        .withColumn(
+            "fluency",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("fluency_q").cast("double")
+                / (F.col("n_bigrams") * float(SCALE)),
+            ),
+        )
+    )
+
+
+def fluency_oracle_sql(table: str = "documents") -> str:
+    values = ",\n      ".join(
+        f"('{bg}', {q})" for bg, q in EN_LM.items()
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM {table}),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, CASE WHEN length(s) >= 2 THEN length(s) ELSE 1 END),
+               i -> substring(s, CAST(i AS INTEGER), 2))) AS b
+      FROM norm),
+    m(b, sc) AS (VALUES
+      {values}),
+    agg AS (
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             SUM(COALESCE(m.sc, {EN_FLOOR})) AS tot
+      FROM bg LEFT JOIN m USING (b) GROUP BY 1)
+    SELECT n.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.tot, 0) AS BIGINT) AS fluency_q,
+           CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                THEN CAST(a.tot AS DOUBLE) / (a.n_bigrams * {SCALE}.0)
+           END AS fluency
+    FROM norm n LEFT JOIN agg a USING (doc_id)
+    """
 
 
 # --------------------------------------------------------------------------

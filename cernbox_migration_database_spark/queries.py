@@ -895,6 +895,21 @@ def text_langid(spark, sf_dir):
     return LID.with_langid(d).select("doc_id", "lang", "lang_pred", "lang_score")
 
 
+@register("text_fluency", LID.fluency_oracle_sql())
+def text_fluency(spark, sf_dir):
+    """LM-based quality signal: mean English-bigram log-probability per
+    document (the cheap stand-in for model-perplexity filtering in
+    training-data pipelines — gibberish and non-English text score low).
+    Same literal-map machinery as text_langid: the quantized LM rides in
+    the plan, the per-doc sum is an exact integer on both engines, and the
+    only double op is one final division — scan-linear, no shuffle, no
+    UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return LID.with_fluency(d).select(
+        "doc_id", "n_bigrams", "fluency_q", "fluency"
+    )
+
+
 @register(
     "text_fingerprint",
     r"""
@@ -3583,12 +3598,23 @@ def train_token_packing(spark, sf_dir):
          (256 chunks/lang) — same plan.
     """
     docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.size(TX.tokens("text")).cast("long").alias("n_tok")
+    )
+    return _pack_bins_two_level(base)
+
+
+def _pack_bins_two_level(base: DataFrame, budget: int = 512) -> DataFrame:
+    """Two-level deterministic token packing (see train_token_packing's
+    docstring for the full rationale): input (doc_id, lang, n_tok) ->
+    output + ``bin``. Equivalent to a per-lang hash-ordered running sum,
+    at |langs| x 16 parallelism."""
     k = F.md5(F.col("doc_id").cast("string"))
     base = tracked_persist(
-        docs.select(
+        base.select(
             "doc_id",
             "lang",
-            F.size(TX.tokens("text")).cast("long").alias("n_tok"),
+            "n_tok",
             k.alias("_k"),
             F.substring(k, 1, 1).alias("_chunk"),
         )
@@ -3623,10 +3649,72 @@ def train_token_packing(spark, sf_dir):
         "doc_id",
         "lang",
         "n_tok",
-        F.floor((F.col("_off") + F.col("_cum_in") - F.col("n_tok")) / 512.0)
+        F.floor(
+            (F.col("_off") + F.col("_cum_in") - F.col("n_tok")) / float(budget)
+        )
         .cast("long")
         .alias("bin"),
     )
+
+
+@register(
+    "pipeline_end_to_end",
+    rf"""
+    WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS t FROM documents),
+    qual AS (
+      SELECT doc_id, lang, text, CAST(len(t) AS BIGINT) AS n_tok
+      FROM toks
+      WHERE len(t) >= 20
+        AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3),
+    fp AS (
+      SELECT doc_id, lang, n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM qual),
+    surv AS (SELECT doc_id, lang, n_tok FROM fp WHERE rn = 1),
+    ordered AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM surv)
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin
+    FROM ordered
+    """,
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The WHOLE training-data prep chain as one declarative plan — what a
+    user of this engine actually ships: quality gate (token count +
+    distinct-token ratio, the with_quality thresholds) -> exact dedup on
+    the normalized-text fingerprint (keep the minimum doc_id per
+    fingerprint — a PARTITIONED window, one shuffle on the fingerprint,
+    cheaper than groupBy+join-back) -> deterministic two-level token-bin
+    packing (the train_token_packing plan, reused). Because every stage is
+    a DataFrame transform, Catalyst fuses the quality filter into the scan
+    and the corpus is shuffled exactly TWICE end-to-end (fingerprint
+    window, pack window) regardless of corpus size — the remaining
+    exchanges in the plan move only the |langs|x16-row offsets aggregate.
+    Oracle: the same chain as CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", "text", TX.tokens("text").alias("_t"))
+    qual = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("_t").cast("long").alias("n_tok"),
+        (
+            F.size(F.array_distinct("_t")).cast("double") / F.size("_t")
+        ).alias("_dr"),
+    ).where((F.col("n_tok") >= 20) & (F.col("_dr") >= 0.3))
+    w_fp = W.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    surv = (
+        qual.withColumn("_rn", F.row_number().over(w_fp))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tok")
+    )
+    return _pack_bins_two_level(surv)
 
 
 @register(

@@ -82,3 +82,20 @@ def test_oracle_matches_spark_on_fixture_rows():
         for row in con.execute(L.oracle_sql()).fetchall()
     }
     assert got == want
+
+
+def test_fluency_ranks_english_over_german(spark):
+    """The EN bigram LM must score the held-out English sentence above the
+    German one (mean log-prob), and degenerate inputs must not error."""
+    df = spark.createDataFrame(
+        [("en", HELD_OUT[0][1]), ("de", HELD_OUT[1][1]), ("empty", "")],
+        ["tag", "text"],
+    )
+    rows = {
+        r["tag"]: r
+        for r in L.with_fluency(df).collect()
+    }
+    assert rows["en"]["fluency"] > rows["de"]["fluency"]
+    assert rows["empty"]["n_bigrams"] == 0
+    assert rows["empty"]["fluency_q"] == 0
+    assert rows["empty"]["fluency"] is None
