@@ -97,3 +97,46 @@ def cms_estimate(
         .groupBy("token")
         .agg(F.min("counter").alias("cms_est"))
     )
+
+
+def kmv_distinct(
+    docs: DataFrame, text_col: str = "text", k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the DETERMINISTIC
+    approximate-distinct. ``approx_count_distinct`` (HLL) is
+    engine-internal and cannot be differentially tested; KMV with an md5
+    hash is bit-reproducible anywhere, so the estimate itself is
+    oracle-checkable, while keeping the property that matters at 100 TB:
+    the full token stream reduces to k hash values per partition
+    (TakeOrdered — no global sort), the sketches merge by keeping the k
+    smallest of a union, and the estimator is (k-1) * H / h_(k) with H the
+    hash-space size.
+
+    Exactness discipline: the hash value is the first 13 hex digits of
+    md5 (52 bits — exact in BIGINT on both engines), and the estimate is
+    pure INTEGER arithmetic ((k-1) * 2^52 div kth-min) — no float anywhere,
+    so the result hash-matches across engines bit-for-bit.
+
+    Returns one row: (k, kth_hash, est_distinct, exact_distinct) — the
+    exact count rides along so the estimate's error is auditable in the
+    result itself.
+    """
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token")
+    ).distinct()
+    v = F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("long")
+    kmin = tok.select(v.alias("v")).orderBy("v").limit(k)
+    s = kmin.agg(
+        F.count(F.lit(1)).alias("k"), F.max("v").alias("kth_hash")
+    )
+    ex = tok.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return s.crossJoin(ex).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.expr(f"(k - 1) * {2**52}L div kth_hash")
+        .cast("long")
+        .alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )

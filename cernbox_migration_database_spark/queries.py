@@ -2146,12 +2146,42 @@ def similarity_ann_lsh(spark, sf_dir):
 def approx_sketches(spark, sf_dir):
     """Approximate family (rows-only check by design — sketch internals are
     engine-specific): HyperLogLog distinct + approximate quantiles. The
-    error-bound contract is asserted in tests/test_approx.py."""
+    error-bound contract is asserted in tests/test_approx.py. For the
+    DETERMINISTIC, oracle-checkable approximate-distinct see
+    kmv_distinct_estimate."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
     )
+
+
+@register(
+    "kmv_distinct_estimate",
+    f"""
+    WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS token FROM documents),
+    hv AS (SELECT CAST('0x' || substring(md5(token), 1, 13) AS BIGINT) AS v
+           FROM tok),
+    kmin AS (SELECT v FROM hv ORDER BY v LIMIT 256),
+    s AS (SELECT MAX(v) AS m, COUNT(*) AS kk FROM kmin),
+    ex AS (SELECT COUNT(*) AS exact_distinct FROM tok)
+    SELECT CAST(s.kk AS BIGINT) AS k,
+           CAST(s.m AS BIGINT) AS kth_hash,
+           CAST((s.kk - 1) * {2**52} // s.m AS BIGINT) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM s, ex
+    """,
+)
+def kmv_distinct_estimate(spark, sf_dir):
+    """K-minimum-values distinct-count sketch over the corpus token
+    vocabulary (operators/sketches.py kmv_distinct): the deterministic
+    alternative to HLL whose ESTIMATE is itself differentially verified —
+    md5 hashing + pure integer estimator, so Spark and DuckDB produce the
+    identical approximate count (and the exact count rides along for an
+    in-result error audit). Scale shape: per-partition top-k
+    (TakeOrdered, no global sort), k-row merge, sketches union by keeping
+    the k smallest."""
+    return SK.kmv_distinct(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

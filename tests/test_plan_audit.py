@@ -48,3 +48,17 @@ def test_mixed_plan_flags_only_bad_node():
     plan = "\n".join([PART_ORDERED, UNPART_ORDERED, PART_UNORDERED])
     hits = plan_audit.unpartitioned_windows(plan)
     assert len(hits) == 1 and "row_number" in hits[0]
+
+
+def test_fixed_training_windows_have_no_unpartitioned_window(spark, sf_dir):
+    """VERDICT r2's two scale-weak plans, pinned fixed: train_shuffle and
+    train_token_packing must never again ship a single-task window (and
+    the whole audit must pass them)."""
+    from cernbox_migration_database_spark import queries as Q
+
+    for name in ("train_shuffle", "train_token_packing", "pipeline_end_to_end"):
+        df = Q.QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert not plan_audit.audit_plan(plan), (name, plan[:1500])
