@@ -555,3 +555,77 @@ def simhash64(
         ]
     )
     return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the pairing step
+    that completes the simhash path (signatures alone don't dedup).
+
+    Candidate generation is EXACT, not probabilistic: the 64-bit signature
+    splits into 4 bands of 16 bits, and two signatures within Hamming
+    distance 3 differ in at most 3 bands, so by pigeonhole they share at
+    least one band VERBATIM — a bucket equi-join finds every qualifying
+    pair (no recall loss, unlike MinHash-LSH banding). Verification then
+    computes the exact distance on candidates only.
+
+    Plan shape mirrors lsh_candidate_pairs: posexplode 4 band values,
+    bucket-aggregate pair expansion (no self-join), then one join back to
+    the signature table and a row-local 64-position compare. All string/
+    integer arithmetic — the DuckDB oracle reproduces every bit.
+    """
+    n_bands, band_bits = 4, 16
+    assert max_hamming < n_bands, "pigeonhole guarantee needs h < n_bands"
+    sigs = tracked_persist(simhash64(df, text_col, id_col))
+    band_vals = [
+        F.substring("simhash", b * band_bits + 1, band_bits)
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("ia"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("ib"), F.col("simhash").alias("_sb"))
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(F.col("_sa"), i, F.lit(1))
+            != F.substring(F.col("_sb"), i, F.lit(1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        cands.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "hamming"
+        )
+    )

@@ -1128,6 +1128,58 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash64(_t(spark, sf_dir, "documents"))
 
 
+_SIMHASH_SIG_CTES = f"""
+    toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+    tok AS (SELECT doc_id, md5(unnest(t)) AS hex FROM toks),
+    bits AS (SELECT doc_id, hex, unnest(generate_series(0, 63)) AS j FROM tok),
+    v AS (
+      SELECT doc_id, j,
+             SUM(2 * ((CAST(strpos('0123456789abcdef',
+                                   substring(hex, (j // 4) + 1, 1)) - 1 AS INT)
+                       // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1) AS s
+      FROM bits GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS simhash
+      FROM v GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_SIG_CTES},
+    bands AS (
+      SELECT doc_id, b, substring(simhash, b * 16 + 1, 16) AS bv
+      FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT ia, ib,
+             len(list_filter(range(1, 65),
+                 i -> substring(sa.simhash, CAST(i AS INT), 1)
+                   <> substring(sb.simhash, CAST(i AS INT), 1))) AS hamming
+      FROM cands JOIN sig sa ON sa.doc_id = ia
+                 JOIN sig sb ON sb.doc_id = ib)
+    SELECT ia AS doc_a, ib AS doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS — completes the simhash path (r1-r3 only
+    produced signatures). Candidate generation is EXACT by pigeonhole:
+    within Hamming distance 3, at most 3 of the 4 16-bit bands can differ,
+    so every qualifying pair shares a verbatim band — a bucket equi-join
+    with zero recall loss (unlike MinHash banding). Bucket-aggregate pair
+    expansion (no self-join), then a row-local 64-position compare on
+    candidates only. Oracle replays signature, banding, and distance."""
+    return D.simhash_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Extended: vector similarity over `embeddings`
 # ---------------------------------------------------------------------------
