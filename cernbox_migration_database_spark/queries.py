@@ -2732,6 +2732,34 @@ def streaming_stateful_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming dedup with BOUNDED state
+    (``dropDuplicatesWithinWatermark`` — streaming/events.py
+    dedup_within_watermark, promoted from test-only to an oracle-paired
+    query): duplicates arriving inside the watermark horizon are dropped
+    and state for expired keys is reclaimed, vs the unbounded
+    ``dropDuplicates`` that would grow state forever on an infinite
+    stream. The output projects ONLY the dedup keys — which row survives a
+    duplicate group is arrival-order-dependent, the key SET is not. The
+    fixture's event time spans ~30 days, inside the 90-day horizon, so the
+    drained result equals batch DISTINCT exactly."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    d = ST.dedup_within_watermark(
+        stream.select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        watermark="90 days",
+    )
+    out = d.select("user_id", "event_type")
+    ST.run_stream_to_memory(out, "stream_dedup_out", output_mode="append")
+    return spark.table("stream_dedup_out")
+
+
+@register(
     "embedding_dim_stats",
     """
     SELECT i - 1 AS dim, COUNT(*) AS n,
