@@ -1018,6 +1018,52 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_ingest",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM documents),
+    corpus AS (SELECT * FROM fp WHERE doc_id % 10 <> 0),
+    batch  AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+    fresh AS (
+      SELECT b.doc_id, b.lang, b.f FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)),
+    keep AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT doc_id, lang FROM keep WHERE rn = 1
+    """,
+)
+def dedup_incremental_ingest(spark, sf_dir):
+    """INCREMENTAL dedup — the shape a production ingest actually runs
+    daily: a new batch (here: doc_id % 10 = 0, standing in for today's
+    crawl) deduped against the EXISTING corpus without reprocessing it.
+    Two stages, both incremental-cost: (1) left-anti join of batch
+    fingerprints against corpus fingerprints — at 100 TB the corpus side
+    is a bucketed/sorted fingerprint index, so this never rescans corpus
+    text, and the anti-join shuffles only the small batch; (2) within-
+    batch keep-min dedup (partitioned window over the batch only). The
+    companion batch operator is dedup_exact (full-corpus); this is its
+    day-2 form — same fingerprint, rollup_incremental_merge's lesson
+    applied to dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", TX.fingerprint("text").alias("f")
+    )
+    corpus = fp.where(F.col("doc_id") % 10 != 0)
+    batch = fp.where(F.col("doc_id") % 10 == 0)
+    fresh = batch.join(corpus.select("f"), "f", "left_anti")
+    w = W.partitionBy("f").orderBy("doc_id")
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "dedup_clusters_star",
     f"""
     WITH RECURSIVE
