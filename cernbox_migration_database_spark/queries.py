@@ -3814,6 +3814,80 @@ def _pack_bins_two_level(base: DataFrame, budget: int = 512) -> DataFrame:
 
 
 @register(
+    "train_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    nchunks AS (
+      SELECT doc_id, lang, t, len(t) AS n,
+             CASE WHEN len(t) = 0 THEN 0
+                  WHEN len(t) <= 128 THEN 1
+                  ELSE CAST(ceil((len(t) - 128) / 96.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, lang, n,
+             unnest(generate_series(0, CAST(n_chunks AS INTEGER) - 1)) AS chunk_id
+      FROM nchunks WHERE n_chunks > 0),
+    sliced AS (
+      SELECT c.doc_id, c.lang, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+             list_slice(t.t, c.chunk_id * 96 + 1,
+                        LEAST(c.chunk_id * 96 + 128, c.n)) AS ct
+      FROM chunks c JOIN toks t ON t.doc_id = c.doc_id)
+    SELECT doc_id, lang, chunk_id,
+           CAST(len(ct) AS BIGINT) AS n_tok,
+           md5(array_to_string(ct, ' ')) AS chunk_fp
+    FROM sliced
+    """,
+)
+def train_chunking(spark, sf_dir):
+    """Fixed-window document chunking with overlap — how long documents
+    become training sequences: 128-token chunks at stride 96 (32-token
+    overlap), last chunk truncated, every token covered. Pure row-local
+    array math (sequence -> posexplode -> slice): chunk count from the
+    closed form ceil((n-128)/96)+1, the chunk itself a slice of the
+    materialized token array — no shuffle at all, output is
+    chunk-fingerprinted (md5) rather than re-emitting text so the result
+    stays hashable and the dedup-ready id travels with each chunk. At
+    100 TB this is the mapper between corpus and sequence store; the
+    explode multiplies rows ~n/stride, all map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", TX.tokens("text").alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    n_chunks = (
+        F.when(F.col("_n") == 0, F.lit(0))
+        .when(F.col("_n") <= 128, F.lit(1))
+        .otherwise(F.ceil((F.col("_n") - 128) / 96.0) + 1)
+        .cast("int")
+    )
+    ex = base.withColumn("_nc", n_chunks).where(F.col("_nc") > 0).select(
+        "doc_id",
+        "lang",
+        "_t",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+            "_pos", "chunk_id"
+        ),
+    )
+    ct = F.slice(
+        F.col("_t"),
+        F.col("chunk_id") * 96 + 1,
+        F.least(
+            F.col("chunk_id") * 96 + F.lit(128), F.col("_n")
+        )
+        - F.col("chunk_id") * 96,
+    )
+    return ex.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(ct).cast("long").alias("n_tok"),
+        F.md5(F.array_join(ct, " ")).alias("chunk_fp"),
+    )
+
+
+@register(
     "pipeline_end_to_end",
     rf"""
     WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS t FROM documents),
