@@ -45,7 +45,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # key=value parse: Go map assignment is last-wins (functions/kv.py)
+        # Defensive only since r3: parse_kv_map dedupes keys structurally
+        # (functions/kv.py) and no catalog query depends on this conf; kept
+        # so ad-hoc user queries on this session get Go-style last-wins.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -22,6 +22,9 @@ SHOW = {
     "similarity_knn": "corpus scan x broadcast queries, window top-k",
     "similarity_ann_ivf": "IVF: row-local cell assignment (no shuffle), broadcast probe equi-join on cell, window top-k",
     "q17_small_quantity_revenue": "correlated AVG subquery DECORRELATED into an aggregate + join (no per-row rescan)",
+    "train_shuffle": "global deterministic rank WITHOUT a single-task window: range exchange + per-partition ids + broadcast offsets",
+    "train_token_packing": "two-level (lang, chunk) running sums — window partitions by (lang, _chunk), offsets broadcast",
+    "pipeline_end_to_end": "quality gate fused into scan; corpus shuffled exactly twice (fingerprint window, pack window)",
 }
 
 # Narrative that survives regeneration (measured evidence lives here, the
@@ -86,6 +89,117 @@ delta is plan analysis + codegen compile + JIT, amortized away on any
 long-lived session. The remaining warm floor is compute-bound JVM
 expression work (simhash bit votes, minhash md5, LSH bucket dots) — no
 Python anywhere in those paths.
+
+## Round-3 plan changes (measured on local[32], sf0.1 unless noted)
+
+### train_shuffle: unpartitioned row_number -> partition-offset ranking
+Before (r2 verdict "What's wrong" #1): `row_number().over(W.orderBy(...))`
+— Spark plans an empty-partition-spec WindowExec behind an `Exchange
+SinglePartition`: EVERY row through ONE task. After: range-repartition on
+the hash key (the exchange a global sort pays anyway), sort within
+partitions, `monotonically_increasing_id` = (pid << 33) | localRow
+assigned map-side, one #partitions-row count job prefix-summed on the
+driver, rank = broadcast-literal offset[pid] + localRow + 1. Every pass
+runs at full parallelism; the only extra cost is a metadata-sized count
+job against the persisted midpoint.
+
+### train_token_packing: per-lang window -> two-level (lang, chunk) sum
+Before (#2): running sum partitioned by `lang` — a real corpus has ~5
+languages, so each language's token stream serialized through one reducer.
+After: chunk = FIRST HEX CHAR of the same md5 ordering key, so sorting by
+(chunk, md5) IS sorting by md5 — within-chunk running sums at |langs|x16
+parallelism + a broadcast per-chunk offset table (|langs|x16 rows) prefix-
+summed by a window over the tiny aggregate. Bit-identical bins to the
+per-lang oracle window; widen the prefix to 2 hex chars for 256x.
+
+### plan_audit: UnpartitionedWindow rule
+The class of bug above can no longer land silently: the audit flags any
+`Window` node whose simple-string lacks a partition spec. Subtlety that
+made arity-counting insufficient: WindowExec omits EMPTY specs, so a
+partitioned-unordered window (q20's whole-partition SUM) also prints two
+bracket groups — disambiguated because an order spec always carries
+ASC/DESC and a partition spec never does. `--selftest` proves the rule
+flags a known-bad plan and passes q20; pytest pins the fixed plans.
+Full-catalog sweep: 0 flagged of 115.
+
+### parse_kv_map: structural last-wins dedup, fold form (measured trap)
+Making last-wins independent of `mapKeyDedupPolicy` first shipped as
+reverse + `array_position` filter referencing the entries array INSIDE the
+lambda — no CSE across HOF lambdas, so the whole split pipeline
+re-evaluated per element: kv_parse_map 0.67 -> 1.37 s cold on the bench.
+Final form is a fold (`aggregate`) whose lambdas touch only their own
+arguments (drop key from accumulator, append entry): entries evaluates
+once, 0.73 s cold / 0.62 s warm — conf-independence at zero plan cost.
+
+### text_langid / text_fluency: model-as-literal scoring
+Char-bigram Naive Bayes (and an English-bigram LM for fluency): weights
+fitted offline at import, quantized to fixed-point integers, embedded as
+a LITERAL map — scoring is a row-local Catalyst `aggregate` over the
+bigram array inside codegen. No UDF, no shuffle, no broadcast; exchanges=0
+at any corpus size, and integer sums make both engines' results
+bit-identical (the oracle SQL is GENERATED from the same fitted dict).
+1.1 s warm over sf0.1. This is the pattern for any small-model scoring
+pass at 100 TB: fold the model into the plan.
+
+### connected_components_star (dedup_clusters_star)
+Large-star/small-star alternation as pure join+agg rounds — O(log d)
+rounds vs min-label's O(d), no neighbor-list materialization (each
+half-round: per-node min aggregate + equi-join + distinct). Fixpoint
+tested EXACTLY (edge count + left-anti emptiness; a hash-sum signature
+would be probabilistic and overflows under ANSI). A 30-node chain
+converges in <=10 star rounds where min-label correctly refuses at its
+15-round budget; both produce identical clusters vs the recursive-CTE
+oracle (three-way differential).
+
+### bucketed_join_priority_revenue
+`bucketBy(8, key).sortBy(key)` writes for both sides, then a merge-hint
+join: ZERO exchanges below the SortMergeJoin (plan-asserted) — the
+pay-shuffle-once-at-write-time lever for every repeated join key. The
+`merge` hint (not a broadcast-threshold conf flip) keeps the demo free of
+session-conf mutation.
+
+### kmv_distinct_estimate
+Deterministic approximate-distinct: per-partition TakeOrdered of the k=256
+smallest 52-bit md5 prefixes (no global sort), integer-only estimator
+(k-1)*2^52 div kth-min — unlike HLL the ESTIMATE itself hash-matches the
+DuckDB oracle. Sketches merge by keeping the k smallest of a union.
+
+### pipeline_end_to_end
+Quality gate -> fingerprint exact-dedup (partitioned window) -> two-level
+token packing, one declarative plan: the corpus shuffles exactly twice
+(fingerprint window, pack window); remaining exchanges move the
+|langs|x16-row offset table. The composed chain is what a training-data
+pipeline actually ships — and it is oracle-paired end-to-end.
+
+### Bench variance protocol (tools/bench_protocol.py)
+VERDICT r2 asked for median-of-3 ISOLATED cold runs. Two protocol batches
+on the SAME code, ~30 min apart:
+  batch A: cold [27.7, 23.9, 23.7] median 23.9, warm median 14.3
+  batch B: cold [24.4, 25.5, 26.2] median 25.5, warm median 13.7
+Within-batch spread ~8-17%; BETWEEN batches the same commit moves 10-25%
+per query in BOTH directions (q1 2.0 -> 2.5 while scan fell r2->r3) —
+and the queries that "regressed" most vs r2 (simhash 2.1 -> 3.4, knn
+1.2 -> 1.8) are byte-identical plans since r1 (similarity.py untouched).
+Conclusion, now with data: cold totals on this box are environment-
+dominated beyond ±25%; only same-session relative comparisons and warm
+floors are actionable. The r2->r3 "regression" is noise, not plans —
+the only real regression found (kv filter form, above) was caught by
+same-session A/B and fixed.
+
+### Late round-3 additions (plan notes)
+`dedup_simhash_pairs`: 4x16-bit band bucket join — pigeonhole-EXACT
+candidates for Hamming<=3 (no recall loss), bucket-aggregate pair
+expansion, 64-position row-local verify on candidates only; equality with
+brute-force all-pairs is test-asserted. `dedup_incremental_ingest`: daily
+batch deduped by a fingerprint anti-join against the corpus index + a
+batch-only window — incremental cost, corpus text never rescanned.
+`streaming_dedup`: dropDuplicatesWithinWatermark with keys-only output
+(survivor choice is arrival-dependent; the key set is not).
+`train_chunking`: overlapping token windows via sequence/posexplode/slice,
+exchanges=0. Measured non-change: a conv()-based 2x32-bit simhash digit
+decode was A/B'd against the 64 substring/instr expressions and came out
+SLOWER warm (2.76 vs 2.51 s) — codegen subexpression elimination already
+dedupes the string work; kept the portable form.
 """
 
 
