@@ -629,3 +629,60 @@ def simhash_hamming_pairs(
             F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "hamming"
         )
     )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    is_eval: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval decontamination: for every train-split document, count the
+    distinct k-gram shingles it shares with ANY eval-split document and how
+    many eval docs it collides with — the pre-training hygiene step that
+    catches benchmark leakage before a model memorizes its own test set.
+    ``is_eval`` is any deterministic boolean column (the catalog query uses
+    a content-hash split so the partition is reproducible cross-engine).
+
+    Plan shape = the jaccard_pairs inverted index applied ACROSS the two
+    splits: shingle sets built once (persisted — CollapseProject would
+    otherwise recompute the HOF pipeline per consumer, see _shingle_sets),
+    exploded to (doc, shingle) postings, equi-joined on (block, shingle) —
+    never a cross join — then aggregated per train doc. At 100 TB the eval
+    side is a benchmark suite (tiny), so AQE broadcasts its posting list and
+    the train corpus never shuffles; the two count-distincts expand the
+    joined rows 2x, which is bounded by collision count, not corpus size.
+    """
+    toked = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(block_col),
+        is_eval.alias("__is_eval"),
+        tokens(text_col).alias("__toks"),
+    )
+    sets = tracked_persist(
+        toked.select(
+            id_col,
+            block_col,
+            "__is_eval",
+            shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+        )
+    )
+    ex = sets.filter(F.size("sh") > 0).select(
+        id_col, block_col, "__is_eval", F.explode("sh").alias("shingle")
+    )
+    train = ex.filter(~F.col("__is_eval")).select(
+        F.col(id_col).alias("train_doc"), F.col(block_col), "shingle"
+    )
+    ev = ex.filter(F.col("__is_eval")).select(
+        F.col(id_col).alias("eval_doc"), F.col(block_col), "shingle"
+    )
+    return (
+        train.join(ev, [block_col, "shingle"])
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

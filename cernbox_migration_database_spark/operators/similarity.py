@@ -394,3 +394,60 @@ def centroid_literals(spark, vectors: list[list[float]]) -> list[tuple[list[int]
         with_norm(df).select("vec_id", "svec", "norm").orderBy("vec_id").collect()
     )
     return [(list(r["svec"]), float(r["norm"])) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Johnson-Lindenstrauss / Achlioptas): project the
+# embedding down to a handful of dimensions with a deterministic {+1,-1,0}
+# matrix. The cheap dimensionality-reduction step in front of clustering /
+# visualization / coarse ANN at 100 TB: row-local arithmetic against literal
+# weights — no shuffle, no UDF, no trained state to distribute.
+# ---------------------------------------------------------------------------
+
+
+def projection_weights(
+    out_dims: int = 8, in_dims: int = EMB_DIM, prefix: str = "rp"
+) -> list[list[int]]:
+    """Achlioptas-style sparse projection matrix: w[p][i] = +1 if the first
+    md5 hex digit of '<prefix>:<p>:<i>' is '0', -1 if '1', else 0 (density
+    1/8). Derived from md5 driver-side so every executor, engine, and rerun
+    reproduces the identical matrix — the same determinism trick as the LSH
+    hyperplanes (plane_signs above)."""
+    import hashlib
+
+    ws: list[list[int]] = []
+    for p in range(out_dims):
+        row = []
+        for i in range(in_dims):
+            h = hashlib.md5(f"{prefix}:{p}:{i}".encode()).hexdigest()[0]
+            row.append(1 if h == "0" else -1 if h == "1" else 0)
+        ws.append(row)
+    return ws
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = 8,
+) -> DataFrame:
+    """Project `vec_col` to `out_dims` scaled-long columns proj_0..proj_k.
+
+    Each output dim is one zip_with+aggregate of the scaled-long vector
+    against a literal weight array — exact int64 arithmetic (inputs bounded
+    by the DECIMAL(12,7) scaling, 64 terms stay far under 2^63), so results
+    are bit-identical across engines and partitionings. Output stays in the
+    x10^7 fixed-point domain; divide by 1e7 when a float view is needed.
+    """
+    ws = projection_weights(out_dims)
+    out = ensure_parallelism(df).withColumn("_s", scaled_vector(F.col(vec_col)))
+    cols = [F.col(id_col)]
+    for p, row in enumerate(ws):
+        wlit = F.array(*[F.lit(w).cast("long") for w in row])
+        proj = F.aggregate(
+            F.zip_with(F.col("_s"), wlit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        cols.append(proj.alias(f"proj_{p}"))
+    return out.select(*cols)

@@ -88,3 +88,17 @@ def langid_heuristic(text: Column | str) -> Column:
         .when(F.array_contains(t, "data"), F.lit("en-tech"))
         .otherwise(F.lit("und"))
     )
+
+
+def ngrams(t: Column, n: int = 2) -> Column:
+    """All token n-grams, NOT deduplicated — repetition analysis needs the
+    multiset (contrast dedup.shingles_from_tokens, which dedups for set
+    semantics). Same HOF traps apply: pass a materialized token column, and
+    guard the fewer-than-n case (sequence() runs descending when b < a)."""
+    size = F.size(t)
+    idx = F.sequence(F.lit(0), size - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    return F.when(size >= n, gram).otherwise(F.array().cast("array<string>"))

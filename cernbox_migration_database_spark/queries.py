@@ -4362,6 +4362,349 @@ def ts_gap_fill(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 (cont.): behavioral analytics over `events` (funnel, cohort
+# retention), ordered-set aggregates, and more training-pipeline stages
+# (decontamination, repetition filtering, mixture reweighting, random
+# projection).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_disc_groups",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_disc_groups(spark, sf_dir):
+    """Ordered-set aggregates: discrete percentiles per group via the
+    SQL-standard PERCENTILE_DISC ... WITHIN GROUP syntax. Unlike the
+    interpolating `percentiles` query (percentile_cont), _disc returns an
+    actual data value — no interpolation arithmetic, so doubles are
+    bit-identical cross-engine with no rounding guard. One shuffle on the
+    group key; per-group sort happens inside the aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    pd_ = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        pd_(0.25).alias("p25"),
+        pd_(0.5).alias("p50"),
+        pd_(0.75).alias("p75"),
+        pd_(0.95).alias("p95"),
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+    v AS (SELECT user_id, MIN(tu) AS vt FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(tu) AS ct FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND tu >= vt GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(tu) AS pt FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND tu >= ct GROUP BY e.user_id)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased,
+           round((SELECT COUNT(*) FROM c) / CAST((SELECT COUNT(*) FROM v)
+                 AS DOUBLE), 6) AS view_to_click,
+           round((SELECT COUNT(*) FROM p) / CAST((SELECT COUNT(*) FROM c)
+                 AS DOUBLE), 6) AS click_to_purchase
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Sequential funnel (view -> click -> purchase) per user, aggregated to
+    one conversion row. Spark-first shape: instead of the oracle's three
+    aggregate+join passes, ONE hash shuffle on user_id feeds three stacked
+    window operators with the same (partition, order) spec — Catalyst plans
+    a single Exchange+Sort and evaluates the windows back-to-back, and the
+    final groupBy(user_id) reuses the same hash partitioning. The windows
+    use the default RANGE frame (unbounded preceding .. current row), so
+    same-timestamp peers are included — exactly the oracle's `tu >= vt`
+    tie semantics, independent of any secondary sort order. Each funnel
+    stage is a running min over candidates gated on the previous stage's
+    running min being non-null; a stage hit therefore means "an earlier (or
+    simultaneous) qualifying event of the previous stage exists", which is
+    precisely the min-join formulation."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts")
+    s1 = ev.withColumn(
+        "v_run",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "c_run",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("v_run").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_hit",
+        (F.col("event_type") == "purchase") & F.col("c_run").isNotNull(),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("v_run").isNotNull().cast("int")).alias("viewed"),
+        F.max(F.col("c_run").isNotNull().cast("int")).alias("clicked"),
+        F.max(F.col("p_hit").cast("int")).alias("purchased"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked"),
+        F.sum("purchased").alias("n_purchased"),
+    )
+    return agg.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(
+            F.col("n_clicked") / F.col("n_viewed").cast("double"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.col("n_purchased") / F.col("n_clicked").cast("double"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    """
+    WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+               FROM events),
+    c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cw
+          FROM w)
+    SELECT cw AS cohort_week, wk - cw AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM c GROUP BY cw, wk - cw
+    """,
+)
+def events_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by their first-activity week
+    (integer epoch-week — pure int64 arithmetic, immune to engine week-
+    truncation conventions), counted per (cohort, week offset). Two
+    shuffles: the cohort window partitions by user_id, then the retention
+    cells re-key by (cohort, offset); the distinct-user count is the
+    standard partial-aggregated distinct. The week index divides epoch
+    microseconds by 7*86400*10^6."""
+    wk_us = 7 * 86400 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {wk_us}").alias("wk")
+    )
+    c = ev.withColumn("cw", F.min("wk").over(W.partitionBy("user_id")))
+    return c.groupBy(
+        F.col("cw").alias("cohort_week"),
+        (F.col("wk") - F.col("cw")).alias("week_offset"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "train_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    spl AS (SELECT doc_id, lang, shingle,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1') AS is_eval
+            FROM ex)
+    SELECT a.doc_id AS train_doc,
+           CAST(COUNT(DISTINCT a.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_eval_docs
+    FROM spl a JOIN spl b ON a.lang = b.lang AND a.shingle = b.shingle
+    WHERE NOT a.is_eval AND b.is_eval
+    GROUP BY a.doc_id
+    """,
+)
+def train_decontaminate(spark, sf_dir):
+    """Train/test decontamination (operators/dedup.py contamination_overlap):
+    the corpus splits ~12.5% into a hash-designated eval set, and every
+    train doc is scored by the distinct 3-gram shingles it shares with any
+    eval doc — the n-gram benchmark-leakage check run before training. The
+    split is a content hash (same mechanism as hash_sample), so the
+    partition is reproducible across engines and reruns."""
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    return D.contamination_overlap(d, is_eval, block_col="lang", k=3)
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])) AS gram
+          FROM toks WHERE len(t) >= 2),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 9)
+             AS dup_ratio,
+           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 9) AS top_frac,
+           (CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt)) > 0.2
+             AS repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter: per document, the duplicate-2-gram
+    ratio (1 - distinct/total) and the top single 2-gram's share of all
+    2-grams — the quality signals that catch boilerplate and degenerate
+    repetition before training. Uses the NON-deduplicated n-gram multiset
+    (operators/text.py ngrams); one explode + two aggregations, both keyed
+    by doc_id so the second agg reuses the first's hash partitioning. All
+    ratios are exact-integer-derived doubles; the 0.2 flag threshold
+    compares identical doubles on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    base = ensure_parallelism(d).select(
+        "doc_id", TX.tokens("text").alias("t")
+    )
+    ex = base.select(
+        "doc_id", F.explode(TX.ngrams(F.col("t"), 2)).alias("gram")
+    )
+    cnt = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    dup_ratio = (
+        (F.col("n_grams") - F.col("n_distinct")).cast("double")
+        / F.col("n_grams")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(dup_ratio, 9).alias("dup_ratio"),
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n_grams"), 9
+        ).alias("top_frac"),
+        (dup_ratio > 0.2).alias("repetitive"),
+    )
+
+
+@register(
+    "train_mixture_weights",
+    f"""
+    WITH dl AS (SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+                FROM documents),
+    lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_toks
+           FROM dl GROUP BY lang),
+    tot AS (SELECT CAST(SUM(lang_toks) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs FROM lt),
+    wt AS (SELECT lang, lang_toks,
+                  least(1.0, (CAST(total AS DOUBLE) / n_langs) / lang_toks)
+                    AS w
+           FROM lt, tot)
+    SELECT doc_id, dl.lang, n_tok, round(w, 9) AS weight
+    FROM dl JOIN wt ON dl.lang = wt.lang
+    WHERE CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                 1, 13) AS BIGINT)
+          / 4503599627370496.0 < w
+    """,
+)
+def train_mixture_weights(spark, sf_dir):
+    """Mixture rebalancing: compute a per-language sampling weight that
+    equalizes token share across languages (weight = min(1, target/actual),
+    target = total/n_langs), then take the reproducible per-doc sample at
+    that rate via a 52-bit md5 fraction — the data-mixing stage that turns
+    raw corpus proportions into a training distribution. The language stats
+    are two tiny aggregates broadcast back onto the corpus; the sample
+    filter is row-local, so the corpus itself never shuffles. The weight is
+    a double computed by the identical op sequence on both engines (exact
+    bigints -> one division chain), and the u < w comparison uses a 2^52
+    md5 fraction, so the selected set is bit-stable cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    dl = ensure_parallelism(d).select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens("text")).cast("long").alias("n_tok"),
+    )
+    lt = dl.groupBy("lang").agg(F.sum("n_tok").alias("lang_toks"))
+    tot = lt.agg(
+        F.sum("lang_toks").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    wt = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_toks",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("n_langs"))
+            / F.col("lang_toks"),
+        ).alias("w"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4503599627370496.0)
+    )
+    return (
+        dl.join(F.broadcast(wt), "lang")
+        .where(u < F.col("w"))
+        .select("doc_id", "lang", "n_tok", F.round("w", 9).alias("weight"))
+    )
+
+
+_RP_WEIGHTS = S.projection_weights(8)
+
+
+def _rp_sql(row: list[int]) -> str:
+    lst = "[" + ", ".join(str(w) for w in row) + "]"
+    el = _SCALED_EL.format(v="x[1]")
+    return (
+        f"CAST(list_sum(list_transform(list_zip(embedding, {lst}), "
+        f"x -> {el} * x[2])) AS BIGINT)"
+    )
+
+
+@register(
+    "embedding_random_projection",
+    "SELECT vec_id,\n"
+    + ",\n".join(
+        f"       {_rp_sql(row)} AS proj_{p}" for p, row in enumerate(_RP_WEIGHTS)
+    )
+    + "\nFROM embeddings",
+)
+def embedding_random_projection(spark, sf_dir):
+    """Sparse random projection (Achlioptas +-1, density ~1/8) of the
+    64-dim embeddings down to 8 dims (operators/similarity.py
+    random_projection): the Johnson-Lindenstrauss reduction used in front
+    of clustering or coarse ANN. The projection matrix is md5-derived
+    driver-side and folded into literal arrays, so the whole operator is
+    row-local integer arithmetic — no shuffle, no UDF, no broadcast state;
+    outputs stay in the exact x10^7 fixed-point domain."""
+    return S.random_projection(_t(spark, sf_dir, "embeddings"), out_dims=8)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
 # evidence only. Rebuild the registry so the load-bearing queries — the
