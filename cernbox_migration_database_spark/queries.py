@@ -4704,6 +4704,50 @@ def embedding_random_projection(spark, sf_dir):
     return S.random_projection(_t(spark, sf_dir, "embeddings"), out_dims=8)
 
 
+@register(
+    "streaming_outer_join",
+    """
+    SELECT p.event_id AS l_event, COALESCE(c.event_id, -1) AS r_event
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def streaming_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join as a REAL streaming query:
+    purchases left-joined to same-user clicks in the preceding 30 minutes,
+    with unmatched purchases emitted as (-1)-filled rows once the watermark
+    passes their match window. Append-mode outer emission is watermark-
+    gated, so the source is wrapped with a far-future horizon sentinel
+    (streaming/events.py event_stream_with_horizon) that pushes the final
+    watermark past every real row — making the one-shot drain equal the
+    batch LEFT JOIN oracle exactly. The sentinel is removed from the
+    DRAINED table, not inside the streaming plan: Catalyst would push a
+    plan-side filter below the watermark operator on the preserved join
+    side and re-strand the last hour of purchases (see the helper's
+    docstring). Unmatched ids surface as -1 (not NULL) so the driver's
+    pandas hasher keeps the column int64 on both engines."""
+    horizon = ST.event_stream_with_horizon(spark, sf_dir)
+    purchases = horizon.where("event_type = 'purchase'")
+    clicks = horizon.where("event_type = 'click'")
+    joined = ST.stream_stream_join(
+        purchases, clicks, within="30 minutes", how="left_outer"
+    )
+    out = joined.select(
+        "l_key",
+        "l_event",
+        F.coalesce("r_event", F.lit(-1)).alias("r_event"),
+    )
+    ST.run_stream_to_memory(out, "stream_oj_out", output_mode="append")
+    return (
+        spark.table("stream_oj_out")
+        .where(F.col("l_key") < ST.HORIZON_USER)
+        .select("l_event", "r_event")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest

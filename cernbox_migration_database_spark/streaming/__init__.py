@@ -1,5 +1,7 @@
 from .events import (
+    HORIZON_USER,
     dedup_within_watermark,
+    event_stream_with_horizon,
     read_event_stream,
     run_stream_to_memory,
     session_window_agg,
@@ -9,7 +11,9 @@ from .events import (
 )
 
 __all__ = [
+    "HORIZON_USER",
     "read_event_stream",
+    "event_stream_with_horizon",
     "windowed_counts",
     "session_window_agg",
     "stateful_user_counts",

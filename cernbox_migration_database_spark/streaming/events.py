@@ -124,11 +124,15 @@ def stream_stream_join(
     key: str = "user_id",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with event-time bounds: each left event
-    matched to right events for the same key within [-within, 0] of its
-    timestamp. Watermarks on BOTH sides bound the join state — without them
-    a stream-stream join buffers forever."""
+    """Stream-stream join with event-time bounds: each left event matched to
+    right events for the same key within [-within, 0] of its timestamp.
+    Watermarks on BOTH sides bound the join state — without them a
+    stream-stream join buffers forever. With how='left_outer', unmatched
+    left rows are emitted with nulls once the watermark passes their match
+    window — pair with event_stream_with_horizon for drain-to-batch
+    equivalence."""
     l = left.withWatermark("ts", watermark).select(
         F.col(key).alias("l_key"),
         F.col("event_id").alias("l_event"),
@@ -144,6 +148,7 @@ def stream_stream_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("r_ts") <= F.col("l_ts")),
+        how,
     )
 
 
@@ -152,3 +157,72 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = 
     watermark horizon are dropped; state for older keys is reclaimed
     (dropDuplicatesWithinWatermark vs the unbounded dropDuplicates)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# Sentinel user id for the watermark-horizon rows; far outside the real
+# user_id domain so it can never join with real events.
+HORIZON_USER = 999_999_999
+
+
+def event_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream plus a far-future 'horizon' sentinel pair (one purchase,
+    one click, 10 days past the real max event time, under HORIZON_USER).
+
+    Why: in append-mode outer joins and other watermark-gated emissions, the
+    rows still buffered when the source drains are emitted only once the
+    watermark passes them — and the watermark can never pass the last hour
+    of real data, because it trails the max observed event time by the
+    watermark delay. The horizon rows push the watermark past every real
+    row's emission point, so a drained stream produces EXACTLY the batch
+    answer. In production the same role is played by the next day's data;
+    this makes the one-shot drain equivalent.
+
+    Two traps encoded here:
+      * the sentinel must flow through BOTH sides' watermark operators, so
+        it must survive the per-side event_type filters — hence one
+        purchase and one click;
+      * the sentinel must NOT be filtered out inside the streaming plan:
+        Catalyst pushes output filters through the preserved side of an
+        outer join to BELOW the watermark operator, silently removing the
+        sentinel before the watermark sees it (observed: watermark stuck at
+        real-max minus delay). Filter HORIZON_USER out of the drained
+        memory table (batch side) instead.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    mx = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    tmpdir = tempfile.mkdtemp(prefix="events_horizon_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(tmpdir, "events.parquet"),
+    )
+    sent_ts = int(mx) + 10 * 86400 * 10**9
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([sent_ts, sent_ts], pa.int64()),
+                "user_id": pa.array([HORIZON_USER] * 2, pa.int64()),
+                "event_type": pa.array(["purchase", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["", ""], pa.string()),
+            }
+        ),
+        os.path.join(tmpdir, "zz_horizon.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(tmpdir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

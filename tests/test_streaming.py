@@ -124,3 +124,43 @@ def test_dedup_within_watermark(spark, sf_dir):
     )
     assert n >= distinct_global
     assert n < load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_left_outer_join_equals_batch(spark, sf_dir):
+    """The horizon sentinel must flush EVERY unmatched purchase — including
+    the final watermark-delay window of the stream, which a plain drain
+    strands in state (the bug the sentinel exists to fix)."""
+    horizon = ST.event_stream_with_horizon(spark, sf_dir)
+    purchases = horizon.where("event_type = 'purchase'")
+    clicks = horizon.where("event_type = 'click'")
+    joined = ST.stream_stream_join(
+        purchases, clicks, within="30 minutes", how="left_outer"
+    )
+    out = joined.select(
+        "l_key", "l_event", F.coalesce("r_event", F.lit(-1)).alias("r_event")
+    )
+    ST.run_stream_to_memory(out, "t_oj_out", output_mode="append")
+    got = spark.table("t_oj_out").where(F.col("l_key") < ST.HORIZON_USER)
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("l_key"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("r_key"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = p.join(
+        c,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "left_outer",
+    )
+    assert got.count() == want.count()
+    n_unmatched_got = got.where("r_event = -1").count()
+    n_unmatched_want = want.where("r_event IS NULL").count()
+    assert n_unmatched_got == n_unmatched_want > 0
