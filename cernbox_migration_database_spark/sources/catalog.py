@@ -38,14 +38,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Probe the physical type of `events.ts` from the parquet footer.
+
+    The fixture generator has shipped the column both ways across driver
+    versions — TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    accepts via the nanosAsLong legacy conf) and TIMESTAMP(MICROS)
+    (read natively as TIMESTAMP_NTZ). A footer probe is a driver-side
+    metadata read (no data IO) and lets one loader serve either layout.
+    Returns 'ns' or 'us'.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema_arrow.field("ts").type
+    return "ns" if "ns" in str(t) or str(t) == "int64" else "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a fixture table. Schemas come from the parquet footer (written by
     the driver with fixed schemas — no inference involved).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf, settable
-    at session runtime) and truncate to microsecond timestamps — the same
-    ns->us truncation DuckDB applies, so both engines see identical values.
+    `events.ts` is normalized to a session-zone TIMESTAMP regardless of the
+    on-disk unit: TIMESTAMP(NANOS) is read as long (legacy conf, settable at
+    session runtime) and truncated to microseconds — the same ns->us
+    truncation DuckDB applies; TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ
+    and is cast to TIMESTAMP, an identity on values under the engine's UTC
+    session time zone (session.py).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -57,7 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stale = [k for k in _DF_CACHE if k[0] != app_id]
     for k in stale:
         del _DF_CACHE[k]
-    if name == "events":
+    nanos = name == "events" and events_ts_unit(sf_dir) == "ns"
+    if nanos:
         # Set UNCONDITIONALLY (not only on cache miss): the cached plan
         # captures the conf at build, but a session that unset it after the
         # miss would fail at EXECUTION of the cached plan — execution reads
@@ -71,9 +92,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts = (
+            F.timestamp_micros(F.expr("ts div 1000"))
+            if nanos
+            else F.col("ts").cast("timestamp")
+        )
+        df = raw.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _DF_CACHE[key] = df

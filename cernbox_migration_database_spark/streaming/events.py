@@ -21,24 +21,42 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, "
-    "props string"
-)
+def _events_stream_schema(ts_unit: str) -> str:
+    ts_type = "long" if ts_unit == "ns" else "timestamp_ntz"
+    return (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+def _normalize_ts(raw: DataFrame, ts_unit: str) -> DataFrame:
+    """ns files: long nanos -> microsecond TIMESTAMP; us files: NTZ ->
+    session-zone TIMESTAMP (identity under the engine's UTC session tz)."""
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_unit == "ns"
+        else F.col("ts").cast("timestamp")
+    )
+    return raw.withColumn("ts", ts)
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ns timestamps read as long and
-    truncated to microseconds, same as the batch catalog)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet, normalized to microsecond
+    timestamps whichever unit the fixture was written with (same probe as
+    the batch catalog — sources/catalog.py:events_ts_unit)."""
+    from ..sources.catalog import events_ts_unit
+
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(unit))
         # file streaming sources require a directory; select just the events
         # file out of the fixture dir with a glob
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw, unit)
 
 
 def windowed_counts(
@@ -195,7 +213,14 @@ def event_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.catalog import events_ts_unit
+
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Raw (un-normalized) max ts, in the file's own unit, so the sentinel can
+    # be written in the SAME layout the copied fixture file uses — one stream
+    # schema must fit both files.
     mx = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .agg(F.max("ts"))
@@ -206,12 +231,19 @@ def event_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(tmpdir, "events.parquet"),
     )
-    sent_ts = int(mx) + 10 * 86400 * 10**9
+    if unit == "ns":
+        sent_ts = int(mx) + 10 * 86400 * 10**9
+        ts_arr = pa.array([sent_ts, sent_ts], pa.int64())
+    else:
+        import datetime as _dt
+
+        sent = mx + _dt.timedelta(days=10)
+        ts_arr = pa.array([sent, sent], pa.timestamp("us"))
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1, -2], pa.int64()),
-                "ts": pa.array([sent_ts, sent_ts], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([HORIZON_USER] * 2, pa.int64()),
                 "event_type": pa.array(["purchase", "click"], pa.string()),
                 "value": pa.array([0.0, 0.0], pa.float64()),
@@ -221,8 +253,8 @@ def event_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmpdir, "zz_horizon.parquet"),
     )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(unit))
         .option("pathGlobFilter", "*.parquet")
         .parquet(tmpdir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw, unit)
