@@ -102,3 +102,134 @@ def ngrams(t: Column, n: int = 2) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
     )
     return F.when(size >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling k-gram hashes + window minima).
+# Schleimer/Wilkerson/Aiken "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD'03, the MOSS algorithm): hash every character
+# k-gram of the normalized text with a polynomial rolling hash, then slide
+# a window of w consecutive hashes and keep each window's minimum — the
+# guarantee is that any shared substring of length >= w + k - 1 between two
+# documents yields at least one shared selected fingerprint, at ~2/(w+1)
+# the density of the full hash stream. Unlike MinHash (a random sample of
+# the shingle SET, operators/dedup.py), winnowing fingerprints are
+# POSITIONAL — they support substring/plagiarism-style matching, not just
+# whole-document resemblance.
+#
+# Everything is exact integer arithmetic in row-local Catalyst HOFs (no
+# UDF, no shuffle): codepoint * base-power products stay under 2^53 by
+# reducing mod a 30-bit prime, so the identical closed-form expression is
+# reproducible in any engine with 64-bit integers — which is what makes
+# the DuckDB oracle exact. At 100 TB this is the mapper stage of a
+# fingerprint index: scan-linear, output ~2/(w+1) longs per character.
+
+WINNOW_K = 5  # character k-gram length
+WINNOW_W = 4  # winnowing window (match guarantee: w + k - 1 = 8 chars)
+WINNOW_BASE = 257  # > max byte value, classic polynomial-hash base
+WINNOW_MOD = 1_073_741_789  # largest 30-bit prime: code * mod < 2^53
+
+
+def winnow_powers(k: int = WINNOW_K) -> list[int]:
+    """B^(k-1), ..., B^1, B^0 mod M — the per-position coefficients of the
+    closed-form polynomial hash (shared with the oracle SQL generator)."""
+    return [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+
+
+def codepoints(norm: Column) -> Column:
+    """array<long> of character codepoints. Materialize this ONCE per row
+    before hashing: per-position UTF8 substr() is O(position) (byte walk),
+    so hashing straight off the string is O(n^2) per document — measured
+    pathological at fixture scale. Array element_at is O(1)."""
+    return F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+
+
+def kgram_hashes(
+    codes: Column, k: int = WINNOW_K
+) -> Column:
+    """array<long> of polynomial hashes of every character k-gram.
+
+    SUBSTITUTION-PROOF FORMULATION — this must not be written as
+    ``transform(indices, i -> element_at(codes, i+j) * ...)``: the
+    optimizer (InferFiltersFromGenerate + PushDownPredicates) freely
+    substitutes a projection's defining expression into filters/lambdas,
+    and an array expression inlined at an ``element_at`` site inside a
+    per-element lambda is RE-EVALUATED per element — O(n) per position,
+    O(n^2) per document (measured: 2 s -> >5 min on the 500-doc fixture).
+    Instead the k-gram sum is built from k SHIFTED SLICES combined with
+    whole-array zip_with: every reference to ``codes`` is top-level, so
+    the worst any substitution can do is recompute the codepoint array k
+    times per ROW. Values are identical to the rolling-hash form."""
+    pw = winnow_powers(k)
+    n = F.size(codes)
+    span = n - (k - 1)
+
+    # Factory closures, not default-arg lambdas: PySpark derives the HOF
+    # arity from the lambda signature, so a bound constant must be captured
+    # by closure.
+    def scale(p: int):
+        return lambda x: x * F.lit(p)
+
+    def fma(p: int):
+        return lambda x, a: a + x * F.lit(p)
+
+    acc = F.transform(F.slice(codes, 1, span), scale(pw[0]))
+    for j in range(1, k):
+        acc = F.zip_with(F.slice(codes, j + 1, span), acc, fma(pw[j]))
+    h = F.transform(acc, lambda x: x % WINNOW_MOD)
+    return F.when(n >= k, h).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_select(hashes: Column, w: int = WINNOW_W) -> Column:
+    """Distinct window-minimum hashes — the winnowing fingerprint set.
+    Fewer than w hashes degrades to one whole-array window (the paper's
+    convention for short documents).
+
+    Same substitution-proof shape as kgram_hashes: the sliding minimum is
+    w-1 whole-array zip_with(least) folds over shifted slices (zip_with
+    null-pads the shorter side and least() skips nulls, which makes the
+    short-document degradation automatic), never array_min(slice(...))
+    inside a per-position lambda."""
+    m = F.size(hashes)
+    acc = hashes
+    for j in range(1, w):
+        acc = F.zip_with(
+            acc,
+            F.slice(hashes, j + 1, F.greatest(m - j, F.lit(1))),
+            lambda a, b: F.least(a, b),
+        )
+    mins = F.slice(acc, 1, F.greatest(m - (w - 1), F.lit(1)))
+    return F.when(m > 0, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """One row per (doc, selected fingerprint) — the exploded posting-list
+    shape a fingerprint index ingests. Docs whose normalized text is
+    shorter than k produce no rows (nothing to fingerprint).
+
+    Staged withColumns keep each intermediate (normalized string, codepoint
+    array, hash array) a NAMED column: CollapseProject does not inline
+    non-cheap aliases referenced k times, so each stage computes once per
+    row instead of once per lambda term.
+
+    NB: no ``where(size(_fps) > 0)`` here, deliberately — explode() already
+    drops empty arrays, and a filter on a derived column gets pushed by
+    PushDownPredicates BELOW the staging projections with the whole hash
+    pipeline substituted in, recomputing the k-gram transform per window
+    position (measured: turns a 2 s query into a >5 min one)."""
+    return (
+        df.withColumn("_s", normalize_text(_col(text_col)))
+        .where(F.length("_s") >= k)
+        .withColumn("_c", codepoints(F.col("_s")))
+        .withColumn("_h", kgram_hashes(F.col("_c"), k))
+        .withColumn("_fps", winnow_select(F.col("_h"), w))
+        .select(F.col("doc_id"), F.explode("_fps").alias("fp"))
+        .distinct()
+    )

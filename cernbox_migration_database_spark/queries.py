@@ -926,6 +926,53 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def _winnow_oracle() -> str:
+    """Oracle SQL generated from the SAME constants as the Spark operator
+    (operators/text.py winnow_powers) so the closed-form polynomial hash
+    can never drift between engines."""
+    k, w, mod = TX.WINNOW_K, TX.WINNOW_W, TX.WINNOW_MOD
+    pw = TX.winnow_powers(k)
+    terms = " + ".join(f"c[i + {j}] * {pw[j]}" for j in range(k))
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      FROM documents),
+    codes AS (
+      SELECT doc_id, len(s) AS n,
+             list_transform(string_split(s, ''),
+                            ch -> CAST(ascii(ch) AS BIGINT)) AS c
+      FROM norm WHERE len(s) >= {k}),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, n - {k - 1}),
+                            i -> ({terms}) % {mod}) AS h
+      FROM codes),
+    wins AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(h) - {w - 1}, 1)),
+                            i -> list_min(list_slice(h, i, i + {w - 1}))) AS mins
+      FROM grams WHERE len(h) > 0)
+    SELECT DISTINCT doc_id, CAST(unnest(mins) AS BIGINT) AS fp FROM wins
+    """
+
+
+@register("text_winnowing", _winnow_oracle())
+def text_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash k-gram minima —
+    operators/text.py:winnow_fingerprints, after Schleimer et al. SIGMOD'03,
+    the MOSS algorithm). Positional fingerprinting: any shared substring of
+    >= w+k-1 chars between two documents is guaranteed a shared selected
+    hash, which md5-the-whole-doc (`text_fingerprint`) and set-resemblance
+    MinHash (`dedup_minhash_lsh`) cannot promise. The whole pipeline —
+    normalize, closed-form polynomial k-gram hashes, window minima,
+    distinct — is row-local exact integer HOF arithmetic inside one codegen
+    stage; the only exchange is the final distinct on (doc_id, fp). At
+    100 TB the output is the posting list of a substring-match index, at
+    ~2/(w+1) the density of the raw hash stream."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(d)
+
+
 # ---------------------------------------------------------------------------
 # Extended: deduplication over `documents`
 # ---------------------------------------------------------------------------

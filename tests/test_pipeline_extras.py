@@ -160,3 +160,59 @@ def test_repetition_flags_degenerate_doc(spark):
     assert out[1]["repetitive"] and out[1]["dup_ratio"] > 0.5
     assert not out[2]["repetitive"] and out[2]["dup_ratio"] == 0.0
     assert out[1]["top_frac"] == 1.0
+
+
+def _winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Reference winnowing in plain Python (Schleimer et al. semantics:
+    k-gram polynomial hashes, min per window of w, distinct values)."""
+    import re
+
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return set()
+    pw = [pow(TX.WINNOW_BASE, k - 1 - j, TX.WINNOW_MOD) for j in range(k)]
+    h = [
+        sum(ord(s[i + j]) * pw[j] for j in range(k)) % TX.WINNOW_MOD
+        for i in range(len(s) - k + 1)
+    ]
+    if len(h) <= w:
+        return {min(h)}
+    return {min(h[i : i + w]) for i in range(len(h) - w + 1)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    cases = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  QUICK   brown fox"),  # whitespace collapse + casefold
+        (3, "aaaaaaa"),                 # all-equal hashes (tie handling)
+        (4, "abcdefg"),
+        (5, "abcd"),                    # shorter than k -> no rows
+        (6, "abcdefgh"),               # m < w -> single whole-array window
+        (7, "xy"),
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    got: dict[int, set[int]] = {}
+    for r in TX.winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in cases:
+        want = _winnow_py(text, TX.WINNOW_K, TX.WINNOW_W)
+        assert got.get(doc_id, set()) == want, f"doc {doc_id}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # Any shared substring of length >= w + k - 1 must yield at least one
+    # shared fingerprint (the winnowing guarantee).
+    shared = "incriminating shared passage"
+    docs = spark.createDataFrame(
+        [
+            (1, f"left context {shared} and some tail"),
+            (2, f"completely different head {shared} other end"),
+            (3, "no overlap with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set[int]] = {1: set(), 2: set(), 3: set()}
+    for r in TX.winnow_fingerprints(docs).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
