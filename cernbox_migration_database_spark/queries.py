@@ -956,6 +956,47 @@ def _winnow_oracle() -> str:
     """
 
 
+def _profile_orders_oracle() -> str:
+    from .operators.profile import profile_oracle_sql
+
+    return profile_oracle_sql(
+        "orders",
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        ts_cols=["o_orderdate"],
+    )
+
+
+@register("profile_orders", _profile_orders_oracle())
+def profile_orders(spark, sf_dir):
+    """Table profiling (operators/profile.py): one aggregation pass emits
+    per-column row/null/exact-distinct counts plus min/max/exact-sum for
+    numeric and epoch-us min/max for timestamp columns, unpivoted to one
+    row per column. The N exact COUNT(DISTINCT) aggregates plan as a single
+    Expand feeding one partial+final aggregation — one scan, one shuffle of
+    partial states, regardless of table width. Sums route through the
+    engine's exact-decimal accumulator (functions/numeric.dsum) so the
+    profile is bit-identical across retries, partitionings, and engines —
+    a profiler that disagrees with itself on re-run is useless for drift
+    detection. The oracle SQL is generated from the same column lists
+    (operators/profile.py:profile_oracle_sql)."""
+    from .operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(
+        o,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        ts_cols=["o_orderdate"],
+    )
+
+
 @register("text_winnowing", _winnow_oracle())
 def text_winnowing(spark, sf_dir):
     """Winnowing document fingerprints (rolling-hash k-gram minima —

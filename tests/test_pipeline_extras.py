@@ -216,3 +216,26 @@ def test_winnowing_shared_substring_guarantee(spark):
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2], "shared substring must share a fingerprint"
     assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from cernbox_migration_database_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.0),
+            (2, "a", None),
+            (3, None, 4.5),
+            (3, "b", 4.5),
+        ],
+        "k long, s string, v double",
+    )
+    out = {r["col"]: r for r in profile(df, numeric_cols=["k", "v"]).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert out["k"]["n"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert (out["k"]["min_num"], out["k"]["max_num"]) == (1.0, 3.0)
+    assert out["k"]["sum_num"] == 9.0
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_num"] is None and out["s"]["sum_num"] is None
+    assert out["v"]["n_null"] == 1 and out["v"]["sum_num"] == 11.0
