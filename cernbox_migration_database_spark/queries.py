@@ -1576,6 +1576,39 @@ def streaming_window_agg(spark, sf_dir):
 
 
 @register(
+    "streaming_enrich_join",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment, e.event_type
+    """,
+)
+def streaming_enrich_join(spark, sf_dir):
+    """Stream-static broadcast enrichment (streaming/events.py:
+    stream_static_enrich): the event stream joins a static customer dim on
+    user_id = c_custkey — the streaming twin of the reference's per-row
+    lookup join (main.go:120-137). Stream-static inner joins are stateless
+    (each micro-batch joins the broadcast dim independently; no watermark,
+    no join state), so the only stateful operator is the downstream
+    segment/type aggregation, drained in complete mode. The oracle is the
+    equivalent batch join+group-by with the engine's exact-decimal sum."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer")
+    joined = ST.stream_static_enrich(stream, dim, "user_id", "c_custkey")
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+    )
+    ST.run_stream_to_memory(agg, "stream_enrich_out", output_mode="complete")
+    return spark.table("stream_enrich_out")
+
+
+@register(
     "streaming_session_window",
     """
     WITH seq AS (

@@ -5,6 +5,7 @@ from .events import (
     read_event_stream,
     run_stream_to_memory,
     session_window_agg,
+    stream_static_enrich,
     stateful_user_counts,
     stream_stream_join,
     windowed_counts,
@@ -18,6 +19,7 @@ __all__ = [
     "session_window_agg",
     "stateful_user_counts",
     "run_stream_to_memory",
+    "stream_static_enrich",
     "stream_stream_join",
     "dedup_within_watermark",
 ]

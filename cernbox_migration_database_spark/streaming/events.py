@@ -136,6 +136,26 @@ def run_stream_to_memory(
         q.stop()
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Stream-static broadcast enrichment join — the streaming twin of the
+    batch lookup join (operators/enrich.py, reference main.go:120-137).
+
+    Stream-static inner joins are STATELESS: each micro-batch joins
+    against the static side independently, so no watermark and no join
+    state accumulate — unlike stream-stream joins. The explicit
+    ``broadcast`` hint pins the dim to the executors once per batch; at
+    100 TB of stream with a dim that fits in memory this is the only shape
+    that avoids shuffling the stream."""
+    return stream.join(
+        F.broadcast(dim), stream[left_key] == dim[right_key], "inner"
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -164,3 +164,19 @@ def test_streaming_left_outer_join_equals_batch(spark, sf_dir):
     n_unmatched_got = got.where("r_event = -1").count()
     n_unmatched_want = want.where("r_event IS NULL").count()
     assert n_unmatched_got == n_unmatched_want > 0
+
+
+def test_stream_static_enrich_is_stateless_broadcast(spark, sf_dir):
+    from cernbox_migration_database_spark import streaming as ST
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    stream = ST.read_event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    joined = ST.stream_static_enrich(stream, dim, "user_id", "c_custkey")
+    assert joined.isStreaming
+    # Broadcast hint must survive analysis: a stream-static join that
+    # shuffles the stream would be the wrong shape at scale. (Only the
+    # analyzed plan is inspectable for a streaming DF — optimization
+    # happens per micro-batch at runtime.)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan.lower()
