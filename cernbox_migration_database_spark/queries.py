@@ -956,6 +956,34 @@ def _winnow_oracle() -> str:
     """
 
 
+def _zorder_oracle() -> str:
+    from .operators.layout import z_value_sql
+
+    expr = z_value_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({expr} AS BIGINT) AS z
+    FROM lineitem
+    """
+
+
+@register("zorder_lineitem", _zorder_oracle())
+def zorder_lineitem(spark, sf_dir):
+    """Morton (Z-order) clustering value over (l_partkey, l_suppkey) —
+    operators/layout.py. The layout path (write_z_ordered) range-partitions
+    and sorts on this value so every output file covers a small rectangle
+    of the two-key space and parquet min/max footers prune scans filtered
+    on EITHER key; this query oracle-pairs the bit-interleave itself (an
+    unrolled shift/mask sum, generated from the same constants for both
+    engines). `test_zorder_layout_prunes_both_dims` demonstrates the
+    pruning effect on real written files."""
+    from .operators.layout import z_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = z_value(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+    return li.select("l_orderkey", "l_linenumber", z.alias("z"))
+
+
 def _profile_orders_oracle() -> str:
     from .operators.profile import profile_oracle_sql
 

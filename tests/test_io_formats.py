@@ -103,3 +103,65 @@ def test_dbapi_parallel_scan_live_sqlite(spark, tmp):
     assert len(got) == 10_000 and got[1234] == "v1234"
     # ranges are disjoint and complete: re-aggregate proves no dup/loss
     assert df.groupBy().count().collect()[0][0] == 10_000
+
+
+def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Files written z-ordered on (partkey, suppkey) have tight min/max
+    footer ranges on BOTH keys, so a point predicate on either key rules
+    out most files; a single-key sort layout only prunes its own key."""
+    import pyarrow.parquet as pq
+
+    from cernbox_migration_database_spark.operators.layout import (
+        write_z_ordered,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "partkey_sorted")
+    n_files = 16
+    write_z_ordered(li, "l_partkey", "l_suppkey", zdir, num_files=n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def files_matching(directory: str, col: str, value: int) -> tuple[int, int]:
+        import glob
+
+        hit, total = 0, 0
+        for f in glob.glob(f"{directory}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            hit += lo <= value <= hi
+        return hit, total
+
+    # probe keys that exist in the data
+    probe = li.limit(1).collect()[0]
+    pk, sk = probe["l_partkey"], probe["l_suppkey"]
+
+    z_pk, z_total = files_matching(zdir, "l_partkey", pk)
+    z_sk, _ = files_matching(zdir, "l_suppkey", sk)
+    s_pk, s_total = files_matching(sdir, "l_partkey", pk)
+    s_sk, _ = files_matching(sdir, "l_suppkey", sk)
+
+    assert z_total == n_files and s_total == n_files
+    # single-key layout: perfect on its own key, useless on the other
+    assert s_pk <= 2
+    assert s_sk >= n_files - 1
+    # z-order: prunes a substantial share of files on BOTH keys
+    assert z_pk <= n_files // 2
+    assert z_sk <= n_files // 2
