@@ -451,3 +451,90 @@ def random_projection(
         )
         cols.append(proj.alias(f"proj_{p}"))
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN family next to LSH bucketing and
+# IVF cells. Jégou/Douze/Schmid "Product Quantization for Nearest Neighbor
+# Search" (TPAMI'11): split each d-dim vector into m contiguous subvectors
+# and quantize each against its own k-entry codebook; a vector compresses to
+# m small codes (m=8, k=16 -> 8 nibbles for a 64-float vector, 64x smaller)
+# and distances are approximated per-subspace via table lookups (ADC).
+#
+# Scale shape: encoding is row-local arithmetic against literal codebooks —
+# no shuffle, no join, same plan family as IVF cell assignment; the encoded
+# table is the compact index a 10^9-vector corpus actually stores. Codebook
+# entries here are deterministic seeds (subvectors of the first k corpus
+# vectors — the same oracle-nameable convention as seed_centroids); k-means
+# refinement per subspace would reuse kmeans_train.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim fixture vectors -> 8 dims per subspace)
+PQ_K = 16  # codes per subspace
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """codebooks[sub][code] = scaled-long subvector. Entries come from the
+    corpus vectors with id < k (dense fixture ids; the oracle names the
+    same rows with WHERE vec_id < k). Scaling runs IN Spark so literals
+    match executor arithmetic bit-for-bit; the collect is k rows."""
+    rows = (
+        df.where(F.col(id_col) < k)
+        .select(F.col(id_col), scaled_vector(F.col(vec_col)).alias("sv"))
+        .orderBy(id_col)
+        .collect()
+    )
+    d = len(rows[0]["sv"])
+    sub = d // m
+    return [
+        [list(r["sv"][s * sub : (s + 1) * sub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub_id, code): argmin squared-L2 code per subspace.
+
+    Per subspace: slice the scaled vector, one zip_with+aggregate squared
+    distance per literal codebook entry, argmin via array_position of the
+    array minimum (ties -> smallest code, matching the oracle's ORDER BY
+    dist, code). Bounds: |element| <= 3.7e8 scaled, diff^2 <= 5.5e17, the
+    8-term sum < 2^62 — exact long arithmetic. All m*k distances are
+    row-local top-level expressions in one codegen stage; output explodes
+    to m rows per vector (the compact-code table)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = ensure_parallelism(df).withColumn(
+        "_sv", scaled_vector(F.col(vec_col))
+    )
+
+    def dist(sub_slice: Column, entry: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in entry])
+        return F.aggregate(
+            F.zip_with(sub_slice, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    codes = []
+    for s in range(m):
+        sl = F.slice(F.col("_sv"), s * sub + 1, sub)
+        dists = F.array(*[dist(sl, e) for e in codebooks[s]])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out.select(
+        F.col(id_col),
+        F.posexplode(F.array(*codes)).alias("sub_id", "code"),
+    ).select(F.col(id_col), F.col("sub_id").cast("int"), "code")

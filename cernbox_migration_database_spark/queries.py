@@ -3268,6 +3268,49 @@ def similarity_ann_ivf(spark, sf_dir):
     )
 
 
+def _pq_oracle() -> str:
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id, list_slice(s, j*8 + 1, j*8 + 8) AS sub
+      FROM sv, (SELECT unnest(generate_series(0, 7)) AS j)),
+    cb AS (SELECT sub_id, vec_id AS code, sub AS cvec
+           FROM subs WHERE vec_id < 16),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    r AS (SELECT vec_id, sub_id, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                    ORDER BY dist, code) AS rn
+          FROM d)
+    SELECT vec_id, CAST(sub_id AS INTEGER) AS sub_id,
+           CAST(code AS INTEGER) AS code
+    FROM r WHERE rn = 1
+    """
+
+
+@register("similarity_pq_encode", _pq_oracle())
+def similarity_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py:pq_encode,
+    after Jégou et al. TPAMI'11) — the third ANN family beside LSH buckets
+    and IVF cells: each 64-dim vector splits into 8 subvectors, each
+    quantized to the nearest of 16 codebook entries by exact scaled-long
+    squared-L2, compressing a vector to 8 nibble codes (the compact index a
+    billion-vector corpus stores). Codebook entries are the subvectors of
+    corpus ids < 16 (the seed_centroids convention, so the oracle names the
+    same rows); encoding is row-local arithmetic against literal codebooks
+    — no shuffle, no join, same plan family as IVF cell assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    return S.pq_encode(emb, books)
+
+
 # ---------------------------------------------------------------------------
 # Extended: array higher-order functions, stratified sampling, range join
 # ---------------------------------------------------------------------------

@@ -460,3 +460,31 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(spark, sf_dir):
             if h <= 3:
                 want.add((a, b, h))
     assert got == want and len(want) > 0
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark, sf_dir):
+    from cernbox_migration_database_spark.operators import similarity as S
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    assert len(books) == S.PQ_M and len(books[0]) == S.PQ_K
+    enc = S.pq_encode(emb, books)
+    # a codebook source vector is distance 0 from its own entry in every
+    # subspace, so it must encode to its own id (ties can't precede it:
+    # dist 0 sorts first, and equal-dist ties break to the smaller code,
+    # which can only happen for an identical duplicate subvector)
+    seeds = enc.where(F.col("vec_id") < S.PQ_K).collect()
+    assert len(seeds) == S.PQ_K * S.PQ_M
+    mismatched = [r for r in seeds if r["code"] > r["vec_id"]]
+    assert not mismatched
+    # full corpus: every vector gets exactly m codes in [0, k)
+    from pyspark.sql import functions as FF
+    stats = enc.agg(
+        FF.countDistinct("vec_id").alias("nv"),
+        FF.count(FF.lit(1)).alias("n"),
+        FF.min("code").alias("mn"),
+        FF.max("code").alias("mx"),
+    ).collect()[0]
+    assert stats["n"] == stats["nv"] * S.PQ_M
+    assert 0 <= stats["mn"] and stats["mx"] < S.PQ_K
