@@ -3268,6 +3268,122 @@ def similarity_ann_ivf(spark, sf_dir):
     )
 
 
+@register(
+    "histogram_totalprice",
+    """
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS DOUBLE) / 100.0) AS total
+      FROM orders GROUP BY bin)
+    SELECT bin, bin * 30000.0 AS lo, (bin + 1) * 30000.0 AS hi, n, total,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 9) AS share,
+           CAST(SUM(n) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_n
+    FROM b
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Equi-width histogram of order totals with per-bin share and
+    cumulative counts — the distribution-profiling companion to
+    `profile_orders` (and the exact-answer counterpart of the approx
+    quantile sketch). One partial+final aggregation computes the ~20-row
+    bin table; share and cumulative counts then derive from a broadcast
+    scalar total and a broadcast triangular (bin2 <= bin) join — O(bins^2)
+    pairs of a metadata-sized table. An unpartitioned running-sum window
+    would be equally safe HERE, but the engine's own plan audit
+    (tools/plan_audit.py) flags unpartitioned ordered windows
+    unconditionally because it cannot see cardinality, and a
+    deliberately-exempted query would blunt the rule that catches the real
+    single-task windows. Counts are integers and sums exact-decimal, so
+    bins are bit-identical cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 30000).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+    tot = b.agg(F.sum("n").alias("tot_n"))
+    prior = b.select(F.col("bin").alias("bin2"), F.col("n").alias("n2"))
+    return (
+        b.join(F.broadcast(prior), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "n", "total")
+        .agg(F.sum("n2").alias("cum_n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("bin") * 30000.0).alias("lo"),
+            ((F.col("bin") + 1) * 30000.0).alias("hi"),
+            "n",
+            "total",
+            F.round(
+                F.col("n").cast("double") / F.col("tot_n"), 9
+            ).alias("share"),
+            "cum_n",
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr),
+    s AS (
+      SELECT event_type, COUNT(*) AS nb, SUM(n) AS sn, SUM(n * n) AS snn
+      FROM h GROUP BY event_type)
+    SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr, h.n,
+           round((h.n - sn / CAST(nb AS DOUBLE))
+                 / sqrt(snn / CAST(nb AS DOUBLE)
+                        - (sn / CAST(nb AS DOUBLE))
+                          * (sn / CAST(nb AS DOUBLE))), 6) AS z
+    FROM h JOIN s ON s.event_type = h.event_type
+    WHERE nb > 1 AND snn * nb > sn * sn
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: z-score of each (event_type, hour) bucket
+    count against that type's own mean/std — the monitoring query a
+    pipeline runs over its event firehose. Two aggregations (bucket counts,
+    then per-type integer moment sums — counts are ints, so sum and
+    sum-of-squares are EXACT, no decimal guard needed) and a broadcast
+    join of the tiny per-type stats back onto the bucket table; the raw
+    events shuffle once. The z formula is evaluated with an identical
+    expression tree on both engines (single-rounding doubles + 6dp round);
+    zero-variance types are excluded with an exact integer predicate."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mean = F.col("sn") / F.col("nb").cast("double")
+    var = F.col("snn") / F.col("nb").cast("double") - mean * mean
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .where((F.col("nb") > 1) & (F.col("snn") * F.col("nb") > F.col("sn") * F.col("sn")))
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("z"),
+        )
+    )
+
+
 def _pq_oracle() -> str:
     el = _SCALED_EL.format(v="v")
     sq = "(x[1]-x[2])*(x[1]-x[2])"
