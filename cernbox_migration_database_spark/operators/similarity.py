@@ -538,3 +538,67 @@ def pq_encode(
         F.col(id_col),
         F.posexplode(F.array(*codes)).alias("sub_id", "code"),
     ).select(F.col(id_col), F.col("sub_id").cast("int"), "code")
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries_df: DataFrame,
+    codebooks: list[list[list[int]]],
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over a PQ-encoded
+    corpus: each query precomputes an m x k lookup table of EXACT
+    scaled-long squared distances from its subvectors to every codebook
+    entry (row-local against literals), the corpus's compact code table
+    joins the broadcast LUT on (sub_id, code), and per-(query, vector)
+    sums of the m looked-up terms rank ascending. This is the search half
+    of PQ: the corpus is touched only through its m-codes-per-vector index
+    — the full vectors never load — which is the point at 10^9 vectors.
+    Distances stay exact integers end-to-end, so the whole search is
+    oracle-pairable (unlike float ADC implementations)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q = ensure_parallelism(queries_df).withColumn(
+        "_sv", scaled_vector(F.col(vec_col))
+    )
+
+    def dist(sub_slice: Column, entry: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in entry])
+        return F.aggregate(
+            F.zip_with(sub_slice, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    entries = []
+    for s in range(m):
+        sl = F.slice(F.col("_sv"), s * sub + 1, sub)
+        for j in range(k):
+            entries.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("sub_id"),
+                    F.lit(j).cast("int").alias("code"),
+                    dist(sl, codebooks[s][j]).alias("d"),
+                )
+            )
+    lut = q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("query_id", "e.sub_id", "e.code", "e.d")
+    joined = (
+        codes_df.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub_id", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    agg = joined.groupBy("query_id", "neighbor_id").agg(
+        F.sum("d").alias("adc")
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

@@ -3411,6 +3411,68 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_adc_oracle() -> str:
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id, list_slice(s, j*8 + 1, j*8 + 8) AS sub
+      FROM sv, (SELECT unnest(generate_series(0, 7)) AS j)),
+    cb AS (SELECT sub_id, vec_id AS code, cvec FROM (
+             SELECT sub_id, vec_id, sub AS cvec FROM subs WHERE vec_id < 16)),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, sub_id, code, dist AS dd
+      FROM d WHERE vec_id < 20),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.dd) AS BIGINT) AS adc
+      FROM codes e JOIN qlut l
+        ON l.sub_id = e.sub_id AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("similarity_pq_adc", _pq_adc_oracle())
+def similarity_pq_adc(spark, sf_dir):
+    """The search half of PQ (operators/similarity.py:pq_adc_topk): each
+    query precomputes an exact integer m x k distance lookup table against
+    the literal codebooks, the PQ-encoded corpus joins the broadcast LUT on
+    (sub_id, code), and per-pair sums of the m looked-up terms rank
+    ascending — the corpus is touched only through its compact code index,
+    never its full vectors, which is the point at 10^9 vectors. Exact long
+    arithmetic end-to-end makes even the approximate search differential-
+    testable (the oracle reuses the encode CTEs, then replays the same
+    LUT join). Recall vs exact L2 is measured in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    codes = S.pq_encode(emb, books)
+    return S.pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 20), books, top_k=5
+    )
+
+
 @register("similarity_pq_encode", _pq_oracle())
 def similarity_pq_encode(spark, sf_dir):
     """Product-quantization encoding (operators/similarity.py:pq_encode,

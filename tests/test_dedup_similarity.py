@@ -488,3 +488,51 @@ def test_pq_seed_vectors_encode_to_themselves(spark, sf_dir):
     ).collect()[0]
     assert stats["n"] == stats["nv"] * S.PQ_M
     assert 0 <= stats["mn"] and stats["mx"] < S.PQ_K
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """ADC recall@10 against exact scaled-L2 top-10. With 16 untrained
+    seed codes per subspace on unclustered fixture vectors (PQ's worst
+    case), measured mean recall is ~0.245 at sf0.01 — well above the
+    ~0.02 random baseline; the bound asserts the separation, not the
+    point value."""
+    from pyspark.sql import Window as W
+
+    from cernbox_migration_database_spark.operators import similarity as S
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    codes = S.pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 20)
+    adc = S.pq_adc_topk(codes, q, books, top_k=10)
+
+    sv = emb.select("vec_id", S.scaled_vector(F.col("embedding")).alias("sv"))
+    qs = sv.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("qv")
+    )
+    pairs = sv.crossJoin(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    d = pairs.withColumn(
+        "l2",
+        F.aggregate(
+            F.zip_with("sv", "qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    w = W.partitionBy("qid").orderBy("l2", "vec_id")
+    exact: dict[int, set[int]] = {}
+    for r in (
+        d.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .select("qid", "vec_id")
+        .collect()
+    ):
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    got: dict[int, set[int]] = {}
+    for r in adc.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[k] & got.get(k, set())) / 10 for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.10
