@@ -4458,6 +4458,65 @@ def graph_label_propagation_weighted(spark, sf_dir):
     return D.label_propagation(prs_w, iterations=3, weight_col="w")
 
 
+def _pagerank_round(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS id,
+             1500000 + 85 * SUM({prev}.r // dg.d) // 100 AS r
+      FROM edges e
+      JOIN {prev} ON {prev}.id = e.src
+      JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst)"""
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      WHERE inter::DOUBLE / (na + nb - inter) >= 0.2),
+    edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS id, CAST(10000000 AS BIGINT) AS r FROM deg),
+    {_pagerank_round('r0', 'r1')},
+    {_pagerank_round('r1', 'r2')},
+    {_pagerank_round('r2', 'r3')}
+    SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Deterministic integer PageRank on the near-dup graph
+    (operators/graph.py:pagerank) — the numeric companion to the
+    categorical graph fixpoints (connected components, label propagation):
+    the importance score that picks a dup-cluster's canonical document or
+    weights a crawl frontier. Ranks are scaled longs; contributions are
+    rank DIV out-degree and the damping mix is integer percent arithmetic,
+    so three rounds are bit-identical across engines and partitionings
+    (float PageRank is partial-sum-order dependent — not differential-
+    testable). Each round is one equi-join of the persisted edge list
+    against the rank table plus a map-side-combinable SUM; the oracle
+    unrolls the same three rounds as CTEs."""
+    prs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.2
+    )
+    from .operators.graph import pagerank
+
+    return pagerank(prs, iterations=3)
+
+
 @register(
     "bucketed_join_priority_revenue",
     f"""

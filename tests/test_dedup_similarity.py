@@ -536,3 +536,23 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(exact[k] & got.get(k, set())) / 10 for k in exact]
     assert sum(recalls) / len(recalls) >= 0.10
+
+
+def test_pagerank_hand_traced_path_graph(spark):
+    from cernbox_migration_database_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    # path 1-2-3, degrees 1/2/1, all ranks start at PR_SCALE:
+    # round 1: r(1) = 0.15*S + 0.85*(S/2)       = 5_750_000
+    #          r(2) = 0.15*S + 0.85*(S + S)     = 18_500_000
+    #          r(3) = r(1)
+    r1 = {r["doc_id"]: r["rank_scaled"] for r in pagerank(pairs, iterations=1).collect()}
+    assert r1 == {1: 5_750_000, 2: 18_500_000, 3: 5_750_000}
+    assert PR_SCALE == 10**7
+    r3 = {r["doc_id"]: r["rank_scaled"] for r in pagerank(pairs, iterations=3).collect()}
+    assert r3[1] == r3[3] and r3[2] > r3[1]
