@@ -2337,6 +2337,42 @@ def salted_agg_query(spark, sf_dir):
 
 
 @register(
+    "salted_join_skew",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+           (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(21,6)) * 1000000 AS BIGINT))
+                 AS DOUBLE) / 1000000.0) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def salted_join_skew(spark, sf_dir):
+    """Manually salted equi-join (operators/skew.py:salted_join): the probe
+    side carries ONE deterministic whole-row-hash salt, the build side is
+    exploded across ALL n_salts values, so a hot join key spreads over
+    n_salts reducers instead of pinning one — the hand-rolled counterpart
+    to AQE's skew-join split (test_skew_join.py), for the hash-aggregate
+    downstream of the join and for paths where AQE is off. The oracle is
+    the PLAIN join + group-by, proving the salting is semantics-preserving
+    (every probe row meets each matching build row exactly once)."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_name"
+    )
+    j = salted_join(li, su, on=["k"], n_salts=8)
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("rev", scale=6, precision=21).alias("revenue"),
+    )
+
+
+@register(
     "similarity_ann_lsh",
     f"""
     WITH nv AS (

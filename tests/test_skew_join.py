@@ -53,3 +53,28 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_row_identical_to_plain_join(spark):
+    from cernbox_migration_database_spark.operators.skew import salted_join
+
+    # adversarial skew: key 0 holds 50k of 60k probe rows
+    probe = spark.range(60_000).select(
+        F.when(F.col("id") < 50_000, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    salted = salted_join(probe, build, on=["k"], n_salts=8)
+    plain = probe.join(build, on=["k"])
+    assert salted.count() == plain.count() == 60_000
+    # exact multiset equality via sorted collect of the whole result
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join with unmatched probe keys also preserved
+    probe2 = probe.withColumn("k", F.col("k") + 50)  # keys 50..149, half unmatched
+    s2 = salted_join(probe2, build, on=["k"], how="left")
+    p2 = probe2.join(build, on=["k"], how="left")
+    assert sorted(map(tuple, s2.collect())) == sorted(map(tuple, p2.collect()))
