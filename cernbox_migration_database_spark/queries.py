@@ -926,6 +926,61 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+@register(
+    "text_bigram_lm",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    pos AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2),
+    bg AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM pos),
+    cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    cl AS (SELECT w1, SUM(c) AS cleft FROM cb GROUP BY w1)
+    SELECT cb.w1, cb.w2, CAST(c AS BIGINT) AS c_bigram,
+           CAST(cleft AS BIGINT) AS c_left,
+           round(c / CAST(cleft AS DOUBLE), 9) AS p
+    FROM cb JOIN cl ON cl.w1 = cb.w1
+    WHERE c >= 5
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Corpus-wide bigram LM statistics — the TRAINING side of the n-gram
+    LM whose frozen weights power `text_fluency`/`text_langid`: count every
+    token bigram across the corpus, derive conditional probabilities
+    p(w2|w1) = c(w1,w2) / c(w1,·) from exact integer counts (one double
+    division, 9dp round). Two aggregations: bigram counts (the big one —
+    map-side combinable, shuffles compressed (w1,w2,count) partials, never
+    token streams), then the per-w1 totals, joined back broadcast-style.
+    The c >= 5 floor is the standard rare-ngram cutoff and keeps the
+    emitted table index-sized. This is the map-reduce classic that built
+    the original web-scale LMs, shaped for Catalyst."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(TX.tokens("text").alias("_t")).where(F.size("_t") >= 2)
+    # bigram pairs as zipped shifted slices — whole-array ops only (the
+    # substitution-proof shape; see operators/text.py:kgram_hashes), and no
+    # concat-then-split round trip through strings
+    span = F.size("_t") - 1
+    pairs = F.arrays_zip(
+        F.slice("_t", 1, span).alias("w1"),
+        F.slice("_t", 2, span).alias("w2"),
+    )
+    bg = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    cl = cb.groupBy("w1").agg(F.sum("c_bigram").alias("c_left"))
+    return (
+        cb.join(cl, "w1")
+        .where(F.col("c_bigram") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            "c_left",
+            F.round(
+                F.col("c_bigram") / F.col("c_left").cast("double"), 9
+            ).alias("p"),
+        )
+    )
+
+
 def _winnow_oracle() -> str:
     """Oracle SQL generated from the SAME constants as the Spark operator
     (operators/text.py winnow_powers) so the closed-form polynomial hash
