@@ -6,6 +6,7 @@ from .events import (
     run_stream_to_memory,
     session_window_agg,
     stream_static_enrich,
+    stream_upsert_sink,
     stateful_user_counts,
     stream_stream_join,
     windowed_counts,
@@ -21,5 +22,6 @@ __all__ = [
     "run_stream_to_memory",
     "stream_static_enrich",
     "stream_stream_join",
+    "stream_upsert_sink",
     "dedup_within_watermark",
 ]

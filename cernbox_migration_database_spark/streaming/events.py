@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
@@ -278,3 +278,53 @@ def event_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tmpdir)
     )
     return _normalize_ts(raw, unit)
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    path: str,
+):
+    """Streaming last-wins upsert into a parquet state directory — the
+    reference's row-UPDATE sink (main.go:217-240) generalized to a stream:
+    each micro-batch merges into the accumulated state keeping, per key,
+    the row with the greatest (order_cols) tuple; ``order_cols`` must be a
+    TOTAL order within a key or the surviving row is nondeterministic.
+
+    Exactly-once story: the merge is IDEMPOTENT (re-applying a delivered
+    batch reproduces the same state), which is the foreachBatch recipe for
+    non-transactional targets; the state swap is write-to-tmp + rename so
+    readers never see a half-written directory. On a real deployment the
+    same batch function body becomes MERGE INTO on a transactional table
+    format; the relational core (union + keep-max window) is unchanged.
+
+    Returns the started StreamingQuery; callers stop() it.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            merged = spark.read.parquet(path).unionByName(batch_df)
+        else:
+            merged = batch_df
+        order = [F.col(c).desc() for c in order_cols]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        new_state = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = path + ".tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .start()
+    )

@@ -3,6 +3,7 @@ batch twins (the strongest equivalence check available locally)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cernbox_migration_database_spark import streaming as ST
@@ -180,3 +181,58 @@ def test_stream_static_enrich_is_stateless_broadcast(spark, sf_dir):
     # happens per micro-batch at runtime.)
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in plan.lower()
+
+
+def test_stream_upsert_sink_state_equals_batch_latest(spark, sf_dir, tmp_path):
+    """Drained streaming upsert state == batch keep-latest-per-user (the
+    window_dedup_recency semantics); re-applying the same data is a no-op
+    (idempotent merge = the exactly-once recipe)."""
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "user_state")
+    stream = ST.read_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    q = ST.stream_upsert_sink(
+        stream, keys=["user_id"], order_cols=["ts", "event_id"], path=path
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want
+
+    # idempotence: replaying the full source into the existing state
+    # reproduces the identical state
+    q2 = ST.stream_upsert_sink(
+        ST.read_event_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        path=path,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == want
