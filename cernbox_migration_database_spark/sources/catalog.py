@@ -48,11 +48,16 @@ def events_ts_unit(sf_dir: str) -> str:
     metadata read (no data IO) and lets one loader serve either layout.
     Returns 'ns' or 'us'.
     """
+    import glob
+
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema_arrow.field("ts").type
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # Spark-style directory table (e.g. the scale-check k-fold
+        # replicas): probe the first part file — one table, one schema.
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
     return "ns" if "ns" in str(t) or str(t) == "int64" else "us"
 
 
