@@ -25,6 +25,10 @@ SHOW = {
     "train_shuffle": "global deterministic rank WITHOUT a single-task window: range exchange + per-partition ids + broadcast offsets",
     "train_token_packing": "two-level (lang, chunk) running sums — window partitions by (lang, _chunk), offsets broadcast",
     "pipeline_end_to_end": "quality gate fused into scan; corpus shuffled exactly twice (fingerprint window, pack window)",
+    "text_winnowing": "winnowing fingerprints: shifted-slice zip_with hash pipeline in ONE codegen stage; sole exchange is the final distinct",
+    "similarity_pq_adc": "PQ search: broadcast per-query LUT joined to the compact code index — corpus vectors never load",
+    "graph_pagerank": "3 integer PageRank rounds: per round one edge equi-join + map-side-combinable SUM, edges/degrees persisted once",
+    "profile_orders": "N exact COUNT(DISTINCT) via one Expand feeding a single partial+final aggregation; stack-unpivot on the 1-row agg",
 }
 
 # Narrative that survives regeneration (measured evidence lives here, the
