@@ -1148,6 +1148,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT ia AS doc_a, ib AS doc_b,
+           inter::DOUBLE / (na + nb - inter) AS jaccard
+    FROM inter WHERE inter::DOUBLE / (na + nb - inter) >= 0.2
+    """,
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard join (operators/dedup.py:
+    prefix_filter_pairs — the AllPairs/PPJoin candidate scheme): only each
+    document's rare-first prefix of ``n - ceil(t*n) + 1`` shingles is
+    indexed, because threshold-passing pairs must share a prefix token;
+    candidates are verified row-locally against the full sets. The oracle
+    is the NAIVE full-inverted-index threshold join — deliberately the
+    same SQL as `dedup_ngram_jaccard` — so the differential proves the
+    algorithmic shortcut is lossless, not just fast. This is the exact-
+    similarity scale path the way LSH is the approximate one: at high
+    thresholds the indexed fraction (and the candidate join) shrinks to a
+    fraction of the naive join's."""
+    return D.prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.2
+    )
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE

@@ -556,3 +556,45 @@ def test_pagerank_hand_traced_path_graph(spark):
     assert PR_SCALE == 10**7
     r3 = {r["doc_id"]: r["rank_scaled"] for r in pagerank(pairs, iterations=3).collect()}
     assert r3[1] == r3[3] and r3[2] > r3[1]
+
+
+def test_prefix_filter_equals_naive_jaccard(spark):
+    from cernbox_migration_database_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog today"),
+            (2, "en", "the quick brown fox jumps over the lazy cat today"),
+            (3, "en", "the quick brown fox leaps over the lazy dog today"),
+            (4, "en", "completely different text with no shared shingles here"),
+            (5, "de", "the quick brown fox jumps over the lazy dog today"),
+            (6, "en", "another unrelated document about spark and parquet files"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    def canon(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in df.collect()
+        )
+
+    for t in (0.2, 0.5, 0.8):
+        naive = canon(
+            D.jaccard_pairs(docs, block_col="lang", k=3, threshold=t)
+        )
+        fast = canon(
+            D.prefix_filter_pairs(docs, block_col="lang", k=3, threshold=t)
+        )
+        assert fast == naive, f"threshold {t}"
+    # sanity: the graph is non-trivial (near-dups found, lang blocking held)
+    pairs = {
+        (a, b)
+        for a, b, _ in canon(
+            D.prefix_filter_pairs(docs, block_col="lang", k=3, threshold=0.2)
+        )
+    }
+    # one changed word mid-sentence kills 3 of ~8 shingles: (1,3) lands at
+    # J = 5/11 ~ 0.45, so it appears at t=0.2 but not t=0.5
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(5 in p for p in pairs)  # cross-language blocked
