@@ -29,14 +29,29 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with ``right_cols`` from
     the most recent ``right`` row at or before its ``ts`` (NULLs when none).
+
+    ``direction="forward"`` flips the semantics to the EARLIEST right row
+    at-or-after the left ``ts`` (attribution-style "next event" lookups);
+    implementation-wise only the traversal order of the same window plan
+    changes (ts descending), so the cost is identical.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"INTERVAL 1 DAY"``)
+    invalidates a match whose ts gap exceeds it — the match becomes NULL,
+    it is NOT re-searched (pandas merge_asof semantics). Implemented by
+    carrying the matched right ts alongside the values and null-masking,
+    still one shuffle.
 
     ``right`` should be pre-deduplicated to one row per (key, ts) — with
     duplicates the carried row is the last under the internal sort, which is
     deterministic only if the caller makes it so.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         *lcols,
@@ -56,17 +71,38 @@ def asof_join(
     ).select(*lcols, "__is_left", *[f"{prefix}{c}" for c in right_cols])
 
     u = l_tagged.unionByName(r_tagged)
+    order_ts = F.col(ts) if direction == "backward" else F.col(ts).desc()
     w = (
         W.partitionBy(key)
-        .orderBy(F.col(ts), F.col("__is_left"))
+        .orderBy(order_ts, F.col("__is_left"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    carried = [
+        F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in right_cols
+    ]
+    if tolerance is None:
+        filled = u.select(*lcols, F.col("__is_left"), *carried)
+        return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    mts = F.last(
+        F.when(F.col("__is_left") == 0, F.col(ts)), ignorenulls=True
+    ).over(w)
     filled = u.select(
-        *lcols,
-        F.col("__is_left"),
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        *lcols, F.col("__is_left"), mts.alias("__mts"), *carried
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    gap_ok = (
+        F.col(ts) - F.col("__mts") <= F.expr(tolerance)
+        if direction == "backward"
+        else F.col("__mts") - F.col(ts) <= F.expr(tolerance)
+    )
+    valid = F.col("__mts").isNotNull() & gap_ok
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *lcols,
+            *[
+                F.when(valid, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+                for c in right_cols
+            ],
+        )
+    )

@@ -1859,6 +1859,51 @@ def asof_join_purchases(spark, sf_dir):
 
 
 @register(
+    "asof_forward_tolerance",
+    """
+    WITH purch AS (
+      SELECT user_id, ts, MAX(event_id) AS p_event
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN p.ts - e.ts <= INTERVAL 1 DAY THEN p.p_event
+           END AS next_purchase
+    FROM events e
+    ASOF LEFT JOIN purch p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def asof_forward_tolerance(spark, sf_dir):
+    """FORWARD as-of join with a tolerance window: each event enriched with
+    the user's next purchase, but only if it lands within 1 day — the
+    attribution-style "did this click convert?" lookup. Same union+window
+    plan as the backward as-of (operators/asof.py), traversed in reverse
+    ts order, with the matched ts carried so out-of-tolerance matches
+    null out instead of re-searching (pandas merge_asof semantics). The
+    oracle is DuckDB's native forward ASOF JOIN (e.ts <= p.ts) with the
+    tolerance applied as a post-mask — the same cross-formulation
+    differential as `asof_join_purchases`."""
+    ev = _t(spark, sf_dir, "events")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purch.select("user_id", "ts", "event_id"),
+        key="user_id",
+        ts="ts",
+        right_cols=["event_id"],
+        direction="forward",
+        tolerance="INTERVAL 1 DAY",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_event_id").alias("next_purchase")
+    )
+
+
+@register(
     "events_pivot",
     """
     SELECT user_id,

@@ -32,3 +32,55 @@ def test_asof_preserves_left_rowcount(spark):
     ).groupBy("k", "t").agg(F.max("v").alias("v"))
     out = asof_join(left, right, key="k", ts="t", right_cols=["v"])
     assert out.count() == 50
+
+
+def test_asof_forward_and_tolerance_hand_traced(spark):
+    import datetime as dt
+
+    from cernbox_migration_database_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(0)), (2, 10, ts(50)), (3, 10, ts(200)), (4, 20, ts(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, ts(40)), (101, 10, ts(60))],
+        "r_id long, user_id long, ts timestamp",
+    )
+    fwd = {
+        r["event_id"]: r["asof_r_id"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", right_cols=["r_id"],
+            direction="forward",
+        ).collect()
+    }
+    # event 1 -> next right at +40; event 2 (t=50) -> right at +60;
+    # event 3 (t=200) -> nothing after; user 20 -> no rights at all
+    assert fwd == {1: 100, 2: 101, 3: None, 4: None}
+
+    tol = {
+        r["event_id"]: r["asof_r_id"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", right_cols=["r_id"],
+            direction="forward", tolerance="INTERVAL 15 MINUTES",
+        ).collect()
+    }
+    # 15-minute window: event 1's match at +40 is now too far -> NULL;
+    # event 2's match at +10 survives
+    assert tol == {1: None, 2: 101, 3: None, 4: None}
+
+    back_tol = {
+        r["event_id"]: r["asof_r_id"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", right_cols=["r_id"],
+            tolerance="INTERVAL 15 MINUTES",
+        ).collect()
+    }
+    # backward with tolerance: event 2 (t=50) sees right at t=40 (gap 10,
+    # ok); event 3 (t=200) sees t=60 but gap 140 > 15 -> NULL
+    assert back_tol == {1: None, 2: 100, 3: None, 4: None}
