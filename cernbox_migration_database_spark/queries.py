@@ -1904,6 +1904,81 @@ def asof_forward_tolerance(spark, sf_dir):
 
 
 @register(
+    "stratified_exact_n",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents) WHERE rn <= 50
+    """,
+)
+def stratified_exact_n(spark, sf_dir):
+    """Exact-count stratified sample: exactly min(50, |stratum|) documents
+    per language, chosen by md5-of-id order — deterministic (reruns and
+    engines agree, unlike rand()-based sampleBy) and unbiased in content
+    (the hash order is independent of any document attribute). The window
+    partitions by stratum, so parallelism scales with strata; the rate-
+    based twin (`stratified_hash_sample`) is the no-shuffle variant when
+    an exact count isn't required."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "quantile_binning",
+    """
+    WITH q AS (
+      SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+      FROM orders)
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice <= p25 THEN 0
+                     WHEN o_totalprice <= p50 THEN 1
+                     WHEN o_totalprice <= p75 THEN 2
+                     ELSE 3 END AS INTEGER) AS bucket
+    FROM orders, q
+    """,
+)
+def quantile_binning(spark, sf_dir):
+    """Quantile discretization (feature binning): each order assigned its
+    totalprice quartile. Thresholds are PERCENTILE_DISC values — actual
+    data points, so the comparison is bit-exact cross-engine with no
+    interpolation guard — computed in one aggregate and broadcast back via
+    a 1-row cross join; the fact table is bucketed in a single scan-local
+    CASE. The two-pass shape (tiny stats pass + map-side apply) is the
+    standard feature-prep plan at any scale; a one-pass approximate
+    variant would swap in approx_percentile."""
+    o = _t(spark, sf_dir, "orders")
+    pd_ = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    thresholds = o.agg(
+        pd_(0.25).alias("p25"), pd_(0.5).alias("p50"), pd_(0.75).alias("p75")
+    )
+    tp = F.col("o_totalprice")
+    bucket = (
+        F.when(tp <= F.col("p25"), 0)
+        .when(tp <= F.col("p50"), 1)
+        .when(tp <= F.col("p75"), 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return o.crossJoin(F.broadcast(thresholds)).select(
+        "o_orderkey", bucket.alias("bucket")
+    )
+
+
+@register(
     "events_pivot",
     """
     SELECT user_id,
