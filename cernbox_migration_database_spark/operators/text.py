@@ -219,17 +219,25 @@ def winnow_fingerprints(
     non-cheap aliases referenced k times, so each stage computes once per
     row instead of once per lambda term.
 
-    NB: no ``where(size(_fps) > 0)`` here, deliberately — explode() already
-    drops empty arrays, and a filter on a derived column gets pushed by
-    PushDownPredicates BELOW the staging projections with the whole hash
-    pipeline substituted in, recomputing the k-gram transform per window
-    position (measured: turns a 2 s query into a >5 min one)."""
-    return (
-        df.withColumn("_s", normalize_text(_col(text_col)))
+    The per-doc fingerprint ARRAY is persisted before the explode, and not
+    only for reuse: ``InferFiltersFromGenerate`` adds a ``size(_fps) > 0``
+    filter above any explode, ``PushDownPredicates`` then pushes it to the
+    scan with the whole hash pipeline substituted in, and that inlined
+    expression evaluates INTERPRETED once per row — measured 48 s of pure
+    filter overhead vs 0.8 s for the actual pipeline at sf0.1. Filters
+    cannot push through an InMemoryRelation, so the persist is the barrier
+    that keeps the inferred filter cheap (it reads the cached column). No
+    final ``distinct()``: array_distinct already dedupes within a doc, so
+    (doc_id, fp) rows are unique by construction — skipping it removes the
+    only exchange in the query."""
+    from ..util import ensure_parallelism, tracked_persist
+
+    fps = tracked_persist(
+        ensure_parallelism(df)
+        .withColumn("_s", normalize_text(_col(text_col)))
         .where(F.length("_s") >= k)
         .withColumn("_c", codepoints(F.col("_s")))
         .withColumn("_h", kgram_hashes(F.col("_c"), k))
-        .withColumn("_fps", winnow_select(F.col("_h"), w))
-        .select(F.col("doc_id"), F.explode("_fps").alias("fp"))
-        .distinct()
+        .select(F.col("doc_id"), winnow_select(F.col("_h"), w).alias("_fps"))
     )
+    return fps.select(F.col("doc_id"), F.explode("_fps").alias("fp"))
