@@ -25,7 +25,7 @@ SHOW = {
     "train_shuffle": "global deterministic rank WITHOUT a single-task window: range exchange + per-partition ids + broadcast offsets",
     "train_token_packing": "two-level (lang, chunk) running sums — window partitions by (lang, _chunk), offsets broadcast",
     "pipeline_end_to_end": "quality gate fused into scan; corpus shuffled exactly twice (fingerprint window, pack window)",
-    "text_winnowing": "winnowing fingerprints: shifted-slice zip_with hash pipeline in ONE codegen stage; sole exchange is the final distinct",
+    "text_winnowing": "winnowing fingerprints: shifted-slice zip_with hash pipeline, persisted pre-explode (inferred-filter barrier); zero exchanges",
     "similarity_pq_adc": "PQ search: broadcast per-query LUT joined to the compact code index — corpus vectors never load",
     "graph_pagerank": "3 integer PageRank rounds: per round one edge equi-join + map-side-combinable SUM, edges/degrees persisted once",
     "profile_orders": "N exact COUNT(DISTINCT) via one Expand feeding a single partial+final aggregation; stack-unpivot on the 1-row agg",
@@ -95,6 +95,32 @@ expression work (simhash bit votes, minhash md5, LSH bucket dots) — no
 Python anywhere in those paths.
 
 ## Round-3 plan changes (measured on local[32], sf0.1 unless noted)
+
+### text_winnowing: the inferred-filter tax and its persist barrier
+The winnowing hash pipeline is pure row-local HOF arithmetic built ONLY
+from shifted slices + whole-array zip_with (never element_at on an
+inlined array inside a lambda — that re-evaluates the array per element,
+the first version measured >5 min at sf0.001). Even in that
+substitution-proof form, `InferFiltersFromGenerate` adds size(_fps)>0
+above the explode and PushDownPredicates inlines the ENTIRE pipeline into
+a scan-level Filter evaluated interpreted per row: 48 s of filter
+overhead vs 0.8 s of real work at sf0.1. Persisting the per-doc
+fingerprint array before the explode is the barrier (filters do not push
+through InMemoryRelation): 54 s -> 7 s end-to-end, and dropping the
+redundant final distinct (array_distinct already dedupes per doc)
+removed the query's only exchange.
+
+### similarity_pq_encode / _adc: plan-build cost is real cost
+Composing the m*k=128 codebook-distance expressions through the Python
+Column API cost ~5 s of py4j round trips per query BEFORE any execution;
+generating the same expressions as SQL text and parsing once with F.expr
+is milliseconds. A/B'd a third form — fully unrolled element_at
+arithmetic (1024 scalar terms/row) — and it ran ~2.5x SLOWER than the
+aggregate/zip_with HOF form (expression tree bloats past codegen limits
+and falls back to interpreted eval); kept the zip_with form with the
+measurement in the docstring. The encoded codes array is persisted
+pre-explode for the same inferred-filter reason as winnowing.
+
 
 ### train_shuffle: unpartitioned row_number -> partition-offset ranking
 Before (r2 verdict "What's wrong" #1): `row_number().over(W.orderBy(...))`
