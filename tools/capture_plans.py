@@ -216,6 +216,18 @@ floors are actionable. The r2->r3 "regression" is noise, not plans —
 the only real regression found (kv filter form, above) was caught by
 same-session A/B and fixed.
 
+Batch C (after the driver REGENERATED the sf fixtures — events.ts
+ns->us, order/ship dates ms->us; same code plus the unit-adaptive
+events readers): cold [19.62, 19.66, 20.50] median 19.66, warm median
+11.56 — tightest spread observed (~4%), under the r2 single-run 20.57
+and within the ±25% band of the 18.5 s target named in the r2 verdict.
+Batch D (later the same day, identical headline plans): cold
+[23.73, 23.80, 49.20], the outlier 2x slower even WARM — and `uptime`
+showed load average 3-4 with zero of our processes running: the box is
+SHARED, and cold-total comparisons across rounds measure co-tenant
+load as much as plans. The warm medians (11.5-13.9 across batches
+A-D) remain the stable signal.
+
 ### Late round-3 additions (plan notes)
 `dedup_simhash_pairs`: 4x16-bit band bucket join — pigeonhole-EXACT
 candidates for Hamming<=3 (no recall loss), bucket-aggregate pair
