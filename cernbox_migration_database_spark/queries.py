@@ -1904,6 +1904,49 @@ def asof_forward_tolerance(spark, sf_dir):
 
 
 @register(
+    "deletion_propagation",
+    """
+    WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    e AS (SELECT COUNT(*) AS n,
+                 COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM del))
+                   AS nd
+          FROM events),
+    c AS (SELECT COUNT(*) AS n,
+                 COUNT(*) FILTER (WHERE c_custkey IN (SELECT user_id FROM del))
+                   AS nd
+          FROM customer)
+    SELECT 'events' AS tbl, n AS n_before, nd AS n_deleted,
+           n - nd AS n_after FROM e
+    UNION ALL
+    SELECT 'customer', n, nd, n - nd FROM c
+    """,
+)
+def deletion_propagation(spark, sf_dir):
+    """Right-to-be-forgotten propagation (operators/purge.py): a deletion
+    list (here: users with id % 97 = 0, standing in for a request table)
+    is anti-joined out of every table referencing the key, with a one-row
+    audit per table (before/deleted/after counts) — the governance
+    operation a user-data training pipeline must run, and the audited-
+    mutation shape of the reference generalized to deletes. Per table one
+    pass: the broadcast deletion list tags rows for the audit aggregate
+    and feeds the anti-join for the purge; fact tables never shuffle. The
+    query returns the audit (the driver-comparable artifact); the purged
+    tables are the same lazy plans, write-ready."""
+    from .operators.purge import propagate_deletions
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    deletions = (
+        ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    _purged, audit = propagate_deletions(
+        {"events": (ev, "user_id"), "customer": (cust, "c_custkey")},
+        deletions,
+    )
+    return audit
+
+
+@register(
     "stratified_exact_n",
     """
     SELECT doc_id, lang FROM (

@@ -239,3 +239,34 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_num"] is None and out["s"]["sum_num"] is None
     assert out["v"]["n_null"] == 1 and out["v"]["sum_num"] == 11.0
+
+
+def test_deletion_propagation_purges_and_audits(spark, sf_dir):
+    from cernbox_migration_database_spark.operators.purge import (
+        propagate_deletions,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    deletions = ev.where(F.col("user_id") % 7 == 0).select("user_id")
+    purged, audit = propagate_deletions(
+        {"events": (ev, "user_id"), "customer": (cust, "c_custkey")},
+        deletions,
+    )
+    rows = {r["tbl"]: r for r in audit.collect()}
+    del_keys = {r["user_id"] for r in deletions.distinct().collect()}
+    for name, (src, key) in {
+        "events": (ev, "user_id"),
+        "customer": (cust, "c_custkey"),
+    }.items():
+        a = rows[name]
+        assert a["n_before"] == src.count()
+        assert a["n_before"] == a["n_deleted"] + a["n_after"]
+        assert purged[name].count() == a["n_after"]
+        # no purged table retains a deleted key
+        remaining = {
+            r[key] for r in purged[name].select(key).distinct().collect()
+        }
+        assert not (remaining & del_keys)
+    assert rows["events"]["n_deleted"] > 0
