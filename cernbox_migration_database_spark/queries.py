@@ -1039,6 +1039,59 @@ def zorder_lineitem(spark, sf_dir):
     return li.select("l_orderkey", "l_linenumber", z.alias("z"))
 
 
+def _winnow_pairs_oracle(max_df: int = 20, min_shared: int = 3) -> str:
+    base = _winnow_oracle().rstrip()
+    return f"""
+    WITH fps AS ({base}),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_df}),
+    rf AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM rf a JOIN rf b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@register("dedup_winnowing_pairs", _winnow_pairs_oracle())
+def dedup_winnowing_pairs(spark, sf_dir):
+    """The match step of MOSS: document pairs sharing >= 3 RARE selected
+    winnowing fingerprints — substring-overlap candidates (each shared
+    fingerprint witnesses a shared >= k-char region, and the winnowing
+    guarantee makes >= w+k-1-char overlaps unmissable), which
+    set-resemblance dedup cannot localize. Fingerprints present in more
+    than max_df=20 documents are dropped first (median fixture fp sits in
+    29 docs — the corpus is template-generated) — 5-char grams of common
+    words are corpus-wide boilerplate; without the cap this fixture
+    matches 123k of 125k possible pairs (measured), exactly the df^2
+    hot-key blow-up the shingle join's max_df guard exists for, and MOSS
+    itself culls over-common fingerprints. The DF count is a map-side-
+    combinable groupBy (skew-immune), the rare-set join thins the
+    (persisted, computed-once) posting list from `text_winnowing`, and
+    the pair join runs over rare fingerprints only. The oracle nests the
+    winnowing oracle as a CTE and replays cap + join."""
+    fps = tracked_persist(
+        TX.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= 20)
+        .select("fp")
+    )
+    rf = fps.join(rare, "fp")
+    a = rf.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"))
+    b = rf.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"))
+    return (
+        a.join(b, (F.col("fa") == F.col("fb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+    )
+
+
 def _profile_orders_oracle() -> str:
     from .operators.profile import profile_oracle_sql
 

@@ -270,3 +270,33 @@ def test_deletion_propagation_purges_and_audits(spark, sf_dir):
         }
         assert not (remaining & del_keys)
     assert rows["events"]["n_deleted"] > 0
+
+
+def test_winnowing_pairs_detect_shared_passage(spark, monkeypatch):
+    import cernbox_migration_database_spark.queries as QM
+
+    shared = "a very distinctive incriminating passage nobody else has"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first document containing {shared} plus its own tail"),
+            (2, f"second one also containing {shared} with other words"),
+            (3, "a completely unrelated piece of text goes here instead"),
+            (4, "yet another unrelated document about engines and queries"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = QM._t
+    monkeypatch.setattr(QM, "_t", lambda _s, _d, _n: docs)
+    try:
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["shared_fps"]
+            for r in QM.dedup_winnowing_pairs(spark, "unused").collect()
+        }
+    finally:
+        monkeypatch.setattr(QM, "_t", orig)
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    # incidental word-level matches can clear the bar in a 4-doc corpus
+    # (nothing reaches max_df to be culled), but the planted shared
+    # passage must dominate every other pair's evidence
+    others = [v for k, v in pairs.items() if k != (1, 2)]
+    assert not others or pairs[(1, 2)] > max(others)
