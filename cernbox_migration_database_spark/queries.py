@@ -2000,6 +2000,41 @@ def deletion_propagation(spark, sf_dir):
 
 
 @register(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions — percent_rank / cume_dist / nth_value
+    — completing the analytic-window family (`window_analytics` covers
+    lag/lead/rank/ntile). Total order (o_totalprice, o_orderkey) makes the
+    rank-derived doubles deterministic; the single division in both
+    functions is identically ordered on both engines, rounded 9 dp for the
+    cross-engine hash. nth_value needs the explicit unbounded frame — its
+    default RANGE frame would return NULL until three rows accumulate."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_cheapest"),
+    )
+
+
+@register(
     "stratified_exact_n",
     """
     SELECT doc_id, lang FROM (
