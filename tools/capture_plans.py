@@ -226,7 +226,13 @@ Batch D (later the same day, identical headline plans): cold
 showed load average 3-4 with zero of our processes running: the box is
 SHARED, and cold-total comparisons across rounds measure co-tenant
 load as much as plans. The warm medians (11.5-13.9 across batches
-A-D) remain the stable signal.
+A-D) remain the stable signal. Batch E (end of round 3, after the
+winnowing/PQ additions — none of which touch a headline query): cold
+[22.2, 24.0, 24.2] median 23.98, warm median 15.57, spread tight but
+load average climbed to ~7 during the run; the inflation vs batch C is
+UNIFORM across all 16 queries (scan 0.82->1.0, q1 2.06->2.32, simhash
+2.48->3.41) — the signature of co-tenant contention, not of any plan
+change.
 
 ### Late round-3 additions (plan notes)
 `dedup_simhash_pairs`: 4x16-bit band bucket join — pigeonhole-EXACT
