@@ -1747,6 +1747,37 @@ def streaming_window_agg(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_window",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+    w AS (SELECT event_type, value,
+                 (tu // 300000000 - j) * 300000000 AS ws
+          FROM e, (SELECT unnest(generate_series(0, 1)) AS j))
+    SELECT make_timestamp(ws) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_window(spark, sf_dir):
+    """SLIDING (hopping) window aggregation — 10-minute windows every 5
+    minutes, so each event lands in exactly window/slide = 2 overlapping
+    buckets (and streaming state is 2x the tumbling equivalent, which is
+    why the watermark matters more here). Drained as a real streaming
+    query; the oracle replays the bucket assignment arithmetically: the 2
+    window starts of an event are floor(t/slide)*slide - j*slide for
+    j in {0, 1} — with size = 2*slide both always contain t, no filter
+    needed."""
+    stream = ST.read_event_stream(spark, sf_dir)
+    agg = ST.windowed_counts(
+        stream, window="10 minutes", slide="5 minutes"
+    )
+    ST.run_stream_to_memory(agg, "stream_slide_out", output_mode="complete")
+    return spark.table("stream_slide_out")
+
+
+@register(
     "streaming_enrich_join",
     """
     SELECT c.c_mktsegment AS segment, e.event_type,

@@ -60,13 +60,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts(
-    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window counts + exact-decimal sums with a watermark — the
-    streaming twin of the batch `time_bucket_agg` query."""
+    streaming twin of the batch `time_bucket_agg` query. With ``slide``,
+    SLIDING (hopping) windows: each event contributes to window/slide
+    overlapping buckets — state grows by the same factor, which is why the
+    watermark matters more here than for tumbling windows."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
