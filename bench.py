@@ -1,22 +1,28 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "queries_warm": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "queries_warm": {name: sec, ...},
+   "warm_median": <sec>, "load_avg": {...}, "sf": <sf>}
 
 Each query is forced to full execution with a noop write (no result
 materialization on the driver). ``value``/``queries`` are COLD first-run
 times (plan analysis + codegen compile + execution — comparable across
-rounds); ``queries_warm`` re-runs each query in the same session, where
-Spark's generated-class cache and JIT have warmed, isolating steady-state
-execution. The cold-warm gap is almost entirely one-time codegen/JIT
-(measured: a 64-aggregate plan pays ~1.4 s once, then runs 2.5x faster) —
-on a long-lived cluster session the warm number is what repeats.
+rounds); ``queries_warm`` re-runs each query THREE more times in the same
+session, where Spark's generated-class cache and JIT have warmed, and
+reports the per-query MEDIAN — the round-3 verdict found cold totals on
+this shared box move +/-25% with co-tenant load, so the warm median (plus
+the recorded 1-minute load average around the run) is the stable headline
+signal; the cold total stays for cross-round comparability. The cold-warm
+gap is almost entirely one-time codegen/JIT (measured: a 64-aggregate plan
+pays ~1.4 s once, then runs 2.5x faster) — on a long-lived cluster session
+the warm number is what repeats.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -55,20 +61,30 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     Q.QUERIES["scan_filter_project_sort"](spark, sf_dir).count()
+    load_start = os.getloadavg()[0]
 
-    timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    for pass_timings in (timings, warm):
+    def run_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
         for name in HEADLINE:
             fn = Q.QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             # Force full execution of every operator in the plan.
             df.write.format("noop").mode("overwrite").save()
-            pass_timings[name] = round(time.time() - t0, 3)
+            out[name] = round(time.time() - t0, 3)
             U.release_persisted()
+        return out
+
+    timings = run_pass()  # cold
+    warm_passes = [run_pass() for _ in range(3)]
+    warm = {
+        name: round(statistics.median(p[name] for p in warm_passes), 3)
+        for name in HEADLINE
+    }
+    load_end = os.getloadavg()[0]
 
     total = round(sum(timings.values()), 3)
+    warm_median = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
@@ -76,8 +92,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "warm_total": round(sum(warm.values()), 3),
+                "warm_total": warm_median,
+                "warm_median": warm_median,
                 "queries_warm": warm,
+                "load_avg": {
+                    "start": round(load_start, 2),
+                    "end": round(load_end, 2),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

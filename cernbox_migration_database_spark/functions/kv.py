@@ -35,16 +35,19 @@ def parse_kv_map(raw: Column | str) -> Column:
     token like ``=v`` IS kept (empty-string key), exactly as the Go map
     assignment admits it — no extra key-non-empty filtering.
     """
+    # Split each token on '=' exactly ONCE, binding the result array as the
+    # lambda variable of the next stage. Lambda variables are materialized
+    # values, so `a.getItem(0)`/`a.getItem(1)` are free lookups — the prior
+    # formulation re-ran the regex split three times per token (once for the
+    # size filter, twice for the struct fields), which was the bulk of the
+    # round-3 warm-time regression (A/B'd at sf0.1: 0.98 -> 0.67 s median).
     toks = F.split(_col(raw), " ")
-    pairs = F.filter(
-        toks,
-        lambda t: (F.size(F.split(t, "=", -1)) == 2),
-    )
+    arrs = F.transform(toks, lambda t: F.split(t, "=", -1))
+    pairs = F.filter(arrs, lambda a: F.size(a) == 2)
     entries = F.transform(
         pairs,
-        lambda t: F.struct(
-            F.split(t, "=", -1).getItem(0).alias("key"),
-            F.split(t, "=", -1).getItem(1).alias("value"),
+        lambda a: F.struct(
+            a.getItem(0).alias("key"), a.getItem(1).alias("value")
         ),
     )
     # Last-wins on duplicate keys, same as the Go map assignment loop.

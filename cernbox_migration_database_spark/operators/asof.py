@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
 
 
 def asof_join(
@@ -30,7 +31,7 @@ def asof_join(
     right_cols: list[str],
     prefix: str = "asof_",
     direction: str = "backward",
-    tolerance: str | None = None,
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with ``right_cols`` from
     the most recent ``right`` row at or before its ``ts`` (NULLs when none).
@@ -40,11 +41,13 @@ def asof_join(
     implementation-wise only the traversal order of the same window plan
     changes (ts descending), so the cost is identical.
 
-    ``tolerance`` (an SQL interval string, e.g. ``"INTERVAL 1 DAY"``)
-    invalidates a match whose ts gap exceeds it — the match becomes NULL,
-    it is NOT re-searched (pandas merge_asof semantics). Implemented by
-    carrying the matched right ts alongside the values and null-masking,
-    still one shuffle.
+    ``tolerance`` invalidates a match whose ts gap exceeds it — the match
+    becomes NULL, it is NOT re-searched (pandas merge_asof semantics).
+    Implemented by carrying the matched right ts alongside the values and
+    null-masking, still one shuffle. For timestamp/date ``ts`` pass an SQL
+    interval string (e.g. ``"INTERVAL 1 DAY"``); for a numeric ``ts`` pass
+    a number (or numeric string) — the gap is plain subtraction there, and
+    an interval would fail analysis with an opaque error.
 
     ``right`` should be pre-deduplicated to one row per (key, ts) — with
     duplicates the carried row is the last under the internal sort, which is
@@ -53,6 +56,36 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     lcols = [c for c in left.columns]
+    clash = {"__is_left", "__mts"} & set(lcols)
+    if clash:
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with asof_join's "
+            "internal tag columns — rename them before the join"
+        )
+    tol_expr = None
+    if tolerance is not None:
+        ts_type = left.schema[ts].dataType
+        if isinstance(ts_type, NumericType):
+            try:
+                num = float(tolerance)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"ts column {ts!r} is numeric ({ts_type.simpleString()}); "
+                    f"tolerance must be a number, got {tolerance!r}"
+                ) from None
+            tol_expr = F.lit(num)
+        elif isinstance(ts_type, (DateType, TimestampType, TimestampNTZType)):
+            if not isinstance(tolerance, str):
+                raise ValueError(
+                    f"ts column {ts!r} is {ts_type.simpleString()}; tolerance "
+                    f"must be an SQL interval string, got {tolerance!r}"
+                )
+            tol_expr = F.expr(tolerance)
+        else:
+            raise ValueError(
+                f"tolerance is not supported for ts column {ts!r} of type "
+                f"{ts_type.simpleString()} (timestamp/date/numeric only)"
+            )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__is_left"),
@@ -91,9 +124,9 @@ def asof_join(
         *lcols, F.col("__is_left"), mts.alias("__mts"), *carried
     )
     gap_ok = (
-        F.col(ts) - F.col("__mts") <= F.expr(tolerance)
+        F.col(ts) - F.col("__mts") <= tol_expr
         if direction == "backward"
-        else F.col("__mts") - F.col(ts) <= F.expr(tolerance)
+        else F.col("__mts") - F.col(ts) <= tol_expr
     )
     valid = F.col("__mts").isNotNull() & gap_ok
     return (

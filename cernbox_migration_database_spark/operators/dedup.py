@@ -256,8 +256,12 @@ def minhash_lsh_dedup(
     candidate pairs -> exact Jaccard verification on candidates only.
 
     The shingle-set DataFrame is persisted (inside _shingle_sets) and shared
-    between signature computation and verification, and the (small)
-    candidate set broadcasts into the verification joins.
+    between signature computation and verification. The verification join is
+    deliberately NOT broadcast-hinted: on a near-dup-heavy 100 TB crawl the
+    LSH candidate-pair set is billions of rows (not driver-sized), so a
+    broadcast hint is a driver OOM at scale. AQE picks broadcast on its own
+    whenever the candidate set measures under the auto-broadcast threshold,
+    so small inputs keep the broadcast plan without the unsafe hint.
     """
     sets_df = _shingle_sets(df, text_col, id_col, None, k).select(
         F.col(id_col), "sh", "n_sh"
@@ -271,7 +275,7 @@ def minhash_lsh_dedup(
         F.col(id_col).alias("ib"), F.col("sh").alias("sb"), F.col("n_sh").alias("nb")
     )
     verified = (
-        F.broadcast(cands).join(sa, "ia")
+        cands.join(sa, "ia")
         .join(sb, "ib")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(

@@ -490,7 +490,18 @@ def pq_codebooks(
         .orderBy(id_col)
         .collect()
     )
+    if len(rows) != k:
+        raise ValueError(
+            f"pq_codebooks seeding needs the {k} corpus rows with "
+            f"{id_col} < {k}; found {len(rows)} — ids must be dense from 0"
+        )
     d = len(rows[0]["sv"])
+    if d % m != 0:
+        raise ValueError(
+            f"vector dim {d} is not divisible by m={m} subspaces — the "
+            f"tail {d % m} dims would be silently dropped from every "
+            "subspace in both encode and ADC"
+        )
     sub = d // m
     return [
         [list(r["sv"][s * sub : (s + 1) * sub]) for r in rows]

@@ -2797,17 +2797,48 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
-@register("approx_sketches")  # no oracle: HLL/quantile sketches differ per engine
+@register(
+    "approx_sketches",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_ok,
+           TRUE AS median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_sketches(spark, sf_dir):
-    """Approximate family (rows-only check by design — sketch internals are
-    engine-specific): HyperLogLog distinct + approximate quantiles. The
-    error-bound contract is asserted in tests/test_approx.py. For the
-    DETERMINISTIC, oracle-checkable approximate-distinct see
-    kmv_distinct_estimate."""
+    """Approximate family: HyperLogLog distinct + approximate quantiles.
+    Sketch INTERNALS are engine-specific (a raw HLL estimate can never
+    hash-match DuckDB), so the differential contract is reduced to what IS
+    cross-engine checkable: the exact distinct count rides along as a
+    hash-checked column, and the sketch estimates are folded into in-engine
+    booleans asserting their published error bounds (HLL within 5x rsd of
+    exact; approx-median between the exact 49th and 51st percentiles —
+    generous vs the 1/accuracy rank-error guarantee). Spark computes the
+    booleans from its own sketches; the oracle asserts them TRUE. Both
+    sketches are deterministic in Spark, so the booleans are stable. The
+    numeric error-bound contract is ALSO asserted in tests/test_approx.py;
+    for the fully deterministic approximate-distinct whose estimate itself
+    hash-matches, see kmv_distinct_estimate."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, array(0.49d, 0.51d))").alias("pb"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("hll_ok"),
+        (
+            (F.col("am") >= F.col("pb").getItem(0))
+            & (F.col("am") <= F.col("pb").getItem(1))
+        ).alias("median_ok"),
     )
 
 
@@ -5596,18 +5627,19 @@ def streaming_outer_join(spark, sf_dir):
 # are skipped, so new queries can claim a slot by being added to the list.
 # ---------------------------------------------------------------------------
 
-# Round-3 rotation (VERDICT r2 item 1): the driver grades only the first
-# 50 entries, and 38 queries had never earned a driver row after two
-# rounds. Window = a 12-query sentinel core (migration trio, scan pair,
-# merge/router/kv/path, flagship dedup + ANN — all driver-green in BOTH
-# prior rounds, they pin the load-bearing paths) + text_langid (semantics
-# REPLACED this round — needs fresh driver evidence) + all 37
-# never-driver-verified oracle-paired queries. approx_sketches stays out:
-# it is rows-only by design and a no-oracle row counts as red under the
-# driver. Everything rotated out remains selfcheck/pytest-green; round 4
-# rotates the two new round-3 queries (weighted LPA, bucketed join) in.
+# Round-4 rotation (VERDICT r3 item 1): after the r3 window went 50/50
+# green, exactly 37 oracle-paired queries have never earned a driver row
+# (computed from CORRECTNESS_r01-r03 keys vs the 147-entry registry).
+# Window = the same 12-query sentinel core + kv_parse_map's perf-changed
+# twin text_langid (driver-green r3, kept as the 13th sentinel since its
+# semantics were replaced only last round) + all 37 remaining queries =
+# exactly 50. approx_sketches (newly oracle-paired this round via its
+# contract-bits reduction — see its docstring) is the one registered query
+# left out: the window is full with never-verified entries; it is the
+# natural first pick for the r5 rotation. After a green r4, every other
+# oracle-paired query in the registry has a driver row on record.
 _PRIORITY = [
-    # --- sentinel core (driver-green r1 AND r2) ---
+    # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",
     "scan_param_filter",
     "migration_merged",
@@ -5620,48 +5652,45 @@ _PRIORITY = [
     "kv_parse_map",
     "dedup_minhash_lsh",
     "similarity_ann_ivf",
-    # --- changed this round ---
     "text_langid",
-    # --- never driver-verified: TPC-H remainder ---
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q20_dominant_supplier",
-    "q22_inactive_customers",
-    # --- never driver-verified: agg/set/window/function basics ---
-    "window_analytics",
-    "window_range_frame",
-    "token_frequencies",
-    "set_union_all",
-    "string_functions",
-    "from_json_struct",
-    "conditional_agg",
-    "scalar_subquery",
-    "null_functions",
-    "unpivot_orders",
-    "map_functions_pipeline",
-    "hof_array_pipeline",
-    "range_join_price_bands",
-    # --- never driver-verified: pipeline/training set ---
-    "hash_sample",
-    "stratified_hash_sample",
-    "train_shuffle",
-    "train_token_packing",
-    "dedup_keep_canonical",
-    "text_redact",
-    "cms_heavy_hitters",
-    "rollup_incremental_merge",
-    "ts_gap_fill",
-    "batch_session_window",
-    "embedding_quantize",
-    "embedding_dim_stats",
-    "multimodal_frame_sample",
-    "streaming_interval_join",
+    # --- the 37 never-driver-verified oracle-paired queries ---
+    "asof_forward_tolerance",
+    "bucketed_join_priority_revenue",
+    "dedup_clusters_star",
+    "dedup_incremental_ingest",
+    "dedup_prefix_filter",
+    "dedup_simhash_pairs",
+    "dedup_winnowing_pairs",
+    "deletion_propagation",
+    "embedding_random_projection",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_retention_cohort",
+    "graph_label_propagation_weighted",
+    "graph_pagerank",
+    "histogram_totalprice",
+    "kmv_distinct_estimate",
+    "percentile_disc_groups",
+    "pipeline_end_to_end",
+    "profile_orders",
+    "quantile_binning",
+    "salted_join_skew",
+    "similarity_pq_adc",
+    "similarity_pq_encode",
+    "stratified_exact_n",
+    "streaming_dedup",
+    "streaming_enrich_join",
+    "streaming_outer_join",
+    "streaming_sliding_window",
+    "text_bigram_lm",
+    "text_fluency",
+    "text_repetition",
+    "text_winnowing",
+    "train_chunking",
+    "train_decontaminate",
+    "train_mixture_weights",
+    "window_distribution",
+    "zorder_lineitem",
 ]
 
 

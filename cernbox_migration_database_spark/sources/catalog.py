@@ -37,6 +37,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # applicationId so a new SparkContext never sees another context's plans.
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# events.ts footer-probe memo, keyed by sf_dir (see events_ts_unit).
+_TS_UNIT_CACHE: dict[str, str] = {}
+
 
 def events_ts_unit(sf_dir: str) -> str:
     """Probe the physical type of `events.ts` from the parquet footer.
@@ -46,8 +49,16 @@ def events_ts_unit(sf_dir: str) -> str:
     accepts via the nanosAsLong legacy conf) and TIMESTAMP(MICROS)
     (read natively as TIMESTAMP_NTZ). A footer probe is a driver-side
     metadata read (no data IO) and lets one loader serve either layout.
-    Returns 'ns' or 'us'.
+    Returns 'ns' or 'us'. The probe result is memoized per sf_dir for the
+    process lifetime (fixtures are immutable within a run; a fresh process
+    re-probes, which is what guards against the driver regenerating them
+    between rounds) — without the memo every cache-HIT load_table('events')
+    still paid a footer read.
     """
+    hit = _TS_UNIT_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+
     import glob
 
     import pyarrow.parquet as pq
@@ -56,9 +67,17 @@ def events_ts_unit(sf_dir: str) -> str:
     if os.path.isdir(path):
         # Spark-style directory table (e.g. the scale-check k-fold
         # replicas): probe the first part file — one table, one schema.
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(
+                f"events table directory {path} contains no part files — "
+                "was the fixture write interrupted?"
+            )
+        path = parts[0]
     t = pq.ParquetFile(path).schema_arrow.field("ts").type
-    return "ns" if "ns" in str(t) or str(t) == "int64" else "us"
+    unit = "ns" if "ns" in str(t) or str(t) == "int64" else "us"
+    _TS_UNIT_CACHE[sf_dir] = unit
+    return unit
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

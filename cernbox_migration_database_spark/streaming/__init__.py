@@ -3,6 +3,7 @@ from .events import (
     dedup_within_watermark,
     event_stream_with_horizon,
     read_event_stream,
+    read_upsert_state,
     run_stream_to_memory,
     session_window_agg,
     stream_static_enrich,
@@ -23,5 +24,6 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_join",
     "stream_upsert_sink",
+    "read_upsert_state",
     "dedup_within_watermark",
 ]

@@ -294,6 +294,7 @@ def stream_upsert_sink(
     keys: list[str],
     order_cols: list[str],
     path: str,
+    checkpoint_location: str | None = None,
 ):
     """Streaming last-wins upsert into a parquet state directory — the
     reference's row-UPDATE sink (main.go:217-240) generalized to a stream:
@@ -303,10 +304,16 @@ def stream_upsert_sink(
 
     Exactly-once story: the merge is IDEMPOTENT (re-applying a delivered
     batch reproduces the same state), which is the foreachBatch recipe for
-    non-transactional targets; the state swap is write-to-tmp + rename so
-    readers never see a half-written directory. On a real deployment the
-    same batch function body becomes MERGE INTO on a transactional table
-    format; the relational core (union + keep-max window) is unchanged.
+    non-transactional targets. The state swap is write-to-tmp, park the
+    live dir at ``path.old``, rename tmp in: no window ever holds the ONLY
+    copy in tmp, and a crash between the two renames leaves ``path.old``
+    intact — the next batch (or reader via ``read_upsert_state``) recovers
+    it. The swap is still two rename syscalls, not one atomic op: a reader
+    racing exactly between them sees a missing dir, which on a local FS is
+    the best plain parquet can do — on a real deployment the same batch
+    body becomes MERGE INTO on a transactional table format. Pass
+    ``checkpoint_location`` so restarts resume from the last committed
+    offset instead of replaying the whole source.
 
     Returns the started StreamingQuery; callers stop() it.
     """
@@ -316,6 +323,9 @@ def stream_upsert_sink(
         import shutil
 
         spark = batch_df.sparkSession
+        old = path + ".old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)  # recover from a crash mid-swap
         if os.path.exists(path):
             merged = spark.read.parquet(path).unionByName(batch_df)
         else:
@@ -329,11 +339,29 @@ def stream_upsert_sink(
         )
         tmp = path + ".tmp"
         new_state.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(apply_batch)
-        .start()
+    writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
+
+
+def read_upsert_state(spark, path: str) -> DataFrame:
+    """Read the state dir maintained by ``stream_upsert_sink``, falling back
+    to the parked ``path.old`` copy if a crash (or read race) hit the
+    two-rename swap window while ``path`` itself is absent."""
+    import os
+
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    old = path + ".old"
+    if os.path.exists(old):
+        return spark.read.parquet(old)
+    raise FileNotFoundError(
+        f"no upsert state at {path} (nor a crash-recovery copy at {old})"
     )

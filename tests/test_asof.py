@@ -84,3 +84,34 @@ def test_asof_forward_and_tolerance_hand_traced(spark):
     # backward with tolerance: event 2 (t=50) sees right at t=40 (gap 10,
     # ok); event 3 (t=200) sees t=60 but gap 140 > 15 -> NULL
     assert back_tol == {1: None, 2: 100, 3: None, 4: None}
+
+
+def test_asof_numeric_tolerance_and_validation(spark):
+    """ADVICE r3: tolerance on a numeric ts takes a numeric gap; interval
+    strings on numeric ts (and internal-name collisions) raise descriptive
+    errors instead of opaque analysis failures."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 300)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 7.0), (10, 150, 8.0)], "k long, t long, v double"
+    )
+    out = asof_join(
+        left, right, key="k", ts="t", right_cols=["v"], tolerance=50
+    )
+    got = {r["lid"]: r["asof_v"] for r in out.collect()}
+    # lid=1 matches t=90 (gap 10 <= 50); lid=2's latest is t=150, gap 150 > 50
+    assert got == {1: 7.0, 2: None}
+
+    with pytest.raises(ValueError, match="must be a number"):
+        asof_join(
+            left, right, key="k", ts="t", right_cols=["v"],
+            tolerance="INTERVAL 1 DAY",
+        )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumn("__mts", F.lit(1)), right,
+            key="k", ts="t", right_cols=["v"],
+        )

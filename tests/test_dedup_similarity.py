@@ -598,3 +598,25 @@ def test_prefix_filter_equals_naive_jaccard(spark):
     # J = 5/11 ~ 0.45, so it appears at t=0.2 but not t=0.5
     assert (1, 2) in pairs and (1, 3) in pairs
     assert not any(5 in p for p in pairs)  # cross-language blocked
+
+
+def test_pq_codebooks_validates_seed_rows_and_divisibility(spark):
+    """ADVICE r3: sparse ids (missing seed rows) and d % m != 0 raise
+    explicit errors instead of bare IndexError / silent tail-dim drop."""
+    from cernbox_migration_database_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    sparse = spark.createDataFrame(
+        [(0, [1.0] * 8), (7, [2.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ids must be dense"):
+        pq_codebooks(sparse, m=2, k=4)
+
+    dense_bad_dim = spark.createDataFrame(
+        [(i, [float(i)] * 7) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(dense_bad_dim, m=2, k=4)

@@ -165,3 +165,30 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     # z-order: prunes a substantial share of files on BOTH keys
     assert z_pk <= n_files // 2
     assert z_sk <= n_files // 2
+
+
+def test_events_ts_unit_memoized_and_empty_dir_error(tmp_path):
+    """ADVICE r3: the footer probe is memoized per sf_dir (no re-read on
+    every cache-hit load) and an empty directory table raises a
+    descriptive error, not bare IndexError."""
+    import os
+
+    import pytest
+
+    from cernbox_migration_database_spark.sources import catalog as C
+
+    unit = C.events_ts_unit(str(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+    assert unit in ("ns", "us")
+
+    empty = tmp_path / "sf_empty"
+    (empty / "events.parquet").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="no part files"):
+        C.events_ts_unit(str(empty))
+
+    # memo: second call must not touch the filesystem
+    sf = "/root/testdata/sf0.001"
+    C.events_ts_unit(sf)
+    import unittest.mock as mock
+
+    with mock.patch("os.path.isdir", side_effect=AssertionError("re-probed")):
+        assert C.events_ts_unit(sf) in ("ns", "us")

@@ -236,3 +236,42 @@ def test_stream_upsert_sink_state_equals_batch_latest(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == want
+
+
+def test_stream_upsert_swap_recovery_and_reader(spark, sf_dir, tmp_path):
+    """ADVICE r3: a crash between the two swap renames leaves the state at
+    path.old; read_upsert_state falls back to it and the next batch
+    recovers it before merging (no data loss, no half-written reads)."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = ST.stream_upsert_sink(
+            ST.read_event_stream(spark, sf_dir).select(
+                "user_id", "ts", "event_id"
+            ),
+            keys=["user_id"], order_cols=["ts", "event_id"], path=path,
+            checkpoint_location=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    want = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    # simulate a crash exactly between the two renames
+    os.rename(path, path + ".old")
+    got = {tuple(r) for r in ST.read_upsert_state(spark, path).collect()}
+    assert got == want
+
+    run(str(tmp_path / "ckpt2"))  # next batch recovers .old then merges
+    assert not os.path.exists(path + ".old")
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == want
+
+    with pytest.raises(FileNotFoundError, match="no upsert state"):
+        ST.read_upsert_state(spark, str(tmp_path / "nowhere"))

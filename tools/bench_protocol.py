@@ -40,7 +40,7 @@ def main() -> int:
         results.append(rec)
         print(
             f"# run {i + 1}/{runs}: cold={rec['value']} "
-            f"warm={rec['warm_total']}",
+            f"warm={rec['warm_total']} load={rec.get('load_avg')}",
             file=sys.stderr,
         )
     colds = [r["value"] for r in results]
@@ -60,6 +60,7 @@ def main() -> int:
                 "spread_warm": [min(warms), max(warms)],
                 "queries_median": qmed,
                 "per_run_cold": colds,
+                "load_avg_per_run": [r.get("load_avg") for r in results],
                 "sf": results[0].get("sf"),
             }
         )

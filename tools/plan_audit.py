@@ -36,6 +36,13 @@ from cernbox_migration_database_spark.session import get_spark
 from cernbox_migration_database_spark.util import release_persisted
 
 HARD = ("BatchEvalPython", "CartesianProduct")
+# Queries whose ANALYZED plan must carry ZERO broadcast hints: their joined
+# sides grow with the data (LSH candidate pairs are billions of rows on a
+# near-dup-heavy 100 TB crawl), so a hard hint is a driver OOM at scale.
+# AQE choosing broadcast at runtime for a measured-small side is fine — the
+# rule bans only the unconditional hint (ResolvedHint in the logical plan).
+# Round-3 verdict caught dedup_minhash_lsh shipping exactly this hint.
+NO_BROADCAST_HINT = ("dedup_minhash_lsh",)
 ARROW = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -112,6 +119,10 @@ def _explain(df) -> str:
     )
 
 
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def selftest() -> int:
     """The rule must flag a deliberately-bad plan and pass a good one."""
     from pyspark.sql import Window as W
@@ -154,6 +165,8 @@ def main() -> int:
             print(f"FLAG {name}: build error {type(e).__name__}: {e}")
             continue
         reasons = audit_plan(plan)
+        if name in NO_BROADCAST_HINT and "ResolvedHint" in _analyzed(df):
+            reasons.append("BroadcastHintOnUnbounded")
         arrow_hits = [a for a in ARROW if a in plan]
         n_exchange = len(re.findall(r"\bExchange ", plan))
         if reasons:

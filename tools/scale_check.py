@@ -12,12 +12,22 @@ scale from fixed overheads), > 1 = a plan that degrades with volume
 (the thing this tool exists to catch).
 
 Duplicate-sensitive operators (near-dup pairing, distinct-heavy plans) are
-deliberately excluded: replicating rows k x inflates their OUTPUT
-quadratically, so wall-clock would measure the workload change, not the
-plan. The three queries here have output cardinality independent of (q1,
-time_bucket) or linear in (q3) the replication factor.
+excluded from the file-copy replica: replicating rows k x inflates their
+OUTPUT quadratically (every copy of a doc near-matches every other copy),
+so wall-clock would measure the workload change, not the plan. For the
+dedup/ANN family (`--dedup`) a REPLICATION-SAFE replica is built instead
+(VERDICT r3 item 5): k shards of documents/embeddings where each shard
+gets offset ids and a per-shard token prefix on every text token — shard
+vocabularies are disjoint, so cross-shard similarity is ~0 and MinHash/
+SimHash bands almost never collide across shards. Candidate and pair
+OUTPUT then scales ~linearly in k (k independent corpora) while candidate
+generation processes k x the rows — which is exactly the growth shape of
+a real crawl and lets the efficiency ratio grade the PLAN. Probe/seed
+rows (vec_id < 20 queries, codebook seeds) live only in shard 0, so ANN
+probe count stays fixed while the scanned corpus scales.
 
 Usage: python tools/scale_check.py [k] [sf_dir] [runs]
+       python tools/scale_check.py --dedup [k] [sf_dir] [runs]
 Prints one JSON line.
 """
 
@@ -47,6 +57,12 @@ DIMS = (
     "embeddings",
 )
 QUERIES = ("q1_pricing_summary", "q3_shipping_priority", "time_bucket_agg")
+DEDUP_QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "similarity_pq_adc",
+    "dedup_prefix_filter",
+)
 
 
 def build_replica(sf_dir: str, k: int) -> str:
@@ -75,6 +91,59 @@ def build_replica(sf_dir: str, k: int) -> str:
     return out
 
 
+def build_dedup_replica(spark, sf_dir: str, k: int) -> str:
+    """k-shard documents/embeddings replica with disjoint per-shard content:
+    ids offset by shard * 1e9 and every whitespace token prefixed with the
+    shard tag (shard 0 keeps the original rows verbatim, so seeds/probes
+    keyed on small ids keep working and 1x results embed in the kx run)."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scale_dedup_{k}x_{os.path.basename(os.path.normpath(sf_dir))}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    doc_shards = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+            (
+                F.regexp_replace("text", r"(\S+)", f"s{i}_$1")
+                if i
+                else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    u = doc_shards[0]
+    for s in doc_shards[1:]:
+        u = u.unionByName(s)
+    u.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e_shards = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(k)
+    ]
+    ue = e_shards[0]
+    for s in e_shards[1:]:
+        ue = ue.unionByName(s)
+    ue.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    for name in FACTS + tuple(d for d in DIMS if d not in ("documents", "embeddings")):
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(out, f"{name}.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+    return out
+
+
 def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
     fn = Q.QUERIES[name]
     # one untimed warm-up absorbs codegen/JIT compile so the timed runs
@@ -90,15 +159,24 @@ def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+    argv = list(sys.argv[1:])
+    dedup_mode = "--dedup" in argv
+    if dedup_mode:
+        argv.remove("--dedup")
+    k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    replica = build_replica(sf_dir, k)
+    runs = int(argv[2]) if len(argv) > 2 else 3
     spark = get_spark(app_name="scale-check")
+    if dedup_mode:
+        replica = build_dedup_replica(spark, sf_dir, k)
+        names = DEDUP_QUERIES
+    else:
+        replica = build_replica(sf_dir, k)
+        names = QUERIES
     results = {}
-    for name in QUERIES:
+    for name in names:
         t1 = time_query(spark, name, sf_dir, runs)
         tk = time_query(spark, name, replica, runs)
         results[name] = {
@@ -109,7 +187,13 @@ def main() -> int:
         }
     print(
         json.dumps(
-            {"metric": "scale_check", "k": k, "sf_dir": sf_dir, "queries": results}
+            {
+                "metric": "scale_check_dedup" if dedup_mode else "scale_check",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "queries": results,
+            }
         )
     )
     shutil.rmtree(replica, ignore_errors=True)
