@@ -15,6 +15,14 @@ from .merge import (
     merge_updates,
 )
 from .multimodal import decode_media, documents_as_media, frame_sample_plan
+from .table_format import (
+    create_table,
+    current_version,
+    history,
+    merge_into,
+    read_table,
+    vacuum,
+)
 from .router import DECISIONS, route_shares, with_decision
 from .similarity import (
     ann_ivf,
@@ -63,4 +71,10 @@ __all__ = [
     "documents_as_media",
     "decode_media",
     "frame_sample_plan",
+    "create_table",
+    "current_version",
+    "history",
+    "merge_into",
+    "read_table",
+    "vacuum",
 ]
