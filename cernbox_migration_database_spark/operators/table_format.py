@@ -160,6 +160,7 @@ def merge_into(
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     check_cardinality: bool = True,
+    matched_condition=None,
 ) -> int:
     """MERGE ``source`` into the versioned table on key column ``on``.
 
@@ -169,6 +170,12 @@ def merge_into(
     must carry the full table schema when inserting/updating and must be
     key-unique (A2 cardinality assertion, main.go:232-238 — checked BEFORE
     any write).
+
+    ``matched_condition`` is the ``WHEN MATCHED AND <cond>`` clause:
+    a callable ``(target_cols, source_cols) -> Column`` over two
+    name→Column dicts; matched rows failing it are left untouched
+    (update) / kept (delete). ``stream_merge_into`` uses it to make
+    out-of-order replays a no-op.
 
     Copy-on-write: with a partitioned table, only partitions containing a
     matched key or an insert are rewritten; the rest hardlink forward.
@@ -221,13 +228,22 @@ def merge_into(
         on,
         "full_outer",
     )
+    if matched_condition is not None:
+        tgt_cols = {c: F.col(c) for c in target.columns}
+        srcd = {on: F.col(on)}
+        srcd.update({c: F.col(f"__s_{c}") for c in target.columns if c != on})
+        # A NULL-evaluating condition must read as "condition not met", not
+        # poison the survives filter (WHERE NULL silently drops rows).
+        cond = F.coalesce(matched_condition(tgt_cols, srcd), F.lit(False))
+    else:
+        cond = F.lit(True)
     out_cols = []
     for c in target.columns:
         if c == on:
             out_cols.append(F.col(on))
         elif when_matched == "update":
             out_cols.append(
-                F.when(F.col("__src").isNotNull(), F.col(f"__s_{c}"))
+                F.when(F.col("__src").isNotNull() & cond, F.col(f"__s_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
             )
@@ -240,11 +256,11 @@ def merge_into(
     survives = (
         # target-only
         (F.col("__tgt").isNotNull() & F.col("__src").isNull())
-        # matched
+        # matched: dropped only by an (unconditional or condition-passing) delete
         | (
             F.col("__tgt").isNotNull()
             & F.col("__src").isNotNull()
-            & F.lit(when_matched != "delete")
+            & ~(F.lit(when_matched == "delete") & cond)
         )
         # source-only
         | (
@@ -289,6 +305,122 @@ def merge_into(
         },
     )
     return new_v
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    zorder: tuple[str, str] | None = None,
+) -> int:
+    """OPTIMIZE: commit a new version with byte-identical DATA but a better
+    physical layout. Every long-lived merge target accretes small files
+    (each COW merge writes at least one per touched partition) — at 100 TB
+    the small-files problem dominates scan cost long before data volume
+    does, so compaction is a first-class table operation, not hygiene.
+
+    Partitioned tables hash-repartition on the partition column so each
+    partition directory lands as ONE task's output (one file). Unpartitioned
+    tables optionally Z-order-cluster on ``zorder=(x, y)`` via
+    layout.write_z_ordered, giving parquet footer min/max pruning on both
+    keys; plain compaction otherwise. Readers on older snapshots are
+    untouched — compaction is just another version behind the atomic
+    pointer. Returns the new version."""
+    base_v = current_version(root)
+    meta = history(root)[0]
+    part_col = meta.get("partition_by")
+    if part_col and zorder:
+        raise ValueError("zorder compaction supports unpartitioned tables only")
+    df = read_table(spark, root, base_v)
+
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    if part_col:
+        (
+            df.repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(staging)
+        )
+    elif zorder:
+        from .layout import write_z_ordered
+
+        write_z_ordered(df, zorder[0], zorder[1], staging)
+    else:
+        df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)).write.mode(
+            "overwrite"
+        ).parquet(staging)
+    os.rename(staging, vdir)
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "compact",
+            "parent": base_v,
+            "partition_by": part_col,
+            "zorder": list(zorder) if zorder else None,
+        },
+    )
+    return new_v
+
+
+def stream_merge_into(
+    stream: DataFrame,
+    root: str,
+    on: str,
+    order_cols: list[str],
+    checkpoint_location: str | None = None,
+):
+    """Streaming MERGE INTO the versioned table: each micro-batch is first
+    reduced LAST-WINS per key on ``order_cols`` (a batch may carry several
+    updates to one key; merge_into's A2 assertion requires key-unique
+    sources), then merged with matched→update / not-matched→insert.
+
+    Cross-batch ordering: micro-batch arrival order is NOT data order (a
+    late file can carry an older row), so the matched-update clause is
+    gated on ``struct(source order_cols) > struct(target order_cols)`` —
+    an older row never regresses the table, and replaying ANY prefix of
+    batches is a no-op (idempotent, the foreachBatch exactly-once recipe;
+    ``checkpoint_location`` makes restarts resume from the last committed
+    offset). This supersedes streaming/events.py ``stream_upsert_sink``'s
+    two-rename state swap: the versioned pointer commit is ONE atomic
+    os.replace, so a reader can never observe a missing or torn table —
+    the race window that sink's docstring concedes does not exist here.
+
+    Returns the started StreamingQuery; callers stop() it. The table must
+    already exist (create_table) so inserts inherit its schema contract.
+    """
+    from pyspark.sql import Window
+
+    def newer(tgt, src):
+        return F.struct(*[src[c] for c in order_cols]) > F.struct(
+            *[tgt[c] for c in order_cols]
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        order = [F.col(c).desc() for c in order_cols]
+        w = Window.partitionBy(on).orderBy(*order)
+        last_wins = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if last_wins.isEmpty():
+            return
+        merge_into(
+            spark,
+            root,
+            last_wins,
+            on=on,
+            check_cardinality=False,  # last-wins reduction IS the guarantee
+            matched_condition=newer,
+        )
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
 
 
 def vacuum(root: str, keep_last: int = 2) -> list[int]:

@@ -154,3 +154,121 @@ def test_merge_equals_full_outer_oracle_on_fixture(spark, sf_dir):
         )
         sym_diff = got.exceptAll(expect).union(expect.exceptAll(got))
         assert sym_diff.count() == 0
+
+
+def test_compact_partitioned_reduces_files_keeps_data(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # many small files: 4 input partitions per grp value at create time
+    df = _base(spark).union(_base(spark).withColumn("id", F.col("id") + 10)).repartition(8)
+    TF.create_table(df, root, partition_by="grp")
+
+    def files(v):
+        vdir = os.path.join(root, "_versions", f"v{v:08d}")
+        return [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = TF.read_table(spark, root).collect()
+    v = TF.compact(spark, root)
+    assert v == 2
+    assert len(files(2)) < len(files(1))
+    # one file per partition directory
+    vdir = os.path.join(root, "_versions", "v00000002")
+    for entry in os.listdir(vdir):
+        if entry.startswith("grp="):
+            n = len([f for f in os.listdir(os.path.join(vdir, entry)) if f.endswith(".parquet")])
+            assert n == 1, f"{entry} has {n} files"
+    assert sorted(map(tuple, TF.read_table(spark, root).collect())) == sorted(
+        map(tuple, before)
+    )
+    assert TF.history(root)[-1]["action"] == "compact"
+
+
+def test_compact_zorder_unpartitioned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows = [Row(id=i, grp="g", val=float(i % 13), x=i % 50, y=(i * 7) % 50) for i in range(500)]
+    TF.create_table(spark.createDataFrame(rows).repartition(6), root)
+    before = sorted(r["id"] for r in TF.read_table(spark, root).collect())
+    TF.compact(spark, root, zorder=("x", "y"))
+    assert sorted(r["id"] for r in TF.read_table(spark, root).collect()) == before
+    with pytest.raises(ValueError, match="unpartitioned"):
+        root2 = str(tmp_path / "p")
+        TF.create_table(_base(spark), root2, partition_by="grp")
+        TF.compact(spark, root2, zorder=("id", "val"))
+
+
+def test_merge_matched_condition_gates_update_and_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    # conditional update: only apply where source val is GREATER
+    src = spark.createDataFrame(
+        [Row(id=1, grp="a", val=5.0), Row(id=2, grp="a", val=50.0)]
+    )
+    TF.merge_into(
+        spark, root, src, on="id", when_not_matched=None,
+        matched_condition=lambda t, s: s["val"] > t["val"],
+    )
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: 10.0, 2: 50.0, 3: 30.0, 4: 40.0}  # id=1 untouched
+    # conditional delete
+    src2 = spark.createDataFrame([Row(id=3, grp="b", val=0.0), Row(id=4, grp="c", val=100.0)])
+    TF.merge_into(
+        spark, root, src2, on="id", when_matched="delete", when_not_matched=None,
+        matched_condition=lambda t, s: t["val"] < s["val"],
+    )
+    ids = {r["id"] for r in TF.read_table(spark, root).collect()}
+    assert ids == {1, 2, 3}  # only id=4 (40 < 100) deleted
+
+
+def test_stream_merge_into_equals_batch_latest_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Streaming MERGE INTO the versioned table == batch keep-latest-per-user,
+    seeded from a prefix snapshot (so the stream exercises BOTH matched
+    updates and not-matched inserts); a full replay is a no-op."""
+    from cernbox_migration_database_spark import streaming as ST
+    from cernbox_migration_database_spark.sources.catalog import load_table
+    from pyspark.sql import Window as W2
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    w = W2.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = lambda df: (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    seed = latest(ev.where(F.col("user_id") % 2 == 0))  # half the users
+    root = str(tmp_path / "t")
+    TF.create_table(seed, root)
+
+    def run_once():
+        q = TF.stream_merge_into(
+            ST.read_event_stream(spark, sf_dir).select(*cols),
+            root,
+            on="user_id",
+            order_cols=["ts", "event_id"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"]) for r in latest(ev).collect()
+    }
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in TF.read_table(spark, root).collect()
+    }
+    assert got == want
+    v_after = TF.current_version(root)
+
+    run_once()  # replay: matched_condition gates every stale update out
+    again = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in TF.read_table(spark, root).collect()
+    }
+    assert again == want
+    assert TF.current_version(root) > v_after  # new version committed...
+    # ...but byte-equal data (idempotent merge)
