@@ -117,11 +117,19 @@ def read_table(
     vdir = _vdir(root, v)
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} of {root} does not exist (vacuumed?)")
-    df = spark.read.parquet(vdir)
-    # Restore the logical column order from the create commit — a partitioned
-    # parquet read surfaces the partition column last, which would leak the
-    # physical layout into the table's schema contract.
-    cols = history(root)[0].get("columns")
+    entries = [e for e in history(root) if e["version"] <= v]
+    # Hardlink-carried partitions keep their ORIGINAL files, so after a
+    # schema-evolving merge a version directory legitimately mixes footer
+    # schemas; mergeSchema reconciles them (absent columns read as null).
+    # The flag is sticky from the first evolving commit and costs nothing
+    # before it.
+    evolved = any(e.get("evolved") for e in entries)
+    reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
+    df = reader.parquet(vdir)
+    # Restore the logical column order of THIS version's commit — a
+    # partitioned parquet read surfaces the partition column last, which
+    # would leak the physical layout into the table's schema contract.
+    cols = entries[-1].get("columns") or entries[0].get("columns")
     if cols and set(cols) == set(df.columns):
         df = df.select(*cols)
     return df
@@ -161,6 +169,7 @@ def merge_into(
     when_not_matched: str | None = "insert",
     check_cardinality: bool = True,
     matched_condition=None,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE ``source`` into the versioned table on key column ``on``.
 
@@ -177,6 +186,12 @@ def merge_into(
     (update) / kept (delete). ``stream_merge_into`` uses it to make
     out-of-order replays a no-op.
 
+    ``evolve_schema=True`` accepts source columns absent from the table:
+    the new columns are appended to the table schema, existing rows (and
+    hardlink-carried partitions) read them as null via footer schema
+    merging. Source may also OMIT table columns — omitted columns keep
+    their target values on update and insert as null.
+
     Copy-on-write: with a partitioned table, only partitions containing a
     matched key or an insert are rewritten; the rest hardlink forward.
     Returns the new version number.
@@ -192,6 +207,24 @@ def merge_into(
     meta = history(root)[0]
     part_col = meta.get("partition_by")
     target = read_table(spark, root, base_v)
+
+    src_cols = set(source.columns)
+    if on not in src_cols:
+        raise ValueError(f"source is missing the merge key column {on!r}")
+    new_fields = [f for f in source.schema.fields if f.name not in set(target.columns)]
+    if new_fields and not evolve_schema:
+        raise ValueError(
+            f"source has columns not in the table schema "
+            f"{[f.name for f in new_fields]}; pass evolve_schema=True to add them"
+        )
+    for f in new_fields:
+        target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # Columns the source omits ride along as nulls so the full-outer join
+    # is schema-aligned; the update expressions below keep TARGET values
+    # for them (an omitted column is "not set by this merge", not nulled).
+    for f in target.schema.fields:
+        if f.name not in src_cols:
+            source = source.withColumn(f.name, F.lit(None).cast(f.dataType))
     source = source.select(*target.columns)  # align column order to table schema
 
     if part_col:
@@ -208,7 +241,15 @@ def merge_into(
             .distinct()
             .collect()
         }
-        touched = matched_parts | (src_parts if when_not_matched else set())
+        # Updates and inserts can both LAND rows in source-side partitions
+        # (an update may move a row across partitions by changing the
+        # partition column), so those partitions count as touched whenever
+        # either clause writes; only a pure delete merge is scoped to the
+        # matched partitions alone.
+        if when_matched == "update" or when_not_matched:
+            touched = matched_parts | src_parts
+        else:
+            touched = matched_parts
         keep = target.where(F.col(part_col).isin(list(touched)))
     else:
         touched = None
@@ -241,13 +282,15 @@ def merge_into(
     for c in target.columns:
         if c == on:
             out_cols.append(F.col(on))
-        elif when_matched == "update":
+        elif when_matched == "update" and c in src_cols:
             out_cols.append(
                 F.when(F.col("__src").isNotNull() & cond, F.col(f"__s_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
             )
         else:
+            # not an update target (when_matched != update, or the source
+            # omitted this column): keep the target value, null on insert
             out_cols.append(
                 F.when(F.col("__tgt").isNotNull(), F.col(c))
                 .otherwise(F.col(f"__s_{c}"))
@@ -302,6 +345,8 @@ def merge_into(
             "parent": base_v,
             "partition_by": part_col,
             "touched_partitions": sorted(str(t) for t in touched) if touched is not None else None,
+            "columns": target.columns,
+            "evolved": bool(new_fields),
         },
     )
     return new_v
@@ -359,9 +404,76 @@ def compact(
             "parent": base_v,
             "partition_by": part_col,
             "zorder": list(zorder) if zorder else None,
+            "columns": df.columns,
         },
     )
     return new_v
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: row-level changes between two snapshots, keyed on
+    ``key``. Emits the table columns plus ``_change_type`` ∈
+    {'insert', 'update', 'delete'} — post-image values for insert/update,
+    pre-image for delete (the CDC shape downstream incremental consumers
+    expect).
+
+    Scale path: the commit log records which partitions each merge touched,
+    so when every commit in (from, to] is partition-scoped the diff prunes
+    BOTH snapshot scans to the union of touched partitions — a day of
+    late-data merges against a years-deep table diffs only the affected
+    days. Compaction commits are layout-only and ignored. Falls back to a
+    full-table diff when any commit lacks partition scope.
+    """
+    if to_version is None:
+        to_version = current_version(root)
+    if not from_version < to_version:
+        raise ValueError(f"need from_version < to_version, got {from_version} >= {to_version}")
+    old = read_table(spark, root, from_version)
+    new = read_table(spark, root, to_version)
+    # Schema evolution between the snapshots: diff in the NEW schema, the
+    # old side reading appended columns as null.
+    for f in new.schema.fields:
+        if f.name not in set(old.columns):
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    old = old.select(*new.columns)
+
+    entries = [e for e in history(root) if from_version < e["version"] <= to_version]
+    data_commits = [e for e in entries if e["action"] != "compact"]
+    part_col = data_commits[0].get("partition_by") if data_commits else None
+    touched: set[str] | None = set()
+    for e in data_commits:
+        tp = e.get("touched_partitions")
+        if tp is None or e.get("partition_by") != part_col:
+            touched = None  # un-prunable commit → full diff
+            break
+        touched.update(tp)
+    if part_col and touched is not None:
+        vals = sorted(touched)
+        old = old.where(F.col(part_col).cast("string").isin(vals))
+        new = new.where(F.col(part_col).cast("string").isin(vals))
+
+    val_cols = [c for c in new.columns if c != key]
+    o = old.select(key, F.struct(*val_cols).alias("__o"))
+    n = new.select(key, F.struct(*val_cols).alias("__n"))
+    j = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("insert"))
+        .when(F.col("__n").isNull(), F.lit("delete"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("update"))
+    )
+    img = F.when(F.col("_change_type") == "delete", F.col("__o")).otherwise(F.col("__n"))
+    return (
+        j.withColumn("_change_type", change)
+        .where(F.col("_change_type").isNotNull())
+        .withColumn("__img", img)
+        .select(key, "__img.*", "_change_type")
+    )
 
 
 def stream_merge_into(

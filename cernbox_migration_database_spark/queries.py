@@ -5746,6 +5746,66 @@ def table_time_travel(spark, sf_dir):
     )
 
 
+@register(
+    "table_changes",
+    """
+    WITH chg AS (
+      SELECT 'delete' AS change_type, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'update', o_totalprice * 2
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'insert', 777.0
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT change_type, COUNT(*) AS n_rows,
+           (CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM chg
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def table_changes(spark, sf_dir):
+    """Change data feed over the versioned table: an update+insert merge then
+    a delete merge, diffed snapshot-to-snapshot with
+    table_format.read_changes (commit-log partition pruning; post-image
+    values for insert/update, pre-image for delete). The oracle recomputes
+    the expected change set relationally — deleted keys report their v1
+    (pre-update) price even though v2 doubled some of them, which pins the
+    pre-image-from-from_version semantics."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("changes", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = base.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("9-INSERTED").alias("o_orderpriority"),
+        F.lit(777.0).alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, updates.unionByName(inserts), on="o_orderkey")
+    doomed = base.where(F.col("o_orderkey") % 5 == 0)
+    TF.merge_into(
+        spark, root, doomed, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+    return (
+        TF.read_changes(spark, root, key="o_orderkey", from_version=1)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest

@@ -272,3 +272,76 @@ def test_stream_merge_into_equals_batch_latest_and_is_idempotent(spark, sf_dir, 
     assert again == want
     assert TF.current_version(root) > v_after  # new version committed...
     # ...but byte-equal data (idempotent merge)
+
+
+def test_schema_evolution_merge_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    # source with a NEW column and an OMITTED one (val)
+    src = spark.createDataFrame(
+        [Row(id=2, grp="a", score=0.9), Row(id=5, grp="d", score=0.5)]
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        TF.merge_into(spark, root, src, on="id")
+    TF.merge_into(spark, root, src, on="id", evolve_schema=True)
+    got = {
+        r["id"]: (r["grp"], r["val"], r["score"])
+        for r in TF.read_table(spark, root).collect()
+    }
+    assert got == {
+        1: ("a", 10.0, None),      # hardlink-carried row: new col reads null
+        2: ("a", 20.0, 0.9),       # omitted col keeps target value, new col set
+        3: ("b", 30.0, None),
+        4: ("c", 40.0, None),
+        5: ("d", None, 0.5),       # insert: omitted col null
+    }
+    # logical column order: new column appended
+    assert TF.read_table(spark, root).columns == ["id", "grp", "val", "score"]
+    # time travel to v1 keeps the ORIGINAL schema
+    assert TF.read_table(spark, root, version=1).columns == ["id", "grp", "val"]
+
+
+def test_read_changes_insert_update_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=2, grp="a", val=99.0), Row(id=5, grp="d", val=50.0)]),
+        on="id",
+    )
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=3, grp="b", val=0.0)]),
+        on="id", when_matched="delete", when_not_matched=None,
+    )
+    ch = {
+        r["id"]: (r["_change_type"], r["val"])
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {
+        2: ("update", 99.0),   # post-image
+        3: ("delete", 30.0),   # pre-image
+        5: ("insert", 50.0),
+    }
+    # intermediate window: v2 -> v3 sees only the delete
+    ch23 = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=2, to_version=3).collect()
+    }
+    assert ch23 == {3: "delete"}
+
+
+def test_read_changes_catches_partition_moving_update(spark, tmp_path):
+    """An update that changes the partition column must surface as ONE
+    update (not a delete + insert, and not be pruned away)."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=1, grp="z", val=10.0)])  # a -> z
+    TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    ch = {
+        r["id"]: (r["_change_type"], r["grp"])
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {1: ("update", "z")}
+    got = {r["id"]: r["grp"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: "z", 2: "a", 3: "b", 4: "c"}
