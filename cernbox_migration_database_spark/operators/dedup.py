@@ -566,28 +566,47 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance — the pairing step
     that completes the simhash path (signatures alone don't dedup).
 
     Candidate generation is EXACT, not probabilistic: the 64-bit signature
-    splits into 4 bands of 16 bits, and two signatures within Hamming
-    distance 3 differ in at most 3 bands, so by pigeonhole they share at
-    least one band VERBATIM — a bucket equi-join finds every qualifying
-    pair (no recall loss, unlike MinHash-LSH banding). Verification then
-    computes the exact distance on candidates only.
+    splits into ``n_bands`` contiguous bands (default ``max_hamming + 1``,
+    so 4x16 bits for the default h=3), and two signatures within Hamming
+    distance h < n_bands differ in at most h bands, so by pigeonhole they
+    share at least one band VERBATIM — a bucket equi-join finds every
+    qualifying pair (no recall loss, unlike MinHash-LSH banding).
+    Verification then computes the exact distance on candidates only.
 
-    Plan shape mirrors lsh_candidate_pairs: posexplode 4 band values,
+    ``n_bands`` is the scale knob (r3 verdict note): MORE bands than the
+    h+1 minimum means SHORTER band values, denser buckets, and more
+    candidates to verify; fewer is impossible (pigeonhole breaks). At
+    corpus scale the failure mode is the opposite — short bands (e.g.
+    16 bits = 65k distinct values) saturate by birthday collision, so a
+    larger-h caller picks the minimum bands for their h (6 bands of ~11
+    bits for h<=5) and occupancy per bucket stays flat as the corpus
+    grows only if band entropy exceeds log2(corpus); beyond that the
+    right move is a longer signature, not more bands. Widths distribute
+    64 bits as evenly as possible (e.g. 6 -> 11,11,11,11,10,10).
+
+    Plan shape mirrors lsh_candidate_pairs: posexplode band values,
     bucket-aggregate pair expansion (no self-join), then one join back to
     the signature table and a row-local 64-position compare. All string/
     integer arithmetic — the DuckDB oracle reproduces every bit.
     """
-    n_bands, band_bits = 4, 16
-    assert max_hamming < n_bands, "pigeonhole guarantee needs h < n_bands"
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not max_hamming < n_bands <= 64:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands <= 64, "
+            f"got h={max_hamming}, n_bands={n_bands}"
+        )
     sigs = tracked_persist(simhash64(df, text_col, id_col))
+    widths = [64 // n_bands + (1 if b < 64 % n_bands else 0) for b in range(n_bands)]
+    starts = [sum(widths[:b]) for b in range(n_bands)]
     band_vals = [
-        F.substring("simhash", b * band_bits + 1, band_bits)
-        for b in range(n_bands)
+        F.substring("simhash", starts[b] + 1, widths[b]) for b in range(n_bands)
     ]
     bands = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band", "bv")

@@ -5828,6 +5828,11 @@ def table_changes(spark, sf_dir):
 # left out: the window is full with never-verified entries; it is the
 # natural first pick for the r5 rotation. After a green r4, every other
 # oracle-paired query in the registry has a driver row on record.
+# r5 rotation plan: swap into the window approx_sketches plus the four
+# queries added later in round 4 (merge_into_versioned, table_time_travel,
+# table_changes, and any other post-rotation additions — they sit after
+# the window this round by construction; selfcheck/driver_sim-green at
+# sf0.01 already), keeping the sentinel core.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",

@@ -461,6 +461,25 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(spark, sf_dir):
                 want.add((a, b, h))
     assert got == want and len(want) > 0
 
+    # widened banding (the h<=5 scale configuration, 6 uneven bands of
+    # 11/10 bits) keeps the exactness guarantee
+    got5 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, max_hamming=5, n_bands=6).collect()
+    }
+    want5 = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(sig[a], sig[b]))
+            if h <= 5:
+                want5.add((a, b, h))
+    assert got5 == want5 and len(want5) >= len(want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
+
 
 def test_pq_seed_vectors_encode_to_themselves(spark, sf_dir):
     from cernbox_migration_database_spark.operators import similarity as S
