@@ -14,6 +14,11 @@ from .merge import (
     jdbc_upsert_writer,
     merge_updates,
 )
+from .matview import (
+    create_aggregate_view,
+    read_aggregate_view,
+    refresh_aggregate_view,
+)
 from .multimodal import decode_media, documents_as_media, frame_sample_plan
 from .table_format import (
     compact,
@@ -75,6 +80,9 @@ __all__ = [
     "decode_media",
     "frame_sample_plan",
     "compact",
+    "create_aggregate_view",
+    "refresh_aggregate_view",
+    "read_aggregate_view",
     "create_table",
     "current_version",
     "history",

@@ -170,6 +170,7 @@ def merge_into(
     check_cardinality: bool = True,
     matched_condition=None,
     evolve_schema: bool = False,
+    update_set=None,
 ) -> int:
     """MERGE ``source`` into the versioned table on key column ``on``.
 
@@ -185,6 +186,12 @@ def merge_into(
     name→Column dicts; matched rows failing it are left untouched
     (update) / kept (delete). ``stream_merge_into`` uses it to make
     out-of-order replays a no-op.
+
+    ``update_set`` maps column name → ``(target_cols, source_cols) ->
+    Column`` and overrides the matched-update value for that column (the
+    ``UPDATE SET col = <expr>`` form — e.g. additive counters
+    ``lambda t, s: t["n"] + s["n"]``); columns not in the dict keep the
+    replace-with-source default. Inserts always take source values.
 
     ``evolve_schema=True`` accepts source columns absent from the table:
     the new columns are appended to the table schema, existing rows (and
@@ -269,22 +276,35 @@ def merge_into(
         on,
         "full_outer",
     )
+    tgt_cols = {c: F.col(c) for c in target.columns}
+    srcd = {on: F.col(on)}
+    srcd.update({c: F.col(f"__s_{c}") for c in target.columns if c != on})
     if matched_condition is not None:
-        tgt_cols = {c: F.col(c) for c in target.columns}
-        srcd = {on: F.col(on)}
-        srcd.update({c: F.col(f"__s_{c}") for c in target.columns if c != on})
         # A NULL-evaluating condition must read as "condition not met", not
         # poison the survives filter (WHERE NULL silently drops rows).
         cond = F.coalesce(matched_condition(tgt_cols, srcd), F.lit(False))
     else:
         cond = F.lit(True)
+    update_set = update_set or {}
     out_cols = []
     for c in target.columns:
         if c == on:
             out_cols.append(F.col(on))
-        elif when_matched == "update" and c in src_cols:
+        elif when_matched == "update" and (c in src_cols or c in update_set):
+            upd_val = (
+                update_set[c](tgt_cols, srcd)
+                if c in update_set
+                else F.col(f"__s_{c}")
+            )
             out_cols.append(
-                F.when(F.col("__src").isNotNull() & cond, F.col(f"__s_{c}"))
+                # matched → the update expression; source-only (insert) →
+                # plain source value (an update_set expr referencing target
+                # columns would evaluate null there); else keep target.
+                F.when(
+                    F.col("__tgt").isNotNull() & F.col("__src").isNotNull() & cond,
+                    upd_val,
+                )
+                .when(F.col("__tgt").isNull(), F.col(f"__s_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
             )
@@ -416,12 +436,16 @@ def read_changes(
     key: str,
     from_version: int,
     to_version: int | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Change data feed: row-level changes between two snapshots, keyed on
     ``key``. Emits the table columns plus ``_change_type`` ∈
     {'insert', 'update', 'delete'} — post-image values for insert/update,
     pre-image for delete (the CDC shape downstream incremental consumers
-    expect).
+    expect). With ``include_preimage=True`` each update emits TWO rows,
+    ``update_preimage`` and ``update_postimage`` — the shape additive
+    consumers (incremental aggregate maintenance) need to subtract the old
+    contribution and add the new one.
 
     Scale path: the commit log records which partitions each merge touched,
     so when every commit in (from, to] is partition-scoped the diff prunes
@@ -467,11 +491,39 @@ def read_changes(
         .when(F.col("__n").isNull(), F.lit("delete"))
         .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("update"))
     )
+    changed = j.withColumn("_change_type", change).where(
+        F.col("_change_type").isNotNull()
+    )
+    if include_preimage:
+        # update -> two rows; insert/delete unchanged. The explode carries
+        # (type, image) pairs so this stays one pass, no self-join.
+        pair = F.when(
+            F.col("_change_type") == "update",
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("t"), F.col("__o").alias("img")
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("t"), F.col("__n").alias("img")
+                ),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.col("_change_type").alias("t"),
+                    F.when(F.col("_change_type") == "delete", F.col("__o"))
+                    .otherwise(F.col("__n"))
+                    .alias("img"),
+                )
+            )
+        )
+        return (
+            changed.select(key, F.explode(pair).alias("p"))
+            .select(key, "p.img.*", F.col("p.t").alias("_change_type"))
+        )
     img = F.when(F.col("_change_type") == "delete", F.col("__o")).otherwise(F.col("__n"))
     return (
-        j.withColumn("_change_type", change)
-        .where(F.col("_change_type").isNotNull())
-        .withColumn("__img", img)
+        changed.withColumn("__img", img)
         .select(key, "__img.*", "_change_type")
     )
 

@@ -5806,6 +5806,71 @@ def table_changes(spark, sf_dir):
     )
 
 
+@register(
+    "mv_incremental_refresh",
+    """
+    WITH merged AS (
+      SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT '9-NEW', 777.0 FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           (CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_o_totalprice
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incrementally-maintained aggregate view (operators/matview.py): a
+    per-status count+sum view over a versioned orders table is refreshed
+    purely from the change feed across three merges — value updates,
+    GROUP-MOVING updates (status flips, which also move rows across the
+    table's status partitions), inserts, and deletes — never rescanning
+    the base. The oracle recomputes the final aggregate from scratch, so a
+    hash match proves delta maintenance ≡ recomputation, exactly (the
+    fixed-point integer sums make the addition order irrelevant)."""
+    from .operators import matview as MVX
+    from .operators import table_format as TF
+
+    scratch = _versioned_scratch("mv", sf_dir)
+    root = scratch + "/base"
+    mv_root = scratch + "/view"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderstatus")
+    MVX.create_aggregate_view(
+        spark, root, mv_root,
+        key="o_orderkey", group_cols=["o_orderstatus"], sum_cols=["o_totalprice"],
+    )
+    upd = base.where((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0)).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, upd, on="o_orderkey", when_not_matched=None)
+    ins = base.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("9-NEW").alias("o_orderstatus"),
+        F.lit(777.0).alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, ins, on="o_orderkey", when_matched=None)
+    doomed = base.where(F.col("o_orderkey") % 5 == 0)
+    TF.merge_into(
+        spark, root, doomed, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+    MVX.refresh_aggregate_view(spark, mv_root)
+    return MVX.read_aggregate_view(spark, mv_root).orderBy("o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
