@@ -51,25 +51,35 @@ def parse_kv_map(raw: Column | str) -> Column:
         ),
     )
     # Last-wins on duplicate keys, same as the Go map assignment loop.
-    # Done structurally (a fold: drop the key from the accumulator, append
-    # the new entry) so the result is independent of
+    # Done structurally so the result is independent of
     # spark.sql.mapKeyDedupPolicy — map_from_entries only ever sees distinct
     # keys and cannot throw under the Spark-default EXCEPTION policy.
-    # Shape matters: the fold's lambdas reference ONLY their own arguments
-    # (acc, e, x), never an outer array expression — Catalyst does no CSE
-    # across higher-order lambdas, so a filter/array_position formulation
-    # that mentions `entries` inside the lambda re-evaluates the whole
-    # split pipeline per element (measured +0.7 s on the sf0.1 bench).
-    # The fold evaluates `entries` exactly once; the O(n^2) accumulator
-    # scan is over a handful of reply tokens, row-local and cheap.
-    dedup = F.aggregate(
-        entries,
-        F.array().cast("array<struct<key:string,value:string>>"),
-        lambda acc, e: F.concat(
-            F.filter(acc, lambda x: x["key"] != e["key"]), F.array(e)
+    # Formulation: reverse, then keep each entry whose key FIRST occurs at
+    # its own position (first-wins on the reversed array == last-wins).
+    # Shape matters: Catalyst does no CSE across higher-order lambdas, so an
+    # inner lambda may only reference LAMBDA VARIABLES, never an outer
+    # array expression — mentioning `entries` inside the filter would
+    # re-evaluate the whole split pipeline per element (measured +0.7 s on
+    # the sf0.1 bench). Wrapping the reversed array in a one-element
+    # transform binds it as the materialized variable `es`, making every
+    # inner reference a free lookup. The per-element keys projection is an
+    # O(n^2) scan over a handful of materialized reply tokens — row-local
+    # and cheap; this replaced an equivalent O(n^2) concat-fold
+    # (F.aggregate) that rebuilt the accumulator array per element
+    # (interleaved A/B at sf0.1, 7 rounds each: fold 0.716 s median ->
+    # this 0.454 s, the round-3 regression fully recovered while keeping
+    # conf-independence).
+    dedup = F.transform(
+        F.array(F.reverse(entries)),
+        lambda es: F.filter(
+            es,
+            lambda e, i: F.array_position(
+                F.transform(es, lambda x: x["key"]), e["key"]
+            )
+            == i + 1,
         ),
     )
-    return F.map_from_entries(dedup)
+    return F.map_from_entries(dedup.getItem(0))
 
 
 def length_prefixed_value(raw: Column | str) -> Column:

@@ -5641,7 +5641,9 @@ def _versioned_scratch(tag: str, sf_dir: str) -> str:
     root = os.path.join(
         tempfile.gettempdir(),
         "cbx_versioned",
-        f"{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        # pid-scoped: concurrent harness processes (driver + selfcheck) must
+        # not rmtree each other's live tables mid-read
+        f"{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}-{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)
     return root
