@@ -18,14 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assert_exactly_one(updates: DataFrame, key: str) -> None:
+def assert_exactly_one(updates: DataFrame, key: str | list[str]) -> None:
     """A2 (main.go:232-238): every key in the update set must be unique.
-    Raises with the offending keys (bounded sample) otherwise."""
+    Raises with the offending keys (bounded sample) otherwise. ``key`` may
+    be a single column name or a composite-key column list."""
+    keys = [key] if isinstance(key, str) else list(key)
     dupes = (
-        updates.groupBy(key).count().filter(F.col("count") > 1).limit(5).collect()
+        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(5).collect()
     )
     if dupes:
-        raise ValueError(f"update set has duplicate keys: {[r[key] for r in dupes]}")
+        shown = [r[keys[0]] if len(keys) == 1 else tuple(r[k] for k in keys) for r in dupes]
+        raise ValueError(f"update set has duplicate keys: {shown}")
 
 
 def merge_updates(

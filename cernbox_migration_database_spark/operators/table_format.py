@@ -164,7 +164,7 @@ def merge_into(
     spark: SparkSession,
     root: str,
     source: DataFrame,
-    on: str,
+    on: str | list[str],
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     check_cardinality: bool = True,
@@ -172,7 +172,8 @@ def merge_into(
     evolve_schema: bool = False,
     update_set=None,
 ) -> int:
-    """MERGE ``source`` into the versioned table on key column ``on``.
+    """MERGE ``source`` into the versioned table on key column(s) ``on``
+    (a composite key is passed as a list).
 
     ``when_matched``: ``'update'`` (source row replaces the target row),
     ``'delete'`` (matched target rows are dropped), or None (leave matched
@@ -207,8 +208,9 @@ def merge_into(
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched}")
+    keys = [on] if isinstance(on, str) else list(on)
     if check_cardinality:
-        assert_exactly_one(source, on)
+        assert_exactly_one(source, keys[0] if len(keys) == 1 else keys)
 
     base_v = current_version(root)
     meta = history(root)[0]
@@ -216,8 +218,9 @@ def merge_into(
     target = read_table(spark, root, base_v)
 
     src_cols = set(source.columns)
-    if on not in src_cols:
-        raise ValueError(f"source is missing the merge key column {on!r}")
+    missing_keys = [k for k in keys if k not in src_cols]
+    if missing_keys:
+        raise ValueError(f"source is missing the merge key column(s) {missing_keys}")
     new_fields = [f for f in source.schema.fields if f.name not in set(target.columns)]
     if new_fields and not evolve_schema:
         raise ValueError(
@@ -243,7 +246,7 @@ def merge_into(
         }
         matched_parts = {
             r[0]
-            for r in target.join(source.select(on).distinct(), on, "left_semi")
+            for r in target.join(source.select(*keys).distinct(), keys, "left_semi")
             .select(part_col)
             .distinct()
             .collect()
@@ -269,16 +272,16 @@ def merge_into(
     keep_tagged = keep.withColumn("__tgt", F.lit(True))
     joined = keep_tagged.join(
         src_tag.select(
-            on,
+            *keys,
             F.col("__src"),
-            *[F.col(c).alias(f"__s_{c}") for c in target.columns if c != on],
+            *[F.col(c).alias(f"__s_{c}") for c in target.columns if c not in keys],
         ),
-        on,
+        keys,
         "full_outer",
     )
     tgt_cols = {c: F.col(c) for c in target.columns}
-    srcd = {on: F.col(on)}
-    srcd.update({c: F.col(f"__s_{c}") for c in target.columns if c != on})
+    srcd = {k: F.col(k) for k in keys}
+    srcd.update({c: F.col(f"__s_{c}") for c in target.columns if c not in keys})
     if matched_condition is not None:
         # A NULL-evaluating condition must read as "condition not met", not
         # poison the survives filter (WHERE NULL silently drops rows).
@@ -288,8 +291,8 @@ def merge_into(
     update_set = update_set or {}
     out_cols = []
     for c in target.columns:
-        if c == on:
-            out_cols.append(F.col(on))
+        if c in keys:
+            out_cols.append(F.col(c))
         elif when_matched == "update" and (c in src_cols or c in update_set):
             upd_val = (
                 update_set[c](tgt_cols, srcd)
@@ -433,13 +436,13 @@ def compact(
 def read_changes(
     spark: SparkSession,
     root: str,
-    key: str,
+    key: str | list[str],
     from_version: int,
     to_version: int | None = None,
     include_preimage: bool = False,
 ) -> DataFrame:
     """Change data feed: row-level changes between two snapshots, keyed on
-    ``key``. Emits the table columns plus ``_change_type`` ∈
+    ``key`` (single column name or composite-key list). Emits the table columns plus ``_change_type`` ∈
     {'insert', 'update', 'delete'} — post-image values for insert/update,
     pre-image for delete (the CDC shape downstream incremental consumers
     expect). With ``include_preimage=True`` each update emits TWO rows,
@@ -482,10 +485,11 @@ def read_changes(
         old = old.where(F.col(part_col).cast("string").isin(vals))
         new = new.where(F.col(part_col).cast("string").isin(vals))
 
-    val_cols = [c for c in new.columns if c != key]
-    o = old.select(key, F.struct(*val_cols).alias("__o"))
-    n = new.select(key, F.struct(*val_cols).alias("__n"))
-    j = o.join(n, key, "full_outer")
+    keys = [key] if isinstance(key, str) else list(key)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*val_cols).alias("__o"))
+    n = new.select(*keys, F.struct(*val_cols).alias("__n"))
+    j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("__o").isNull(), F.lit("insert"))
         .when(F.col("__n").isNull(), F.lit("delete"))
@@ -518,20 +522,20 @@ def read_changes(
             )
         )
         return (
-            changed.select(key, F.explode(pair).alias("p"))
-            .select(key, "p.img.*", F.col("p.t").alias("_change_type"))
+            changed.select(*keys, F.explode(pair).alias("p"))
+            .select(*keys, "p.img.*", F.col("p.t").alias("_change_type"))
         )
     img = F.when(F.col("_change_type") == "delete", F.col("__o")).otherwise(F.col("__n"))
     return (
         changed.withColumn("__img", img)
-        .select(key, "__img.*", "_change_type")
+        .select(*keys, "__img.*", "_change_type")
     )
 
 
 def stream_merge_into(
     stream: DataFrame,
     root: str,
-    on: str,
+    on: str | list[str],
     order_cols: list[str],
     checkpoint_location: str | None = None,
 ):
@@ -564,7 +568,8 @@ def stream_merge_into(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         order = [F.col(c).desc() for c in order_cols]
-        w = Window.partitionBy(on).orderBy(*order)
+        keys = [on] if isinstance(on, str) else list(on)
+        w = Window.partitionBy(*keys).orderBy(*order)
         last_wins = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

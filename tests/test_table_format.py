@@ -345,3 +345,40 @@ def test_read_changes_catches_partition_moving_update(spark, tmp_path):
     assert ch == {1: ("update", "z")}
     got = {r["id"]: r["grp"] for r in TF.read_table(spark, root).collect()}
     assert got == {1: "z", 2: "a", 3: "b", 4: "c"}
+
+
+def test_composite_key_merge_and_changes(spark, tmp_path):
+    """Composite merge keys (on=[...]) across merge_into and read_changes."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(k1=1, k2="x", grp="a", val=10.0),
+            Row(k1=1, k2="y", grp="a", val=20.0),
+            Row(k1=2, k2="x", grp="b", val=30.0),
+        ]
+    )
+    TF.create_table(df, root, partition_by="grp")
+    src = spark.createDataFrame(
+        [
+            Row(k1=1, k2="y", grp="a", val=99.0),   # matched on (1, y)
+            Row(k1=2, k2="y", grp="b", val=50.0),   # new (2, y) -> insert
+        ]
+    )
+    TF.merge_into(spark, root, src, on=["k1", "k2"])
+    got = {
+        (r["k1"], r["k2"]): r["val"] for r in TF.read_table(spark, root).collect()
+    }
+    assert got == {(1, "x"): 10.0, (1, "y"): 99.0, (2, "x"): 30.0, (2, "y"): 50.0}
+    ch = {
+        (r["k1"], r["k2"]): r["_change_type"]
+        for r in TF.read_changes(
+            spark, root, key=["k1", "k2"], from_version=1
+        ).collect()
+    }
+    assert ch == {(1, "y"): "update", (2, "y"): "insert"}
+    # duplicate composite keys still rejected
+    dup = spark.createDataFrame(
+        [Row(k1=3, k2="z", grp="c", val=1.0), Row(k1=3, k2="z", grp="c", val=2.0)]
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        TF.merge_into(spark, root, dup, on=["k1", "k2"])
