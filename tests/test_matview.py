@@ -130,3 +130,49 @@ def test_update_set_arithmetic_merge(spark, tmp_path):
     got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
     # matched id=2: 20+5; inserted id=7 takes the plain source value
     assert got == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0, 7: 7.0}
+
+
+def test_streaming_merge_feeds_incremental_view(spark, sf_dir, tmp_path):
+    """End-to-end lakehouse flow: a streaming MERGE INTO maintains the
+    versioned base table, then one CDF-driven refresh brings the aggregate
+    view to parity with a batch recompute — no base rescan anywhere."""
+    from cernbox_migration_database_spark import streaming as ST
+    from cernbox_migration_database_spark.sources.catalog import load_table
+    from pyspark.sql import Window as W2
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    w = W2.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = lambda df: (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    root, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    TF.create_table(latest(ev.where(F.col("user_id") % 2 == 0)), root)
+    MV.create_aggregate_view(
+        spark, root, mv,
+        key="user_id", group_cols=["event_type"], sum_cols=["value"],
+    )
+    q = TF.stream_merge_into(
+        ST.read_event_stream(spark, sf_dir).select(*cols),
+        root, on="user_id", order_cols=["ts", "event_id"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    MV.refresh_aggregate_view(spark, mv)
+    got = {
+        r["event_type"]: (r["n_rows"], round(r["sum_value"], 2))
+        for r in MV.read_aggregate_view(spark, mv).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 2))
+        for r in latest(ev)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).cast("double") / 100.0).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 1
