@@ -88,12 +88,19 @@ def _claim_version(root: str, version: int) -> str:
 
 
 def create_table(
-    df: DataFrame, root: str, partition_by: str | None = None
+    df: DataFrame,
+    root: str,
+    partition_by: str | None = None,
+    checks: dict[str, str] | None = None,
 ) -> int:
-    """Create version 1 of a versioned table from ``df``."""
+    """Create version 1 of a versioned table from ``df``. ``checks`` maps
+    constraint name → SQL predicate (e.g. ``{"price_nonneg": "price >= 0",
+    "id_not_null": "id IS NOT NULL"}``); every create and merge enforces
+    them on the rows being written, aborting pre-commit on violation."""
     os.makedirs(root, exist_ok=True)
     if os.path.exists(os.path.join(root, _POINTER)):
         raise FileExistsError(f"versioned table already exists at {root}")
+    _enforce_checks(df, checks or {}, "create")
     vdir = _claim_version(root, 1)
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -102,7 +109,12 @@ def create_table(
     _commit(
         root,
         1,
-        {"action": "create", "partition_by": partition_by, "columns": df.columns},
+        {
+            "action": "create",
+            "partition_by": partition_by,
+            "columns": df.columns,
+            "checks": checks or {},
+        },
     )
     return 1
 
@@ -143,6 +155,39 @@ def history(root: str) -> list[dict]:
         with open(os.path.join(logdir, name), encoding="utf-8") as fh:
             out.append(json.load(fh))
     return out
+
+
+def version_at(root: str, ts: float) -> int:
+    """AS OF timestamp resolution: the version that was current at unix
+    time ``ts`` (the newest commit with commit-ts <= ts). Compose with
+    ``read_table(root, version=version_at(root, ts))``."""
+    eligible = [e["version"] for e in history(root) if e["ts"] <= ts]
+    if not eligible:
+        raise ValueError(f"no version of {root} existed at ts={ts}")
+    return max(eligible)
+
+
+def _enforce_checks(df: DataFrame, checks: dict[str, str], action: str) -> None:
+    """CHECK-constraint gate: every named SQL predicate must hold on every
+    row about to be written. Violations abort BEFORE any data lands (the
+    same pre-write posture as the A2 cardinality assertion); the error
+    carries per-constraint violation counts. One aggregate pass for all
+    constraints — no per-constraint scans."""
+    if not checks:
+        return
+    aggs = [
+        F.sum(F.when(~F.coalesce(F.expr(sql), F.lit(False)), 1).otherwise(0)).alias(
+            name
+        )
+        for name, sql in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: row[name] for name in checks if row[name]}
+    if bad:
+        raise ValueError(
+            f"CHECK constraint(s) violated on {action}: "
+            + ", ".join(f"{n} ({c} rows, predicate: {checks[n]!r})" for n, c in bad.items())
+        )
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -336,6 +381,12 @@ def merge_into(
         )
     )
     merged = joined.where(survives).select(*out_cols)
+    table_checks = meta.get("checks") or {}
+    if table_checks:
+        # One extra aggregate pass over the rewritten rows, and only when
+        # the table declares constraints; a violating merge aborts with
+        # the base version still live (nothing claimed or written yet).
+        _enforce_checks(merged, table_checks, "merge")
 
     # Commit protocol: claim the version number (atomic mkdir), materialize
     # everything in a staging dir, then one os.rename publishes the data —

@@ -382,3 +382,47 @@ def test_composite_key_merge_and_changes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         TF.merge_into(spark, root, dup, on=["k1", "k2"])
+
+
+def test_check_constraints_and_version_at(spark, tmp_path):
+    import time as _time
+
+    root = str(tmp_path / "t")
+    checks = {"val_nonneg": "val >= 0", "grp_not_null": "grp IS NOT NULL"}
+    # create-time enforcement
+    bad = spark.createDataFrame([Row(id=1, grp="a", val=-5.0)])
+    with pytest.raises(ValueError, match="val_nonneg"):
+        TF.create_table(bad, str(tmp_path / "bad"), checks=checks)
+    TF.create_table(_base(spark), root, partition_by="grp", checks=checks)
+    t_v1 = _time.time()
+
+    # merge-time enforcement: a violating source aborts pre-commit, base
+    # version stays live
+    with pytest.raises(ValueError, match="val_nonneg"):
+        TF.merge_into(
+            spark, root,
+            spark.createDataFrame([Row(id=2, grp="a", val=-1.0)]),
+            on="id",
+        )
+    # NULL predicate results count as violations, not silent passes
+    with pytest.raises(ValueError, match="grp_not_null"):
+        TF.merge_into(
+            spark, root,
+            spark.createDataFrame(
+                [(9, None, 1.0)], "id bigint, grp string, val double"
+            ),
+            on="id",
+        )
+    assert TF.current_version(root) == 1
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=2, grp="a", val=99.0)]),
+        on="id",
+    )
+    assert TF.current_version(root) == 2
+
+    # AS OF timestamp resolves to the version current at that moment
+    assert TF.version_at(root, t_v1) == 1
+    assert TF.version_at(root, _time.time()) == 2
+    with pytest.raises(ValueError, match="no version"):
+        TF.version_at(root, 0.0)
