@@ -205,6 +205,29 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_dir_value(v) -> str:
+    """A partition VALUE as its partition-DIRECTORY string — null becomes
+    the hive default marker, everything else its plain str form (matching
+    how Spark names `col=value` directories for the types we partition
+    by; values needing URL-escaping should not be partition keys here)."""
+    return _HIVE_NULL if v is None else str(v)
+
+
+def _part_in(part_col: str, touched: set):
+    """NULL-safe membership of a partition column in a touched-value set:
+    `isin` alone never matches NULL (three-valued logic would silently
+    leave null-partition target rows out of the rewrite, duplicating them
+    against the hardlink carry)."""
+    non_null = [t for t in touched if t is not None]
+    cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    if None in touched:
+        cond = cond | F.col(part_col).isNull()
+    return cond
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -305,7 +328,7 @@ def merge_into(
             touched = matched_parts | src_parts
         else:
             touched = matched_parts
-        keep = target.where(F.col(part_col).isin(list(touched)))
+        keep = target.where(_part_in(part_col, touched))
     else:
         touched = None
         keep = target
@@ -407,7 +430,7 @@ def merge_into(
             if not (os.path.isdir(full) and entry.startswith(f"{part_col}=")):
                 continue
             val = entry.split("=", 1)[1]
-            if any(str(t) == val for t in touched):
+            if any(_part_dir_value(t) == val for t in touched):
                 continue
             _link_tree(full, os.path.join(staging, entry))
     os.rename(staging, vdir)
@@ -418,7 +441,9 @@ def merge_into(
             "action": "merge",
             "parent": base_v,
             "partition_by": part_col,
-            "touched_partitions": sorted(str(t) for t in touched) if touched is not None else None,
+            "touched_partitions": sorted(_part_dir_value(t) for t in touched)
+            if touched is not None
+            else None,
             "columns": target.columns,
             "evolved": bool(new_fields),
         },
@@ -532,9 +557,11 @@ def read_changes(
             break
         touched.update(tp)
     if part_col and touched is not None:
-        vals = sorted(touched)
-        old = old.where(F.col(part_col).cast("string").isin(vals))
-        new = new.where(F.col(part_col).cast("string").isin(vals))
+        # touched values come from the log as partition-directory strings
+        # (nulls as the hive default marker); compare in the same space.
+        dirval = F.coalesce(F.col(part_col).cast("string"), F.lit(_HIVE_NULL))
+        old = old.where(dirval.isin(sorted(touched)))
+        new = new.where(dirval.isin(sorted(touched)))
 
     keys = [key] if isinstance(key, str) else list(key)
     val_cols = [c for c in new.columns if c not in keys]

@@ -426,3 +426,32 @@ def test_check_constraints_and_version_at(spark, tmp_path):
     assert TF.version_at(root, _time.time()) == 2
     with pytest.raises(ValueError, match="no version"):
         TF.version_at(root, 0.0)
+
+
+def test_null_partition_values_cow_and_cdf(spark, tmp_path):
+    """A null partition value lands in __HIVE_DEFAULT_PARTITION__; the COW
+    touched-set must match it in BOTH the rewrite filter and the hardlink
+    skip (a mismatch would duplicate the partition), and CDF pruning must
+    not drop null-partition changes through three-valued isin."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "id bigint, grp string, val double",
+    )
+    TF.create_table(df, root, partition_by="grp")
+    src = spark.createDataFrame(
+        [(1, None, 11.0)], "id bigint, grp string, val double"
+    )
+    TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    rows = sorted(
+        (r["id"], r["grp"], r["val"]) for r in TF.read_table(spark, root).collect()
+    )
+    assert rows == [(1, None, 11.0), (2, None, 20.0), (3, "b", 30.0)]  # no dupes
+    assert TF.history(root)[-1]["touched_partitions"] == [
+        "__HIVE_DEFAULT_PARTITION__"
+    ]
+    ch = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {1: "update"}
