@@ -357,6 +357,12 @@ def merge_into(
     else:
         cond = F.lit(True)
     update_set = update_set or {}
+    unknown = [c for c in update_set if c not in target.columns or c in keys]
+    if unknown:
+        raise ValueError(
+            f"update_set names non-updatable column(s) {unknown} "
+            f"(must be table columns, not merge keys)"
+        )
     out_cols = []
     for c in target.columns:
         if c in keys:
