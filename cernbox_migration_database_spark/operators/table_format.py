@@ -133,9 +133,16 @@ def read_table(
     # Hardlink-carried partitions keep their ORIGINAL files, so after a
     # schema-evolving merge a version directory legitimately mixes footer
     # schemas; mergeSchema reconciles them (absent columns read as null).
-    # The flag is sticky from the first evolving commit and costs nothing
-    # before it.
-    evolved = any(e.get("evolved") for e in entries)
+    # The flag is sticky from the first evolving commit — but only back to
+    # the last FULL REWRITE (create or compact), which materializes every
+    # row under one schema; past that point the per-file footer merge is
+    # pure cost (real at 100k-file scale, where mergeSchema reads every
+    # footer instead of one).
+    last_uniform = max(
+        (i for i, e in enumerate(entries) if e["action"] in ("create", "compact")),
+        default=0,
+    )
+    evolved = any(e.get("evolved") for e in entries[last_uniform:])
     reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
     df = reader.parquet(vdir)
     # Restore the logical column order of THIS version's commit — a

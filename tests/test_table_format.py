@@ -455,3 +455,23 @@ def test_null_partition_values_cow_and_cdf(spark, tmp_path):
         for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
     }
     assert ch == {1: "update"}
+
+
+def test_compact_resets_schema_merge_need(spark, tmp_path):
+    """After an evolving merge the version dir mixes footer schemas
+    (mergeSchema required); a compact rewrites every row under one schema,
+    so later reads must see the full schema even WITHOUT footer merging."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=2, grp="a", score=0.5)]),
+        on="id", evolve_schema=True,
+    )
+    TF.compact(spark, root)
+    # plain read (no mergeSchema) of the compacted dir sees all 4 columns
+    vdir = os.path.join(root, "_versions", f"v{TF.current_version(root):08d}")
+    raw = spark.read.parquet(vdir)
+    assert set(raw.columns) == {"id", "grp", "val", "score"}
+    got = {r["id"]: r["score"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: None, 2: 0.5, 3: None, 4: None}
