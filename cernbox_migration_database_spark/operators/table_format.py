@@ -476,26 +476,50 @@ def compact(
     does, so compaction is a first-class table operation, not hygiene.
 
     Partitioned tables hash-repartition on the partition column so each
-    partition directory lands as ONE task's output (one file). Unpartitioned
-    tables optionally Z-order-cluster on ``zorder=(x, y)`` via
-    layout.write_z_ordered, giving parquet footer min/max pruning on both
-    keys; plain compaction otherwise. Readers on older snapshots are
-    untouched — compaction is just another version behind the atomic
-    pointer. Returns the new version."""
+    partition directory lands as ONE task's output (one file); with
+    ``zorder=(x, y)`` the rows of each partition are additionally sorted
+    by their Morton value (the ``OPTIMIZE ZORDER BY`` semantic — row-group
+    min/max stats inside every partition file then prune on either key).
+    Unpartitioned tables Z-order-cluster across files via
+    layout.write_z_ordered, or plain-compact otherwise. Readers on older
+    snapshots are untouched — compaction is just another version behind
+    the atomic pointer. Returns the new version."""
     base_v = current_version(root)
     meta = history(root)[0]
     part_col = meta.get("partition_by")
-    if part_col and zorder:
-        raise ValueError("zorder compaction supports unpartitioned tables only")
     df = read_table(spark, root, base_v)
 
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
     if part_col:
+        out = df.repartition(part_col)
+        if zorder:
+            from .layout import z_value
+
+            # Global min/max scaling is fine per partition too: Morton
+            # ORDER within a partition is unaffected by a shared affine
+            # rescale, and one metadata-sized agg beats per-partition ones.
+            from .layout import Z_BITS
+
+            lim = (1 << Z_BITS) - 1
+            x, y = zorder
+            mm = df.agg(
+                F.min(x).alias("xlo"), F.max(x).alias("xhi"),
+                F.min(y).alias("ylo"), F.max(y).alias("yhi"),
+            ).collect()[0]
+
+            def scaled(c, lo, hi):
+                if hi == lo:
+                    return F.lit(0).cast("long")
+                return (
+                    (F.col(c).cast("long") - F.lit(lo)) * F.lit(lim) / F.lit(hi - lo)
+                ).cast("long")
+
+            z = z_value(scaled(x, mm["xlo"], mm["xhi"]), scaled(y, mm["ylo"], mm["yhi"]))
+            out = out.withColumn("__z", z).sortWithinPartitions("__z").drop("__z")
         (
-            df.repartition(part_col)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(part_col)
             .parquet(staging)
         )

@@ -194,10 +194,30 @@ def test_compact_zorder_unpartitioned(spark, tmp_path):
     before = sorted(r["id"] for r in TF.read_table(spark, root).collect())
     TF.compact(spark, root, zorder=("x", "y"))
     assert sorted(r["id"] for r in TF.read_table(spark, root).collect()) == before
-    with pytest.raises(ValueError, match="unpartitioned"):
-        root2 = str(tmp_path / "p")
-        TF.create_table(_base(spark), root2, partition_by="grp")
-        TF.compact(spark, root2, zorder=("id", "val"))
+    # partitioned variant: per-partition Z-order (OPTIMIZE ZORDER BY) —
+    # data identical, one file per partition, rows inside each file sorted
+    # by Morton value of (id, x)
+    root2 = str(tmp_path / "p")
+    TF.create_table(
+        spark.createDataFrame(
+            [Row(id=i, grp="g" + str(i % 2), val=1.0, x=(i * 13) % 50) for i in range(200)]
+        ).repartition(5),
+        root2,
+        partition_by="grp",
+    )
+    before2 = sorted(
+        (r["id"], r["grp"]) for r in TF.read_table(spark, root2).collect()
+    )
+    TF.compact(spark, root2, zorder=("id", "x"))
+    assert (
+        sorted((r["id"], r["grp"]) for r in TF.read_table(spark, root2).collect())
+        == before2
+    )
+    vdir2 = os.path.join(root2, "_versions", f"v{TF.current_version(root2):08d}")
+    for entry in os.listdir(vdir2):
+        if entry.startswith("grp="):
+            files = [f for f in os.listdir(os.path.join(vdir2, entry)) if f.endswith(".parquet")]
+            assert len(files) == 1
 
 
 def test_merge_matched_condition_gates_update_and_delete(spark, tmp_path):
