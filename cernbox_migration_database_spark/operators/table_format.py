@@ -100,12 +100,18 @@ def create_table(
     os.makedirs(root, exist_ok=True)
     if os.path.exists(os.path.join(root, _POINTER)):
         raise FileExistsError(f"versioned table already exists at {root}")
+    if partition_by and partition_by not in df.columns:
+        raise ValueError(f"partition_by column {partition_by!r} not in {df.columns}")
     _enforce_checks(df, checks or {}, "create")
     vdir = _claim_version(root, 1)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(vdir)
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(vdir)
+    except Exception:
+        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        raise
     _commit(
         root,
         1,
@@ -431,22 +437,30 @@ def merge_into(
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
-    writer = merged.write.mode("overwrite")
-    if part_col:
-        writer = writer.partitionBy(part_col)
-    writer.parquet(staging)
-    if part_col:
-        # Carry untouched partitions forward as hardlinks.
-        base_dir = _vdir(root, base_v)
-        for entry in os.listdir(base_dir):
-            full = os.path.join(base_dir, entry)
-            if not (os.path.isdir(full) and entry.startswith(f"{part_col}=")):
-                continue
-            val = entry.split("=", 1)[1]
-            if any(_part_dir_value(t) == val for t in touched):
-                continue
-            _link_tree(full, os.path.join(staging, entry))
-    os.rename(staging, vdir)
+    try:
+        writer = merged.write.mode("overwrite")
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(staging)
+        if part_col:
+            # Carry untouched partitions forward as hardlinks.
+            base_dir = _vdir(root, base_v)
+            for entry in os.listdir(base_dir):
+                full = os.path.join(base_dir, entry)
+                if not (os.path.isdir(full) and entry.startswith(f"{part_col}=")):
+                    continue
+                val = entry.split("=", 1)[1]
+                if any(_part_dir_value(t) == val for t in touched):
+                    continue
+                _link_tree(full, os.path.join(staging, entry))
+        os.rename(staging, vdir)
+    except Exception:
+        # Un-burn the claimed version: a failed write must not block the
+        # NEXT merge from claiming base_v+1 (the base pointer was never
+        # moved, so the table itself is untouched).
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise
     _commit(
         root,
         new_v,
@@ -492,6 +506,28 @@ def compact(
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
+    try:
+        _compact_write(spark, df, part_col, zorder, staging)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        raise
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "compact",
+            "parent": base_v,
+            "partition_by": part_col,
+            "zorder": list(zorder) if zorder else None,
+            "columns": df.columns,
+        },
+    )
+    return new_v
+
+
+def _compact_write(spark, df, part_col, zorder, staging):
     if part_col:
         out = df.repartition(part_col)
         if zorder:
@@ -531,19 +567,6 @@ def compact(
         df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)).write.mode(
             "overwrite"
         ).parquet(staging)
-    os.rename(staging, vdir)
-    _commit(
-        root,
-        new_v,
-        {
-            "action": "compact",
-            "parent": base_v,
-            "partition_by": part_col,
-            "zorder": list(zorder) if zorder else None,
-            "columns": df.columns,
-        },
-    )
-    return new_v
 
 
 def read_changes(

@@ -495,3 +495,26 @@ def test_compact_resets_schema_merge_need(spark, tmp_path):
     assert set(raw.columns) == {"id", "grp", "val", "score"}
     got = {r["id"]: r["score"] for r in TF.read_table(spark, root).collect()}
     assert got == {1: None, 2: 0.5, 3: None, 4: None}
+
+
+def test_failed_write_does_not_burn_version_claim(spark, tmp_path):
+    """A merge whose WRITE fails (after the claim) must clean up its
+    claimed version dir so the next merge can claim base_v+1 — otherwise
+    one transient executor failure bricks the table."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    # source whose evaluation raises at write time (lazy assert_true)
+    poison = spark.createDataFrame([Row(id=2, grp="a", val=1.0)]).withColumn(
+        "val", F.assert_true(F.lit(False)).cast("double")
+    )
+    with pytest.raises(Exception):
+        TF.merge_into(spark, root, poison, on="id", when_not_matched=None)
+    assert TF.current_version(root) == 1  # pointer untouched
+    # the version number is NOT burned: a valid merge succeeds as v2
+    ok = spark.createDataFrame([Row(id=2, grp="a", val=21.0)])
+    assert TF.merge_into(spark, root, ok, on="id", when_not_matched=None) == 2
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got[2] == 21.0
+    # failed create cleans its claim too (bad partition column fails fast)
+    with pytest.raises(ValueError, match="partition_by"):
+        TF.create_table(_base(spark), str(tmp_path / "c"), partition_by="nope")
