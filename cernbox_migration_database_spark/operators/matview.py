@@ -110,7 +110,13 @@ def _state(mv_root: str) -> dict:
 def refresh_aggregate_view(spark: SparkSession, mv_root: str) -> int:
     """Advance the view to the base table's current version by folding in
     its change feed — O(changed rows), never a base rescan. Idempotent:
-    a refresh with no new base version is a no-op."""
+    a refresh with no new base version is a no-op.
+
+    Single-maintainer assumption: the state file records the last folded
+    base version WITHOUT a lock, so exactly one process may refresh a
+    given view (two concurrent refreshes would double-apply the same
+    delta). Run it from the one pipeline that owns the view — the same
+    posture as a Structured Streaming query owning its checkpoint."""
     st = _state(mv_root)
     base_root, from_v = st["base_root"], st["base_version"]
     group_cols, sum_cols, scale = st["group_cols"], st["sum_cols"], st["scale"]

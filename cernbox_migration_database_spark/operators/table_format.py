@@ -625,6 +625,23 @@ def read_changes(
 
     keys = [key] if isinstance(key, str) else list(key)
     val_cols = [c for c in new.columns if c not in keys]
+    if not val_cols:
+        # Key-only table: no updatable columns, so the feed is pure
+        # membership — insert/delete by presence (F.struct() of zero
+        # columns is not constructible).
+        o = old.select(*keys).withColumn("__op", F.lit(True))
+        n = new.select(*keys).withColumn("__np", F.lit(True))
+        j = o.join(n, keys, "full_outer")
+        return (
+            j.withColumn(
+                "_change_type",
+                F.when(F.col("__op").isNull(), F.lit("insert")).when(
+                    F.col("__np").isNull(), F.lit("delete")
+                ),
+            )
+            .where(F.col("_change_type").isNotNull())
+            .select(*keys, "_change_type")
+        )
     o = old.select(*keys, F.struct(*val_cols).alias("__o"))
     n = new.select(*keys, F.struct(*val_cols).alias("__n"))
     j = o.join(n, keys, "full_outer")

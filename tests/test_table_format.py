@@ -518,3 +518,23 @@ def test_failed_write_does_not_burn_version_claim(spark, tmp_path):
     # failed create cleans its claim too (bad partition column fails fast)
     with pytest.raises(ValueError, match="partition_by"):
         TF.create_table(_base(spark), str(tmp_path / "c"), partition_by="nope")
+
+
+def test_read_changes_key_only_table(spark, tmp_path):
+    """A table with no non-key columns diffs by membership alone."""
+    root = str(tmp_path / "t")
+    TF.create_table(
+        spark.createDataFrame([(1,), (2,), (3,)], "id bigint"), root
+    )
+    TF.merge_into(
+        spark, root, spark.createDataFrame([(4,)], "id bigint"), on="id"
+    )
+    TF.merge_into(
+        spark, root, spark.createDataFrame([(1,)], "id bigint"),
+        on="id", when_matched="delete", when_not_matched=None,
+    )
+    ch = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {4: "insert", 1: "delete"}
