@@ -17,7 +17,7 @@ SHOW = {
     "q1_pricing_summary": "partial (map-side) + final aggregate, scaled-long accumulators",
     "q5_region_revenue": "6-table join: all dims broadcast, AQE re-plans fact joins",
     "merge_update_orders": "MERGE shape: single left join on the key",
-    "dedup_minhash_lsh": "LSH: band-bucket AGGREGATE (collect_set + in-array pair expansion) + broadcast candidate verification — no self-join",
+    "dedup_minhash_lsh": "LSH: band-bucket AGGREGATE (collect_set + in-array pair expansion) + UNHINTED candidate verification (AQE chooses; r4 dropped the broadcast hint — unbounded at 100 TB) — no self-join",
     "dedup_simhash": "one row per (doc, token), single groupBy(doc) with 64 partial sums — no 64-way explode",
     "similarity_knn": "corpus scan x broadcast queries, window top-k",
     "similarity_ann_ivf": "IVF: row-local cell assignment (no shuffle), broadcast probe equi-join on cell, window top-k",
@@ -248,6 +248,148 @@ exchanges=0. Measured non-change: a conv()-based 2x32-bit simhash digit
 decode was A/B'd against the 64 substring/instr expressions and came out
 SLOWER warm (2.76 vs 2.51 s) — codegen subexpression elimination already
 dedupes the string work; kept the portable form.
+
+## Round-4 plan changes (measured on local[32], sf0.1 unless noted)
+
+### minhash_lsh_dedup: broadcast hint dropped from the verify join
+The r3 verdict's one scale-killer: `F.broadcast(cands)` on the LSH
+candidate-pair set (dedup.py verify join). Candidate pairs are NOT
+driver-sized at scale — a near-dup-heavy crawl yields billions — so the
+hint is a driver OOM waiting to happen. The hint is gone; AQE still picks
+broadcast at test scale (candidate set measures under the threshold), so
+local plans are unchanged in practice while the 100 TB plan degrades
+gracefully to shuffle join. `tools/plan_audit.py` now pins this: queries
+in `NO_BROADCAST_HINT` fail the audit if ANY `ResolvedHint` appears in
+their analyzed plan (AQE-chosen broadcasts don't appear there; only the
+unconditional hint does). Driver row: `dedup_minhash_lsh` stays in the r4
+sentinel core.
+
+### parse_kv_map: split each token once (r3 regression recovered)
+The r3 structural last-wins fold was kept (conf-independence intact), but
+the surrounding pipeline re-ran the regex `split(t, '=')` THREE times per
+token: once inside the size filter, twice for the struct fields. Fix:
+`transform(toks, t -> split(t, '='))` binds the split ARRAY as the next
+lambda's variable — lambda variables are materialized values, so
+`a[0]`/`a[1]` are free lookups. A/B at sf0.1 (noop write, same session,
+5 runs): current 0.98 s median -> split-once 0.67 s median. A third
+variant (distinct-keys fast path skipping the fold via `when`) measured
+WORSE (0.75 s) — the `array_distinct` predicate costs more than the fold
+saves on ~5-token rows — and was rejected. Edge-case parity (dup keys
+last-wins, `a=b=c` dropped, `=v` kept, null/empty rows) verified
+row-identical against the old form.
+
+### approx_sketches: engine-specific sketches reduced to contract bits
+Previously the one registered query with no oracle (rows-only driver
+check). A raw HLL estimate or KLL median can never hash-match DuckDB —
+but the sketch CONTRACT can: the query now returns the exact distinct
+count (hash-checked cross-engine) plus booleans computed in-Spark
+asserting each sketch sits inside its published error bound (HLL within
+5x rsd of exact; approx-median between the exact 49th/51st percentiles).
+The oracle asserts the booleans TRUE. Both Spark sketches are
+deterministic, so the booleans are stable, and the differential now
+checks real content for this query instead of a row count. Every one of
+the 147 registered queries is now oracle-paired.
+
+### bench.py: warm-median headline + load-average evidence
+The r3 cold total "regression" was co-tenant contention (byte-identical
+plans moved ±25%). bench.py now runs THREE warm passes and reports the
+per-query MEDIAN (`queries_warm`, `warm_median`), and records the
+1-minute load average before/after the run — so a future inflated batch
+carries its own explanation. Cold first-run times stay for cross-round
+comparability; bench_protocol.py propagates `load_avg` per run.
+
+### Dedup/ANN scale measurements (tools/scale_check.py --dedup)
+Replication-safe protocol (VERDICT r3 item 5): k=5 shards of
+documents/embeddings with per-shard disjoint token vocabularies and offset
+ids — pair OUTPUT stays ~linear (shards don't near-match each other) while
+candidate generation processes 5x the rows; probes/codebook seeds stay in
+shard 0 so ANN probe count is fixed. Measured sf0.1, local[32], 3-run
+medians after warmup (load_avg 15.2 — self-inflicted, the run itself):
+
+| query | t_1x | t_5x | ratio | efficiency t_5x/(5*t_1x) |
+|---|---|---|---|---|
+| dedup_minhash_lsh    | 1.63 s | 2.27 s  | 1.39 | 0.278 |
+| dedup_simhash_pairs  | 12.99 s | 29.80 s | 2.29 | 0.459 |
+| similarity_pq_adc    | 1.77 s | 2.20 s  | 1.25 | 0.25  |
+| dedup_prefix_filter  | 3.14 s | 4.84 s  | 1.54 | 0.308 |
+
+All four sub-linear (efficiency < 1): the banded/bucketed plans fan out
+with volume instead of degrading — the 100 TB claims for this family now
+rest on measurement, not plan reading alone. dedup_simhash_pairs is the
+steepest (2.29x at 5x data): its 16-bit band buckets collide across
+shards by pigeonhole (65k distinct values), so candidate verification
+grows faster than corpus size — at real scale the 4x16-bit banding would
+widen (e.g. 64-bit simhash -> 6x11-bit bands for Hamming<=5) to keep
+bucket occupancy flat; the verify step itself stays row-local either way.
+
+### Versioned table (operators/table_format.py): COW merge measured
+New this round: the transactional MERGE sink in table-format form
+(VERDICT r3 "missing #4") on plain parquet — snapshot dirs + one atomic
+`os.replace` pointer commit, optimistic mkdir version claim,
+staging-dir rename publish (competing committers cannot interleave
+files). Scale design points:
+
+* **Write amplification tracks TOUCHED data, not table size.** Measured
+  (orders sf0.1 partitioned 5-way by priority; merge updating keys in ONE
+  partition): rewritten bytes 299,496 of 1,491,804 = **20.1%**, remaining
+  79.9% carried forward as hardlinks (inode-verified in
+  test_untouched_partitions_are_hardlinked_not_rewritten). At 100 TB with
+  daily-partitioned facts, a late-data merge rewrites only the affected
+  days — the hardlink carry is O(#files) driver-side metadata, no data IO,
+  exactly the manifest-reuse trick real table formats play.
+* **Driver state is metadata-sized.** The only collects are distinct
+  partition VALUES of matched/inserted rows (bounded by partition count)
+  — never data rows; the merge itself is one full-outer join on the key,
+  partition-pruned to touched partitions.
+* **Snapshot isolation without a race.** Readers resolve `_latest` once
+  (one atomic os.replace publishes a commit) then read an immutable dir —
+  the missing-dir window the two-rename streaming upsert swap concedes
+  (streaming/events.py) cannot occur. `stream_merge_into` therefore
+  supersedes that sink: same foreachBatch idempotence, plus
+  `WHEN MATCHED AND struct(src order) > struct(tgt order)` gating so
+  out-of-order micro-batches and replays are provable no-ops
+  (test_stream_merge_into_equals_batch_latest_and_is_idempotent).
+* **Small-files debt is a first-class op.** Each COW merge writes >=1 file
+  per touched partition; `compact()` commits a layout-only version (1
+  file/partition via hash-repartition on the partition column, or Z-order
+  for unpartitioned tables) behind the same pointer — at 100 TB, scan cost
+  is governed by file count long before volume, so OPTIMIZE is part of the
+  table contract, not hygiene.
+
+Wall-clock at sf0.1 is fixed-overhead-dominated (1-of-5-partition merge
+1.73 s vs all-5 1.72 s — commit/plan overhead, not IO); the byte
+measurement above is the signal that scales.
+
+### parse_kv_map: positional dedup replaces the concat-fold (r3 target met)
+The conf-independent last-wins dedup is now "reverse, keep first
+occurrence by position" — the reversed entries array is bound as a
+materialized lambda variable via a one-element transform wrapper, so
+inner lambdas never re-evaluate the split pipeline (the Catalyst no-CSE
+trap documented in kv.py). Interleaved A/B at sf0.1 (7 rounds each, same
+session, load_avg 13.9): fold 0.716 s median -> positional 0.454 s.
+Edge-case parity (dup keys last-wins, a=b=c dropped, =v kept) verified on
+the tricky literal across all variants and by test_kv.py. A
+str_to_map+LAST_WIN variant (conf set per-query) was erratic under load
+(0.32-3.7 s) and conf-dependent — rejected.
+
+### Round-4 end-of-round protocol batch (tools/bench_protocol.py, 3 runs)
+cold [22.475, 24.909, 22.732] median 22.73; warm median 12.55
+(spread 11.53-13.63); load_avg 5-10.7 from co-tenant processes during the
+run. vs r3's recorded 21.58 cold / 11.23 warm: within the documented
+±25% between-batch variance, with the r4 additions (versioned-table
+family, positional kv dedup) changing only kv_parse_map among headline
+plans — its cold median 0.907 s (includes plan build; interleaved warm
+A/B earlier this round measured 0.454 s vs the fold's 0.716 s, the only
+plan-level headline change this round).
+
+### matview refresh is delta-bound (measured)
+Fixed ~1.8k-row update delta against a per-status aggregate view, base
+orders at 1x (150k rows) vs 5x (750k): refresh 2.90 s vs 2.43 s — ratio
+0.84, flat within noise, i.e. the refresh pays for the CHANGE FEED, not
+the base (both snapshot scans in read_changes prune to the log-recorded
+touched partitions, and the delta aggregation + arithmetic merge see
+only changed groups). A recomputation-based refresh would scale with the
+base instead.
 """
 
 
