@@ -5633,6 +5633,7 @@ def _versioned_scratch(tag: str, sf_dir: str) -> str:
     is removed here rather than at query exit because the returned DataFrame
     is a lazy plan over the committed snapshot — the caller collects it after
     the builder returns."""
+    import atexit
     import hashlib
     import os
     import shutil
@@ -5646,6 +5647,9 @@ def _versioned_scratch(tag: str, sf_dir: str) -> str:
         f"{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}-{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)
+    # self-clean at interpreter exit — results are collected by then, and
+    # repeated harness processes must not accumulate scratch tables in /tmp
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
 
 
