@@ -14,6 +14,11 @@ from .merge import (
     jdbc_upsert_writer,
     merge_updates,
 )
+from .keyindex import (
+    create_key_index,
+    point_lookup,
+    refresh_key_index,
+)
 from .matview import (
     create_aggregate_view,
     read_aggregate_view,
@@ -82,6 +87,9 @@ __all__ = [
     "frame_sample_plan",
     "compact",
     "create_aggregate_view",
+    "create_key_index",
+    "refresh_key_index",
+    "point_lookup",
     "refresh_aggregate_view",
     "read_aggregate_view",
     "create_table",
