@@ -5877,6 +5877,55 @@ def mv_incremental_refresh(spark, sf_dir):
     return MVX.read_aggregate_view(spark, mv_root).orderBy("o_orderstatus")
 
 
+@register(
+    "point_lookup_indexed",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def point_lookup_indexed(spark, sf_dir):
+    """Record-level point lookup through the CDF-maintained key index
+    (operators/keyindex.py): the orders table is committed as a versioned
+    table partitioned by priority, a (key, partition) index is built, a
+    merge MOVES some probed keys across partitions and the index is
+    refreshed from the change feed, then the probes read the base with
+    index-resolved partition + key filters — the scan touches only the
+    partitions holding the probes. The oracle is the plain full-scan
+    filter, so a hash match proves index-pruned == unpruned, including
+    for the moved keys (stale index entries would lose them)."""
+    from .operators import keyindex as KIX
+    from .operators import table_format as TF
+
+    scratch = _versioned_scratch("ptidx", sf_dir)
+    root, idx = scratch + "/base", scratch + "/idx"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    KIX.create_key_index(spark, root, idx, key="o_orderkey")
+    # move every 3rd probed key into a new partition, then re-point the
+    # index incrementally — lookups must follow the move
+    moved = base.where((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 3 == 0)).withColumn(
+        "o_orderpriority", F.lit("6-MOVED")
+    )
+    TF.merge_into(spark, root, moved, on="o_orderkey", when_not_matched=None)
+    KIX.refresh_key_index(spark, idx)
+    probes = [
+        r[0]
+        for r in base.where(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    return (
+        KIX.point_lookup(spark, idx, probes)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
@@ -5899,11 +5948,12 @@ def mv_incremental_refresh(spark, sf_dir):
 # left out: the window is full with never-verified entries; it is the
 # natural first pick for the r5 rotation. After a green r4, every other
 # oracle-paired query in the registry has a driver row on record.
-# r5 rotation plan: swap into the window approx_sketches plus the four
+# r5 rotation plan: swap into the window approx_sketches plus the six
 # queries added later in round 4 (merge_into_versioned, table_time_travel,
-# table_changes, and any other post-rotation additions — they sit after
-# the window this round by construction; selfcheck/driver_sim-green at
-# sf0.01 already), keeping the sentinel core.
+# table_changes, mv_incremental_refresh, point_lookup_indexed — they sit
+# after the window this round by construction; selfcheck AND a full
+# driver_sim --all pass at sf0.01 already cover all of them), keeping the
+# sentinel core.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",
