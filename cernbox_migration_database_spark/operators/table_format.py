@@ -145,7 +145,11 @@ def read_table(
     # pure cost (real at 100k-file scale, where mergeSchema reads every
     # footer instead of one).
     last_uniform = max(
-        (i for i, e in enumerate(entries) if e["action"] in ("create", "compact")),
+        (
+            i
+            for i, e in enumerate(entries)
+            if e["action"] in ("create", "compact", "repartition")
+        ),
         default=0,
     )
     evolved = any(e.get("evolved") for e in entries[last_uniform:])
@@ -168,6 +172,15 @@ def history(root: str) -> list[dict]:
         with open(os.path.join(logdir, name), encoding="utf-8") as fh:
             out.append(json.load(fh))
     return out
+
+
+def partition_scheme(root: str, version: int | None = None) -> str | None:
+    """The partition column in effect at ``version`` (default current) —
+    the latest commit's recorded layout, so ``repartition_table`` evolution
+    is honored by every later merge/compact."""
+    v = current_version(root) if version is None else version
+    entries = [e for e in history(root) if e["version"] <= v]
+    return entries[-1].get("partition_by")
 
 
 def version_at(root: str, ts: float) -> int:
@@ -295,7 +308,7 @@ def merge_into(
 
     base_v = current_version(root)
     meta = history(root)[0]
-    part_col = meta.get("partition_by")
+    part_col = partition_scheme(root, base_v)
     target = read_table(spark, root, base_v)
 
     src_cols = set(source.columns)
@@ -499,8 +512,7 @@ def compact(
     snapshots are untouched — compaction is just another version behind
     the atomic pointer. Returns the new version."""
     base_v = current_version(root)
-    meta = history(root)[0]
-    part_col = meta.get("partition_by")
+    part_col = partition_scheme(root, base_v)
     df = read_table(spark, root, base_v)
 
     new_v = base_v + 1
@@ -567,6 +579,51 @@ def _compact_write(spark, df, part_col, zorder, staging):
         df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)).write.mode(
             "overwrite"
         ).parquet(staging)
+
+
+def repartition_table(
+    spark: SparkSession, root: str, partition_by: str | None
+) -> int:
+    """Partition evolution: commit a full rewrite of the CURRENT snapshot
+    under a new partition column (or none). Later merges/compactions COW
+    against the new scheme (partition_scheme resolves from the latest
+    commit), old snapshots stay readable in their old layout, and a change
+    feed crossing the boundary falls back to a full-table diff (its
+    pruning requires one scheme across the window). The honest cost is one
+    rewrite — the same as any format's partition evolution for existing
+    data."""
+    if partition_by is not None and partition_by == partition_scheme(root):
+        raise ValueError(f"table is already partitioned by {partition_by!r}")
+    base_v = current_version(root)
+    df = read_table(spark, root, base_v)
+    if partition_by and partition_by not in df.columns:
+        raise ValueError(f"partition_by column {partition_by!r} not in {df.columns}")
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    try:
+        if partition_by:
+            df.repartition(partition_by).write.mode("overwrite").partitionBy(
+                partition_by
+            ).parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        raise
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "repartition",
+            "parent": base_v,
+            "partition_by": partition_by,
+            "columns": df.columns,
+        },
+    )
+    return new_v
 
 
 def read_changes(

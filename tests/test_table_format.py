@@ -538,3 +538,40 @@ def test_read_changes_key_only_table(spark, tmp_path):
         for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
     }
     assert ch == {4: "insert", 1: "delete"}
+
+
+def test_partition_evolution(spark, tmp_path):
+    """repartition_table changes the physical scheme mid-history: later
+    merges COW against the NEW scheme, old snapshots keep their layout,
+    and a change feed crossing the boundary stays row-correct."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="g" + str(i % 3), region="r" + str(i % 2), val=float(i)) for i in range(30)]
+    )
+    TF.create_table(df, root, partition_by="grp")
+    assert TF.partition_scheme(root) == "grp"
+    v2 = TF.repartition_table(spark, root, "region")
+    assert TF.partition_scheme(root) == "region"
+    assert TF.partition_scheme(root, version=1) == "grp"
+    # layout change only: identical rows
+    assert sorted(r["id"] for r in TF.read_table(spark, root).collect()) == list(range(30))
+    # new-scheme COW: merge touching only region r0 hardlinks r1 forward
+    src = spark.createDataFrame([Row(id=4, grp="g1", region="r0", val=400.0)])
+    v3 = TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    assert TF.history(root)[-1]["touched_partitions"] == ["r0"]
+    vdirs = [os.path.join(root, "_versions", f"v{v:08d}") for v in (v2, v3)]
+    ino = lambda d, p: {
+        os.stat(os.path.join(d, p, f)).st_ino
+        for f in os.listdir(os.path.join(d, p))
+        if f.endswith(".parquet")
+    }
+    assert ino(vdirs[0], "region=r1") == ino(vdirs[1], "region=r1")  # carried
+    # CDF across the repartition boundary: only the real row change
+    ch = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {4: "update"}
+    # same-scheme request rejected
+    with pytest.raises(ValueError, match="already partitioned"):
+        TF.repartition_table(spark, root, "region")
