@@ -176,3 +176,38 @@ def test_streaming_merge_feeds_incremental_view(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_refresh_across_partition_evolution(spark, tmp_path):
+    """A base-table repartition between refreshes is layout-only: the CDF
+    window crossing it falls back to a full diff and the view still lands
+    exactly on the recompute."""
+    root, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="g" + str(i % 3), region="r" + str(i % 2), val=float(i)) for i in range(30)]
+    )
+    TF.create_table(df, root, partition_by="grp")
+    MV.create_aggregate_view(
+        spark, root, mv, key="id", group_cols=["grp"], sum_cols=["val"]
+    )
+    from cernbox_migration_database_spark.operators.table_format import repartition_table
+
+    repartition_table(spark, root, "region")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=4, grp="g1", region="r0", val=400.0)]),
+        on="id",
+    )
+    MV.refresh_aggregate_view(spark, mv)
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_val"])
+        for r in MV.read_aggregate_view(spark, mv).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in TF.read_table(spark, root)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want
