@@ -53,9 +53,16 @@ def create_key_index(
 ) -> int:
     """Build the index at the base table's current version. The base must
     be partitioned (an unpartitioned table has nothing to prune)."""
-    part_col = history(base_root)[0].get("partition_by")
+    from .table_format import partition_scheme
+
+    part_col = partition_scheme(base_root)
     if not part_col:
         raise ValueError("key index requires a partitioned base table")
+    if not isinstance(part_col, str):
+        raise ValueError(
+            "key index supports single-column partitioning (got "
+            f"{part_col}); index the leading column or flatten the scheme"
+        )
     base_v = current_version(base_root)
     idx = _index_frame(read_table(spark, base_root, base_v), key, part_col)
     create_table(idx, index_root)

@@ -90,7 +90,7 @@ def _claim_version(root: str, version: int) -> str:
 def create_table(
     df: DataFrame,
     root: str,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     checks: dict[str, str] | None = None,
 ) -> int:
     """Create version 1 of a versioned table from ``df``. ``checks`` maps
@@ -100,14 +100,16 @@ def create_table(
     os.makedirs(root, exist_ok=True)
     if os.path.exists(os.path.join(root, _POINTER)):
         raise FileExistsError(f"versioned table already exists at {root}")
-    if partition_by and partition_by not in df.columns:
-        raise ValueError(f"partition_by column {partition_by!r} not in {df.columns}")
+    pcols = _part_cols(partition_by)
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by column(s) {missing} not in {df.columns}")
     _enforce_checks(df, checks or {}, "create")
     vdir = _claim_version(root, 1)
     try:
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(vdir)
     except Exception:
         shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
@@ -234,6 +236,13 @@ def _link_tree(src: str, dst: str) -> None:
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _part_cols(scheme) -> list[str]:
+    """Normalize a partition scheme (None | str | list) to a column list."""
+    if not scheme:
+        return []
+    return [scheme] if isinstance(scheme, str) else list(scheme)
+
+
 def _part_dir_value(v) -> str:
     """A partition VALUE as its partition-DIRECTORY string — null becomes
     the hive default marker, everything else its plain str form (matching
@@ -242,16 +251,55 @@ def _part_dir_value(v) -> str:
     return _HIVE_NULL if v is None else str(v)
 
 
-def _part_in(part_col: str, touched: set):
-    """NULL-safe membership of a partition column in a touched-value set:
-    `isin` alone never matches NULL (three-valued logic would silently
-    leave null-partition target rows out of the rewrite, duplicating them
-    against the hardlink carry)."""
-    non_null = [t for t in touched if t is not None]
-    cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
-    if None in touched:
-        cond = cond | F.col(part_col).isNull()
-    return cond
+def _part_rel(cols: list[str], vals: tuple) -> str:
+    """A partition-value tuple as its RELATIVE directory path
+    (``c1=v1/c2=v2``) — the log/compare representation for any depth."""
+    return "/".join(f"{c}={_part_dir_value(v)}" for c, v in zip(cols, vals))
+
+
+def _part_in(cols: list[str], touched: set):
+    """NULL-safe membership of the partition-column TUPLE in a touched
+    set of value tuples: `isin` alone never matches NULL (three-valued
+    logic would silently leave null-partition target rows out of the
+    rewrite, duplicating them against the hardlink carry). An OR of
+    per-tuple conjunctions — bounded by partition count, metadata-sized."""
+    out = None
+    for tup in touched:
+        sub = None
+        for c, v in zip(cols, tup):
+            e = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            sub = e if sub is None else (sub & e)
+        out = sub if out is None else (out | sub)
+    return out if out is not None else F.lit(False)
+
+
+def _part_dir_expr(cols: list[str]):
+    """Row expression computing the same relative-path string
+    ``_part_rel`` produces — lets a DataFrame filter compare against
+    log-recorded touched partitions at any nesting depth."""
+    parts = [
+        F.concat(
+            F.lit(f"{c}="),
+            F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL)),
+        )
+        for c in cols
+    ]
+    return F.concat_ws("/", *parts)
+
+
+def _leaf_partition_dirs(base_dir: str, cols: list[str]):
+    """Enumerate (relative_path, absolute_path) of every leaf partition
+    directory under ``base_dir`` for an n-level hive layout."""
+    level = [("", base_dir)]
+    for c in cols:
+        nxt = []
+        for rel, full in level:
+            for entry in sorted(os.listdir(full)):
+                fe = os.path.join(full, entry)
+                if os.path.isdir(fe) and entry.startswith(f"{c}="):
+                    nxt.append((f"{rel}/{entry}" if rel else entry, fe))
+        level = nxt
+    return level
 
 
 def merge_into(
@@ -308,7 +356,7 @@ def merge_into(
 
     base_v = current_version(root)
     meta = history(root)[0]
-    part_col = partition_scheme(root, base_v)
+    pcols = _part_cols(partition_scheme(root, base_v))
     target = read_table(spark, root, base_v)
 
     src_cols = set(source.columns)
@@ -331,17 +379,17 @@ def merge_into(
             source = source.withColumn(f.name, F.lit(None).cast(f.dataType))
     source = source.select(*target.columns)  # align column order to table schema
 
-    if part_col:
+    if pcols:
         # Touched partitions = partitions of matched target rows ∪ source's
         # own partition values (inserts may open new partitions). Both are
         # metadata-sized collects (bounded by partition count, never rows).
         src_parts = {
-            r[0] for r in source.select(part_col).distinct().collect()
+            tuple(r) for r in source.select(*pcols).distinct().collect()
         }
         matched_parts = {
-            r[0]
+            tuple(r)
             for r in target.join(source.select(*keys).distinct(), keys, "left_semi")
-            .select(part_col)
+            .select(*pcols)
             .distinct()
             .collect()
         }
@@ -354,7 +402,7 @@ def merge_into(
             touched = matched_parts | src_parts
         else:
             touched = matched_parts
-        keep = target.where(_part_in(part_col, touched))
+        keep = target.where(_part_in(pcols, touched))
     else:
         touched = None
         keep = target
@@ -452,20 +500,17 @@ def merge_into(
     staging = vdir + ".staging"
     try:
         writer = merged.write.mode("overwrite")
-        if part_col:
-            writer = writer.partitionBy(part_col)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(staging)
-        if part_col:
-            # Carry untouched partitions forward as hardlinks.
+        if pcols:
+            # Carry untouched leaf partitions forward as hardlinks.
             base_dir = _vdir(root, base_v)
-            for entry in os.listdir(base_dir):
-                full = os.path.join(base_dir, entry)
-                if not (os.path.isdir(full) and entry.startswith(f"{part_col}=")):
+            touched_rels = {_part_rel(pcols, t) for t in touched}
+            for rel, full in _leaf_partition_dirs(base_dir, pcols):
+                if rel in touched_rels:
                     continue
-                val = entry.split("=", 1)[1]
-                if any(_part_dir_value(t) == val for t in touched):
-                    continue
-                _link_tree(full, os.path.join(staging, entry))
+                _link_tree(full, os.path.join(staging, rel))
         os.rename(staging, vdir)
     except Exception:
         # Un-burn the claimed version: a failed write must not block the
@@ -480,8 +525,8 @@ def merge_into(
         {
             "action": "merge",
             "parent": base_v,
-            "partition_by": part_col,
-            "touched_partitions": sorted(_part_dir_value(t) for t in touched)
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
+            "touched_partitions": sorted(_part_rel(pcols, t) for t in touched)
             if touched is not None
             else None,
             "columns": target.columns,
@@ -512,14 +557,14 @@ def compact(
     snapshots are untouched — compaction is just another version behind
     the atomic pointer. Returns the new version."""
     base_v = current_version(root)
-    part_col = partition_scheme(root, base_v)
+    pcols = _part_cols(partition_scheme(root, base_v))
     df = read_table(spark, root, base_v)
 
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
     try:
-        _compact_write(spark, df, part_col, zorder, staging)
+        _compact_write(spark, df, pcols, zorder, staging)
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
@@ -531,7 +576,7 @@ def compact(
         {
             "action": "compact",
             "parent": base_v,
-            "partition_by": part_col,
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "zorder": list(zorder) if zorder else None,
             "columns": df.columns,
         },
@@ -539,9 +584,9 @@ def compact(
     return new_v
 
 
-def _compact_write(spark, df, part_col, zorder, staging):
-    if part_col:
-        out = df.repartition(part_col)
+def _compact_write(spark, df, pcols, zorder, staging):
+    if pcols:
+        out = df.repartition(*pcols)
         if zorder:
             from .layout import z_value
 
@@ -568,7 +613,7 @@ def _compact_write(spark, df, part_col, zorder, staging):
             out = out.withColumn("__z", z).sortWithinPartitions("__z").drop("__z")
         (
             out.write.mode("overwrite")
-            .partitionBy(part_col)
+            .partitionBy(*pcols)
             .parquet(staging)
         )
     elif zorder:
@@ -582,7 +627,7 @@ def _compact_write(spark, df, part_col, zorder, staging):
 
 
 def repartition_table(
-    spark: SparkSession, root: str, partition_by: str | None
+    spark: SparkSession, root: str, partition_by: str | list[str] | None
 ) -> int:
     """Partition evolution: commit a full rewrite of the CURRENT snapshot
     under a new partition column (or none). Later merges/compactions COW
@@ -592,19 +637,21 @@ def repartition_table(
     pruning requires one scheme across the window). The honest cost is one
     rewrite — the same as any format's partition evolution for existing
     data."""
-    if partition_by is not None and partition_by == partition_scheme(root):
+    pcols = _part_cols(partition_by)
+    if pcols and pcols == _part_cols(partition_scheme(root)):
         raise ValueError(f"table is already partitioned by {partition_by!r}")
     base_v = current_version(root)
     df = read_table(spark, root, base_v)
-    if partition_by and partition_by not in df.columns:
-        raise ValueError(f"partition_by column {partition_by!r} not in {df.columns}")
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by column(s) {missing} not in {df.columns}")
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
     try:
-        if partition_by:
-            df.repartition(partition_by).write.mode("overwrite").partitionBy(
-                partition_by
+        if pcols:
+            df.repartition(*pcols).write.mode("overwrite").partitionBy(
+                *pcols
             ).parquet(staging)
         else:
             df.write.mode("overwrite").parquet(staging)
@@ -619,7 +666,7 @@ def repartition_table(
         {
             "action": "repartition",
             "parent": base_v,
-            "partition_by": partition_by,
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "columns": df.columns,
         },
     )
@@ -674,9 +721,10 @@ def read_changes(
             break
         touched.update(tp)
     if part_col and touched is not None:
-        # touched values come from the log as partition-directory strings
-        # (nulls as the hive default marker); compare in the same space.
-        dirval = F.coalesce(F.col(part_col).cast("string"), F.lit(_HIVE_NULL))
+        # touched values come from the log as RELATIVE partition-directory
+        # paths (nulls as the hive default marker, ``c1=v1/c2=v2`` when
+        # nested); compare in the same space.
+        dirval = _part_dir_expr(_part_cols(part_col))
         old = old.where(dirval.isin(sorted(touched)))
         new = new.where(dirval.isin(sorted(touched)))
 

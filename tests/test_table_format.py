@@ -56,7 +56,7 @@ def test_merge_update_insert_matches_sql_semantics(spark, tmp_path):
     assert old == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
     # commit log records the copy-on-write partition set: only a (matched)
     # and d (insert) rewritten
-    assert TF.history(root)[-1]["touched_partitions"] == ["a", "d"]
+    assert TF.history(root)[-1]["touched_partitions"] == ["grp=a", "grp=d"]
 
 
 def test_untouched_partitions_are_hardlinked_not_rewritten(spark, tmp_path):
@@ -468,7 +468,7 @@ def test_null_partition_values_cow_and_cdf(spark, tmp_path):
     )
     assert rows == [(1, None, 11.0), (2, None, 20.0), (3, "b", 30.0)]  # no dupes
     assert TF.history(root)[-1]["touched_partitions"] == [
-        "__HIVE_DEFAULT_PARTITION__"
+        "grp=__HIVE_DEFAULT_PARTITION__"
     ]
     ch = {
         r["id"]: r["_change_type"]
@@ -558,7 +558,7 @@ def test_partition_evolution(spark, tmp_path):
     # new-scheme COW: merge touching only region r0 hardlinks r1 forward
     src = spark.createDataFrame([Row(id=4, grp="g1", region="r0", val=400.0)])
     v3 = TF.merge_into(spark, root, src, on="id", when_not_matched=None)
-    assert TF.history(root)[-1]["touched_partitions"] == ["r0"]
+    assert TF.history(root)[-1]["touched_partitions"] == ["region=r0"]
     vdirs = [os.path.join(root, "_versions", f"v{v:08d}") for v in (v2, v3)]
     ino = lambda d, p: {
         os.stat(os.path.join(d, p, f)).st_ino
@@ -575,3 +575,51 @@ def test_partition_evolution(spark, tmp_path):
     # same-scheme request rejected
     with pytest.raises(ValueError, match="already partitioned"):
         TF.repartition_table(spark, root, "region")
+
+
+def test_multi_column_partitioning_cow_and_cdf(spark, tmp_path):
+    """Hierarchical partitioning (day/region): COW rewrites only the
+    touched LEAF partitions, carries the rest as hardlinks, logs relative
+    paths, and the change feed prunes on the nested dir string."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(id=i, day=f"d{i % 2}", region=f"r{i % 3}", val=float(i))
+            for i in range(60)
+        ]
+    )
+    TF.create_table(df, root, partition_by=["day", "region"])
+    assert TF.partition_scheme(root) == ["day", "region"]
+    # update one row living in leaf d1/r2 (id=5 -> day=d1, region=r2)
+    src = spark.createDataFrame([Row(id=5, day="d1", region="r2", val=500.0)])
+    TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    assert TF.history(root)[-1]["touched_partitions"] == ["day=d1/region=r2"]
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got[5] == 500.0 and len(got) == 60
+
+    # hardlink carry: every OTHER leaf keeps its inodes
+    v1 = os.path.join(root, "_versions", "v00000001")
+    v2 = os.path.join(root, "_versions", "v00000002")
+
+    def inodes(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert inodes(v1, "day=d0/region=r0") == inodes(v2, "day=d0/region=r0")
+    assert inodes(v1, "day=d1/region=r1") == inodes(v2, "day=d1/region=r1")
+    assert inodes(v1, "day=d1/region=r2").isdisjoint(inodes(v2, "day=d1/region=r2"))
+
+    ch = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {5: "update"}
+    # compact preserves data under the nested scheme
+    TF.compact(spark, root)
+    assert {
+        r["id"]: r["val"] for r in TF.read_table(spark, root).collect()
+    } == got
