@@ -5926,6 +5926,57 @@ def point_lookup_indexed(spark, sf_dir):
     )
 
 
+@register(
+    "merge_into_nested_partitions",
+    """
+    WITH merged AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+                       AND o_orderkey % 3 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def merge_into_nested_partitions(spark, sf_dir):
+    """Hierarchical-partition COW merge: orders committed under a TWO-level
+    (status, priority) scheme, then a merge that touches exactly ONE leaf
+    (status O / 1-URGENT) — every other leaf carries forward as hardlinks
+    and the commit log records the single relative path. The post-merge
+    per-leaf aggregate is differentialed against the oracle's relational
+    recomputation, so a duplicated or dropped leaf (the failure modes of
+    nested COW bookkeeping) flips the hash."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("nested", sf_dir) + "/base"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by=["o_orderstatus", "o_orderpriority"])
+    upd = base.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") % 3 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    TF.merge_into(spark, root, upd, on="o_orderkey", when_not_matched=None)
+    touched = TF.history(root)[-1]["touched_partitions"]
+    assert touched == ["o_orderstatus=O/o_orderpriority=1-URGENT"], touched
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
@@ -5949,11 +6000,12 @@ def point_lookup_indexed(spark, sf_dir):
 # natural first pick for the r5 rotation. After a green r4, every other
 # oracle-paired query in the registry has a driver row on record.
 # r5 rotation plan: swap into the window approx_sketches plus the six
-# queries added later in round 4 (merge_into_versioned, table_time_travel,
-# table_changes, mv_incremental_refresh, point_lookup_indexed — they sit
-# after the window this round by construction; selfcheck AND a full
-# driver_sim --all pass at sf0.01 already cover all of them), keeping the
-# sentinel core.
+# lakehouse queries added later in round 4 (merge_into_versioned,
+# table_time_travel, table_changes, mv_incremental_refresh,
+# point_lookup_indexed, merge_into_nested_partitions — they sit after the
+# window this round by construction; selfcheck AND a full driver_sim
+# --all pass at sf0.01 already cover all of them), keeping the sentinel
+# core.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",
