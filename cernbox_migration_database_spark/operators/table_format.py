@@ -626,6 +626,42 @@ def _compact_write(spark, df, pcols, zorder, staging):
         ).parquet(staging)
 
 
+def merge_with_retry(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: str | list[str],
+    retries: int = 3,
+    **kwargs,
+) -> int:
+    """Optimistic-concurrency loop around :func:`merge_into`: when another
+    writer wins the version claim (FileExistsError from the atomic mkdir),
+    re-read the NEW current snapshot and re-apply the merge — the merge
+    semantics are defined against whatever snapshot is current, so a
+    re-run is the correct conflict resolution for key-level merges (the
+    Delta/Iceberg retry posture). Distinguishes a real race (pointer
+    advanced → retry) from an ORPHANED claim directory left by a crashed
+    writer (pointer unmoved → raise immediately and tell the operator to
+    vacuum; spinning would never succeed)."""
+    for _attempt in range(retries + 1):
+        base = current_version(root)
+        try:
+            return merge_into(spark, root, source, on, **kwargs)
+        except FileExistsError:
+            if current_version(root) == base:
+                raise FileExistsError(
+                    f"version {base + 1} of {root} is claimed but the pointer "
+                    f"never moved — orphaned claim from a crashed writer; "
+                    f"vacuum the table and retry"
+                )
+            # pointer advanced: a competing writer committed — loop re-runs
+            # against the new snapshot
+    raise RuntimeError(
+        f"merge into {root} lost the commit race {retries + 1} times; "
+        f"raise retries or serialize the writers"
+    )
+
+
 def repartition_table(
     spark: SparkSession, root: str, partition_by: str | list[str] | None
 ) -> int:

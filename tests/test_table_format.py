@@ -623,3 +623,46 @@ def test_multi_column_partitioning_cow_and_cdf(spark, tmp_path):
     assert {
         r["id"]: r["val"] for r in TF.read_table(spark, root).collect()
     } == got
+
+
+def test_merge_with_retry_race_and_orphan(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+
+    # RACE: first claim attempt loses to a competing writer that commits
+    # v2 out from under us; the retry must re-run against v2 and land v3
+    real_claim = TF._claim_version
+    state = {"raced": False}
+
+    def racing_claim(r, version):
+        if not state["raced"]:
+            state["raced"] = True
+            # competing writer commits v2 first
+            TF.merge_into(
+                spark, r,
+                spark.createDataFrame([Row(id=3, grp="b", val=33.0)]),
+                on="id", when_not_matched=None,
+            )
+            raise FileExistsError("lost the claim")
+        return real_claim(r, version)
+
+    monkeypatch.setattr(TF, "_claim_version", racing_claim)
+    v = TF.merge_with_retry(
+        spark, root,
+        spark.createDataFrame([Row(id=1, grp="a", val=11.0)]),
+        on="id", when_not_matched=None,
+    )
+    monkeypatch.setattr(TF, "_claim_version", real_claim)
+    assert v == 3
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got[1] == 11.0 and got[3] == 33.0  # both merges landed
+
+    # ORPHAN: a leftover claim dir with an unmoved pointer raises with the
+    # vacuum hint instead of spinning
+    os.mkdir(os.path.join(root, "_versions", f"v{v + 1:08d}"))
+    with pytest.raises(FileExistsError, match="orphaned claim"):
+        TF.merge_with_retry(
+            spark, root,
+            spark.createDataFrame([Row(id=2, grp="a", val=2.0)]),
+            on="id", when_not_matched=None,
+        )
