@@ -16,15 +16,16 @@ that contract on plain parquet + an atomic pointer file:
 * **Time travel.** Every committed version stays readable until ``vacuum``;
   ``read_table(version=N)`` pins a snapshot.
 * **Copy-on-write MERGE at partition granularity.** For a table partitioned
-  by ``partition_by``, a merge rewrites ONLY the partitions that contain a
-  matched key or receive an insert; every untouched partition is carried
-  into the new version via hardlinks (an O(#files) driver-side metadata op,
-  no data IO — the same trick table formats play with manifest reuse).
-  Unpartitioned tables fall back to a full rewrite, which is the honest
-  cost on any format.
+  by ``partition_by`` (one column or a hierarchical list), a merge rewrites
+  ONLY the leaf partitions that contain a matched key or receive an insert;
+  every untouched partition is carried into the new version via hardlinks
+  (an O(#files) driver-side metadata op, no data IO — the same trick table
+  formats play with manifest reuse). Unpartitioned tables fall back to a
+  full rewrite, which is the honest cost on any format.
 * **Optimistic concurrency.** A committer claims version N+1 with
-  ``os.mkdir`` (atomic; loser gets FileExistsError and must retry on a
-  fresh snapshot) and publishes with one ``os.replace`` of the pointer.
+  ``os.mkdir`` (atomic; loser gets FileExistsError) and publishes with one
+  ``os.replace`` of the pointer; ``merge_with_retry`` re-runs a losing
+  merge against the winner's snapshot, bounded, with orphan detection.
 
 100 TB design: the things collected to the driver are partition VALUES
 (bounded by partition count, metadata-sized) and file names — never data
@@ -547,7 +548,7 @@ def compact(
     the small-files problem dominates scan cost long before data volume
     does, so compaction is a first-class table operation, not hygiene.
 
-    Partitioned tables hash-repartition on the partition column so each
+    Partitioned tables hash-repartition on the partition column(s) so each
     partition directory lands as ONE task's output (one file); with
     ``zorder=(x, y)`` the rows of each partition are additionally sorted
     by their Morton value (the ``OPTIMIZE ZORDER BY`` semantic — row-group
