@@ -120,7 +120,10 @@ def create_table(
         1,
         {
             "action": "create",
-            "partition_by": partition_by,
+            # normalized like merge/compact commits: str when single, list
+            # when hierarchical — keeps cross-commit scheme comparisons
+            # (read_changes pruning) representation-stable
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "columns": df.columns,
             "checks": checks or {},
         },
