@@ -390,6 +390,15 @@ the base (both snapshot scans in read_changes prune to the log-recorded
 touched partitions, and the delta aggregation + arithmetic merge see
 only changed groups). A recomputation-based refresh would scale with the
 base instead.
+
+### scale_check --table: lakehouse claims as a repeatable protocol
+The one-off round-4 measurements are now `tools/scale_check.py --table
+[k]`: k-fold orders replica (disjoint key ranges), one-partition COW
+merge, fixed-size-delta view refresh. Re-run this session (k=5, sf0.1,
+load 4.2): rewritten 20.1% / hardlinked 79.9% at BOTH 1x and 5x (write
+amplification tracks the touched fraction, invariant to table size);
+mv refresh 2.29 s -> 2.68 s at 5x base (ratio 1.17 — delta-bound, vs 5.0
+for a recompute that scaled with the base).
 """
 
 

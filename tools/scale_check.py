@@ -28,6 +28,7 @@ probe count stays fixed while the scanned corpus scales.
 
 Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --dedup [k] [sf_dir] [runs]
+       python tools/scale_check.py --table [k] [sf_dir]
 Prints one JSON line.
 """
 
@@ -158,9 +159,124 @@ def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
     return statistics.median(ts)
 
 
+def table_mode_main(argv: list[str]) -> int:
+    """--table: versioned-table lakehouse scaling. Replicates orders k-fold
+    (disjoint key ranges), then measures, at 1x and kx:
+      * COW merge write amplification for a ONE-partition merge — rewritten
+        vs hardlinked bytes (the claim: amplification tracks the touched
+        fraction, not table size);
+      * matview refresh wall-time for a FIXED-size delta (the claim:
+        refresh is delta-bound — flat as the base grows).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import matview as MV
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-table")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def sizes(vdir, prev_inodes):
+        new_b = linked_b = 0
+        for dp, _, fs in os.walk(vdir):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                st = os.stat(os.path.join(dp, f))
+                if st.st_ino in prev_inodes:
+                    linked_b += st.st_size
+                else:
+                    new_b += st.st_size
+        return new_b, linked_b
+
+    def inodes(vdir):
+        return {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    def run(mult):
+        import functools
+
+        base = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                orders.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 10_000_000 * i
+                )
+                for i in range(mult)
+            ],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            root, mv = os.path.join(d, "t"), os.path.join(d, "mv")
+            TF.create_table(base, root, partition_by="o_orderpriority")
+            MV.create_aggregate_view(
+                spark, root, mv,
+                key="o_orderkey", group_cols=["o_orderpriority"],
+                sum_cols=["o_totalprice"],
+            )
+            v1 = os.path.join(root, "_versions", "v00000001")
+            base_inodes = inodes(v1)
+            total = sum(sizes(v1, set()))
+            # one-partition COW merge (fixed selectivity inside 1-URGENT)
+            src = base.where(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 13 == 0)
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            TF.merge_into(spark, root, src, on="o_orderkey", when_not_matched=None)
+            v2 = os.path.join(root, "_versions", "v00000002")
+            new_b, linked_b = sizes(v2, base_inodes)
+            # fixed-size delta refresh (same ~row count at every mult)
+            delta = orders.where(F.col("o_orderkey") % 83 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            )
+            TF.merge_into(spark, root, delta, on="o_orderkey", when_not_matched=None)
+            t0 = time.monotonic()
+            MV.refresh_aggregate_view(spark, mv)
+            refresh_s = time.monotonic() - t0
+            return {
+                "table_bytes": total,
+                "rewritten_bytes": new_b,
+                "rewritten_pct": round(100 * new_b / total, 1),
+                "hardlinked_pct": round(100 * linked_b / total, 1),
+                "mv_refresh_sec": round(refresh_s, 2),
+            }
+
+    r1, rk = run(1), run(k)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_table",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "at_1x": r1,
+                f"at_{k}x": rk,
+                "mv_refresh_ratio": round(
+                    rk["mv_refresh_sec"] / max(r1["mv_refresh_sec"], 1e-9), 2
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     dedup_mode = "--dedup" in argv
+    if "--table" in argv:
+        argv.remove("--table")
+        return table_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
