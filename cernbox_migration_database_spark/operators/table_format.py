@@ -15,7 +15,7 @@ that contract on plain parquet + an atomic pointer file:
   ``stream_upsert_sink``.
 * **Time travel.** Every committed version stays readable until ``vacuum``;
   ``read_table(version=N)`` pins a snapshot.
-* **Copy-on-write MERGE at partition granularity.** For a table partitioned
+* **Copy-on-write MERGE / DELETE / UPDATE at partition granularity.** For a table partitioned
   by ``partition_by`` (one column or a hierarchical list), a merge rewrites
   ONLY the leaf partitions that contain a matched key or receive an insert;
   every untouched partition is carried into the new version via hardlinks
@@ -154,10 +154,12 @@ def read_table(
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition")
+            if e["action"] in ("create", "compact", "repartition", "restore")
         ),
         default=0,
     )
+    # 'restore' resets to the restored snapshot's recorded state: its own
+    # commit carries the evolved flag of what it hardlinked back in.
     evolved = any(e.get("evolved") for e in entries[last_uniform:])
     reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
     df = reader.parquet(vdir)
@@ -495,15 +497,40 @@ def merge_into(
         # the base version still live (nothing claimed or written yet).
         _enforce_checks(merged, table_checks, "merge")
 
-    # Commit protocol: claim the version number (atomic mkdir), materialize
-    # everything in a staging dir, then one os.rename publishes the data —
-    # rename onto the still-EMPTY claimed dir succeeds, onto a dir another
-    # writer filled it fails (ENOTEMPTY), so files never interleave.
+    return _cow_commit(
+        root,
+        base_v,
+        pcols,
+        merged,
+        touched,
+        {
+            "action": "merge",
+            "columns": target.columns,
+            "evolved": bool(new_fields),
+        },
+    )
+
+
+def _cow_commit(
+    root: str,
+    base_v: int,
+    pcols: list[str],
+    rewritten: DataFrame,
+    touched: set | None,
+    meta: dict,
+) -> int:
+    """Shared copy-on-write commit protocol for merge/delete/update: claim
+    the version number (atomic mkdir), materialize the rewritten rows in a
+    staging dir, hardlink every UNTOUCHED leaf partition forward, then one
+    os.rename publishes the data — rename onto the still-EMPTY claimed dir
+    succeeds, onto a dir another writer filled it fails (ENOTEMPTY), so
+    files never interleave. ``touched`` is the set of partition-value
+    tuples being rewritten (None ⇒ unpartitioned full rewrite)."""
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
     try:
-        writer = merged.write.mode("overwrite")
+        writer = rewritten.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(staging)
@@ -518,7 +545,7 @@ def merge_into(
         os.rename(staging, vdir)
     except Exception:
         # Un-burn the claimed version: a failed write must not block the
-        # NEXT merge from claiming base_v+1 (the base pointer was never
+        # NEXT writer from claiming base_v+1 (the base pointer was never
         # moved, so the table itself is untouched).
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(vdir, ignore_errors=True)
@@ -527,14 +554,176 @@ def merge_into(
         root,
         new_v,
         {
-            "action": "merge",
             "parent": base_v,
             "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "touched_partitions": sorted(_part_rel(pcols, t) for t in touched)
             if touched is not None
             else None,
-            "columns": target.columns,
-            "evolved": bool(new_fields),
+            **meta,
+        },
+    )
+    return new_v
+
+
+def delete_where(spark: SparkSession, root: str, condition) -> int:
+    """``DELETE FROM table WHERE condition`` (SQL string or Column) as a
+    copy-on-write commit. SQL DELETE semantics: only rows where the
+    predicate is TRUE are removed — NULL-evaluating rows survive.
+
+    Partition pruning: only partitions that CONTAIN a matching row are
+    rewritten (one metadata-sized collect of distinct partition values of
+    matched rows); every other partition hardlinks forward. A
+    predicate-free day-partition retention delete therefore costs one
+    partition rewrite, not a table scan-and-rewrite — the posture that
+    keeps RTBF/GDPR purges viable against a 100 TB fact table.
+
+    Returns the new version number."""
+    return _modify_where(spark, root, condition, None, "delete")
+
+
+def update_where(spark: SparkSession, root: str, condition, set: dict) -> int:
+    """``UPDATE table SET col = expr, ... WHERE condition`` as a
+    copy-on-write commit. ``set`` maps column name → SQL expression string
+    or Column; every SET expression sees the row's PRE-update values
+    (standard UPDATE semantics — they are all computed in one projection).
+    Rows where the predicate is NULL or FALSE are untouched.
+
+    An update may move a row ACROSS partitions by setting a partition
+    column; touched partitions are therefore the matched rows' SOURCE
+    partitions ∪ their post-update DESTINATION partitions (both
+    metadata-sized collects). CHECK constraints declared at create_table
+    are enforced on the rewritten rows before anything is claimed.
+
+    Returns the new version number."""
+    if not set:
+        raise ValueError("update_where requires a non-empty set mapping")
+    return _modify_where(spark, root, condition, set, "update")
+
+
+def _modify_where(spark, root, condition, set_exprs, action) -> int:
+    base_v = current_version(root)
+    meta = history(root)[0]
+    pcols = _part_cols(partition_scheme(root, base_v))
+    target = read_table(spark, root, base_v)
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    # Three-valued logic: NULL predicate must read "not matched", never
+    # poison the keep-filter (WHERE NULL drops rows silently).
+    matched = F.coalesce(cond, F.lit(False))
+
+    if set_exprs is not None:
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set_exprs.items()
+        }
+        unknown = [c for c in exprs if c not in target.columns]
+        if unknown:
+            raise ValueError(
+                f"update_where SET names column(s) {unknown} not in {target.columns}"
+            )
+        updated_cols = [
+            F.when(matched, exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in exprs
+            else F.col(c)
+            for c in target.columns
+        ]
+    else:
+        updated_cols = None
+
+    if pcols:
+        # Source partitions of matched rows; for an update, also the
+        # post-update destination partitions (a SET on a partition column
+        # moves rows). Both collects are bounded by partition count.
+        matched_rows = target.where(matched)
+        touched = {tuple(r) for r in matched_rows.select(*pcols).distinct().collect()}
+        if updated_cols is not None and any(c in set_exprs for c in pcols):
+            touched |= {
+                tuple(r)
+                for r in matched_rows.select(*updated_cols)
+                .select(*pcols)
+                .distinct()
+                .collect()
+            }
+        keep = target.where(_part_in(pcols, touched))
+    else:
+        touched = None
+        keep = target
+
+    if action == "delete":
+        rewritten = keep.where(~matched)
+    else:
+        rewritten = keep.select(
+            *[
+                F.when(matched, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in keep.columns
+            ]
+        )
+        table_checks = meta.get("checks") or {}
+        if table_checks:
+            _enforce_checks(rewritten, table_checks, "update")
+
+    return _cow_commit(
+        root,
+        base_v,
+        pcols,
+        rewritten,
+        touched,
+        {"action": action, "columns": target.columns},
+    )
+
+
+def restore(root: str, version: int) -> int:
+    """``RESTORE TABLE TO VERSION AS OF version``: commit a NEW version
+    whose data is the old snapshot carried forward via hardlinks — an
+    O(#files) driver-side metadata operation, zero data IO, exactly how
+    table formats roll back (a new commit referencing old files, never a
+    pointer rewind). History is preserved: the bad versions stay readable
+    for forensics until vacuumed, and the restore itself appears in
+    ``history()``. Requires the restored version directory to still exist
+    (not vacuumed). Returns the new version number."""
+    base_v = current_version(root)
+    if version == base_v:
+        raise ValueError(f"version {version} is already current")
+    src = _vdir(root, version)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(
+            f"version {version} of {root} does not exist (vacuumed?)"
+        )
+    entries = [e for e in history(root) if e["version"] <= version]
+    # Reconstruct the restored snapshot's effective state: its schema /
+    # layout, and whether its files mix footer schemas (evolved since its
+    # last full rewrite) — read_table treats 'restore' as a reset point
+    # carrying exactly this flag.
+    last_uniform = max(
+        (
+            i
+            for i, e in enumerate(entries)
+            if e["action"] in ("create", "compact", "repartition", "restore")
+        ),
+        default=0,
+    )
+    evolved = any(e.get("evolved") for e in entries[last_uniform:])
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    try:
+        _link_tree(src, staging)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        raise
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "restore",
+            "parent": base_v,
+            "restored_version": version,
+            "partition_by": entries[-1].get("partition_by"),
+            "columns": entries[-1].get("columns") or entries[0].get("columns"),
+            "evolved": evolved,
         },
     )
     return new_v
@@ -892,19 +1081,47 @@ def stream_merge_into(
     return writer.start()
 
 
-def vacuum(root: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    root: str,
+    keep_last: int = 2,
+    remove_orphans: bool = False,
+    orphan_grace_s: float = 3600.0,
+) -> list[int]:
     """Drop version directories older than the newest ``keep_last``
-    (current is always kept). Returns the removed version numbers."""
+    committed versions (current is always kept). Returns the removed
+    version numbers.
+
+    With ``remove_orphans=True`` also collects debris from crashed
+    writers: ``*.staging`` leftovers and CLAIMED-but-never-committed
+    version directories (no ``_log`` entry — the state merge_with_retry
+    refuses to spin on). Orphans younger than ``orphan_grace_s`` seconds
+    (mtime) are left alone so an IN-FLIGHT writer's claim is never pulled
+    out from under it mid-commit — the same retention-guard posture real
+    formats take before deleting unreferenced files."""
     cur = current_version(root)
+    committed = {e["version"] for e in history(root)}
     vroot = os.path.join(root, _VERSIONS)
+    names = os.listdir(vroot)
     versions = sorted(
         int(name[1:])
-        for name in os.listdir(vroot)
+        for name in names
         if name.startswith("v") and name[1:].isdigit()  # skips orphaned .staging
     )
-    keep = set(versions[-keep_last:]) | {cur}
+    if remove_orphans:
+        now = time.time()
+        for name in names:
+            full = os.path.join(vroot, name)
+            is_orphan = name.endswith(".staging") or (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and int(name[1:]) not in committed
+            )
+            if is_orphan and now - os.path.getmtime(full) >= orphan_grace_s:
+                shutil.rmtree(full, ignore_errors=True)
+    committed_dirs = [v for v in versions if v in committed]
+    keep = set(committed_dirs[-keep_last:]) | {cur}
     removed = []
-    for v in versions:
+    for v in committed_dirs:
         if v in keep:
             continue
         shutil.rmtree(_vdir(root, v))

@@ -5977,6 +5977,149 @@ def merge_into_nested_partitions(spark, sf_dir):
     )
 
 
+@register(
+    "table_delete_where",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_delete_where(spark, sf_dir):
+    """``DELETE FROM`` a versioned table (table_format.delete_where): a
+    predicate delete commits a copy-on-write version that rewrites ONLY the
+    partitions containing a matching row — the retention/RTBF purge shape
+    (reference sink analogue: the destructive half of main.go:217-240's
+    UPDATE loop). The oracle is the pure relational complement; the
+    differential covers predicate semantics AND the write→commit→read
+    path, including the hardlink carry of untouched partitions."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("delete", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.delete_where(spark, root, "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_update_where",
+    """
+    WITH updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN '9-REPRICED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + CAST(o_orderkey % 100 AS BIGINT) AS DOUBLE) / 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM updated
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_update_where(spark, sf_dir):
+    """``UPDATE ... SET ... WHERE`` on a versioned table
+    (table_format.update_where) — the transactional form of the
+    reference's per-row UPDATE sink (main.go:217-240). The SET moves every
+    matched row into a NEW partition value ('9-REPRICED') while adjusting
+    its price from pre-update values, so the differential exercises the
+    cross-partition row move: source partitions AND the destination
+    partition are rewritten, everything else hardlinks forward. Price
+    arithmetic runs on cent-scaled longs in both engines, so the update is
+    binary-exact cross-engine."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("update", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.update_where(
+        spark,
+        root,
+        "o_orderstatus = 'P'",
+        {
+            "o_orderpriority": "'9-REPRICED'",
+            "o_totalprice": (
+                "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " + CAST(o_orderkey % 100 AS BIGINT) AS DOUBLE) / 100.0"
+            ),
+        },
+    )
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_restore",
+    """
+    SELECT 2 AS version, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 3, o_orderpriority, COUNT(*)
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY version, o_orderpriority
+    """,
+)
+def table_restore(spark, sf_dir):
+    """``RESTORE TABLE TO VERSION AS OF``: delete all 'F' orders (v2), then
+    roll back to v1 as a NEW commit v3 whose data is hardlinked from the v1
+    snapshot — O(#files) metadata, zero data IO, history preserved. The
+    query reads BOTH the bad version (still readable for forensics) and
+    the restored head; the oracle differentials that v3 is byte-equivalent
+    to the original table while v2 keeps the deleted state."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("restore", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.delete_where(spark, root, "o_orderstatus = 'F'")
+    TF.restore(root, 1)
+
+    def counts(version):
+        return (
+            TF.read_table(spark, root, version=version)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("version", F.lit(version))
+        )
+
+    return (
+        counts(2)
+        .unionByName(counts(3))
+        .select("version", "o_orderpriority", "n_orders")
+        .orderBy("version", "o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
@@ -5999,13 +6142,13 @@ def merge_into_nested_partitions(spark, sf_dir):
 # left out: the window is full with never-verified entries; it is the
 # natural first pick for the r5 rotation. After a green r4, every other
 # oracle-paired query in the registry has a driver row on record.
-# r5 rotation plan: swap into the window approx_sketches plus the six
+# r5 rotation plan: swap into the window approx_sketches plus the nine
 # lakehouse queries added later in round 4 (merge_into_versioned,
 # table_time_travel, table_changes, mv_incremental_refresh,
-# point_lookup_indexed, merge_into_nested_partitions — they sit after the
-# window this round by construction; selfcheck AND a full driver_sim
-# --all pass at sf0.01 already cover all of them), keeping the sentinel
-# core.
+# point_lookup_indexed, merge_into_nested_partitions, table_delete_where,
+# table_update_where, table_restore — they sit after the window this
+# round by construction; selfcheck AND a full driver_sim --all pass at
+# sf0.01 already cover all of them), keeping the sentinel core.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",

@@ -666,3 +666,146 @@ def test_merge_with_retry_race_and_orphan(spark, tmp_path, monkeypatch):
             spark.createDataFrame([Row(id=2, grp="a", val=2.0)]),
             on="id", when_not_matched=None,
         )
+
+
+def test_delete_where_cow_null_semantics_and_pruning(spark, tmp_path):
+    root = str(tmp_path / "del")
+    base = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val=10.0),
+            Row(id=2, grp="a", val=None),  # NULL predicate -> survives
+            Row(id=3, grp="b", val=30.0),
+            Row(id=4, grp="c", val=40.0),
+        ]
+    )
+    TF.create_table(base, root, partition_by="grp")
+    v = TF.delete_where(spark, root, "val >= 30")
+    assert v == 2
+    got = {r["id"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1, 2}  # NULL-val row kept (three-valued DELETE semantics)
+    entry = TF.history(root)[-1]
+    assert entry["action"] == "delete"
+    # only b and c contained matches -> a is carried forward as hardlinks
+    assert sorted(entry["touched_partitions"]) == ["grp=b", "grp=c"]
+
+    def inodes(ver, part):
+        d = os.path.join(root, "_versions", f"v{ver:08d}", f"grp={part}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert inodes(1, "a") == inodes(2, "a")
+    # time travel: the pre-delete snapshot still shows all four rows
+    assert TF.read_table(spark, root, version=1).count() == 4
+
+
+def test_update_where_pre_update_semantics_and_partition_move(spark, tmp_path):
+    root = str(tmp_path / "upd")
+    base = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", x=1.0, y=100.0),
+            Row(id=2, grp="b", x=2.0, y=200.0),
+            Row(id=3, grp="c", x=3.0, y=300.0),
+        ]
+    )
+    TF.create_table(base, root, partition_by="grp")
+    # swap x and y on the matched row: both SET expressions must see the
+    # PRE-update values (standard UPDATE semantics)
+    TF.update_where(spark, root, "id = 2", {"x": "y", "y": "x"})
+    got = {r["id"]: (r["x"], r["y"]) for r in TF.read_table(spark, root).collect()}
+    assert got[2] == (200.0, 2.0) and got[1] == (1.0, 100.0)
+
+    # partition-moving update: row 1 moves a -> z; a (source) and z (dest)
+    # are rewritten, b and c hardlink forward
+    v = TF.update_where(spark, root, "id = 1", {"grp": "'z'"})
+    entry = TF.history(root)[-1]
+    assert entry["action"] == "update"
+    assert sorted(entry["touched_partitions"]) == ["grp=a", "grp=z"]
+    rows = {r["id"]: r["grp"] for r in TF.read_table(spark, root, version=v).collect()}
+    assert rows == {1: "z", 2: "b", 3: "c"}
+
+    with pytest.raises(ValueError, match="not in"):
+        TF.update_where(spark, root, "id = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="non-empty"):
+        TF.update_where(spark, root, "id = 1", {})
+
+
+def test_update_where_enforces_check_constraints(spark, tmp_path):
+    root = str(tmp_path / "chk")
+    TF.create_table(_base(spark), root, checks={"val_nonneg": "val >= 0"})
+    with pytest.raises(ValueError, match="val_nonneg"):
+        TF.update_where(spark, root, "id = 1", {"val": "-5.0"})
+    assert TF.current_version(root) == 1  # aborted pre-claim, nothing committed
+    TF.update_where(spark, root, "id = 1", {"val": "val + 1"})
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got[1] == 11.0
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    root = str(tmp_path / "res")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.delete_where(spark, root, "grp = 'b'")
+    assert TF.read_table(spark, root).count() == 3
+    v = TF.restore(root, 1)
+    assert v == 3
+    # restored snapshot equals version 1 exactly
+    assert {r["id"] for r in TF.read_table(spark, root).collect()} == {1, 2, 3, 4}
+    entry = TF.history(root)[-1]
+    assert entry["action"] == "restore" and entry["restored_version"] == 1
+    # metadata-only: every restored file is a hardlink of the v1 file
+    v1 = os.path.join(root, "_versions", "v00000001")
+    v3 = os.path.join(root, "_versions", "v00000003")
+
+    def all_inodes(vdir):
+        out = set()
+        for dp, _dn, fns in os.walk(vdir):
+            out |= {os.stat(os.path.join(dp, f)).st_ino for f in fns if f.endswith(".parquet")}
+        return out
+
+    assert all_inodes(v3) == all_inodes(v1)
+    # the bad version stays readable for forensics until vacuumed
+    assert TF.read_table(spark, root, version=2).count() == 3
+    # CDF across the restore boundary reports the rows coming back
+    chg = TF.read_changes(spark, root, "id", from_version=2, to_version=3)
+    assert {(r["id"], r["_change_type"]) for r in chg.collect()} == {(3, "insert")}
+    with pytest.raises(ValueError, match="already current"):
+        TF.restore(root, 3)
+    with pytest.raises(FileNotFoundError):
+        TF.restore(root, 99)
+
+
+def test_restore_carries_schema_evolution_state(spark, tmp_path):
+    root = str(tmp_path / "rse")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=1, grp="a", val=11.0, extra="X")])
+    TF.merge_into(spark, root, src, on="id", when_not_matched=None, evolve_schema=True)
+    TF.delete_where(spark, root, "id = 4")  # v3, still mixed footers
+    TF.compact(spark, root)  # v4: uniform footers again
+    v = TF.restore(root, 3)  # back to a MIXED-footer snapshot
+    df = TF.read_table(spark, root, version=v)
+    got = {r["id"]: r["extra"] for r in df.collect()}
+    # hardlink-carried partitions read the evolved column as null
+    assert got == {1: "X", 2: None, 3: None}
+
+
+def test_vacuum_collects_orphans_with_grace(spark, tmp_path):
+    root = str(tmp_path / "vac")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    vroot = os.path.join(root, "_versions")
+    # debris from a crashed writer: a claimed-but-never-committed version
+    # and a staging leftover
+    os.mkdir(os.path.join(vroot, "v00000002"))
+    os.mkdir(os.path.join(vroot, "v00000003.staging"))
+    # default grace: fresh orphans are NOT collected (in-flight writer guard)
+    TF.vacuum(root, keep_last=2, remove_orphans=True)
+    assert os.path.isdir(os.path.join(vroot, "v00000002"))
+    TF.vacuum(root, keep_last=2, remove_orphans=True, orphan_grace_s=0.0)
+    assert not os.path.exists(os.path.join(vroot, "v00000002"))
+    assert not os.path.exists(os.path.join(vroot, "v00000003.staging"))
+    # the table itself is intact and the next merge can claim v2 again
+    src = spark.createDataFrame([Row(id=1, grp="a", val=99.0)])
+    assert TF.merge_into(spark, root, src, on="id", when_not_matched=None) == 2
