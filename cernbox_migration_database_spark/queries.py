@@ -5415,6 +5415,100 @@ def train_decontaminate(spark, sf_dir):
 
 
 @register(
+    "bloom_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+    spl AS (SELECT doc_id, g,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1') AS is_eval
+            FROM ex),
+    evalg AS (SELECT DISTINCT g FROM spl WHERE is_eval),
+    evalpos AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(g || '#' || CAST(i AS VARCHAR)), 1, 13)
+                  AS BIGINT) % 262144 AS p
+      FROM (SELECT g, unnest(generate_series(0, 3)) AS i FROM evalg)),
+    train AS (SELECT DISTINCT doc_id, g FROM spl WHERE NOT is_eval),
+    tfan AS (SELECT doc_id, g, unnest(generate_series(0, 3)) AS i FROM train),
+    tpos AS (SELECT doc_id, g,
+                    CAST('0x' || substring(md5(g || '#' || CAST(i AS VARCHAR)), 1, 13)
+                         AS BIGINT) % 262144 AS p
+             FROM tfan),
+    ghit AS (SELECT doc_id, g,
+                    COUNT(*) FILTER (WHERE p IN (SELECT p FROM evalpos)) = 4
+                      AS bloom_pos
+             FROM tpos GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE bloom_pos) AS BIGINT) AS bloom_hits,
+           CAST(COUNT(*) FILTER (WHERE bloom_pos
+                                 AND g IN (SELECT g FROM evalg)) AS BIGINT)
+             AS exact_hits
+    FROM ghit
+    GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE bloom_pos) > 0
+    ORDER BY doc_id
+    """,
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/sketches.py bloom_build
+    / bloom_contains): the eval split's distinct 3-gram shingles fold into
+    a 2^18-bit Bloom bitset (32 KiB, embedded as a literal array — ships
+    inside the plan, no broadcast relation, no join), every train shingle
+    is probed ROW-LOCALLY, and only the bloom-positive survivors pay the
+    exact membership join. This is the 100 TB composition the exact
+    anti-join (train_decontaminate) can't offer: the full corpus scan does
+    pure codegen arithmetic and the shuffle/join touches just the tiny
+    surviving fraction. One-sided error is visible in the result itself:
+    exact_hits <= bloom_hits per doc (no false negatives; the gap is the
+    measured false-positive count). The oracle replays the identical
+    md5-derived positions as a set-membership check — a full differential
+    over a probabilistic structure, hash arithmetic and all."""
+    m_bits, k = 1 << 18, 4
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
+    )
+    ex = base.select(
+        "doc_id", F.explode(D.shingles_from_tokens(F.col("t"), 3)).alias("g")
+    ).withColumn(
+        "is_eval",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"),
+    )
+    evalg = ex.where("is_eval").select("g").distinct()
+    words = SK.bloom_build(evalg, "g", m_bits=m_bits, k=k)
+    probed = tracked_persist(
+        ex.where(~F.col("is_eval"))
+        .select("doc_id", "g")
+        .distinct()
+        .withColumn("bloom_pos", SK.bloom_contains(F.col("g"), words, m_bits, k))
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_pos").cast("int")).cast("long").alias("bloom_hits"),
+    )
+    # Exact verification joins ONLY the bloom survivors; the eval n-gram
+    # set is benchmark-sized by construction (it does not grow with the
+    # train corpus), so the broadcast is bounded — unlike a candidate-pair
+    # set, which is why the LSH verify join gets no such hint.
+    survivors = probed.where("bloom_pos").join(
+        F.broadcast(evalg.withColumn("__e", F.lit(True))), "g", "left"
+    )
+    exact = survivors.groupBy("doc_id").agg(
+        F.sum(F.col("__e").isNotNull().cast("int")).cast("long").alias("exact_hits")
+    )
+    return (
+        per_doc.where(F.col("bloom_hits") > 0)
+        .join(exact, "doc_id")
+        .select("doc_id", "n_shingles", "bloom_hits", "exact_hits")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_repetition",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

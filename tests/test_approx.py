@@ -78,3 +78,58 @@ def test_cms_is_mergeable(spark, sf_dir):
         F.coalesce("counter", F.lit(-1)) != F.coalesce("w", F.lit(-1))
     )
     assert diff.count() == 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every member probes True (the Bloom one-sided guarantee), and the
+    false-positive rate on a disjoint probe set stays near the analytic
+    (1 - e^(-kn/m))^k for the chosen geometry."""
+    from cernbox_migration_database_spark.operators import sketches as SK
+
+    m_bits, k = 1 << 14, 4
+    members = spark.range(1000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("g")
+    )
+    bits = SK.bloom_build(members, "g", m_bits=m_bits, k=k)
+    assert isinstance(bits, bytes) and len(bits) == m_bits // 8
+    hit = members.where(SK.bloom_contains(F.col("g"), bits, m_bits, k)).count()
+    assert hit == 1000  # no false negatives, ever
+    probes = spark.range(20000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("g")
+    )
+    fp = probes.where(SK.bloom_contains(F.col("g"), bits, m_bits, k)).count()
+    # analytic fpr ~ (1 - e^(-4*1000/16384))^4 ~ 0.0023 -> expect ~46 of 20k
+    assert fp < 200
+
+
+def test_bloom_positions_match_duckdb(spark):
+    """The md5-derived position arithmetic is bit-identical across engines —
+    the property the bloom_decontaminate oracle rests on."""
+    import duckdb
+
+    from cernbox_migration_database_spark.operators import sketches as SK
+
+    vals = ["alpha beta", "x", "ünïcødé", ""]
+    con = duckdb.connect()
+    for v in vals:
+        for i in range(4):
+            ddb = con.execute(
+                "SELECT CAST('0x' || substring(md5(? || '#' || CAST(? AS VARCHAR)), 1, 13)"
+                " AS BIGINT) % 262144",
+                [v, i],
+            ).fetchone()[0]
+            sp = (
+                spark.range(1)
+                .select(SK.bloom_pos(F.lit(v), i, 1 << 18).alias("p"))
+                .collect()[0]["p"]
+            )
+            assert sp == ddb, (v, i, sp, ddb)
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    from cernbox_migration_database_spark.operators import sketches as SK
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        SK.bloom_build(spark.range(1).selectExpr("CAST(id AS STRING) g"), "g", m_bits=100)
