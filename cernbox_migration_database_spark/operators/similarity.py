@@ -576,6 +576,39 @@ def pq_encode(
     ).select(F.col(id_col), F.col("sub_id").cast("int"), "code")
 
 
+def pq_query_lut(
+    queries_df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, sub_id, code, d) with d the
+    EXACT scaled-long squared distance from the query's subvector to the
+    literal codebook entry — m*k rows per query, row-local arithmetic
+    against literals. Shared by :func:`pq_adc_topk` (full-corpus ADC) and
+    :func:`ivf_pq_topk` (cell-restricted ADC)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q = ensure_parallelism(queries_df).withColumn(
+        "_sv", scaled_vector(F.col(vec_col))
+    )
+    # One parsed SQL expression for the whole m*k LUT (see pq_encode for
+    # why text beats the Column API here: ~5 s of py4j plan build).
+    entries = []
+    for s in range(m):
+        for j in range(k):
+            d = _pq_dist_sql("_sv", s * sub, codebooks[s][j])
+            entries.append(
+                f"named_struct('sub_id', cast({s} as int), "
+                f"'code', cast({j} as int), 'd', {d})"
+            )
+    return q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
+    ).select("query_id", "e.sub_id", "e.code", "e.d")
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries_df: DataFrame,
@@ -594,26 +627,7 @@ def pq_adc_topk(
     — the full vectors never load — which is the point at 10^9 vectors.
     Distances stay exact integers end-to-end, so the whole search is
     oracle-pairable (unlike float ADC implementations)."""
-    m = len(codebooks)
-    k = len(codebooks[0])
-    sub = len(codebooks[0][0])
-    q = ensure_parallelism(queries_df).withColumn(
-        "_sv", scaled_vector(F.col(vec_col))
-    )
-    # One parsed SQL expression for the whole m*k LUT (see pq_encode for
-    # why text beats the Column API here: ~5 s of py4j plan build).
-    entries = []
-    for s in range(m):
-        for j in range(k):
-            d = _pq_dist_sql("_sv", s * sub, codebooks[s][j])
-            entries.append(
-                f"named_struct('sub_id', cast({s} as int), "
-                f"'code', cast({j} as int), 'd', {d})"
-            )
-    lut = q.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
-    ).select("query_id", "e.sub_id", "e.code", "e.d")
+    lut = pq_query_lut(queries_df, codebooks, id_col, vec_col)
     joined = (
         codes_df.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), ["sub_id", "code"])
@@ -621,6 +635,69 @@ def pq_adc_topk(
     )
     agg = joined.groupBy("query_id", "neighbor_id").agg(
         F.sum("d").alias("adc")
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[list[int], float]],
+    codebooks: list[list[list[int]]],
+    nprobe: int = 4,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN — the two-stage index shape production vector
+    stores run at 10^9+ vectors: a coarse quantizer (IVF cells against
+    literal centroids, row-local argmax) restricts the search to each
+    query's ``nprobe`` cells, and within those cells distance comes from
+    PQ asymmetric distance computation over the compact code table — the
+    corpus is touched ONLY through its (cell, m codes) index rows; full
+    vectors never load at search time.
+
+    Scale anatomy: cell assignment and the per-query m x k LUT are
+    row-local arithmetic against plan literals (no shuffle); the candidate
+    restriction is one broadcast join on the cell id (probe set =
+    |queries| * nprobe rows); ADC is one broadcast LUT join + a map-side-
+    combinable SUM over m rows per surviving (query, neighbor). Versus
+    plain :func:`pq_adc_topk`, the scanned code rows drop by the factor
+    ``nprobe / n_cells`` — the knob that keeps search latency flat as the
+    corpus grows, paid for in recall at cell boundaries. With
+    ``nprobe = len(centroids)`` the result equals full-corpus ADC exactly
+    (pytest pins this equivalence); all distances stay exact scaled-long
+    integers, so the composite is oracle-pairable end-to-end.
+    """
+    cells = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_of(F.col("svec"), F.col("norm"), centroids).alias("cell"),
+    )
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    # The inverted index: code rows keyed by their vector's cell — what a
+    # production store materializes once at build time.
+    icodes = codes.withColumnRenamed(id_col, "neighbor_id").join(
+        cells, "neighbor_id"
+    )
+    probe = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            probe_cells(F.col("svec"), F.col("norm"), centroids, nprobe)
+        ).alias("cell"),
+    )
+    lut = pq_query_lut(queries, codebooks, id_col, vec_col)
+    cand = icodes.join(F.broadcast(probe), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    agg = (
+        cand.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
     )
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (

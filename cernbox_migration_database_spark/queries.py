@@ -3912,6 +3912,93 @@ def similarity_pq_adc(spark, sf_dir):
     )
 
 
+def _ivf_pq_oracle() -> str:
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    return f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id, list_slice(s, j*8 + 1, j*8 + 8) AS sub
+      FROM sv, (SELECT unnest(generate_series(0, 7)) AS j)),
+    cb AS (SELECT sub_id, vec_id AS code, cvec FROM (
+             SELECT sub_id, vec_id, sub AS cvec FROM subs WHERE vec_id < 16)),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, sub_id, code, dist AS dd
+      FROM d WHERE vec_id < 20),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(l.dd) AS BIGINT) AS adc
+      FROM cand c
+      JOIN codes e ON e.vec_id = c.neighbor_id
+      JOIN qlut l ON l.query_id = c.query_id
+               AND l.sub_id = e.sub_id AND l.code = e.code
+      GROUP BY c.query_id, c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("similarity_ivf_pq", _ivf_pq_oracle())
+def similarity_ivf_pq(spark, sf_dir):
+    """IVF-PQ composite ANN (operators/similarity.py:ivf_pq_topk) — the
+    two-stage index production vector stores run at 10^9 vectors: the IVF
+    coarse quantizer (16 literal seed centroids, nprobe=4) restricts the
+    search to a quarter of the corpus, and within the probed cells
+    distance is PQ asymmetric distance computation over the compact code
+    table — corpus touched only through (cell, 8 codes) index rows, full
+    vectors never load at search time. Both stages are exact scaled-long
+    arithmetic, so the oracle replays the ENTIRE composite (cell ranking,
+    codebook encoding, LUT join, ADC ranking) and the result hash-matches
+    — a full differential over a composed approximate index. nprobe=16
+    degenerates to full-corpus ADC; pytest pins that equivalence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(emb, k=16)
+    books = S.pq_codebooks(emb)
+    return S.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 20), cents, books, nprobe=4, top_k=5
+    )
+
+
 @register("similarity_pq_encode", _pq_oracle())
 def similarity_pq_encode(spark, sf_dir):
     """Product-quantization encoding (operators/similarity.py:pq_encode,

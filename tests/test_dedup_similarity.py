@@ -639,3 +639,66 @@ def test_pq_codebooks_validates_seed_rows_and_divisibility(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(dense_bad_dim, m=2, k=4)
+
+
+def test_ivf_pq_with_full_probe_equals_plain_adc(spark):
+    """With nprobe = n_cells the IVF restriction admits every corpus vector,
+    so the composite must equal full-corpus PQ-ADC row-for-row — the
+    correctness anchor for the cell-restricted fast path."""
+    from cernbox_migration_database_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        seed_centroids,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = seed_centroids(emb, k=16)
+    books = pq_codebooks(emb)
+    queries = emb.where(F.col("vec_id") < 8)
+    full = ivf_pq_topk(emb, queries, cents, books, nprobe=16, top_k=5)
+    plain = pq_adc_topk(pq_encode(emb, books), queries, books, top_k=5)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) == 8 * 5
+
+
+def test_ivf_pq_restriction_is_subset_of_probed_cells(spark):
+    """Every neighbor returned at nprobe=2 must live in one of the query's
+    2 probed cells (the invariant that makes the scan-fraction claim real),
+    and results must agree with plain ADC wherever the neighbor was
+    admitted."""
+    from cernbox_migration_database_spark.operators.similarity import (
+        cell_of,
+        ivf_pq_topk,
+        pq_codebooks,
+        probe_cells,
+        seed_centroids,
+        with_norm,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = seed_centroids(emb, k=16)
+    books = pq_codebooks(emb)
+    queries = emb.where(F.col("vec_id") < 8)
+    got = ivf_pq_topk(emb, queries, cents, books, nprobe=2, top_k=5)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in with_norm(emb)
+        .select("vec_id", cell_of(F.col("svec"), F.col("norm"), cents).alias("cell"))
+        .collect()
+    }
+    probed = {
+        r["vec_id"]: set(r["p"])
+        for r in with_norm(queries)
+        .select(
+            "vec_id",
+            probe_cells(F.col("svec"), F.col("norm"), cents, 2).alias("p"),
+        )
+        .collect()
+    }
+    for r in got.collect():
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]], r
