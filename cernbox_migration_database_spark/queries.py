@@ -1560,6 +1560,84 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic_keep",
+    f"""
+    WITH RECURSIVE
+    nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS r
+        FROM ac) WHERE r = 1),
+    bk AS (SELECT n.vec_id, n.embedding, n.nrm, c.cell
+           FROM nv n JOIN cells c USING (vec_id)),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM bk a JOIN bk b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.4),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM prs
+      UNION SELECT vb, va FROM prs),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.cluster, e.vec_id) AS cluster,
+           COALESCE(c.cluster, e.vec_id) = e.vec_id AS kept
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic_keep(spark, sf_dir):
+    """Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.
+    2023): cluster the corpus by a coarse quantizer, find within-cluster
+    pairs above a cosine threshold, and keep ONE representative per
+    connected group — pruning semantically redundant documents the n-gram
+    dedups can't see. Clustering here is the IVF cell assignment against
+    deterministic literal seed centroids (row-local, no shuffle, and —
+    unlike float k-means — oracle-expressible; kmeans_train is the
+    data-adaptive drop-in); pair generation is the cell-blocked exact
+    cosine self-join (never an unblocked cross join); grouping is the
+    iterative min-label connected components vs the oracle's recursive
+    CTE. Output is the full corpus assignment (vec_id, cluster, kept) —
+    the pruned training corpus is ``WHERE kept``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(emb, k=16)
+    d = S.with_norm(emb).withColumn(
+        "cell", S.cell_of(F.col("svec"), F.col("norm"), cents)
+    )
+    pairs = S.cosine_near_dup_pairs(d, block_col="cell", threshold=0.4)
+    comp = D.connected_components(pairs, "vec_a", "vec_b").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("cluster"),
+            (F.coalesce(F.col("cluster"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "kept"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "embedding_norm_stats",
     f"""
     SELECT label, COUNT(*) AS n,

@@ -702,3 +702,37 @@ def test_ivf_pq_restriction_is_subset_of_probed_cells(spark):
     }
     for r in got.collect():
         assert cells[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_semantic_keep_prunes_all_within_cell_neardups(spark):
+    """After SemDeDup-style pruning, the KEPT corpus contains no
+    within-cell pair above the threshold (any such pair would have been
+    merged into one cluster and all but the minimum dropped), and every
+    cluster keeps exactly its minimum id."""
+    from cernbox_migration_database_spark.queries import QUERIES
+
+    out = QUERIES["dedup_semantic_keep"](spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append((r["vec_id"], r["kept"]))
+    for cluster, members in by_cluster.items():
+        kept = [v for v, k in members if k]
+        assert kept == [min(v for v, _ in members)] == [cluster]
+
+    from cernbox_migration_database_spark.operators.similarity import (
+        cell_of,
+        cosine_near_dup_pairs,
+        seed_centroids,
+        with_norm,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = seed_centroids(emb, k=16)
+    kept_ids = {r["vec_id"] for r in rows if r["kept"]}
+    kept_df = with_norm(emb.where(F.col("vec_id").isin(list(kept_ids)))).withColumn(
+        "cell", cell_of(F.col("svec"), F.col("norm"), cents)
+    )
+    leftover = cosine_near_dup_pairs(kept_df, block_col="cell", threshold=0.4)
+    assert leftover.count() == 0
