@@ -2174,6 +2174,65 @@ def stratified_exact_n(spark, sf_dir):
 
 
 @register(
+    "train_weighted_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             1.0 + len({_TOKS}) / 64.0 AS w,
+             (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                                     1, 13) AS BIGINT) + 1)
+               / 4503599627370496.0 AS u
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ln(u) / w DESC, doc_id) AS rank
+      FROM t)
+    SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
+    FROM r WHERE rank <= 20
+    ORDER BY lang, rank
+    """,
+)
+def train_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each document draws key ln(u)/w — u a deterministic md5-derived
+    uniform in (0,1], w its weight (here 1 + tokens/64, standing in for a
+    quality score) — and the top 20 keys per language stratum are the
+    sample, selected with probability proportional to weight. One pass,
+    fully distributed: the key is row-local arithmetic (no data-dependent
+    state), the top-n is a per-stratum window, so parallelism scales with
+    strata; at 100 TB a giant stratum switches to the two-phase
+    per-partition-top-n + merge trick (topk_orders' plan). Deterministic
+    across engines and reruns unlike rand()/sampleBy — the one caveat is
+    ln()'s sub-ulp libm variance, which can only matter on near-tied keys
+    (probability ~0 on real data); the differential therefore compares the
+    SELECTION (lang, rank, doc_id), never the float keys."""
+    d = _t(spark, sf_dir, "documents")
+    tc = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(float(2**52))
+    key = F.log(u) / (F.lit(1.0) + tc.cast("double") / F.lit(64.0))
+    w = W.partitionBy("lang").orderBy(F.col("__k").desc(), "doc_id")
+    return (
+        d.withColumn("__k", key)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("lang", "rank", "doc_id")
+        .orderBy("lang", "rank")
+    )
+
+
+@register(
     "quantile_binning",
     """
     WITH q AS (

@@ -63,3 +63,30 @@ def test_range_join_broadcasts_and_partitions_all_orders(spark, sf_dir):
     # bands partition [0, inf): every order lands in exactly one band
     assert sum(r["n"] for r in got) == total_orders
     assert len(got) <= 4
+
+
+def test_weighted_sample_is_biased_toward_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis selection probability is proportional to weight
+    (1 + tokens/64 here): on the fixed fixture, the sampled docs' mean
+    token count must exceed the corpus mean — and per-stratum counts are
+    exactly min(20, |stratum|) with dense ranks."""
+    from cernbox_migration_database_spark.queries import QUERIES
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    sel = QUERIES["train_weighted_sample"](spark, sf_dir)
+    rows = sel.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["rank"])
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, ranks in per_lang.items():
+        assert sorted(ranks) == list(range(1, min(20, sizes[lang]) + 1))
+    tc = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    d = docs.withColumn("tc", tc)
+    corpus_avg = d.agg(F.avg("tc")).collect()[0][0]
+    sel_avg = d.join(sel, "doc_id").agg(F.avg("tc")).collect()[0][0]
+    assert sel_avg > corpus_avg
