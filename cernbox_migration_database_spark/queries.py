@@ -5733,6 +5733,105 @@ def bloom_decontaminate(spark, sf_dir):
 
 
 @register(
+    "dedup_repeated_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(t) / 3.0) AS BIGINT) - 1),
+               i -> struct_pack(
+                 seg_idx := i,
+                 seg := array_to_string(list_slice(t, i*3 + 1, i*3 + 3), ' ')
+               ))) AS s
+      FROM toks WHERE len(t) > 0),
+    flat AS (SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg FROM segs),
+    canon AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM flat),
+    keep AS (SELECT doc_id, seg_idx, seg FROM canon WHERE rn = 1),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(list(seg ORDER BY seg_idx), ' ') AS new_text
+      FROM keep GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM flat GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_segs - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(a.new_text, '') AS new_text
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Sub-document span dedup — the C4/RefinedWeb repeated-line removal,
+    at 3-token span granularity (the fixture has no line breaks): every
+    globally duplicated span keeps ONLY its canonical first occurrence
+    (min doc_id, then position) and is dropped everywhere else, then each
+    document is reassembled from its surviving spans in order. This is
+    the dedup documents-level fingerprinting can't do: boilerplate
+    repeated across distinct pages is removed FROM INSIDE otherwise-unique
+    documents. Scale anatomy: one shuffle on the span text (the honest
+    global-dedup exchange — at 100 TB, span-hash instead of span text to
+    shrink shuffle bytes), canonical choice is a per-span window,
+    reassembly a per-doc sorted fold bounded by document length. The
+    oracle replays canonicalization AND reassembly, so the differential
+    covers the order-sensitive rebuild, not just the drop counts."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
+    )
+    nseg = F.ceil(F.size("t") / F.lit(3.0)).cast("int")
+    seg_arr = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("t"), i * F.lit(3) + 1, F.lit(3))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flat = base.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    flat = tracked_persist(flat)
+    wseg = W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    keep = (
+        flat.withColumn("rn", F.row_number().over(wseg))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    agg = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+        ).alias("new_text"),
+    )
+    tot = flat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs")
+    )
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            (
+                F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            ).alias("n_dropped"),
+            F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_repetition",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

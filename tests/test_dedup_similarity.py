@@ -736,3 +736,34 @@ def test_semantic_keep_prunes_all_within_cell_neardups(spark):
     )
     leftover = cosine_near_dup_pairs(kept_df, block_col="cell", threshold=0.4)
     assert leftover.count() == 0
+
+
+def test_repeated_spans_matches_sequential_reference(spark, sf_dir):
+    """The distributed span dedup must equal the obvious sequential
+    algorithm: scan documents in id order, keep a span's first occurrence,
+    drop every later one, reassemble in position order."""
+    from cernbox_migration_database_spark.queries import QUERIES
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    first = {}
+    expected = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        segs = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+        for idx, seg in enumerate(segs):
+            first.setdefault(seg, (doc_id, idx))
+        kept = [
+            seg for idx, seg in enumerate(segs) if first[seg] == (doc_id, idx)
+        ]
+        if segs:
+            expected[doc_id] = (len(kept), len(segs) - len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["new_text"])
+        for r in QUERIES["dedup_repeated_spans"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(d for _, d, _ in got.values())  # the fixture has real repeats
