@@ -1021,6 +1021,78 @@ def read_changes(
     )
 
 
+def cursor_version(cursor_path: str) -> int | None:
+    """The last version a change-feed consumer durably processed, or None
+    before the first commit."""
+    try:
+        with open(cursor_path, encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def commit_cursor(cursor_path: str, version: int) -> None:
+    """Durably record that every change up to ``version`` has been applied
+    downstream (atomic os.replace — a torn cursor cannot exist)."""
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, cursor_path)
+
+
+def read_changes_since(
+    spark: SparkSession,
+    root: str,
+    key: str | list[str],
+    cursor_path: str,
+    include_preimage: bool = False,
+) -> tuple[DataFrame | None, int]:
+    """Incremental change-feed consumption with a durable cursor — the
+    exactly-once recipe for DOWNSTREAM pipelines (index refresh, replica
+    sync, cache invalidation) hanging off a versioned table.
+
+    Returns ``(changes, target_version)``: the row-level changes between
+    the cursor's last committed version and the table's current version
+    (partition-pruned via the commit log, like read_changes), or
+    ``(None, current)`` when the consumer is already caught up. On the
+    FIRST call (no cursor yet) the delta is the bootstrap load: every
+    current row as an 'insert'.
+
+    Contract: process the DataFrame, durably apply the result, THEN call
+    :func:`commit_cursor(cursor_path, target_version)`. A crash before the
+    commit replays the SAME delta on restart (at-least-once); consumers
+    that apply deltas idempotently — merges keyed on ``key``, the only
+    sane downstream shape — get exactly-once. The delta reads pinned
+    immutable snapshots, so a concurrent writer committing mid-read never
+    tears the feed; its changes arrive in the next increment.
+    """
+    cur = current_version(root)
+    last = cursor_version(cursor_path)
+    if last is None:
+        keys = [key] if isinstance(key, str) else list(key)
+        snap = read_table(spark, root, cur)
+        boot = snap.select(
+            *keys,
+            *[c for c in snap.columns if c not in keys],
+            F.lit("insert").alias("_change_type"),
+        )
+        return boot, cur
+    if last == cur:
+        return None, cur
+    if last > cur:
+        raise ValueError(
+            f"cursor {cursor_path} is at version {last}, ahead of the "
+            f"table's current {cur} — wrong table root or a restored/"
+            "recreated table; delete the cursor to re-bootstrap"
+        )
+    return (
+        read_changes(
+            spark, root, key, last, cur, include_preimage=include_preimage
+        ),
+        cur,
+    )
+
+
 def stream_merge_into(
     stream: DataFrame,
     root: str,

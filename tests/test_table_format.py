@@ -809,3 +809,48 @@ def test_vacuum_collects_orphans_with_grace(spark, tmp_path):
     # the table itself is intact and the next merge can claim v2 again
     src = spark.createDataFrame([Row(id=1, grp="a", val=99.0)])
     assert TF.merge_into(spark, root, src, on="id", when_not_matched=None) == 2
+
+
+def test_change_feed_cursor_consumption(spark, tmp_path):
+    """Exactly-once downstream consumption: bootstrap load, per-merge
+    deltas, crash-replay before commit, caught-up None — and an ahead
+    cursor (stale pointer to a recreated table) fails loudly."""
+    root = str(tmp_path / "t")
+    cur = str(tmp_path / "consumer.cursor")
+    TF.create_table(_base(spark), root, partition_by="grp")
+
+    # bootstrap: every current row as an insert
+    df, target = TF.read_changes_since(spark, root, "id", cur)
+    assert target == 1
+    rows = df.collect()
+    assert len(rows) == 4 and all(r["_change_type"] == "insert" for r in rows)
+    TF.commit_cursor(cur, target)
+
+    # caught up -> None
+    df, target = TF.read_changes_since(spark, root, "id", cur)
+    assert df is None and target == 1
+
+    # a merge produces exactly its delta
+    src = spark.createDataFrame([Row(id=1, grp="a", val=99.0), Row(id=9, grp="z", val=9.0)])
+    TF.merge_into(spark, root, src, on="id")
+    df, target = TF.read_changes_since(spark, root, "id", cur)
+    got = {(r["id"], r["_change_type"]) for r in df.collect()}
+    assert got == {(1, "update"), (9, "insert")} and target == 2
+
+    # crash BEFORE commit: the same delta replays
+    df2, target2 = TF.read_changes_since(spark, root, "id", cur)
+    assert {(r["id"], r["_change_type"]) for r in df2.collect()} == got
+    TF.commit_cursor(cur, target2)
+
+    # two more commits consumed as ONE combined increment
+    TF.delete_where(spark, root, "id = 2")
+    TF.update_where(spark, root, "id = 3", {"val": "val + 1"})
+    df, target = TF.read_changes_since(spark, root, "id", cur)
+    got = {(r["id"], r["_change_type"]) for r in df.collect()}
+    assert got == {(2, "delete"), (3, "update")} and target == 4
+    TF.commit_cursor(cur, target)
+
+    # ahead cursor (table recreated behind the consumer's back) -> loud error
+    TF.commit_cursor(cur, 99)
+    with pytest.raises(ValueError, match="ahead"):
+        TF.read_changes_since(spark, root, "id", cur)
