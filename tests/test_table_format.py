@@ -854,3 +854,56 @@ def test_change_feed_cursor_consumption(spark, tmp_path):
     TF.commit_cursor(cur, 99)
     with pytest.raises(ValueError, match="ahead"):
         TF.read_changes_since(spark, root, "id", cur)
+
+
+def test_cdf_cursor_feeds_incremental_dedup_index(spark, sf_dir, tmp_path):
+    """Lakehouse -> dedup-pipeline integration: a corpus fingerprint index
+    (the structure dedup_incremental_ingest anti-joins against) maintained
+    purely from cursor-consumed change-feed increments must equal one
+    recomputed from the table head — across inserts, text updates, and
+    RTBF deletes, consumed in separate increments."""
+    from pyspark.sql import functions as SF
+
+    from cernbox_migration_database_spark.operators.text import fingerprint
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = str(tmp_path / "corpus")
+    cur = str(tmp_path / "fp.cursor")
+    TF.create_table(docs.where(SF.col("doc_id") < 300), root, partition_by="lang")
+
+    index: dict = {}  # doc_id -> fingerprint, applied idempotently per key
+
+    def consume():
+        df, target = TF.read_changes_since(spark, root, "doc_id", cur)
+        if df is None:
+            return
+        for r in df.withColumn("fp", fingerprint("text")).collect():
+            if r["_change_type"] == "delete":
+                index.pop(r["doc_id"], None)
+            else:
+                index[r["doc_id"]] = r["fp"]
+        TF.commit_cursor(cur, target)
+
+    consume()  # bootstrap
+    # increment 1: new docs arrive + one doc's text is rewritten
+    batch = docs.where((SF.col("doc_id") >= 300) & (SF.col("doc_id") < 350))
+    upd = (
+        TF.read_table(spark, root)
+        .where(SF.col("doc_id") == 5)
+        .withColumn("text", SF.lit("rewritten body"))
+    )
+    TF.merge_into(spark, root, batch.unionByName(upd), on="doc_id")
+    consume()
+    # increment 2: an RTBF purge
+    TF.delete_where(spark, root, "doc_id % 97 = 0")
+    consume()
+
+    truth = {
+        r["doc_id"]: r["fp"]
+        for r in TF.read_table(spark, root)
+        .withColumn("fp", fingerprint("text"))
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert index == truth and truth  # identical, and non-trivial
