@@ -29,6 +29,9 @@ SHOW = {
     "similarity_pq_adc": "PQ search: broadcast per-query LUT joined to the compact code index — corpus vectors never load",
     "graph_pagerank": "3 integer PageRank rounds: per round one edge equi-join + map-side-combinable SUM, edges/degrees persisted once",
     "profile_orders": "N exact COUNT(DISTINCT) via one Expand feeding a single partial+final aggregation; stack-unpivot on the 1-row agg",
+    "bloom_decontaminate": "bloom prefilter: corpus probe is row-local codegen arithmetic against ONE binary literal (zero joins); only bloom survivors reach the broadcast exact-verify join",
+    "similarity_ivf_pq": "IVF-PQ: row-local cell assignment + per-query LUT, broadcast probe join restricts ADC to nprobe/n_cells of the code table, map-side-combinable SUM",
+    "dedup_repeated_spans": "span dedup: ONE exchange on span text (canonical window), per-doc sorted-fold reassembly; posexplode persisted pre-window",
 }
 
 # Narrative that survives regeneration (measured evidence lives here, the
@@ -399,6 +402,92 @@ load 4.2): rewritten 20.1% / hardlinked 79.9% at BOTH 1x and 5x (write
 amplification tracks the touched fraction, invariant to table size);
 mv refresh 2.29 s -> 2.68 s at 5x base (ratio 1.17 — delta-bound, vs 5.0
 for a recompute that scaled with the base).
+
+### Round-4 continuation: table DML verbs (delete_where / update_where / restore)
+The versioned table's remaining DML surface, all through the shared
+`_cow_commit` protocol (claim → staging write → hardlink carry → rename →
+pointer publish):
+
+* **delete_where** — touched set = distinct partition values of rows
+  matching the predicate (one metadata-sized collect); only those
+  partitions rewrite, NULL-evaluating rows survive (SQL three-valued
+  DELETE). The RTBF/retention shape: a day-partition purge against a
+  years-deep table costs one partition rewrite.
+* **update_where** — SET expressions all evaluate against PRE-update
+  values (single projection); a SET on a partition column moves rows, so
+  the touched set is source ∪ post-update destination partitions (second
+  metadata-sized collect, only when a partition column is SET). CHECK
+  constraints gate the rewritten rows before any claim.
+* **restore** — rollback as a NEW commit whose data dir is hardlinked
+  from the restored version: O(#files) driver metadata, zero data IO,
+  history preserved (bad versions stay readable until vacuum). The commit
+  records the restored snapshot's schema/partition/evolved state;
+  read_table treats 'restore' as a uniformity reset point so mixed-footer
+  snapshots keep mergeSchema and compacted ones don't pay it.
+* **vacuum(remove_orphans=True)** — collects crashed writers' claim dirs
+  (no _log entry) and `.staging` leftovers behind an mtime grace guard
+  (default 1 h) so an in-flight committer is never raced.
+* **read_changes_since / commit_cursor** — durable-cursor CDF consumption
+  for downstream pipelines: bootstrap load, combined multi-commit deltas,
+  crash-replay before commit ⇒ at-least-once, idempotent keyed apply ⇒
+  exactly-once (integration-proven against a dedup fingerprint index in
+  test_cdf_cursor_feeds_incremental_dedup_index).
+
+### bloom_build / bloom_contains: encoding A/B (the O(1)-probe requirement)
+Bloom bitset of the eval set's n-grams, probed row-locally by the corpus
+scan — ZERO joins until the exact verification of bloom survivors. The
+bitset encoding was measured three ways (65k x 4-hash probes, warm):
+
+| encoding | probe cost | why |
+|---|---|---|
+| literal long array + element_at | 15.7 s | inline CreateArray literal re-materialized per evaluation |
+| hex string + substring(col pos) | 5.3 s | STRING substring walks bytes to count UTF-8 codepoints — O(m) per probe |
+| BINARY + substring(col pos) | 0.5 s | binary slice is a byte offset — O(1) |
+
+The binary literal is one codegen object reference; probe = md5 + byte
+slice + hex/conv + shift/AND, all whole-stage-codegen. bloom_decontaminate
+sf0.01 warm: 1.6 s Spark-side. The driver-side build collect is bounded
+by the BITSET size (distinct set positions <= m), never the corpus.
+
+### similarity_ivf_pq: composed index, scan fraction = nprobe / n_cells
+IVF cells restrict PQ-ADC to the probed quarter of the code table
+(nprobe=4 of 16): candidate admission is one broadcast probe join on the
+cell id, distance is the broadcast LUT join + map-side-combinable SUM —
+corpus touched only through (cell, 8 codes) rows; full vectors never load
+at search time. Correctness anchor: nprobe=16 (all cells) is pinned
+row-identical to full-corpus pq_adc_topk in pytest; the oracle replays
+the ENTIRE composite (cell ranking → encode → LUT → ADC) with exact
+integer distances and hash-matches.
+
+### dedup_semantic_keep: SemDeDup with a differential-able quantizer
+Embedding-space keep-one-per-cluster: IVF cell assignment (row-local
+against literal seed centroids — the oracle-expressible stand-in for
+k-means; kmeans_train is the data-adaptive drop-in), cell-blocked exact
+cosine pairs (never an unblocked cross join), min-label connected
+components vs the oracle's recursive CTE. Pytest pins the SemDeDup
+guarantee: the kept corpus contains no within-cell pair above the
+threshold.
+
+### Round-4 continuation scale measurements (scale_check --dedup, k=5, sf0.1)
+The replication-safe sharded replica extended to the new family
+(load_avg 6.6 during the run; ratio = t_5x / t_1x, 5.0 would be linear):
+
+| query | 1x | 5x | ratio |
+|---|---|---|---|
+| bloom_decontaminate | 2.60 s | 3.66 s | **1.41** |
+| similarity_ivf_pq | 12.66 s | 7.33 s | **0.58** |
+| dedup_repeated_spans | 0.49 s | 0.56 s | **1.15** |
+| (prior family, same run) minhash_lsh 1.10 / simhash_pairs 2.05 / pq_adc 1.23 / prefix_filter 3.62 | | | |
+
+All deeply sub-linear: the 5x corpus costs far less than 5x the time —
+fixed overheads (plan build, codegen, the per-query LUT/bitset
+construction) dominate at this sf, and the data-dependent stages fan out.
+The ivf_pq ratio < 1 is co-tenant noise on the 1x batch (12.7 s vs the
+7.3 s 5x median on a shared box), not a plan property — the signal is
+that 5x data did NOT scale the wall-clock, consistent with its
+probe-restricted scan. dedup_semantic_keep is excluded from the replica
+by design: embedding vectors replicate verbatim across shards, so
+identical copies would pair quadratically (workload change, not plan).
 """
 
 

@@ -63,6 +63,16 @@ DEDUP_QUERIES = (
     "dedup_simhash_pairs",
     "similarity_pq_adc",
     "dedup_prefix_filter",
+    # round-4 continuation additions. Replica-safety notes: bloom probes
+    # and repeated-spans canonicalization see disjoint per-shard token
+    # vocabularies (output ~linear in k); IVF-PQ probes live in shard 0
+    # only, so the probe count is fixed while cells hold k x the code
+    # rows. dedup_semantic_keep is EXCLUDED: embedding vectors replicate
+    # verbatim across shards (only text gets shard tags), so identical
+    # copies pair quadratically — the workload would change, not the plan.
+    "bloom_decontaminate",
+    "similarity_ivf_pq",
+    "dedup_repeated_spans",
 )
 
 
