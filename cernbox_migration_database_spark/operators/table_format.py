@@ -389,9 +389,6 @@ def merge_into(
         # Touched partitions = partitions of matched target rows ∪ source's
         # own partition values (inserts may open new partitions). Both are
         # metadata-sized collects (bounded by partition count, never rows).
-        src_parts = {
-            tuple(r) for r in source.select(*pcols).distinct().collect()
-        }
         matched_parts = {
             tuple(r)
             for r in target.join(source.select(*keys).distinct(), keys, "left_semi")
@@ -399,12 +396,21 @@ def merge_into(
             .distinct()
             .collect()
         }
-        # Updates and inserts can both LAND rows in source-side partitions
-        # (an update may move a row across partitions by changing the
-        # partition column), so those partitions count as touched whenever
-        # either clause writes; only a pure delete merge is scoped to the
-        # matched partitions alone.
-        if when_matched == "update" or when_not_matched:
+        # Source partitions count as touched only when a clause can LAND
+        # rows there: inserts take source values (a source that omits the
+        # partition column inserts into the null partition — its padded
+        # null IS the destination), and updates move rows across
+        # partitions only if the source actually PROVIDES the partition
+        # column (an omitted column keeps the target value, so the row
+        # stays put — counting the padded null would phantom-touch the
+        # null partition on every update-only merge).
+        update_can_move = when_matched == "update" and any(
+            c in src_cols for c in pcols
+        )
+        if update_can_move or when_not_matched == "insert":
+            src_parts = {
+                tuple(r) for r in source.select(*pcols).distinct().collect()
+            }
             touched = matched_parts | src_parts
         else:
             touched = matched_parts

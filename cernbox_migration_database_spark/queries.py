@@ -2514,11 +2514,12 @@ def migration_dead_letters(spark, sf_dir):
     return _run_mig(spark, sf_dir).dead.select("id", "error_stage")
 
 
-def _run_mig(spark, sf_dir):
+def _mig_shares(spark, sf_dir):
+    """The synthetic oc_share fixture (FIXTURES.md §B), shared by the
+    migration pipeline runner and the versioned-sink integration query."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     k = F.col("o_orderkey")
-    ks = k.cast("string")
-    shares = o.select(
+    return o.select(
         k.alias("id"),
         F.when(k % 5 == 0, 1).otherwise(3).alias("share_type"),
         F.when(k % 7 == 0, "folder").otherwise("file").alias("item_type"),
@@ -2527,6 +2528,13 @@ def _run_mig(spark, sf_dir):
         F.when(k % 11 == 0, -k).otherwise(k).alias("file_source"),
         F.lit("/old").alias("file_target"),
     )
+
+
+def _run_mig(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    shares = _mig_shares(spark, sf_dir)
     base_meta = o.select(
         k.alias("inode"),
         F.when(k % 4 == 0, F.concat(F.lit("/eos/u/.sys.v#.f"), ks))
@@ -2552,6 +2560,58 @@ def _run_mig(spark, sf_dir):
         .withColumn("size", F.col("inode"))
     )
     return run_migration(shares, meta, home_prefix="/eos/", create_fn=None)
+
+
+@register(
+    "migration_upsert_versioned",
+    f"""
+    {_MIG_PIPE_SQL}
+    SELECT s.id, s.share_type,
+           COALESCE(u.item_source, s.item_source) AS item_source,
+           COALESCE(u.item_target, s.item_target) AS item_target,
+           COALESCE(u.file_source, s.file_source) AS file_source,
+           COALESCE(u.file_target, s.file_target) AS file_target
+    FROM shares s LEFT JOIN updates u ON s.id = u.id
+    ORDER BY s.id
+    """,
+)
+def migration_upsert_versioned(spark, sf_dir):
+    """The reference's UPDATE sink (main.go:217-240) in its PRODUCTION
+    Spark form, end to end: the full migration pipeline's update set is
+    MERGEd into a versioned oc_share table and the committed snapshot read
+    back. The share table is partitioned by share_type and the update
+    source carries only the mutated columns (id + the four item/file
+    fields): the COW merge therefore rewrites EXACTLY the share_type=3
+    partition — omitted columns keep target values and, because the
+    source omits the partition column, cannot move rows, so no other
+    partition is touched (asserted against the commit log). Everything
+    the per-row MySQL loop did — update-set construction, key-unique
+    cardinality, rows-affected accounting — happens as one declarative
+    merge with snapshot isolation and time travel on top."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("migsink", sf_dir)
+    shares = _mig_shares(spark, sf_dir)
+    TF.create_table(shares, root, partition_by="share_type")
+    res = _run_mig(spark, sf_dir)
+    updates = res.merged.where("updated").select(
+        "id", "item_source", "item_target", "file_source", "file_target"
+    )
+    TF.merge_into(spark, root, updates, on="id", when_not_matched=None)
+    touched = TF.history(root)[-1]["touched_partitions"]
+    assert touched == ["share_type=3"], touched
+    return (
+        TF.read_table(spark, root)
+        .select(
+            "id",
+            "share_type",
+            "item_source",
+            "item_target",
+            "file_source",
+            "file_target",
+        )
+        .orderBy("id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6559,13 +6619,18 @@ def table_restore(spark, sf_dir):
 # left out: the window is full with never-verified entries; it is the
 # natural first pick for the r5 rotation. After a green r4, every other
 # oracle-paired query in the registry has a driver row on record.
-# r5 rotation plan: swap into the window approx_sketches plus the nine
-# lakehouse queries added later in round 4 (merge_into_versioned,
-# table_time_travel, table_changes, mv_incremental_refresh,
-# point_lookup_indexed, merge_into_nested_partitions, table_delete_where,
-# table_update_where, table_restore — they sit after the window this
-# round by construction; selfcheck AND a full driver_sim --all pass at
-# sf0.01 already cover all of them), keeping the sentinel core.
+# r5 rotation plan: swap into the window approx_sketches plus the
+# fifteen queries added later in round 4 — the lakehouse family
+# (merge_into_versioned, table_time_travel, table_changes,
+# mv_incremental_refresh, point_lookup_indexed,
+# merge_into_nested_partitions, table_delete_where, table_update_where,
+# table_restore, migration_upsert_versioned) and the pipeline additions
+# (bloom_decontaminate, similarity_ivf_pq, dedup_semantic_keep,
+# train_weighted_sample, dedup_repeated_spans) — they sit after the
+# window this round by construction; selfcheck AND a full driver_sim
+# --all pass at sf0.01 already cover all of them. Keep the sentinel
+# core; that fills the 50-slot window at 13 + 16 + 21 rotated-in
+# earlier-round queries.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",

@@ -907,3 +907,37 @@ def test_cdf_cursor_feeds_incremental_dedup_index(spark, sf_dir, tmp_path):
         .collect()
     }
     assert index == truth and truth  # identical, and non-trivial
+
+
+def test_update_only_merge_with_omitted_partition_column(spark, tmp_path):
+    """A when_matched-only merge whose source OMITS the partition column
+    cannot move rows, so only the matched partitions are touched — no
+    phantom null partition in the log, and unmatched partitions hardlink
+    forward."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=1, val=111.0)])  # no grp column
+    TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    entry = TF.history(root)[-1]
+    assert entry["touched_partitions"] == ["grp=a"]
+    got = {r["id"]: (r["grp"], r["val"]) for r in TF.read_table(spark, root).collect()}
+    assert got[1] == ("a", 111.0) and got[3] == ("b", 30.0)
+
+    def inodes(ver, part):
+        d = os.path.join(root, "_versions", f"v{ver:08d}", f"grp={part}")
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert inodes(1, "b") == inodes(2, "b") and inodes(1, "c") == inodes(2, "c")
+    # an INSERTING merge with an omitted partition column lands in the
+    # null partition — the padded null IS the destination there
+    src2 = spark.createDataFrame([Row(id=99, val=9.0)])
+    TF.merge_into(spark, root, src2, on="id")
+    assert sorted(TF.history(root)[-1]["touched_partitions"]) == [
+        f"grp={TF._HIVE_NULL}"
+    ]
+    rows = {r["id"]: r["grp"] for r in TF.read_table(spark, root).collect()}
+    assert rows[99] is None and len(rows) == 5
