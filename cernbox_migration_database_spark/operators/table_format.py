@@ -88,6 +88,25 @@ def _claim_version(root: str, version: int) -> str:
     return vdir
 
 
+def with_bucket(
+    df: DataFrame, key: str, n_buckets: int, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Materialize a deterministic hash bucket of ``key`` — the Iceberg
+    ``bucket(n, key)`` transform for versioned tables. Create the table
+    with ``partition_by=bucket_col`` (or [bucket_col, ...]) and derive the
+    SAME column on every merge source (row-local, no shuffle): the COW
+    touched-set logic then scopes each merge to the buckets its keys hash
+    into, so a k-key merge rewrites at most k buckets REGARDLESS of how
+    skewed the natural partition values are — the property value-based
+    partitioning can't give a hot-key workload. xxhash64 is
+    partition-layout-internal (never compared cross-engine), stable
+    across Spark versions, and seed-pinned here."""
+    return df.withColumn(
+        bucket_col,
+        F.pmod(F.xxhash64(F.col(key), F.lit(42)), F.lit(n_buckets)).cast("int"),
+    )
+
+
 def create_table(
     df: DataFrame,
     root: str,

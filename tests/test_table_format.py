@@ -941,3 +941,48 @@ def test_update_only_merge_with_omitted_partition_column(spark, tmp_path):
     ]
     rows = {r["id"]: r["grp"] for r in TF.read_table(spark, root).collect()}
     assert rows[99] is None and len(rows) == 5
+
+
+def test_bucket_partitioned_merge_touches_only_key_buckets(spark, sf_dir, tmp_path):
+    """bucket(n, key) partitioning: a k-key merge rewrites at most k
+    buckets regardless of value skew — every other bucket hardlinks
+    forward — and the bucket column round-trips consistently so later
+    merges keep pruning."""
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "b")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .limit(5000)
+    )
+    TF.create_table(
+        TF.with_bucket(orders, "o_orderkey", 16), root, partition_by="bucket"
+    )
+    keys = [r["o_orderkey"] for r in orders.limit(3).collect()]
+    src = TF.with_bucket(
+        orders.where(SF.col("o_orderkey").isin(keys)).withColumn(
+            "o_totalprice", SF.col("o_totalprice") * 2
+        ),
+        "o_orderkey",
+        16,
+    )
+    TF.merge_into(spark, root, src, on="o_orderkey", when_not_matched=None)
+    touched = TF.history(root)[-1]["touched_partitions"]
+    assert 1 <= len(touched) <= 3  # at most one bucket per merged key
+    # untouched buckets carried as hardlinks
+    v1 = os.path.join(root, "_versions", "v00000001")
+    v2 = os.path.join(root, "_versions", "v00000002")
+    untouched = [
+        d for d in os.listdir(v1)
+        if d.startswith("bucket=") and d not in {t for t in touched}
+    ]
+    assert untouched
+    for d in untouched:
+        i1 = {os.stat(os.path.join(v1, d, f)).st_ino for f in os.listdir(os.path.join(v1, d)) if f.endswith(".parquet")}
+        i2 = {os.stat(os.path.join(v2, d, f)).st_ino for f in os.listdir(os.path.join(v2, d)) if f.endswith(".parquet")}
+        assert i1 == i2, d
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in TF.read_table(spark, root).collect()}
+    base = {r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()}
+    for k, v in base.items():
+        assert got[k] == (v * 2 if k in keys else v)
