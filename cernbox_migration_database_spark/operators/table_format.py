@@ -844,6 +844,46 @@ def _compact_write(spark, df, pcols, zorder, staging):
         ).parquet(staging)
 
 
+def compact_partitions(
+    spark: SparkSession, root: str, partition_values: list
+) -> int:
+    """``OPTIMIZE ... WHERE partition IN (...)``: rewrite ONLY the named
+    partitions to one file each, hardlinking everything else forward — the
+    targeted small-files repair for the partitions a merge-heavy workload
+    actually churns (a full :func:`compact` rewrites the table; at 100 TB
+    you compact the hot day, not the archive). ``partition_values`` are
+    single-column partition values (or tuples for hierarchical schemes).
+    Data is byte-identical; only layout changes. Returns the new version.
+    """
+    base_v = current_version(root)
+    pcols = _part_cols(partition_scheme(root, base_v))
+    if not pcols:
+        raise ValueError("compact_partitions requires a partitioned table")
+    touched = {
+        tuple(v) if isinstance(v, (tuple, list)) else (v,)
+        for v in partition_values
+    }
+    base_dir = _vdir(root, base_v)
+    existing = {rel for rel, _ in _leaf_partition_dirs(base_dir, pcols)}
+    missing = sorted(
+        _part_rel(pcols, t) for t in touched if _part_rel(pcols, t) not in existing
+    )
+    if missing:
+        raise ValueError(
+            f"partition(s) {missing} do not exist in version {base_v}"
+        )
+    df = read_table(spark, root, base_v)
+    rewritten = df.where(_part_in(pcols, touched)).repartition(*pcols)
+    return _cow_commit(
+        root,
+        base_v,
+        pcols,
+        rewritten,
+        touched,
+        {"action": "compact_partitions", "columns": df.columns},
+    )
+
+
 def merge_with_retry(
     spark: SparkSession,
     root: str,
@@ -965,7 +1005,11 @@ def read_changes(
     old = old.select(*new.columns)
 
     entries = [e for e in history(root) if from_version < e["version"] <= to_version]
-    data_commits = [e for e in entries if e["action"] != "compact"]
+    # Layout-only commits (full or partition-scoped compaction) change no
+    # rows — they neither widen the pruning set nor contribute changes.
+    data_commits = [
+        e for e in entries if e["action"] not in ("compact", "compact_partitions")
+    ]
     part_col = data_commits[0].get("partition_by") if data_commits else None
     touched: set[str] | None = set()
     for e in data_commits:

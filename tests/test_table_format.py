@@ -986,3 +986,47 @@ def test_bucket_partitioned_merge_touches_only_key_buckets(spark, sf_dir, tmp_pa
     base = {r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()}
     for k, v in base.items():
         assert got[k] == (v * 2 if k in keys else v)
+
+
+def test_compact_partitions_scoped_layout_only(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... WHERE: churned partitions collapse to one file each,
+    untouched partitions hardlink forward, data is byte-identical, and the
+    change feed ignores the layout-only commit."""
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "t")
+    # a multi-task write leaves several small files per partition dir
+    many = spark.createDataFrame(
+        [Row(id=i, grp="abc"[i % 3], val=float(i)) for i in range(60)]
+    ).repartition(4)
+    TF.create_table(many, root, partition_by="grp")
+    v_before = TF.current_version(root)
+
+    def files(ver, part):
+        d = os.path.join(root, "_versions", f"v{ver:08d}", f"grp={part}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    assert len(files(v_before, "a")) > 1
+    with pytest.raises(ValueError, match="do not exist"):
+        TF.compact_partitions(spark, root, ["zzz"])
+    v = TF.compact_partitions(spark, root, ["a"])
+    assert len(files(v, "a")) == 1
+    # b and c hardlinked, not rewritten
+    for part in ("b", "c"):
+        i_old = {os.stat(os.path.join(root, "_versions", f"v{v_before:08d}", f"grp={part}", f)).st_ino for f in files(v_before, part)}
+        i_new = {os.stat(os.path.join(root, "_versions", f"v{v:08d}", f"grp={part}", f)).st_ino for f in files(v, part)}
+        assert i_old == i_new
+    before = sorted(map(tuple, TF.read_table(spark, root, v_before).collect()))
+    after = sorted(map(tuple, TF.read_table(spark, root, v).collect()))
+    assert before == after
+    # CDF across the layout commit: no row changes, and pruning still works
+    assert TF.read_changes(spark, root, "id", v_before, v).count() == 0
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=1, grp="a", val=42.0)]),
+        on="id", when_not_matched=None,
+    )
+    ch = TF.read_changes(spark, root, "id", v_before)
+    assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {(1, "update")}
