@@ -65,9 +65,11 @@ def current_version(root: str) -> int:
 
 
 def _commit(root: str, version: int, meta: dict) -> None:
-    """Publish ``version``: write the commit log entry, then atomically swap
-    the pointer. A crash before the replace leaves the old version live and
-    the new directory orphaned (vacuum collects it) — never a torn table."""
+    """Publish ``version``: write the version's file manifest, then the
+    commit log entry, then atomically swap the pointer. A crash before the
+    replace leaves the old version live and the new directory orphaned
+    (vacuum collects it) — never a torn table."""
+    _write_manifest(_vdir(root, version))
     logdir = os.path.join(root, _LOG)
     os.makedirs(logdir, exist_ok=True)
     meta = {"version": version, "ts": time.time(), **meta}
@@ -78,6 +80,63 @@ def _commit(root: str, version: int, meta: dict) -> None:
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(version))
     os.replace(tmp, ptr)  # the one atomic publish point
+
+
+_MANIFEST = "_manifest.jsonl"
+
+
+def _write_manifest(vdir: str) -> None:
+    """Record every data file of a freshly-materialized version directory
+    as ``_manifest.jsonl`` lines ``{"path": rel, "size": bytes}`` — the
+    Iceberg-manifest/Delta-log move lifted to this format: scan planning
+    becomes a read of ONE metadata file instead of a recursive directory
+    listing. On a 100 TB table on an object store, LIST calls over ~100k
+    files are the slow (and billed) part of planning; the manifest costs
+    one O(#files) walk at commit time — which the committer already pays
+    for the hardlink carry — and makes every later plan O(1) listings.
+    Leading-underscore names are invisible to Spark's parquet reader, so
+    the sidecar never pollutes the snapshot read."""
+    rows = []
+    for dirpath, _dirnames, filenames in os.walk(vdir):
+        rel_dir = os.path.relpath(dirpath, vdir)
+        for fn in sorted(filenames):
+            if fn.startswith(("_", ".")):
+                continue
+            rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
+            rows.append(
+                {"path": rel, "size": os.path.getsize(os.path.join(dirpath, fn))}
+            )
+    tmp = os.path.join(vdir, _MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for r in sorted(rows, key=lambda r: r["path"]):
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, os.path.join(vdir, _MANIFEST))
+
+
+def manifest(root: str, version: int | None = None) -> list[dict]:
+    """The file manifest of a snapshot: ``[{"path": rel, "size": bytes},
+    ...]`` sorted by path. Falls back to walking the version directory for
+    snapshots committed before manifests existed (the walk IS what the
+    manifest caches, so the fallback is always correct, just slower)."""
+    v = current_version(root) if version is None else version
+    vdir = _vdir(root, v)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version {v} of {root} does not exist (vacuumed?)")
+    mpath = os.path.join(vdir, _MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath, encoding="utf-8") as fh:
+            return [json.loads(line) for line in fh]
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(vdir):
+        rel_dir = os.path.relpath(dirpath, vdir)
+        for fn in filenames:
+            if fn.startswith(("_", ".")):
+                continue
+            rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
+            out.append(
+                {"path": rel, "size": os.path.getsize(os.path.join(dirpath, fn))}
+            )
+    return sorted(out, key=lambda r: r["path"])
 
 
 def _claim_version(root: str, version: int) -> str:
@@ -160,6 +219,18 @@ def read_table(
     vdir = _vdir(root, v)
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} of {root} does not exist (vacuumed?)")
+    reader, cols = _snapshot_reader(spark, root, v)
+    df = reader.parquet(vdir)
+    if cols and set(cols) == set(df.columns):
+        df = df.select(*cols)
+    return df
+
+
+def _snapshot_reader(spark: SparkSession, root: str, v: int):
+    """The (reader, logical column order) pair for snapshot ``v`` — shared
+    by the directory read (:func:`read_table`) and the manifest-planned
+    file-list read (:func:`scan_partitions`) so both apply identical
+    schema-evolution and column-order policy."""
     entries = [e for e in history(root) if e["version"] <= v]
     # Hardlink-carried partitions keep their ORIGINAL files, so after a
     # schema-evolving merge a version directory legitimately mixes footer
@@ -181,14 +252,11 @@ def read_table(
     # commit carries the evolved flag of what it hardlinked back in.
     evolved = any(e.get("evolved") for e in entries[last_uniform:])
     reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
-    df = reader.parquet(vdir)
-    # Restore the logical column order of THIS version's commit — a
-    # partitioned parquet read surfaces the partition column last, which
-    # would leak the physical layout into the table's schema contract.
+    # Logical column order of THIS version's commit — a partitioned parquet
+    # read surfaces the partition column last, which would leak the
+    # physical layout into the table's schema contract.
     cols = entries[-1].get("columns") or entries[0].get("columns")
-    if cols and set(cols) == set(df.columns):
-        df = df.select(*cols)
-    return df
+    return reader, cols
 
 
 def history(root: str) -> list[dict]:
@@ -543,6 +611,7 @@ def _cow_commit(
     rewritten: DataFrame,
     touched: set | None,
     meta: dict,
+    touched_rels: set[str] | None = None,
 ) -> int:
     """Shared copy-on-write commit protocol for merge/delete/update: claim
     the version number (atomic mkdir), materialize the rewritten rows in a
@@ -550,7 +619,11 @@ def _cow_commit(
     os.rename publishes the data — rename onto the still-EMPTY claimed dir
     succeeds, onto a dir another writer filled it fails (ENOTEMPTY), so
     files never interleave. ``touched`` is the set of partition-value
-    tuples being rewritten (None ⇒ unpartitioned full rewrite)."""
+    tuples being rewritten (None ⇒ unpartitioned full rewrite, unless
+    ``touched_rels`` names the rewritten partitions by relative path
+    directly)."""
+    if touched_rels is None and touched is not None:
+        touched_rels = {_part_rel(pcols, t) for t in touched}
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
@@ -562,7 +635,6 @@ def _cow_commit(
         if pcols:
             # Carry untouched leaf partitions forward as hardlinks.
             base_dir = _vdir(root, base_v)
-            touched_rels = {_part_rel(pcols, t) for t in touched}
             for rel, full in _leaf_partition_dirs(base_dir, pcols):
                 if rel in touched_rels:
                     continue
@@ -581,8 +653,8 @@ def _cow_commit(
         {
             "parent": base_v,
             "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
-            "touched_partitions": sorted(_part_rel(pcols, t) for t in touched)
-            if touched is not None
+            "touched_partitions": sorted(touched_rels)
+            if touched_rels is not None
             else None,
             **meta,
         },
@@ -845,43 +917,105 @@ def _compact_write(spark, df, pcols, zorder, staging):
 
 
 def compact_partitions(
-    spark: SparkSession, root: str, partition_values: list
+    spark: SparkSession,
+    root: str,
+    partition_values: list | None = None,
+    *,
+    rels: list[str] | None = None,
 ) -> int:
     """``OPTIMIZE ... WHERE partition IN (...)``: rewrite ONLY the named
     partitions to one file each, hardlinking everything else forward — the
     targeted small-files repair for the partitions a merge-heavy workload
     actually churns (a full :func:`compact` rewrites the table; at 100 TB
-    you compact the hot day, not the archive). ``partition_values`` are
-    single-column partition values (or tuples for hierarchical schemes).
-    Data is byte-identical; only layout changes. Returns the new version.
-    """
+    you compact the hot day, not the archive). Name partitions either by
+    value — ``partition_values`` as single-column values (or tuples for
+    hierarchical schemes) — or by relative directory path via ``rels``
+    (``"grp=a"``, ``"d=3/h=7"``), the representation
+    :func:`small_file_partitions` emits. Data is byte-identical; only
+    layout changes. Returns the new version."""
+    if (partition_values is None) == (rels is None):
+        raise ValueError("pass exactly one of partition_values or rels")
     base_v = current_version(root)
     pcols = _part_cols(partition_scheme(root, base_v))
     if not pcols:
         raise ValueError("compact_partitions requires a partitioned table")
-    touched = {
-        tuple(v) if isinstance(v, (tuple, list)) else (v,)
-        for v in partition_values
-    }
+    if rels is None:
+        rels = [
+            _part_rel(pcols, tuple(v) if isinstance(v, (tuple, list)) else (v,))
+            for v in partition_values
+        ]
+    touched_rels = set(rels)
     base_dir = _vdir(root, base_v)
     existing = {rel for rel, _ in _leaf_partition_dirs(base_dir, pcols)}
-    missing = sorted(
-        _part_rel(pcols, t) for t in touched if _part_rel(pcols, t) not in existing
-    )
+    missing = sorted(touched_rels - existing)
     if missing:
         raise ValueError(
             f"partition(s) {missing} do not exist in version {base_v}"
         )
     df = read_table(spark, root, base_v)
-    rewritten = df.where(_part_in(pcols, touched)).repartition(*pcols)
+    rewritten = df.where(
+        _part_dir_expr(pcols).isin(*touched_rels)
+    ).repartition(*pcols)
     return _cow_commit(
         root,
         base_v,
         pcols,
         rewritten,
-        touched,
+        None,
         {"action": "compact_partitions", "columns": df.columns},
+        touched_rels=touched_rels,
     )
+
+
+def small_file_partitions(
+    root: str, max_files: int = 8, version: int | None = None
+) -> list[str]:
+    """Partitions whose file count exceeds ``max_files`` — the OPTIMIZE
+    target list, planned ENTIRELY from the manifest sidecar (zero directory
+    listings, zero cluster work). Returns relative partition paths sorted
+    worst-first; feed straight into ``compact_partitions(rels=...)``."""
+    counts: dict[str, int] = {}
+    for entry in manifest(root, version):
+        rel_dir = os.path.dirname(entry["path"])
+        counts[rel_dir] = counts.get(rel_dir, 0) + 1
+    return [
+        rel
+        for rel, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n > max_files and rel
+    ]
+
+
+def scan_partitions(
+    spark: SparkSession,
+    root: str,
+    rels: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-planned pruned scan: read ONLY the files of the named
+    partitions (relative paths as in the commit log / manifest), resolved
+    from the manifest sidecar — no directory listing at all. This is the
+    Iceberg/Delta planning path: on an object store, enumerating a 100k-file
+    snapshot costs thousands of LIST round-trips; here planning is one
+    KiB-sized metadata read and the scan opens exactly the manifest-chosen
+    files. ``basePath`` keeps hive partition columns in the schema, so the
+    result is column-identical to ``read_table(...).where(partition in
+    rels)``."""
+    v = current_version(root) if version is None else version
+    vdir = _vdir(root, v)
+    prefixes = tuple(r.rstrip("/") + "/" for r in rels)
+    paths = [
+        os.path.join(vdir, e["path"])
+        for e in manifest(root, v)
+        if e["path"].startswith(prefixes)
+    ]
+    reader, cols = _snapshot_reader(spark, root, v)
+    if not paths:
+        empty = read_table(spark, root, v).where(F.lit(False))
+        return empty
+    df = reader.option("basePath", vdir).parquet(*paths)
+    if cols and set(cols) == set(df.columns):
+        df = df.select(*cols)
+    return df
 
 
 def merge_with_retry(

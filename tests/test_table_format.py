@@ -1030,3 +1030,81 @@ def test_compact_partitions_scoped_layout_only(spark, sf_dir, tmp_path):
     )
     ch = TF.read_changes(spark, root, "id", v_before)
     assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {(1, "update")}
+
+
+def test_manifest_written_per_commit_and_walk_fallback(spark, sf_dir, tmp_path):
+    """Every commit writes a _manifest.jsonl sidecar listing exactly the
+    snapshot's data files; pre-manifest snapshots fall back to the walk."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=9, grp="b", val=9.0)]),
+        on="id",
+    )
+    for v in (1, 2):
+        vdir = os.path.join(root, "_versions", f"v{v:08d}")
+        mpath = os.path.join(vdir, "_manifest.jsonl")
+        assert os.path.exists(mpath)
+        listed = TF.manifest(root, v)
+        walked = sorted(
+            (
+                os.path.relpath(os.path.join(dp, fn), vdir)
+                for dp, _dn, fns in os.walk(vdir)
+                for fn in fns
+                if not fn.startswith(("_", "."))
+            )
+        )
+        assert [e["path"] for e in listed] == walked
+        assert all(e["size"] > 0 for e in listed)
+        # fallback path (a snapshot committed before manifests existed)
+        os.remove(mpath)
+        assert TF.manifest(root, v) == listed
+
+
+def test_scan_partitions_reads_only_manifest_chosen_files(spark, sf_dir, tmp_path):
+    """Manifest-planned scan == partition-filtered snapshot read, and the
+    executed files all come from the named partitions."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=5, grp="a", val=50.0)]),
+        on="id",
+    )
+    got = TF.scan_partitions(spark, root, ["grp=a"])
+    want = TF.read_table(spark, root).where(F.col("grp") == "a")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == TF.read_table(spark, root).columns
+    files = {
+        r[0]
+        for r in TF.scan_partitions(spark, root, ["grp=a"])
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert files and all("grp=a" in f for f in files)
+    # empty selection and multi-partition selection
+    assert TF.scan_partitions(spark, root, []).count() == 0
+    both = TF.scan_partitions(spark, root, ["grp=b", "grp=c"])
+    assert {r["grp"] for r in both.collect()} == {"b", "c"}
+
+
+def test_small_file_partitions_feeds_compact(spark, sf_dir, tmp_path):
+    """small_file_partitions plans OPTIMIZE targets from the manifest alone
+    and compact_partitions(rels=...) repairs exactly those partitions."""
+    root = str(tmp_path / "t")
+    many = spark.createDataFrame(
+        [Row(id=i, grp="ab"[i % 2], val=float(i)) for i in range(40)]
+    ).repartition(6)
+    TF.create_table(many, root, partition_by="grp")
+    worst = TF.small_file_partitions(root, max_files=1)
+    assert set(worst) == {"grp=a", "grp=b"}
+    assert TF.small_file_partitions(root, max_files=64) == []
+    v = TF.compact_partitions(spark, root, rels=worst)
+    assert TF.small_file_partitions(root, max_files=1, version=v) == []
+    before = sorted(map(tuple, TF.read_table(spark, root, 1).collect()))
+    after = sorted(map(tuple, TF.read_table(spark, root, v).collect()))
+    assert before == after
+    with pytest.raises(ValueError, match="exactly one"):
+        TF.compact_partitions(spark, root, ["a"], rels=["grp=a"])
