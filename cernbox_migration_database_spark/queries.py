@@ -6597,6 +6597,64 @@ def table_restore(spark, sf_dir):
     )
 
 
+@register(
+    "table_manifest_scan",
+    """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_manifest_scan(spark, sf_dir):
+    """Manifest-planned pruned scan over a churned versioned table: MERGE
+    doubles every 7th order's price (partition-scoped COW), OPTIMIZE ...
+    WHERE repairs the small files of exactly the two partitions the query
+    targets (targets planned from the manifest sidecar alone via
+    small_file_partitions — zero directory listings), and the final read is
+    scan_partitions: the file list comes from the committed manifest, not a
+    recursive listing. The oracle differentials the whole
+    merge→optimize→manifest-scan path — compaction must be layout-only and
+    the manifest must name exactly the surviving files. Doubling a binary
+    double is exact, so the dsum accumulator stays 2-decimal lossless."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("manifest", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    TF.merge_into(spark, root, updates, on="o_orderkey", when_not_matched=None)
+    targets = ["o_orderpriority=1-URGENT", "o_orderpriority=2-HIGH"]
+    # OPTIMIZE the scanned partitions when the manifest says they need it
+    # (after the merge's multi-task rewrite they always do at sf>=0.01).
+    worst = set(TF.small_file_partitions(root, max_files=1))
+    todo = [r for r in targets if r in worst]
+    if todo:
+        TF.compact_partitions(spark, root, rels=todo)
+    return (
+        TF.scan_partitions(spark, root, targets)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
@@ -6624,7 +6682,8 @@ def table_restore(spark, sf_dir):
 # (merge_into_versioned, table_time_travel, table_changes,
 # mv_incremental_refresh, point_lookup_indexed,
 # merge_into_nested_partitions, table_delete_where, table_update_where,
-# table_restore, migration_upsert_versioned) and the pipeline additions
+# table_restore, table_manifest_scan, migration_upsert_versioned) and the
+# pipeline additions
 # (bloom_decontaminate, similarity_ivf_pq, dedup_semantic_keep,
 # train_weighted_sample, dedup_repeated_spans) — they sit after the
 # window this round by construction; selfcheck AND a full driver_sim
