@@ -1302,6 +1302,8 @@ def stream_merge_into(
     on: str | list[str],
     order_cols: list[str],
     checkpoint_location: str | None = None,
+    optimize_every: int | None = None,
+    optimize_max_files: int = 8,
 ):
     """Streaming MERGE INTO the versioned table: each micro-batch is first
     reduced LAST-WINS per key on ``order_cols`` (a batch may carry several
@@ -1318,6 +1320,16 @@ def stream_merge_into(
     two-rename state swap: the versioned pointer commit is ONE atomic
     os.replace, so a reader can never observe a missing or torn table —
     the race window that sink's docstring concedes does not exist here.
+
+    ``optimize_every=N`` runs in-line maintenance every N micro-batches:
+    partitions the manifest shows holding more than ``optimize_max_files``
+    files are repaired with a partition-scoped compaction. A continuously
+    merging stream accretes one small rewrite per touched partition per
+    batch; without periodic OPTIMIZE a day of micro-batches turns the hot
+    partitions into thousands-of-files scans. The compaction commit is
+    layout-only (the CDF ignores it; replays stay no-ops), planned entirely
+    from the manifest sidecar, and sequential with the merges inside
+    foreachBatch — no writer races.
 
     Returns the started StreamingQuery; callers stop() it. The table must
     already exist (create_table) so inserts inherit its schema contract.
@@ -1339,16 +1351,19 @@ def stream_merge_into(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if last_wins.isEmpty():
-            return
-        merge_into(
-            spark,
-            root,
-            last_wins,
-            on=on,
-            check_cardinality=False,  # last-wins reduction IS the guarantee
-            matched_condition=newer,
-        )
+        if not last_wins.isEmpty():
+            merge_into(
+                spark,
+                root,
+                last_wins,
+                on=on,
+                check_cardinality=False,  # last-wins reduction IS the guarantee
+                matched_condition=newer,
+            )
+        if optimize_every and epoch_id % optimize_every == optimize_every - 1:
+            worst = small_file_partitions(root, max_files=optimize_max_files)
+            if worst:
+                compact_partitions(spark, root, rels=worst)
 
     writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
     if checkpoint_location is not None:

@@ -1108,3 +1108,56 @@ def test_small_file_partitions_feeds_compact(spark, sf_dir, tmp_path):
     assert before == after
     with pytest.raises(ValueError, match="exactly one"):
         TF.compact_partitions(spark, root, ["a"], rels=["grp=a"])
+
+
+def test_stream_merge_auto_optimize_repairs_small_files(spark, sf_dir, tmp_path):
+    """optimize_every: the streaming merge sink runs manifest-planned
+    partition-scoped compaction in-line, so a merge-heavy stream ends with
+    <=1 file per hot partition while data still equals batch keep-latest."""
+    from cernbox_migration_database_spark import streaming as ST
+    from cernbox_migration_database_spark.sources.catalog import load_table
+    from pyspark.sql import Window as W2
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    w = W2.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = lambda df: (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    bucketize = lambda df: df.withColumn(
+        "bucket", (F.col("user_id") % 4).cast("int")
+    )
+    seed = bucketize(latest(ev.where(F.col("user_id") % 2 == 0))).repartition(6)
+    root = str(tmp_path / "t")
+    TF.create_table(seed, root, partition_by="bucket")
+    assert TF.small_file_partitions(root, max_files=1)  # seed IS fragmented
+    # the stream touches ONLY bucket 0 — buckets 1-3 carry the fragmented
+    # seed layout forward via the hardlink, so maintenance must repair them
+    q = TF.stream_merge_into(
+        bucketize(
+            ST.read_event_stream(spark, sf_dir)
+            .select(*cols)
+            .where(F.col("user_id") % 4 == 0)
+        ),
+        root,
+        on="user_id",
+        order_cols=["ts", "event_id"],
+        optimize_every=1,
+        optimize_max_files=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert TF.small_file_partitions(root, max_files=1) == []
+    actions = [e["action"] for e in TF.history(root)]
+    assert "compact_partitions" in actions
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in latest(ev.where(F.col("user_id") % 2 == 0)).collect()
+    }
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in TF.read_table(spark, root).collect()
+    }
+    assert got == want

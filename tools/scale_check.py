@@ -254,12 +254,33 @@ def table_mode_main(argv: list[str]) -> int:
             t0 = time.monotonic()
             MV.refresh_aggregate_view(spark, mv)
             refresh_s = time.monotonic() - t0
+            # Scan planning: manifest sidecar (ONE sequential file read)
+            # vs recursive directory listing (O(#dirs + #files) round
+            # trips — the billed LIST calls on an object store). Local FS
+            # makes both cheap; the file/syscall counts are the claim.
+            cur = TF.current_version(root)
+            t0 = time.monotonic()
+            entries = TF.manifest(root, cur)
+            manifest_ms = 1000 * (time.monotonic() - t0)
+            vdir = os.path.join(root, "_versions", f"v{cur:08d}")
+            t0 = time.monotonic()
+            listed = [
+                os.path.join(dp, f)
+                for dp, _dn, fs in os.walk(vdir)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ]
+            listing_ms = 1000 * (time.monotonic() - t0)
+            assert len(entries) == len(listed)
             return {
                 "table_bytes": total,
                 "rewritten_bytes": new_b,
                 "rewritten_pct": round(100 * new_b / total, 1),
                 "hardlinked_pct": round(100 * linked_b / total, 1),
                 "mv_refresh_sec": round(refresh_s, 2),
+                "plan_files": len(entries),
+                "manifest_plan_ms": round(manifest_ms, 1),
+                "listing_plan_ms": round(listing_ms, 1),
             }
 
     r1, rk = run(1), run(k)
