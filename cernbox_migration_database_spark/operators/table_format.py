@@ -69,7 +69,12 @@ def _commit(root: str, version: int, meta: dict) -> None:
     commit log entry, then atomically swap the pointer. A crash before the
     replace leaves the old version live and the new directory orphaned
     (vacuum collects it) — never a torn table."""
-    _write_manifest(_vdir(root, version))
+    prev = None
+    if version > 1 and os.path.exists(
+        os.path.join(_vdir(root, version - 1), _MANIFEST)
+    ):
+        prev = manifest(root, version - 1)
+    _write_manifest(_vdir(root, version), prev)
     logdir = os.path.join(root, _LOG)
     os.makedirs(logdir, exist_ok=True)
     meta = {"version": version, "ts": time.time(), **meta}
@@ -85,17 +90,63 @@ def _commit(root: str, version: int, meta: dict) -> None:
 _MANIFEST = "_manifest.jsonl"
 
 
-def _write_manifest(vdir: str) -> None:
+def _file_stats(path: str) -> dict:
+    """Footer-only read of one parquet file: row count + per-column
+    [min, max] for primitive orderable types (aggregated across row
+    groups; columns with absent/partial statistics are omitted — an
+    omitted column can never be used to skip the file, so missing stats
+    degrade to reading, never to wrong pruning)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    bounds: dict = {}  # name -> [min, max]
+    groups_with: dict = {}  # name -> #row groups carrying usable stats
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str, bool)) or not isinstance(
+                hi, (int, float, str, bool)
+            ):
+                continue
+            name = col.path_in_schema
+            groups_with[name] = groups_with.get(name, 0) + 1
+            if name in bounds:
+                b = bounds[name]
+                b[0], b[1] = min(b[0], lo), max(b[1], hi)
+            else:
+                bounds[name] = [lo, hi]
+    # a column missing stats in ANY row group has unknown file bounds
+    stats = {
+        n: v for n, v in bounds.items() if groups_with[n] == md.num_row_groups
+    }
+    return {"rows": md.num_rows, "stats": stats}
+
+
+def _write_manifest(vdir: str, prev_entries: list[dict] | None = None) -> None:
     """Record every data file of a freshly-materialized version directory
-    as ``_manifest.jsonl`` lines ``{"path": rel, "size": bytes}`` — the
-    Iceberg-manifest/Delta-log move lifted to this format: scan planning
-    becomes a read of ONE metadata file instead of a recursive directory
-    listing. On a 100 TB table on an object store, LIST calls over ~100k
-    files are the slow (and billed) part of planning; the manifest costs
-    one O(#files) walk at commit time — which the committer already pays
-    for the hardlink carry — and makes every later plan O(1) listings.
+    as ``_manifest.jsonl`` lines ``{"path": rel, "size": bytes, "rows": n,
+    "stats": {col: [min, max]}}`` — the Iceberg-manifest/Delta-log move
+    lifted to this format: scan planning becomes a read of ONE metadata
+    file instead of a recursive directory listing, and per-file column
+    bounds let a range predicate skip files WITHIN a partition. On a
+    100 TB table on an object store, LIST calls over ~100k files are the
+    slow (and billed) part of planning; the manifest costs one O(#files)
+    walk at commit time — which the committer already pays for the
+    hardlink carry — and footer reads only for files NEW in this version:
+    hardlink-carried files keep their relative path and bytes, so their
+    stats are copied from the parent's manifest instead of re-read.
     Leading-underscore names are invisible to Spark's parquet reader, so
     the sidecar never pollutes the snapshot read."""
+    reuse = {
+        (e["path"], e["size"]): e
+        for e in (prev_entries or [])
+        if "rows" in e
+    }
     rows = []
     for dirpath, _dirnames, filenames in os.walk(vdir):
         rel_dir = os.path.relpath(dirpath, vdir)
@@ -103,9 +154,14 @@ def _write_manifest(vdir: str) -> None:
             if fn.startswith(("_", ".")):
                 continue
             rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
-            rows.append(
-                {"path": rel, "size": os.path.getsize(os.path.join(dirpath, fn))}
-            )
+            full = os.path.join(dirpath, fn)
+            size = os.path.getsize(full)
+            prev = reuse.get((rel, size))
+            if prev is not None:
+                entry = {**prev, "path": rel, "size": size}
+            else:
+                entry = {"path": rel, "size": size, **_file_stats(full)}
+            rows.append(entry)
     tmp = os.path.join(vdir, _MANIFEST + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         for r in sorted(rows, key=lambda r: r["path"]):
@@ -1008,14 +1064,64 @@ def scan_partitions(
         for e in manifest(root, v)
         if e["path"].startswith(prefixes)
     ]
+    return _read_file_list(spark, root, v, paths)
+
+
+def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
+    """Read an explicit manifest-chosen file list as the snapshot schema
+    (basePath keeps hive partition columns; empty list → empty frame)."""
+    vdir = _vdir(root, v)
     reader, cols = _snapshot_reader(spark, root, v)
     if not paths:
-        empty = read_table(spark, root, v).where(F.lit(False))
-        return empty
+        return read_table(spark, root, v).where(F.lit(False))
     df = reader.option("basePath", vdir).parquet(*paths)
     if cols and set(cols) == set(df.columns):
         df = df.select(*cols)
     return df
+
+
+def scan_files_where(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned range scan: read only the files whose manifest
+    ``[min, max]`` bounds for ``col`` intersect ``[lo, hi]`` (either bound
+    may be None for a half-open range), then apply the exact predicate as
+    a residual filter — result-identical to ``read_table(...).where(lo <=
+    col <= hi)``. This is Iceberg/Delta data skipping at FILE granularity,
+    one level finer than the partition-level zone maps (operators/
+    zonemap.py): a clustered layout (``compact(zorder=...)``, range
+    writes, naturally time-ordered ingest) gives files disjoint bounds, so
+    a narrow range touches a handful of files out of a 100k-file
+    snapshot — planned driver-side from the manifest sidecar with ZERO
+    listing or footer reads. Files with no recorded stats for ``col``
+    (evolved-in columns, pre-stats manifests, non-primitive types) are
+    always read: missing stats degrade to IO, never to wrong results."""
+    if lo is None and hi is None:
+        raise ValueError("scan_files_where needs at least one of lo/hi")
+    v = current_version(root) if version is None else version
+    vdir = _vdir(root, v)
+    paths = []
+    for e in manifest(root, v):
+        b = e.get("stats", {}).get(col)
+        if b is not None:
+            if lo is not None and b[1] < lo:
+                continue
+            if hi is not None and b[0] > hi:
+                continue
+        paths.append(os.path.join(vdir, e["path"]))
+    df = _read_file_list(spark, root, v, paths)
+    pred = None
+    if lo is not None:
+        pred = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        p2 = F.col(col) <= F.lit(hi)
+        pred = p2 if pred is None else (pred & p2)
+    return df.where(pred)
 
 
 def merge_with_retry(

@@ -6655,6 +6655,45 @@ def table_manifest_scan(spark, sf_dir):
     )
 
 
+@register(
+    "table_stats_skipping",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 10000 AND 20000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_stats_skipping(spark, sf_dir):
+    """File-granularity data skipping on a versioned table: orders are
+    written range-clustered on o_orderkey (repartitionByRange → files with
+    disjoint key bounds in the commit manifest), then a narrow key-range
+    scan is planned from the manifest's per-file [min, max] alone —
+    scan_files_where opens only the intersecting files, zero listings or
+    footer reads at plan time, with the exact predicate as residual
+    filter. The oracle differentials the clustered-write→manifest-stats→
+    pruned-read path against a plain relational range scan."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("skipping", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base.repartitionByRange(8, "o_orderkey"), root)
+    return (
+        TF.scan_files_where(spark, root, "o_orderkey", 10000, 20000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
@@ -6682,7 +6721,8 @@ def table_manifest_scan(spark, sf_dir):
 # (merge_into_versioned, table_time_travel, table_changes,
 # mv_incremental_refresh, point_lookup_indexed,
 # merge_into_nested_partitions, table_delete_where, table_update_where,
-# table_restore, table_manifest_scan, migration_upsert_versioned) and the
+# table_restore, table_manifest_scan, table_stats_skipping,
+# migration_upsert_versioned) and the
 # pipeline additions
 # (bloom_decontaminate, similarity_ivf_pq, dedup_semantic_keep,
 # train_weighted_sample, dedup_repeated_spans) — they sit after the

@@ -1057,9 +1057,13 @@ def test_manifest_written_per_commit_and_walk_fallback(spark, sf_dir, tmp_path):
         )
         assert [e["path"] for e in listed] == walked
         assert all(e["size"] > 0 for e in listed)
-        # fallback path (a snapshot committed before manifests existed)
+        assert all(e["rows"] > 0 for e in listed)
+        # fallback path (a snapshot committed before manifests existed):
+        # same files, no cached footer stats
         os.remove(mpath)
-        assert TF.manifest(root, v) == listed
+        assert [(e["path"], e["size"]) for e in TF.manifest(root, v)] == [
+            (e["path"], e["size"]) for e in listed
+        ]
 
 
 def test_scan_partitions_reads_only_manifest_chosen_files(spark, sf_dir, tmp_path):
@@ -1161,3 +1165,64 @@ def test_stream_merge_auto_optimize_repairs_small_files(spark, sf_dir, tmp_path)
         for r in TF.read_table(spark, root).collect()
     }
     assert got == want
+
+
+def test_scan_files_where_stats_pruning_and_correctness(spark, sf_dir, tmp_path):
+    """File-granularity data skipping: a range-clustered layout gives files
+    disjoint manifest bounds, so a narrow range opens few files; results
+    stay identical to the full-scan filter, stats survive hardlink carries
+    without footer re-reads, and statless columns degrade to IO only."""
+    root = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 4).cast("int").alias("grp"),
+            (F.col("id") * 2.0).alias("val"),
+        )
+        .repartitionByRange(8, "id")
+    )
+    TF.create_table(df, root)
+    m = TF.manifest(root)
+    assert sum(e["rows"] for e in m) == 1000
+    assert all("id" in e["stats"] for e in m)
+    got = TF.scan_files_where(spark, root, "id", 100, 140)
+    want = TF.read_table(spark, root).where(F.col("id").between(100, 140))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    opened = {
+        r[0] for r in got.select(F.input_file_name()).distinct().collect()
+    }
+    assert 0 < len(opened) < len(m)  # skipped most files
+    # half-open ranges
+    assert TF.scan_files_where(spark, root, "id", lo=990).count() == 10
+    assert TF.scan_files_where(spark, root, "id", hi=9).count() == 10
+    with pytest.raises(ValueError, match="lo/hi"):
+        TF.scan_files_where(spark, root, "id")
+
+
+def test_manifest_stats_reused_across_hardlink_carry(spark, sf_dir, tmp_path):
+    """Carried files keep identical manifest entries (stats copied from the
+    parent manifest, no footer re-read); rewritten partitions get fresh
+    entries; an evolved-in column without stats is read everywhere but
+    still filters correctly."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    m1 = {e["path"]: e for e in TF.manifest(root, 1)}
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=1, grp="a", val=11.0)]),
+        on="id", when_not_matched=None,
+    )
+    m2 = {e["path"]: e for e in TF.manifest(root, 2)}
+    carried = [p for p in m2 if not p.startswith("grp=a")]
+    assert carried and all(m2[p] == m1[p] for p in carried)
+    assert all(p in m1 for p in carried)
+    # evolved column: no stats anywhere -> every file read, result exact
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=9, grp="b", score=0.5)]),
+        on="id", evolve_schema=True,
+    )
+    got = TF.scan_files_where(spark, root, "val", 20.0, 40.0)
+    want = TF.read_table(spark, root).where(F.col("val").between(20.0, 40.0))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
