@@ -1226,3 +1226,85 @@ def test_manifest_stats_reused_across_hardlink_carry(spark, sf_dir, tmp_path):
     got = TF.scan_files_where(spark, root, "val", 20.0, 40.0)
     want = TF.read_table(spark, root).where(F.col("val").between(20.0, 40.0))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_shallow_clone_independent_and_zero_copy(spark, sf_dir, tmp_path):
+    """SHALLOW CLONE: v1 of the clone hardlinks the source snapshot (inode
+    proof), stats manifest carried without footer re-reads, CHECK
+    constraints inherited, and merges into either table never affect the
+    other."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TF.create_table(
+        _base(spark), src, partition_by="grp",
+        checks={"val_nonneg": "val >= 0"},
+    )
+    TF.merge_into(
+        spark, src,
+        spark.createDataFrame([Row(id=5, grp="b", val=50.0)]), on="id",
+    )
+    assert TF.clone_table(src, dst) == 1
+    # data identical at clone time
+    s0 = sorted(map(tuple, TF.read_table(spark, src).collect()))
+    assert sorted(map(tuple, TF.read_table(spark, dst).collect())) == s0
+    # zero-copy: same inodes
+    src_v = os.path.join(src, "_versions", "v00000002")
+    dst_v = os.path.join(dst, "_versions", "v00000001")
+    ino = lambda d: {
+        f: os.stat(os.path.join(dp, f)).st_ino
+        for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    }
+    assert ino(src_v) == ino(dst_v)
+    # manifest stats carried (same entries incl. footer stats)
+    m_src = {e["path"]: e for e in TF.manifest(src, 2)}
+    m_dst = {e["path"]: e for e in TF.manifest(dst, 1)}
+    assert m_src == m_dst and all("stats" in e for e in m_dst.values())
+    # checks inherited: a violating merge into the clone aborts
+    with pytest.raises(ValueError, match="val_nonneg"):
+        TF.merge_into(
+            spark, dst,
+            spark.createDataFrame([Row(id=1, grp="a", val=-1.0)]), on="id",
+        )
+    # divergence: writes to one never show in the other
+    TF.merge_into(
+        spark, dst,
+        spark.createDataFrame([Row(id=1, grp="a", val=99.0)]), on="id",
+    )
+    TF.merge_into(
+        spark, src,
+        spark.createDataFrame([Row(id=2, grp="a", val=77.0)]), on="id",
+    )
+    got_src = {r["id"]: r["val"] for r in TF.read_table(spark, src).collect()}
+    got_dst = {r["id"]: r["val"] for r in TF.read_table(spark, dst).collect()}
+    assert got_src[1] == 10.0 and got_src[2] == 77.0
+    assert got_dst[1] == 99.0 and got_dst[2] == 20.0
+    with pytest.raises(FileExistsError):
+        TF.clone_table(src, dst)
+    # time-travel clone of the pre-merge snapshot
+    old = str(tmp_path / "old")
+    TF.clone_table(src, old, version=1)
+    assert {r["id"] for r in TF.read_table(spark, old).collect()} == {1, 2, 3, 4}
+
+
+def test_table_stats_from_manifest(spark, sf_dir, tmp_path):
+    """ANALYZE from the sidecar alone: rows/bytes/files, per-partition
+    breakdown, and per-column global bounds (None once any file lacks the
+    column's stats)."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    st = TF.table_stats(root)
+    assert st["rows"] == 4 and st["files"] >= 3 and st["bytes"] > 0
+    assert set(st["partitions"]) == {"grp=a", "grp=b", "grp=c"}
+    assert st["partitions"]["grp=a"]["rows"] == 2
+    assert st["columns"]["id"] == [1, 4]
+    assert st["columns"]["val"] == [10.0, 40.0]
+    # evolved column: files without 'score' stats -> unknown bounds
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=9, grp="a", score=0.5)]),
+        on="id", evolve_schema=True,
+    )
+    st2 = TF.table_stats(root)
+    assert st2["rows"] == 5
+    assert st2["columns"]["score"] is None
+    assert st2["columns"]["id"] == [1, 9]
