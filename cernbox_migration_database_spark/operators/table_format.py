@@ -1040,33 +1040,51 @@ def compact(
     return new_v
 
 
+def _z_sorted(
+    out: DataFrame,
+    stats_df: DataFrame,
+    zorder: tuple[str, str],
+    pcols: list[str] | tuple = (),
+) -> DataFrame:
+    """Sort ``out`` within its write tasks by (partition cols, Morton value
+    of the two zorder keys). The partition-column prefix matters: the
+    partitioned parquet writer REQUIRES task rows ordered by the partition
+    columns and inserts its own (unstable) sort when the incoming ordering
+    does not already satisfy that — which would scramble a bare __z sort.
+    With the prefix, the writer sees its required ordering satisfied and
+    the Morton order survives into the files. Global min/max scaling (one
+    metadata-sized agg over ``stats_df``) is fine per partition too:
+    Morton ORDER within a partition is unaffected by a shared affine
+    rescale."""
+    from .layout import Z_BITS, z_value
+
+    lim = (1 << Z_BITS) - 1
+    x, y = zorder
+    mm = stats_df.agg(
+        F.min(x).alias("xlo"), F.max(x).alias("xhi"),
+        F.min(y).alias("ylo"), F.max(y).alias("yhi"),
+    ).collect()[0]
+
+    def scaled(c, lo, hi):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return (
+            (F.col(c).cast("long") - F.lit(lo)) * F.lit(lim) / F.lit(hi - lo)
+        ).cast("long")
+
+    z = z_value(scaled(x, mm["xlo"], mm["xhi"]), scaled(y, mm["ylo"], mm["yhi"]))
+    return (
+        out.withColumn("__z", z)
+        .sortWithinPartitions(*pcols, "__z")
+        .drop("__z")
+    )
+
+
 def _compact_write(spark, df, pcols, zorder, staging):
     if pcols:
         out = df.repartition(*pcols)
         if zorder:
-            from .layout import z_value
-
-            # Global min/max scaling is fine per partition too: Morton
-            # ORDER within a partition is unaffected by a shared affine
-            # rescale, and one metadata-sized agg beats per-partition ones.
-            from .layout import Z_BITS
-
-            lim = (1 << Z_BITS) - 1
-            x, y = zorder
-            mm = df.agg(
-                F.min(x).alias("xlo"), F.max(x).alias("xhi"),
-                F.min(y).alias("ylo"), F.max(y).alias("yhi"),
-            ).collect()[0]
-
-            def scaled(c, lo, hi):
-                if hi == lo:
-                    return F.lit(0).cast("long")
-                return (
-                    (F.col(c).cast("long") - F.lit(lo)) * F.lit(lim) / F.lit(hi - lo)
-                ).cast("long")
-
-            z = z_value(scaled(x, mm["xlo"], mm["xhi"]), scaled(y, mm["ylo"], mm["yhi"]))
-            out = out.withColumn("__z", z).sortWithinPartitions("__z").drop("__z")
+            out = _z_sorted(out, df, zorder, pcols)
         (
             out.write.mode("overwrite")
             .partitionBy(*pcols)
@@ -1088,6 +1106,7 @@ def compact_partitions(
     partition_values: list | None = None,
     *,
     rels: list[str] | None = None,
+    zorder: tuple[str, str] | None = None,
 ) -> int:
     """``OPTIMIZE ... WHERE partition IN (...)``: rewrite ONLY the named
     partitions to one file each, hardlinking everything else forward — the
@@ -1097,7 +1116,11 @@ def compact_partitions(
     value — ``partition_values`` as single-column values (or tuples for
     hierarchical schemes) — or by relative directory path via ``rels``
     (``"grp=a"``, ``"d=3/h=7"``), the representation
-    :func:`small_file_partitions` emits. Data is byte-identical; only
+    :func:`small_file_partitions` emits. With ``zorder=(x, y)`` the
+    rewritten partitions are additionally Morton-clustered (incremental
+    ``OPTIMIZE ... WHERE ... ZORDER BY`` — re-cluster the hot day, not the
+    archive; row-group and manifest [min, max] stats then prune on either
+    key inside the repaired partitions). Data is byte-identical; only
     layout changes. Returns the new version."""
     if (partition_values is None) == (rels is None):
         raise ValueError("pass exactly one of partition_values or rels")
@@ -1122,13 +1145,19 @@ def compact_partitions(
     rewritten = df.where(
         _part_dir_expr(pcols).isin(*touched_rels)
     ).repartition(*pcols)
+    if zorder:
+        rewritten = _z_sorted(rewritten, rewritten, zorder, pcols)
     return _cow_commit(
         root,
         base_v,
         pcols,
         rewritten,
         None,
-        {"action": "compact_partitions", "columns": df.columns},
+        {
+            "action": "compact_partitions",
+            "zorder": list(zorder) if zorder else None,
+            "columns": df.columns,
+        },
         touched_rels=touched_rels,
     )
 

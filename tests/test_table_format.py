@@ -1308,3 +1308,42 @@ def test_table_stats_from_manifest(spark, sf_dir, tmp_path):
     assert st2["rows"] == 5
     assert st2["columns"]["score"] is None
     assert st2["columns"]["id"] == [1, 9]
+
+
+def test_compact_partitions_zorder_clusters_rows(spark, sf_dir, tmp_path):
+    """Incremental OPTIMIZE ... WHERE ... ZORDER BY: the repaired partition's
+    file comes out Morton-sorted (so row-group stats prune on either key),
+    data stays byte-identical, and the commit records the clustering."""
+    from cernbox_migration_database_spark.operators.layout import Z_BITS, z_value
+
+    root = str(tmp_path / "t")
+    rows = [
+        Row(id=i, grp="ab"[i % 2], x=(i * 13) % 50, y=(i * 7) % 50)
+        for i in range(200)
+    ]
+    TF.create_table(
+        spark.createDataFrame(rows).repartition(5), root, partition_by="grp"
+    )
+    v = TF.compact_partitions(spark, root, ["a"], zorder=("x", "y"))
+    assert TF.history(root)[-1]["zorder"] == ["x", "y"]
+    before = sorted(map(tuple, TF.read_table(spark, root, 1).collect()))
+    after = sorted(map(tuple, TF.read_table(spark, root, v).collect()))
+    assert before == after
+    # the single repaired file is sorted by the same scaled Morton value
+    adir = os.path.join(root, "_versions", f"v{v:08d}", "grp=a")
+    (fname,) = [f for f in os.listdir(adir) if f.endswith(".parquet")]
+    fdf = spark.read.parquet(os.path.join(adir, fname))
+    lim = (1 << Z_BITS) - 1
+    sub = [r for r in rows if r.grp == "a"]
+    xlo, xhi = min(r.x for r in sub), max(r.x for r in sub)
+    ylo, yhi = min(r.y for r in sub), max(r.y for r in sub)
+    sc = lambda c, lo, hi: (
+        (F.col(c).cast("long") - F.lit(lo)) * F.lit(lim) / F.lit(hi - lo)
+    ).cast("long")
+    zs = [
+        r[0]
+        for r in fdf.select(
+            z_value(sc("x", xlo, xhi), sc("y", ylo, yhi)).alias("z")
+        ).collect()
+    ]
+    assert zs == sorted(zs)
