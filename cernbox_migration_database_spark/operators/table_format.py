@@ -900,7 +900,10 @@ def clone_table(
     and can never affect the other (immutable version dirs make the shared
     files safe to share). The dev/staging workflow this unlocks at 100 TB:
     branch a production table instantly, run a risky backfill against the
-    clone, diff, then throw it away. Schema contract (columns, partition
+    clone, diff, then throw it away. Vacuuming either table never breaks
+    the other: shared files are hardlinks (or copies on cross-device
+    setups), so removing a version DIRECTORY only drops that table's
+    reference — the inode lives until its last referent goes. Schema contract (columns, partition
     scheme, CHECK constraints, evolved-mix flag) is inherited from the
     source snapshot. Returns the clone's version (always 1)."""
     v = current_version(src_root) if version is None else version

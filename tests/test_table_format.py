@@ -1347,3 +1347,28 @@ def test_compact_partitions_zorder_clusters_rows(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert zs == sorted(zs)
+
+
+def test_vacuum_source_never_breaks_clone(spark, sf_dir, tmp_path):
+    """Hardlink reference semantics: vacuuming every old source version
+    (and even deleting the whole source table) leaves the clone readable —
+    a version dir removal drops one reference, not the shared inodes."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TF.create_table(_base(spark), src, partition_by="grp")
+    TF.merge_into(
+        spark, src,
+        spark.createDataFrame([Row(id=5, grp="d", val=50.0)]), on="id",
+    )
+    TF.clone_table(src, dst)
+    want = sorted(map(tuple, TF.read_table(spark, dst).collect()))
+    TF.merge_into(
+        spark, src,
+        spark.createDataFrame([Row(id=6, grp="e", val=60.0)]), on="id",
+    )
+    TF.vacuum(src, keep_last=1)
+    assert sorted(map(tuple, TF.read_table(spark, dst).collect())) == want
+    shutil.rmtree(src)
+    assert sorted(map(tuple, TF.read_table(spark, dst).collect())) == want
