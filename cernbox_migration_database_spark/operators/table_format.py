@@ -1266,27 +1266,23 @@ def scan_files_where(
     return df.where(pred)
 
 
-def merge_with_retry(
-    spark: SparkSession,
-    root: str,
-    source: DataFrame,
-    on: str | list[str],
-    retries: int = 3,
-    **kwargs,
-) -> int:
-    """Optimistic-concurrency loop around :func:`merge_into`: when another
-    writer wins the version claim (FileExistsError from the atomic mkdir),
-    re-read the NEW current snapshot and re-apply the merge — the merge
-    semantics are defined against whatever snapshot is current, so a
-    re-run is the correct conflict resolution for key-level merges (the
-    Delta/Iceberg retry posture). Distinguishes a real race (pointer
-    advanced → retry) from an ORPHANED claim directory left by a crashed
-    writer (pointer unmoved → raise immediately and tell the operator to
-    vacuum; spinning would never succeed)."""
+def commit_with_retry(root: str, attempt, retries: int = 3, what: str = "commit"):
+    """Optimistic-concurrency loop around ANY single-shot committing table
+    op (merge, OPTIMIZE, DELETE/UPDATE, restore): when another writer wins
+    the version claim (FileExistsError from the atomic mkdir), re-run
+    ``attempt`` — every op plans against whatever snapshot is current, so
+    a fresh run is the correct conflict resolution (the Delta/Iceberg
+    retry posture; for maintenance ops the re-run also re-PLANS, e.g. a
+    re-read of the manifest may find the racing merge already rewrote a
+    partition that no longer needs compacting). Distinguishes a real race
+    (pointer advanced → retry) from an ORPHANED claim directory left by a
+    crashed writer (pointer unmoved → raise immediately and tell the
+    operator to vacuum; spinning would never succeed). ``attempt`` is a
+    zero-arg callable returning the committed version."""
     for _attempt in range(retries + 1):
         base = current_version(root)
         try:
-            return merge_into(spark, root, source, on, **kwargs)
+            return attempt()
         except FileExistsError:
             if current_version(root) == base:
                 raise FileExistsError(
@@ -1297,8 +1293,26 @@ def merge_with_retry(
             # pointer advanced: a competing writer committed — loop re-runs
             # against the new snapshot
     raise RuntimeError(
-        f"merge into {root} lost the commit race {retries + 1} times; "
+        f"{what} on {root} lost the commit race {retries + 1} times; "
         f"raise retries or serialize the writers"
+    )
+
+
+def merge_with_retry(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: str | list[str],
+    retries: int = 3,
+    **kwargs,
+) -> int:
+    """:func:`commit_with_retry` specialized to :func:`merge_into` (kept
+    as the named entry point the migration pipeline calls)."""
+    return commit_with_retry(
+        root,
+        lambda: merge_into(spark, root, source, on, **kwargs),
+        retries=retries,
+        what="merge",
     )
 
 

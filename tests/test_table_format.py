@@ -1372,3 +1372,52 @@ def test_vacuum_source_never_breaks_clone(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, TF.read_table(spark, dst).collect())) == want
     shutil.rmtree(src)
     assert sorted(map(tuple, TF.read_table(spark, dst).collect())) == want
+
+
+def test_commit_with_retry_replans_maintenance_after_race(spark, tmp_path, monkeypatch):
+    """OPTIMIZE racing ingest: the maintenance op loses the claim to a
+    competing merge, and the retry RE-PLANS from the new manifest — the
+    partition the merge just rewrote no longer needs compacting, so the
+    second attempt repairs only what is still fragmented."""
+    root = str(tmp_path / "t")
+    many = spark.createDataFrame(
+        [Row(id=i, grp="abc"[i % 3], val=float(i)) for i in range(60)]
+    ).repartition(4)
+    TF.create_table(many, root, partition_by="grp")
+    assert set(TF.small_file_partitions(root, max_files=1)) == {
+        "grp=a", "grp=b", "grp=c"
+    }
+
+    real_claim = TF._claim_version
+    state = {"raced": False}
+
+    def racing_claim(r, version):
+        if not state["raced"]:
+            state["raced"] = True
+            # ingest wins: a merge rewrites grp=a (collapsing it) first
+            TF.merge_into(
+                spark, r,
+                spark.createDataFrame([Row(id=0, grp="a", val=999.0)]),
+                on="id", when_not_matched=None,
+            )
+            raise FileExistsError("lost the claim")
+        return real_claim(r, version)
+
+    monkeypatch.setattr(TF, "_claim_version", racing_claim)
+
+    def attempt():
+        worst = TF.small_file_partitions(root, max_files=1)
+        return (
+            TF.compact_partitions(spark, root, rels=worst) if worst else None
+        )
+
+    v = TF.commit_with_retry(root, attempt, what="optimize")
+    monkeypatch.setattr(TF, "_claim_version", real_claim)
+    assert v == 3  # merge took v2, the re-planned optimize took v3
+    # second attempt compacted only what was STILL fragmented
+    assert sorted(TF.history(root)[-1]["touched_partitions"]) == [
+        "grp=b", "grp=c"
+    ]
+    assert TF.small_file_partitions(root, max_files=1) == []
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got[0] == 999.0 and len(got) == 60
