@@ -1421,3 +1421,91 @@ def test_commit_with_retry_replans_maintenance_after_race(spark, tmp_path, monke
     assert TF.small_file_partitions(root, max_files=1) == []
     got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
     assert got[0] == 999.0 and len(got) == 60
+
+
+def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
+    """Model-based property test: random sequences of table operations
+    (keyed merge upsert / merge delete / predicate delete / restore /
+    OPTIMIZE) applied to the versioned table AND to a plain dict model;
+    after every op the committed snapshot must equal the model, and at the
+    end EVERY historical version must equal the model's recorded history
+    (time travel is part of the contract, not an afterthought)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(st.integers(0, 14), st.integers(0, 99)),
+                min_size=1, max_size=4, unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(
+            st.just("mdelete"),
+            st.lists(st.integers(0, 14), min_size=1, max_size=3, unique=True),
+        ),
+        st.tuples(st.just("pdelete"), st.integers(0, 99)),
+        st.tuples(st.just("restore"), st.integers(1, 3)),
+        st.tuples(st.just("optimize"), st.none()),
+    )
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        counter["n"] += 1
+        root = str(tmp_path / f"t{counter['n']}")
+        seed = {i: i * 10 for i in range(0, 8)}
+        mk = lambda d: spark.createDataFrame(
+            [Row(id=k, grp="ab"[k % 2], val=v) for k, v in sorted(d.items())]
+        )
+        TF.create_table(mk(seed), root, partition_by="grp")
+        model = dict(seed)
+        hist = {1: dict(model)}
+        for kind, arg in ops:
+            if kind == "upsert":
+                TF.merge_into(
+                    spark, root,
+                    mk({k: v for k, v in arg}), on="id",
+                )
+                model.update({k: v for k, v in arg})
+            elif kind == "mdelete":
+                TF.merge_into(
+                    spark, root, mk({k: 0 for k in arg}), on="id",
+                    when_matched="delete", when_not_matched=None,
+                )
+                for k in arg:
+                    model.pop(k, None)
+            elif kind == "pdelete":
+                TF.delete_where(spark, root, f"val >= {arg}")
+                model = {k: v for k, v in model.items() if not v >= arg}
+            elif kind == "restore":
+                v = min(arg, TF.current_version(root))
+                if v == TF.current_version(root):
+                    with pytest.raises(ValueError, match="already current"):
+                        TF.restore(root, v)
+                    continue
+                TF.restore(root, v)
+                model = dict(hist[v])
+            else:
+                TF.compact(spark, root)
+            cur = TF.current_version(root)
+            hist[cur] = dict(model)
+            got = {
+                r["id"]: r["val"]
+                for r in TF.read_table(spark, root).collect()
+            }
+            assert got == model, f"after {kind}: {got} != {model}"
+        for v, snap in hist.items():
+            got = {
+                r["id"]: r["val"]
+                for r in TF.read_table(spark, root, version=v).collect()
+            }
+            assert got == snap, f"time travel v{v}"
+
+    run()
