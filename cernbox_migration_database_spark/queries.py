@@ -6717,7 +6717,7 @@ def table_stats_skipping(spark, sf_dir):
 # natural first pick for the r5 rotation. After a green r4, every other
 # oracle-paired query in the registry has a driver row on record.
 # r5 rotation plan: swap into the window approx_sketches plus the
-# fifteen queries added later in round 4 — the lakehouse family
+# seventeen queries added later in round 4 — the lakehouse family
 # (merge_into_versioned, table_time_travel, table_changes,
 # mv_incremental_refresh, point_lookup_indexed,
 # merge_into_nested_partitions, table_delete_where, table_update_where,
@@ -6728,7 +6728,7 @@ def table_stats_skipping(spark, sf_dir):
 # train_weighted_sample, dedup_repeated_spans) — they sit after the
 # window this round by construction; selfcheck AND a full driver_sim
 # --all pass at sf0.01 already cover all of them. Keep the sentinel
-# core; that fills the 50-slot window at 13 + 16 + 21 rotated-in
+# core; that fills the 50-slot window at 13 + 18 + 19 rotated-in
 # earlier-round queries.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
