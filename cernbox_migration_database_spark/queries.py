@@ -6705,31 +6705,17 @@ def table_stats_skipping(spark, sf_dir):
 # are skipped, so new queries can claim a slot by being added to the list.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation (VERDICT r3 item 1): after the r3 window went 50/50
-# green, exactly 37 oracle-paired queries have never earned a driver row
-# (computed from CORRECTNESS_r01-r03 keys vs the 147-entry registry).
-# Window = the same 12-query sentinel core + kv_parse_map's perf-changed
-# twin text_langid (driver-green r3, kept as the 13th sentinel since its
-# semantics were replaced only last round) + all 37 remaining queries =
-# exactly 50. approx_sketches (newly oracle-paired this round via its
-# contract-bits reduction — see its docstring) is the one registered query
-# left out: the window is full with never-verified entries; it is the
-# natural first pick for the r5 rotation. After a green r4, every other
-# oracle-paired query in the registry has a driver row on record.
-# r5 rotation plan: swap into the window approx_sketches plus the
-# seventeen queries added later in round 4 — the lakehouse family
-# (merge_into_versioned, table_time_travel, table_changes,
-# mv_incremental_refresh, point_lookup_indexed,
-# merge_into_nested_partitions, table_delete_where, table_update_where,
-# table_restore, table_manifest_scan, table_stats_skipping,
-# migration_upsert_versioned) and the
-# pipeline additions
-# (bloom_decontaminate, similarity_ivf_pq, dedup_semantic_keep,
-# train_weighted_sample, dedup_repeated_spans) — they sit after the
-# window this round by construction; selfcheck AND a full driver_sim
-# --all pass at sf0.01 already cover all of them. Keep the sentinel
-# core; that fills the 50-slot window at 13 + 18 + 19 rotated-in
-# earlier-round queries.
+# Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
+# which leaves exactly 18 oracle-paired queries without a driver row: the
+# 17 added late in round 4 (the lakehouse/table-format family plus the
+# pipeline additions) and approx_sketches (oracle-paired in r4 via its
+# contract-bits reduction but left out of a full window). Window = the
+# same 13-query sentinel core + those 18 + round-5 additions as they are
+# defined (names listed before definition are skipped until the query
+# lands, so new work claims a slot simply by being registered) + a
+# backstop of earlier-round driver-green queries to fill any unused
+# slots. After a green r5, every oracle-paired query in the registry has
+# a driver row on record.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds) ---
     "scan_filter_project_sort",
@@ -6745,44 +6731,65 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "similarity_ann_ivf",
     "text_langid",
-    # --- the 37 never-driver-verified oracle-paired queries ---
+    # --- the 17 round-4 queries never driver-verified (judge-selfcheck
+    # green in the r4 verdict) ---
+    "merge_into_versioned",
+    "merge_into_nested_partitions",
+    "migration_upsert_versioned",
+    "table_time_travel",
+    "table_changes",
+    "table_delete_where",
+    "table_update_where",
+    "table_restore",
+    "table_manifest_scan",
+    "table_stats_skipping",
+    "mv_incremental_refresh",
+    "point_lookup_indexed",
+    "similarity_ivf_pq",
+    "dedup_semantic_keep",
+    "dedup_repeated_spans",
+    "bloom_decontaminate",
+    "train_weighted_sample",
+    # --- last never-verified oracle-paired query ---
+    "approx_sketches",
+    # --- round-5 additions (skipped until defined; each new query claims
+    # the next open slot) ---
+    "table_schema_evolution",
+    "url_functions",
+    "bm25_search",
+    "embedding_kmeans",
+    "events_ohlc_bars",
+    "market_basket_pairs",
+    "window_ewma",
+    "minhash_containment",
+    "events_attribution",
+    "text_ngram_entropy",
+    "similarity_range_search",
+    "train_curriculum_stages",
+    "table_optimize_compact",
+    "events_top_transitions",
+    "dedup_cross_field",
+    # --- backstop: earlier-round driver-green queries fill any slots the
+    # round-5 names above leave open ---
+    "dedup_exact",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_per_group",
+    "window_sessionize",
+    "time_bucket_agg",
+    "text_quality",
+    "similarity_knn",
+    "embedding_lsh_buckets",
+    "dedup_simhash",
     "asof_forward_tolerance",
-    "bucketed_join_priority_revenue",
-    "dedup_clusters_star",
-    "dedup_incremental_ingest",
-    "dedup_prefix_filter",
-    "dedup_simhash_pairs",
-    "dedup_winnowing_pairs",
-    "deletion_propagation",
-    "embedding_random_projection",
-    "events_anomaly_zscore",
-    "events_funnel",
-    "events_retention_cohort",
-    "graph_label_propagation_weighted",
-    "graph_pagerank",
-    "histogram_totalprice",
-    "kmv_distinct_estimate",
-    "percentile_disc_groups",
-    "pipeline_end_to_end",
-    "profile_orders",
-    "quantile_binning",
-    "salted_join_skew",
-    "similarity_pq_adc",
-    "similarity_pq_encode",
-    "stratified_exact_n",
-    "streaming_dedup",
-    "streaming_enrich_join",
-    "streaming_outer_join",
-    "streaming_sliding_window",
-    "text_bigram_lm",
-    "text_fluency",
-    "text_repetition",
-    "text_winnowing",
-    "train_chunking",
-    "train_decontaminate",
-    "train_mixture_weights",
-    "window_distribution",
     "zorder_lineitem",
+    "salted_join_skew",
+    "stratified_exact_n",
+    "kmv_distinct_estimate",
+    "pipeline_end_to_end",
+    "train_decontaminate",
+    "graph_pagerank",
 ]
 
 
