@@ -535,10 +535,19 @@ def merge_into(
             source = source.withColumn(f.name, F.lit(None).cast(f.dataType))
     source = source.select(*target.columns)  # align column order to table schema
 
+    update_set = update_set or {}
+    unknown = [c for c in update_set if c not in target.columns or c in keys]
+    if unknown:
+        raise ValueError(
+            f"update_set names non-updatable column(s) {unknown} "
+            f"(must be table columns, not merge keys)"
+        )
+
     if pcols:
-        # Touched partitions = partitions of matched target rows ∪ source's
-        # own partition values (inserts may open new partitions). Both are
-        # metadata-sized collects (bounded by partition count, never rows).
+        # Touched partitions = partitions of matched target rows ∪ the
+        # DESTINATION partitions matched updates move rows to ∪ partitions
+        # where inserts land. All are metadata-sized collects (bounded by
+        # partition count, never table rows).
         matched_parts = {
             tuple(r)
             for r in target.join(source.select(*keys).distinct(), keys, "left_semi")
@@ -546,24 +555,68 @@ def merge_into(
             .distinct()
             .collect()
         }
-        # Source partitions count as touched only when a clause can LAND
-        # rows there: inserts take source values (a source that omits the
-        # partition column inserts into the null partition — its padded
-        # null IS the destination), and updates move rows across
-        # partitions only if the source actually PROVIDES the partition
-        # column (an omitted column keeps the target value, so the row
-        # stays put — counting the padded null would phantom-touch the
-        # null partition on every update-only merge).
-        update_can_move = when_matched == "update" and any(
-            c in src_cols for c in pcols
+        touched = set(matched_parts)
+        # An update can move a row across partitions when the source
+        # PROVIDES a partition column (an omitted column keeps the target
+        # value, so the row stays put) or when update_set rewrites one.
+        # Destinations are the POST-update partition tuples of the matched
+        # pairs — raw source partition values are wrong whenever update_set
+        # overrides a partition column, or a hierarchical scheme takes some
+        # partition columns from the target (destination = provided source
+        # value + target-kept value, while the raw source tuple holds
+        # padded nulls); omitting the destination from the commit log would
+        # make read_changes' pruning report the moved row as a bare delete.
+        update_can_move = when_matched == "update" and (
+            any(c in src_cols for c in pcols) or any(c in update_set for c in pcols)
         )
-        if update_can_move or when_not_matched == "insert":
-            src_parts = {
-                tuple(r) for r in source.select(*pcols).distinct().collect()
+        if update_can_move:
+            pairs = target.join(
+                source.select(
+                    *keys,
+                    *[
+                        F.col(c).alias(f"__s_{c}")
+                        for c in target.columns
+                        if c not in keys
+                    ],
+                ),
+                keys,
+                "inner",
+            )
+            tgt_d = {c: F.col(c) for c in target.columns}
+            src_d = {k: F.col(k) for k in keys}
+            src_d.update(
+                {c: F.col(f"__s_{c}") for c in target.columns if c not in keys}
+            )
+            if matched_condition is not None:
+                # Rows failing the condition keep their target partition —
+                # already covered by matched_parts.
+                pairs = pairs.where(
+                    F.coalesce(matched_condition(tgt_d, src_d), F.lit(False))
+                )
+            dest_exprs = []
+            for c in pcols:
+                if c in update_set:
+                    dest_exprs.append(update_set[c](tgt_d, src_d).alias(c))
+                elif c in src_cols:
+                    dest_exprs.append(F.col(f"__s_{c}").alias(c))
+                else:
+                    dest_exprs.append(F.col(c).alias(c))
+            touched |= {
+                tuple(r) for r in pairs.select(*dest_exprs).distinct().collect()
             }
-            touched = matched_parts | src_parts
-        else:
-            touched = matched_parts
+        if when_not_matched == "insert":
+            # Inserts land at the source row's own partition values (an
+            # omitted partition column inserts into the null partition).
+            # Only actual INSERT rows count — a matched source row's raw
+            # partition tuple is not a destination (its real destination,
+            # if any, came from the update pass above), so counting all
+            # source rows would phantom-touch partitions on mixed merges.
+            insert_rows = source.join(
+                target.select(*keys).distinct(), keys, "left_anti"
+            )
+            touched |= {
+                tuple(r) for r in insert_rows.select(*pcols).distinct().collect()
+            }
         keep = target.where(_part_in(pcols, touched))
     else:
         touched = None
@@ -592,13 +645,6 @@ def merge_into(
         cond = F.coalesce(matched_condition(tgt_cols, srcd), F.lit(False))
     else:
         cond = F.lit(True)
-    update_set = update_set or {}
-    unknown = [c for c in update_set if c not in target.columns or c in keys]
-    if unknown:
-        raise ValueError(
-            f"update_set names non-updatable column(s) {unknown} "
-            f"(must be table columns, not merge keys)"
-        )
     out_cols = []
     for c in target.columns:
         if c in keys:

@@ -367,6 +367,79 @@ def test_read_changes_catches_partition_moving_update(spark, tmp_path):
     assert got == {1: "z", 2: "a", 3: "b", 4: "c"}
 
 
+def test_update_set_on_partition_column_touches_destination(spark, tmp_path):
+    """ADVICE r4: a merge whose update_set EXPRESSION rewrites a partition
+    column moves rows to a destination the raw source partition values
+    never mention; the commit log must still record it or CDF pruning
+    reports the move as a bare delete."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    # source carries the OLD partition value; the move comes from update_set
+    src = spark.createDataFrame([Row(id=1, grp="a", val=11.0)])
+    TF.merge_into(
+        spark, root, src, on="id", when_not_matched=None,
+        update_set={"grp": lambda t, s: F.concat(t["grp"], F.lit("_moved"))},
+    )
+    assert "grp=a_moved" in TF.history(root)[-1]["touched_partitions"]
+    ch = {
+        r["id"]: (r["_change_type"], r["grp"])
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {1: ("update", "a_moved")}
+    got = {r["id"]: r["grp"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: "a_moved", 2: "a", 3: "b", 4: "c"}
+
+
+def test_partial_source_hierarchical_move_touches_combined_destination(
+    spark, tmp_path
+):
+    """ADVICE r4: with hierarchical partitioning, a source providing only
+    SOME partition columns moves a row to (source value, target-kept
+    value) — a tuple neither the raw source partitions (padded nulls) nor
+    the matched-row source partitions contain."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [
+            Row(id=1, region="eu", day="d1", val=1.0),
+            Row(id=2, region="us", day="d2", val=2.0),
+        ]
+    )
+    TF.create_table(base, root, partition_by=["region", "day"])
+    # source omits `day` (keeps target d1) but moves region eu -> ap
+    src = spark.createDataFrame([Row(id=1, region="ap", val=9.0)])
+    TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    touched = TF.history(root)[-1]["touched_partitions"]
+    assert "region=ap/day=d1" in touched
+    ch = {
+        r["id"]: (r["_change_type"], r["region"], r["day"])
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {1: ("update", "ap", "d1")}
+    got = {
+        r["id"]: (r["region"], r["day"], r["val"])
+        for r in TF.read_table(spark, root).collect()
+    }
+    assert got == {1: ("ap", "d1", 9.0), 2: ("us", "d2", 2.0)}
+
+
+def test_mixed_merge_does_not_phantom_touch_matched_source_partitions(
+    spark, tmp_path
+):
+    """A mixed update+insert merge whose matched rows keep their target
+    partition must not count the matched SOURCE rows' raw partition tuples
+    as touched (only actual insert rows open partitions)."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame(
+        [
+            Row(id=2, grp="a", val=99.0),  # matched, stays in a
+            Row(id=9, grp="d", val=50.0),  # insert -> opens d
+        ]
+    )
+    TF.merge_into(spark, root, src, on="id")
+    assert TF.history(root)[-1]["touched_partitions"] == ["grp=a", "grp=d"]
+
+
 def test_composite_key_merge_and_changes(spark, tmp_path):
     """Composite merge keys (on=[...]) across merge_into and read_changes."""
     root = str(tmp_path / "t")
