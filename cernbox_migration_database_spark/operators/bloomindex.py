@@ -44,12 +44,39 @@ _STATE_SUFFIX = ".bloomindex.json"
 
 def _py_positions(value, i_range: range, m_bits: int) -> list[int]:
     """Python twin of sketches.bloom_pos on the STRINGIFIED key — must stay
-    bit-identical to the Spark expression (test-pinned)."""
+    bit-identical to the Spark expression (test-pinned). Only valid for key
+    types whose Python str() rendering equals Spark's CAST(.. AS STRING)
+    (integers and strings); other types go through _probe_positions."""
     s = str(value)
     return [
         int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:13], 16) % m_bits
         for i in i_range
     ]
+
+
+# Key types where Python str(value) is provably identical to Spark's
+# CAST(key AS STRING), so the zero-job driver probe is safe.
+_PY_STR_SAFE_TYPES = {"string", "tinyint", "smallint", "int", "bigint"}
+
+
+def _probe_positions(
+    spark: SparkSession, values: list, key_type: str, k: int, m_bits: int
+) -> dict:
+    """Probe positions computed with the SAME Spark expression pipeline as
+    the build side (CAST to the key's column type, then to STRING, then
+    bloom_pos). For float ('1e-07' vs '1.0E-7'), boolean ('True' vs
+    'true'), timestamp, and decimal keys the Python and Spark string
+    renderings differ, so hashing str(value) driver-side would probe the
+    WRONG bits and silently skip partitions that contain the key — a
+    false negative the index contract forbids. One local job over
+    len(values) rows; no table data touched."""
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["__i", "__v"])
+    ks = F.col("__v").cast(key_type).cast("string")
+    out = df.select(
+        "__i", F.array(*[bloom_pos(ks, j, m_bits) for j in range(k)]).alias("pos")
+    ).collect()
+    return {values[r["__i"]]: list(r["pos"]) for r in out}
 
 
 def _part_positions(
@@ -186,13 +213,19 @@ def bloom_prune_lookup(
     admitted partition directories with the key filter pushed down."""
     st, blooms = _read_state(index_path)
     k, m = st["k"], st["m_bits"]
-    probe_pos = {v: _py_positions(v, range(k), m) for v in values}
+    base = read_table(spark, st["base_root"])
+    key_type = dict(base.dtypes)[st["key"]]
+    if key_type in _PY_STR_SAFE_TYPES:
+        # zero-job driver probe: Python str(value) is bit-identical to
+        # Spark's cast for integer/string keys (test-pinned)
+        probe_pos = {v: _py_positions(v, range(k), m) for v in values}
+    else:
+        probe_pos = _probe_positions(spark, values, key_type, k, m)
     parts = [
         part
         for part, bitset in blooms.items()
         if any(_may_contain(bitset, pos) for pos in probe_pos.values())
     ]
-    base = read_table(spark, st["base_root"])
     # Compare in string space (the state's normalized form). The cast is a
     # deterministic expression of the partition column alone, so partition
     # pruning still evaluates it driver-side against the directory values

@@ -61,6 +61,43 @@ def test_lookup_prunes_and_never_misses(spark, tmp_path):
         assert got == {(key_val, day)}
 
 
+def test_float_and_timestamp_keys_never_false_negative(spark, tmp_path):
+    """ADVICE r4: Python str(1e-07) != Spark CAST(1e-07 AS STRING)
+    ('1e-07' vs '1.0E-7'), so a driver-side str() probe on a double key
+    silently skipped partitions containing the key. Non-integer/string
+    keys must probe through the Spark expression and find every key."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.bloomindex.json")
+    vals = [1e-07, 2.5, 1234.0625, 3.333333333, 1e20, 0.1]
+    df = spark.createDataFrame(
+        [Row(id=i, day=f"d{i % 3}", price=v) for i, v in enumerate(vals)]
+    )
+    TF.create_table(df, root, partition_by="day")
+    BI.create_bloom_index(spark, root, idx, key="price")
+    for i, v in enumerate(vals):
+        got = {
+            (r["id"], r["price"])
+            for r in BI.bloom_prune_lookup(spark, idx, [v]).collect()
+        }
+        assert got == {(i, v)}, f"false negative for double key {v!r}"
+
+    root2 = str(tmp_path / "t2")
+    idx2 = str(tmp_path / "t2.bloomindex.json")
+    stamps = [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(6)]
+    df2 = spark.createDataFrame(
+        [Row(id=i, day=f"d{i % 3}", ts=s) for i, s in enumerate(stamps)]
+    )
+    TF.create_table(df2, root2, partition_by="day")
+    BI.create_bloom_index(spark, root2, idx2, key="ts")
+    for i, s in enumerate(stamps):
+        got = {
+            r["id"] for r in BI.bloom_prune_lookup(spark, idx2, [s]).collect()
+        }
+        assert got == {i}, f"false negative for timestamp key {s!r}"
+
+
 def test_refresh_is_add_only_and_stays_correct(spark, tmp_path):
     root = str(tmp_path / "t")
     idx = str(tmp_path / "t.bloomindex.json")
