@@ -210,6 +210,21 @@ def _claim_version(root: str, version: int) -> str:
     return vdir
 
 
+def _unclaim(vdir: str) -> None:
+    """Release a claimed version dir after a FAILED commit — but only while
+    it is still the empty directory this writer created. A non-empty vdir
+    means a competing writer already renamed its staging onto the claim
+    (possible when vacuum's orphan collection freed the claim out from
+    under a long-running write), and deleting it would destroy the
+    winner's committed — possibly pointer-published — data. os.rmdir
+    refuses non-empty directories, which is exactly the ownership test:
+    we provably own only the empty claim."""
+    try:
+        os.rmdir(vdir)
+    except OSError:
+        pass
+
+
 def with_bucket(
     df: DataFrame, key: str, n_buckets: int, bucket_col: str = "bucket"
 ) -> DataFrame:
@@ -248,13 +263,20 @@ def create_table(
         raise ValueError(f"partition_by column(s) {missing} not in {df.columns}")
     _enforce_checks(df, checks or {}, "create")
     vdir = _claim_version(root, 1)
+    # Stage-then-rename like every other commit path: the claim dir stays
+    # EMPTY until the atomic publish, so a failed create can release it
+    # with the empty-only _unclaim guard instead of an rmtree that could
+    # destroy a competing writer's renamed data.
+    staging = vdir + ".staging"
     try:
         writer = df.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(vdir)
+        writer.parquet(staging)
+        os.rename(staging, vdir)
     except Exception:
-        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        shutil.rmtree(staging, ignore_errors=True)
+        _unclaim(vdir)
         raise
     _commit(
         root,
@@ -754,7 +776,7 @@ def _cow_commit(
         # NEXT writer from claiming base_v+1 (the base pointer was never
         # moved, so the table itself is untouched).
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(vdir, ignore_errors=True)
+        _unclaim(vdir)
         raise
     _commit(
         root,
@@ -918,7 +940,7 @@ def restore(root: str, version: int) -> int:
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        _unclaim(vdir)  # un-burn the claim
         raise
     _commit(
         root,
@@ -978,7 +1000,7 @@ def clone_table(
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(vdir, ignore_errors=True)
+        _unclaim(vdir)
         raise
     _commit(
         dst_root,
@@ -1073,7 +1095,7 @@ def compact(
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        _unclaim(vdir)  # un-burn the claim
         raise
     _commit(
         root,
@@ -1394,7 +1416,7 @@ def repartition_table(
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(vdir, ignore_errors=True)  # un-burn the claim
+        _unclaim(vdir)  # un-burn the claim
         raise
     _commit(
         root,
@@ -1692,10 +1714,15 @@ def vacuum(
     With ``remove_orphans=True`` also collects debris from crashed
     writers: ``*.staging`` leftovers and CLAIMED-but-never-committed
     version directories (no ``_log`` entry — the state merge_with_retry
-    refuses to spin on). Orphans younger than ``orphan_grace_s`` seconds
-    (mtime) are left alone so an IN-FLIGHT writer's claim is never pulled
-    out from under it mid-commit — the same retention-guard posture real
-    formats take before deleting unreferenced files."""
+    refuses to spin on). Orphan age is keyed to ACTIVITY, not creation: it
+    is the newest mtime anywhere under the orphan, and a bare claim dir
+    also counts its ``.staging`` sibling's activity (the claim itself
+    stays empty and untouched for the whole duration of a long staging
+    write — aging it by its own mtime would pull an in-flight writer's
+    claim out from under it after ``orphan_grace_s``, letting a second
+    writer re-claim the version). Orphans with activity younger than
+    ``orphan_grace_s`` seconds are left alone — the retention-guard
+    posture real formats take before deleting unreferenced files."""
     cur = current_version(root)
     committed = {e["version"] for e in history(root)}
     vroot = os.path.join(root, _VERSIONS)
@@ -1707,14 +1734,36 @@ def vacuum(
     )
     if remove_orphans:
         now = time.time()
+
+        def newest_mtime(path: str) -> float:
+            newest = os.path.getmtime(path)
+            for dirpath, dirnames, filenames in os.walk(path):
+                for n in dirnames + filenames:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(dirpath, n))
+                        )
+                    except OSError:
+                        pass  # concurrently removed entry — ignore
+            return newest
+
         for name in names:
             full = os.path.join(vroot, name)
+            if not os.path.exists(full):
+                continue
             is_orphan = name.endswith(".staging") or (
                 name.startswith("v")
                 and name[1:].isdigit()
                 and int(name[1:]) not in committed
             )
-            if is_orphan and now - os.path.getmtime(full) >= orphan_grace_s:
+            if not is_orphan:
+                continue
+            activity = newest_mtime(full)
+            if not name.endswith(".staging") and os.path.exists(full + ".staging"):
+                # a live writer works in the sibling staging dir while its
+                # claim sits empty — staging activity keeps the claim alive
+                activity = max(activity, newest_mtime(full + ".staging"))
+            if now - activity >= orphan_grace_s:
                 shutil.rmtree(full, ignore_errors=True)
     committed_dirs = [v for v in versions if v in committed]
     keep = set(committed_dirs[-keep_last:]) | {cur}

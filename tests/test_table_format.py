@@ -884,6 +884,75 @@ def test_vacuum_collects_orphans_with_grace(spark, tmp_path):
     assert TF.merge_into(spark, root, src, on="id", when_not_matched=None) == 2
 
 
+def test_failed_commit_never_deletes_competing_writers_data(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4: if vacuum freed writer A's claim mid-write and writer B
+    re-claimed the version and renamed its staging onto it, A's rename
+    fails — and A's cleanup must NOT rmtree the now non-empty version dir
+    (that is B's committed, possibly pointer-published data). The
+    empty-only _unclaim guard is the invariant under test."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=1, grp="a", val=99.0)])
+
+    real_rename = os.rename
+    winner = {}
+
+    def racy_rename(a, b):
+        if b.endswith("v00000002") and not winner:
+            # B wins between A's staging write and A's rename: the claim
+            # dir A created is replaced by B's renamed (non-empty) data
+            os.rmdir(b)
+            os.makedirs(b)
+            winner["file"] = os.path.join(b, "part-winner.parquet")
+            with open(winner["file"], "w", encoding="utf-8") as fh:
+                fh.write("B's data")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(TF.os, "rename", racy_rename)
+    with pytest.raises(OSError):
+        TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    monkeypatch.setattr(TF.os, "rename", real_rename)
+    # the winner's data survived the loser's cleanup
+    assert os.path.exists(winner["file"])
+    # and the loser's staging debris is gone
+    assert not os.path.exists(
+        os.path.join(root, "_versions", "v00000002.staging")
+    )
+
+
+def test_vacuum_grace_keyed_to_staging_activity(spark, tmp_path):
+    """ADVICE r4: a bare claim dir stays empty (and its mtime frozen) for
+    the whole duration of a long staging write — orphan collection must
+    key its age to the newest activity in the .staging sibling, not the
+    claim dir's own creation time."""
+    import time as _time
+
+    root = str(tmp_path / "vac")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    vroot = os.path.join(root, "_versions")
+    claim = os.path.join(vroot, "v00000002")
+    staging = claim + ".staging"
+    os.mkdir(claim)
+    os.mkdir(staging)
+    # age the claim dir and staging dir themselves far past any grace
+    old = _time.time() - 7200
+    os.utime(claim, (old, old))
+    # ...but the writer is ACTIVE: a file inside staging was just written
+    with open(os.path.join(staging, "part-0.parquet"), "w") as fh:
+        fh.write("in flight")
+    os.utime(staging, (old, old))
+    TF.vacuum(root, keep_last=2, remove_orphans=True, orphan_grace_s=3600.0)
+    assert os.path.isdir(claim), "active writer's claim was vacuumed"
+    assert os.path.isdir(staging), "active writer's staging was vacuumed"
+    # once the activity itself is old, both are collected
+    os.utime(os.path.join(staging, "part-0.parquet"), (old, old))
+    TF.vacuum(root, keep_last=2, remove_orphans=True, orphan_grace_s=3600.0)
+    assert not os.path.exists(claim)
+    assert not os.path.exists(staging)
+
+
 def test_change_feed_cursor_consumption(spark, tmp_path):
     """Exactly-once downstream consumption: bootstrap load, per-merge
     deltas, crash-replay before commit, caught-up None — and an ahead
