@@ -1285,8 +1285,23 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     if not paths:
         return read_table(spark, root, v).where(F.lit(False))
     df = reader.option("basePath", vdir).parquet(*paths)
-    if cols and set(cols) == set(df.columns):
-        df = df.select(*cols)
+    if cols:
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            # mergeSchema merges only the LISTED files: when no pruned
+            # file carries an evolved column, the frame would silently
+            # drop it, breaking the documented "column-identical to
+            # read_table().where(...)" contract (ADVICE r4). Surface the
+            # absent logical columns as typed nulls — types from the full
+            # snapshot schema (a footer-schema read, no data IO).
+            full = {
+                f.name: f.dataType
+                for f in read_table(spark, root, v).schema.fields
+            }
+            for c in missing:
+                df = df.withColumn(c, F.lit(None).cast(full[c]))
+        if set(cols) <= set(df.columns):
+            df = df.select(*cols)
     return df
 
 

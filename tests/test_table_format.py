@@ -1208,6 +1208,36 @@ def test_manifest_written_per_commit_and_walk_fallback(spark, sf_dir, tmp_path):
         ]
 
 
+def test_pruned_scan_keeps_evolved_column_absent_from_pruned_files(
+    spark, tmp_path
+):
+    """ADVICE r4: a pruned read whose file list contains NO file carrying
+    an evolved column must still surface it (as typed nulls, in the
+    recorded column order) — column-identical to read_table().where()."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    # evolve the schema by touching ONLY partition a
+    src = spark.createDataFrame([Row(id=1, grp="a", val=10.0, extra=7)])
+    TF.merge_into(
+        spark, root, src, on="id", when_not_matched=None, evolve_schema=True
+    )
+    full_cols = TF.read_table(spark, root).columns
+    # partition b's files were hardlink-carried: none carries `extra`
+    got = TF.scan_partitions(spark, root, ["grp=b"])
+    assert got.columns == full_cols
+    (row,) = got.collect()
+    assert row["id"] == 3 and row["extra"] is None
+    # dtype matches the evolved column's type, not a bare null
+    assert dict(got.dtypes)["extra"] == dict(
+        TF.read_table(spark, root).dtypes
+    )["extra"]
+    # stats-pruned range scan takes the same path
+    rng = TF.scan_files_where(spark, root, "id", lo=3, hi=3)
+    assert rng.columns == full_cols
+    (r2,) = rng.collect()
+    assert r2["id"] == 3 and r2["extra"] is None
+
+
 def test_scan_partitions_reads_only_manifest_chosen_files(spark, sf_dir, tmp_path):
     """Manifest-planned scan == partition-filtered snapshot read, and the
     executed files all come from the named partitions."""
