@@ -1372,6 +1372,68 @@ def test_scan_files_where_stats_pruning_and_correctness(spark, sf_dir, tmp_path)
         TF.scan_files_where(spark, root, "id")
 
 
+def test_manifest_stats_reuse_requires_matching_mtime(spark, tmp_path):
+    """VERDICT r4: the stats-reuse key must include mtime — a rewritten
+    file with the same relative path and a coincidentally equal byte size
+    must get FRESH stats, never inherit the previous manifest's bounds."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    vdir = os.path.join(root, "_versions", "v00000001")
+    real = {e["path"]: e for e in TF.manifest(root, 1)}
+    assert all("mtime_ns" in e for e in real.values())
+
+    # same (path, size), POISONED stats, mismatched mtime -> re-read wins
+    poisoned = [
+        {**e, "stats": {"id": [999999, 999999]}, "mtime_ns": e["mtime_ns"] - 1}
+        for e in real.values()
+    ]
+    TF._write_manifest(vdir, poisoned)
+    for e in TF.manifest(root, 1):
+        assert e["stats"] == real[e["path"]]["stats"]
+
+    # matching mtime -> the reuse path is taken (poison visibly carried),
+    # proving carried files skip the footer read
+    poisoned2 = [
+        {**e, "stats": {"id": [999999, 999999]}} for e in real.values()
+    ]
+    TF._write_manifest(vdir, poisoned2)
+    try:
+        for e in TF.manifest(root, 1):
+            assert e["stats"] == {"id": [999999, 999999]}
+    finally:
+        TF._write_manifest(vdir)  # restore true stats for other assertions
+
+    # legacy manifest entries without mtime_ns are conservatively re-read
+    legacy = [
+        {k: v for k, v in e.items() if k != "mtime_ns"} | {
+            "stats": {"id": [999999, 999999]}
+        }
+        for e in real.values()
+    ]
+    TF._write_manifest(vdir, legacy)
+    for e in TF.manifest(root, 1):
+        assert e["stats"] == real[e["path"]]["stats"]
+
+
+def test_pooled_stat_gather_identical_to_serial(spark, tmp_path):
+    """The fork-pool stat path (taken for >= _STATS_POOL_MIN fresh files)
+    must produce byte-identical entries to the serial loop, in order."""
+    import glob
+
+    root = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id", "cast(id * 1.5 as double) as val", "concat('u', id % 97) as name"
+    )
+    TF.create_table(df.repartition(80), root)
+    vdir = os.path.join(root, "_versions", "v00000001")
+    files = sorted(glob.glob(vdir + "/**/*.parquet", recursive=True))
+    assert len(files) >= TF._STATS_POOL_MIN  # the pool path is exercised
+    assert TF._gather_stats(files) == [TF._file_stats(f) for f in files]
+    # and the committed manifest carries real stats for every file
+    for e in TF.manifest(root, 1):
+        assert e["rows"] > 0 and "id" in e["stats"]
+
+
 def test_manifest_stats_reused_across_hardlink_carry(spark, sf_dir, tmp_path):
     """Carried files keep identical manifest entries (stats copied from the
     parent manifest, no footer re-read); rewritten partitions get fresh
