@@ -27,7 +27,7 @@ def main() -> int:
     results = []
     for i in range(runs):
         out = subprocess.run(
-            [sys.executable, f"{REPO}/bench.py"],
+            [sys.executable, f"{REPO}/bench.py", "--single"],
             capture_output=True,
             text=True,
             cwd=REPO,
