@@ -31,6 +31,34 @@ that contract on plain parquet + an atomic pointer file:
 (bounded by partition count, metadata-sized) and file names — never data
 rows. The merge itself is one join keyed on the merge key, restricted to
 touched partitions via partition pruning on the snapshot read.
+
+**Object-store portability.** This module deliberately leans on POSIX
+primitives because that is what the container offers; each one maps to a
+standard object-store commit technique, and the manifest design already
+IS the object-store answer (planning never lists directories):
+
+* ``os.mkdir`` version claim → conditional PUT (``If-None-Match: *`` /
+  GCS ``ifGenerationMatch=0`` / S3 conditional writes) of a claim marker
+  object — same winner-takes-the-version semantics.
+* ``os.replace`` of the ``_latest`` pointer → conditional PUT of the
+  pointer object keyed on the expected previous generation/ETag (the
+  Delta "put-if-absent of commit N+1" / Iceberg catalog CAS).
+* ``os.rename(staging, vdir)`` atomic directory publish → unnecessary on
+  an object store: writers upload data objects under the new version's
+  prefix directly (uploads are invisible until the pointer CAS lands, so
+  there is nothing to rename); the ENOTEMPTY loser-detection role is
+  played by the pointer CAS failing.
+* hardlink carry of untouched partitions → pure MANIFEST REUSE: the new
+  version's manifest references the previous version's objects by key
+  instead of relinking them (zero data IO, exactly like Iceberg manifests
+  pointing at existing files). The local implementation's per-file stats
+  reuse already keys carried entries off the parent manifest, so only
+  the link step itself would disappear. Where hardlinks are unavailable
+  locally (cross-device, FAT-ish filesystems), ``_link_tree`` degrades to
+  byte-copies and the commit log records ``carry_copied_files`` so the
+  degraded mode is visible.
+* ``vacuum`` orphan collection → lifecycle rules / list-and-delete of
+  claim markers and staging prefixes older than the activity-keyed grace.
 """
 
 from __future__ import annotations
@@ -450,9 +478,16 @@ def _enforce_checks(df: DataFrame, checks: dict[str, str], action: str) -> None:
         )
 
 
-def _link_tree(src: str, dst: str) -> None:
-    """Recursively hardlink src into dst (copy fallback for cross-device).
-    O(#files) driver-side metadata op — no data bytes move."""
+def _link_tree(src: str, dst: str) -> tuple[int, int]:
+    """Recursively hardlink src into dst. Hardlink carry is an O(#files)
+    driver-side metadata op — no data bytes move. When ``os.link`` is
+    unavailable (cross-device staging, filesystems without hardlinks —
+    the degraded stand-in for an object store, which has no links at
+    all), the file is COPIED instead: byte-identical and correct, just
+    paid in data IO; callers surface the copied count in the commit log
+    so an operator can see a deployment is paying copy-carry. Returns
+    ``(n_linked, n_copied)``."""
+    linked = copied = 0
     for dirpath, _dirnames, filenames in os.walk(src):
         rel = os.path.relpath(dirpath, src)
         tgt = os.path.join(dst, rel) if rel != "." else dst
@@ -461,8 +496,11 @@ def _link_tree(src: str, dst: str) -> None:
             s, d = os.path.join(dirpath, fn), os.path.join(tgt, fn)
             try:
                 os.link(s, d)
+                linked += 1
             except OSError:
                 shutil.copy2(s, d)
+                copied += 1
+    return linked, copied
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -812,6 +850,7 @@ def _cow_commit(
     new_v = base_v + 1
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
+    carry_copied = 0
     try:
         writer = rewritten.write.mode("overwrite")
         if pcols:
@@ -823,7 +862,8 @@ def _cow_commit(
             for rel, full in _leaf_partition_dirs(base_dir, pcols):
                 if rel in touched_rels:
                     continue
-                _link_tree(full, os.path.join(staging, rel))
+                _linked, copied = _link_tree(full, os.path.join(staging, rel))
+                carry_copied += copied
         os.rename(staging, vdir)
     except Exception:
         # Un-burn the claimed version: a failed write must not block the
@@ -841,6 +881,9 @@ def _cow_commit(
             "touched_partitions": sorted(touched_rels)
             if touched_rels is not None
             else None,
+            # flagged so an operator can see a deployment whose carry
+            # degraded from free hardlinks to data-IO copies
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
             **meta,
         },
     )
@@ -990,7 +1033,7 @@ def restore(root: str, version: int) -> int:
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
     try:
-        _link_tree(src, staging)
+        _linked, carry_copied = _link_tree(src, staging)
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1003,6 +1046,7 @@ def restore(root: str, version: int) -> int:
             "action": "restore",
             "parent": base_v,
             "restored_version": version,
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
             "evolved": evolved,
@@ -1050,7 +1094,7 @@ def clone_table(
     vdir = _claim_version(dst_root, 1)
     staging = vdir + ".staging"
     try:
-        _link_tree(src_vdir, staging)
+        _linked, carry_copied = _link_tree(src_vdir, staging)
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1063,6 +1107,7 @@ def clone_table(
             "action": "clone",
             "source_root": src_root,
             "source_version": v,
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
             "evolved": evolved,
