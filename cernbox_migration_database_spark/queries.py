@@ -829,7 +829,7 @@ from .operators import langid as LID  # noqa: E402
 from .operators import multimodal as M  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import text as TX  # noqa: E402
-from .util import ensure_parallelism, tracked_persist  # noqa: E402
+from .util import ensure_parallelism, global_rank, tracked_persist  # noqa: E402
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -3487,31 +3487,9 @@ def train_shuffle(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch7")))
-    n_part = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = (
-        d.select("doc_id", key.alias("_k"))
-        .repartitionByRange(n_part, "_k", "doc_id")
-        .sortWithinPartitions("_k", "doc_id")
-    )
-    with_id = tracked_persist(
-        ranged.select(
-            "doc_id", "_k", F.monotonically_increasing_id().alias("_mid")
-        )
-    )
-    pid = (F.col("_mid") / F.lit(1 << 33)).cast("long")
-    local = F.col("_mid") % F.lit(1 << 33)
-    counts = (
-        with_id.groupBy(pid.alias("_pid")).count().orderBy("_pid").collect()
-    )
-    offsets, acc = [], 0
-    for row in counts:
-        offsets.extend([F.lit(row["_pid"]), F.lit(acc)])
-        acc += row["count"]
-    off_map = F.create_map(*offsets) if offsets else F.create_map()
-    return with_id.select(
-        "doc_id",
-        (off_map[pid] + local + F.lit(1)).cast("long").alias("rank"),
-    )
+    return global_rank(
+        d.select("doc_id", key.alias("_k")), ["_k", "doc_id"]
+    ).select("doc_id", "rank")
 
 
 @register(
@@ -6691,6 +6669,388 @@ def table_stats_skipping(spark, sf_dir):
             dsum("o_totalprice").alias("sum_price"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: event analytics (OHLC, transitions, attribution, EWMA),
+# co-occurrence mining, text entropy, curriculum staging
+# ---------------------------------------------------------------------------
+
+_EWMA_W = [0.8**j for j in range(8)]
+
+
+@register(
+    "events_ohlc_bars",
+    f"""
+    WITH o AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           {dsum_expr('value')} AS value_sum
+    FROM o GROUP BY event_type, bucket
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick rollup — the hypertable/time-series downsample
+    shape: per (event_type, hour) the first/highest/lowest/last value plus
+    volume. Open/close are picked by row_number with a total (ts,
+    event_id) tie-break rather than first()/last() window frames, so the
+    result is deterministic under any partitioning; the per-bucket
+    aggregate is map-side combinable and the only shuffle is the groupBy
+    on (type, bucket) — the layout a 100 TB metrics table would already
+    be partitioned by."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    wa = W.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            dsum("value").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "events_top_transitions",
+    """
+    WITH s AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+    r AS (
+      SELECT src, dst, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, src, dst) AS rank
+      FROM c)
+    SELECT src, dst, n, rank FROM r WHERE rank <= 20
+    """,
+)
+def events_top_transitions(spark, sf_dir):
+    """Markov transition mining over per-user event streams: LEAD pairs
+    each event with its successor (one shuffle on user_id — the stream's
+    natural key), then a global count + top-20. The per-user window never
+    materializes the full stream on one node, and the final rank runs on
+    the tiny (src, dst) aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    # two-pass offset rank (util.global_rank): no unpartitioned window,
+    # even though the aggregate is tiny (bounded by |event types|^2)
+    r = global_rank(c, [F.col("n").desc(), F.col("src"), F.col("dst")])
+    return r.where(F.col("rank") <= 20)
+
+
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(LAG(value, {j}) OVER w * {w!r}, 0.0)"
+    for j, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN LAG(value, {j}) OVER w IS NULL THEN 0.0 ELSE {w!r} END)"
+    for j, w in enumerate(_EWMA_W)
+)
+
+
+@register(
+    "window_ewma",
+    f"""
+    SELECT event_id, user_id,
+           round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 9) AS ewma
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average over each user's purchase
+    values — the smoothing kernel monitoring/forecast pipelines run over
+    metric streams. The recurrence is unrolled to a fixed 8-term LAG
+    kernel with literal 0.8^j weights (identical textual addition order on
+    both engines, so the double arithmetic is bit-deterministic — a true
+    recursive EWMA is order-exact only with unbounded-precision state),
+    normalized by the weight mass actually present so leading rows are
+    unbiased. One shuffle on user_id; weights are plan literals."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(len(_EWMA_W))]
+    num = None
+    den = None
+    for lg, wt in zip(lags, _EWMA_W):
+        t = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        d = F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 9).alias("ewma")
+    )
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH pr AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    cnt AS (
+      SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
+      FROM pr GROUP BY p1, p2),
+    r AS (
+      SELECT p1, p2, support,
+             ROW_NUMBER() OVER (ORDER BY support DESC, p1, p2) AS rank
+      FROM cnt)
+    SELECT p1, p2, support, rank FROM r WHERE rank <= 100
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (frequent itemset support, k=2): parts
+    bought together in one order, counted across orders, top-100 with a
+    total tie-break. The pair expansion is an equi-join on l_orderkey —
+    co-partitioned, output bounded by (items per order choose 2), never a
+    cross join; the support count is map-side combinable and the rank runs
+    on the aggregated pair table only. This is the shape association-rule
+    mining keeps at 100 TB: blow-up is bounded per basket, not per
+    table."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("l_orderkey", "p1", "p2")
+        .distinct()
+    )
+    cnt = pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("support"))
+    # two-pass offset rank over the aggregated pair table: ranking stays
+    # parallel however many distinct pairs the corpus produces
+    r = global_rank(
+        cnt, [F.col("support").desc(), F.col("p1"), F.col("p2")]
+    )
+    return r.where(F.col("rank") <= 100)
+
+
+@register(
+    "text_ngram_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    dl AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct FROM tf
+      GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(dl.n AS BIGINT) AS n_tokens,
+           CAST(dl.n_distinct AS BIGINT) AS n_distinct,
+           (-CAST(SUM(CAST(CAST(
+                 (c::DOUBLE / dl.n) * log2(c::DOUBLE / dl.n)
+                 AS DECIMAL(18,12)) * 1000000000000 AS BIGINT)) AS DOUBLE)
+                 / 1000000000000.0) AS entropy
+    FROM tf JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id, dl.n, dl.n_distinct
+    """,
+)
+def text_ngram_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy — the vocabulary-diversity
+    filter (gibberish and boilerplate score low, natural text high) next
+    to text_quality's ratio heuristics. Per-term contributions are rounded
+    to 12 dp and summed as exact scaled longs: a float Σ p·log2(p) is
+    partition-order dependent, and libm log2 differs in the last ulp
+    across engines — the quantized sum makes the entropy bit-identical on
+    any cluster size. One (doc, token) shuffle shared by the counts and
+    the length; everything after is map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    # double -> DECIMAL(18,12) -> scaled long: the same exact-quantize
+    # path as dsum (a round()*10^12 double product is NOT an exact
+    # integer, and long casts truncate on Spark but round on DuckDB)
+    term = ((p * F.log2(p)).cast("decimal(18,12)") * F.lit(10**12)).cast(
+        "long"
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        # no final round: the exact-long sum / 10^12 is one correctly-
+        # rounded division (bit-identical cross-engine); a round(x, 9) on
+        # top can flip at half-way boundaries the quantized sum lands on
+        .agg(
+            (-(F.sum(term).cast("double") / F.lit(float(10**12)))).alias(
+                "entropy"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_distinct",
+            "entropy",
+        )
+    )
+
+
+@register(
+    "train_curriculum_stages",
+    f"""
+    WITH q AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             len(list_distinct(t))::DOUBLE / len(t) AS distinct_ratio
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)),
+    staged AS (
+      SELECT doc_id, n_tokens, distinct_ratio,
+             NTILE(4) OVER (ORDER BY distinct_ratio, doc_id) AS stage
+      FROM q)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(CAST(distinct_ratio AS DECIMAL(20,9))
+                 * 1000000000 AS BIGINT)) AS DOUBLE) / 1000000000.0
+                 / COUNT(*), 9) AS avg_distinct_ratio
+    FROM staged GROUP BY stage
+    """,
+)
+def train_curriculum_stages(spark, sf_dir):
+    """Curriculum-learning staging: rank the corpus by a difficulty proxy
+    (vocabulary diversity) and split into 4 equal stages with per-stage
+    token budgets — the "train on easy data first" scheduler's input
+    table. NTILE over a totally-ordered key (ratio, doc_id) is
+    deterministic on both engines; the per-stage mean goes through the
+    exact scaled-long accumulator. The global NTILE sort is the one
+    non-scalable step at 100 TB — there the stage boundary would come from
+    approx quantiles (quantile_binning shows that path); this query pins
+    the exact-semantics contract."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    q = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+    # NTILE(4) computed from a two-pass offset rank + the closed-form tile
+    # function instead of an unpartitioned window: with n rows and k
+    # tiles, the first (n mod k) tiles hold ceil(n/k) rows — identical to
+    # NTILE semantics on both engines, but every pass stays parallel.
+    ranked = global_rank(q, ["distinct_ratio", "doc_id"])
+    n_total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    k = 4
+    qsz = (F.col("_n") / k).cast("long")  # floor: _n and k are positive
+    rem = F.col("_n") % k
+    boundary = rem * (qsz + 1)
+    r = F.col("rank")
+    stage = F.when(
+        r <= boundary, ((r - 1) / (qsz + 1)).cast("long") + 1
+    ).otherwise(rem + ((r - boundary - 1) / qsz).cast("long") + 1)
+    staged = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        "stage", stage.cast("int")
+    )
+    ratio_scaled = (
+        # precision 20: a ratio of exactly 1.0 scales to 10^18, one digit
+        # past DECIMAL(18)'s capacity
+        F.col("distinct_ratio").cast("decimal(20,9)") * F.lit(10**9)
+    ).cast("long")
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(ratio_scaled).cast("double")
+            / F.lit(float(10**9))
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_distinct_ratio"),
+    )
+
+
+@register(
+    "events_attribution",
+    f"""
+    WITH touch AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts),
+    purch AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    attributed AS (
+      SELECT p.value,
+             CASE WHEN t.ts IS NOT NULL
+                       AND p.ts - t.ts <= INTERVAL 7 DAY
+                  THEN t.touch_type ELSE 'none' END AS channel
+      FROM purch p
+      ASOF LEFT JOIN touch t
+        ON p.user_id = t.user_id AND p.ts >= t.ts)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           {dsum_expr('value')} AS revenue
+    FROM attributed GROUP BY channel
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view within 7 days ('none' when cold). The
+    lookup is the backward as-of join (operators/asof.py — union + last
+    window, one shuffle on user_id, no range explosion); the oracle
+    cross-checks with DuckDB's native ASOF JOIN plus a tolerance
+    post-mask. Touches are pre-deduplicated to one row per (user, ts)
+    with arg_max on event_id so the carried row is total-order
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    touch = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(event_type, event_id)").alias("touch_type"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purch,
+        touch.select("user_id", "ts", "touch_type"),
+        key="user_id",
+        ts="ts",
+        right_cols=["touch_type"],
+        tolerance="INTERVAL 7 DAY",
+    )
+    attributed = j.select(
+        "value",
+        F.coalesce(F.col("asof_touch_type"), F.lit("none")).alias("channel"),
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        dsum("value").alias("revenue"),
     )
 
 

@@ -30,6 +30,47 @@ def release_persisted() -> int:
     return n
 
 
+def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
+    """Materialized dense global row rank (1-based) by ``order_cols``
+    WITHOUT a ``row_number`` over an unpartitioned window — which Spark
+    executes as a SINGLE task funneling every row through one core (the
+    plan-audit ``UnpartitionedWindow`` rule). The classic two-pass
+    partition-offset scheme instead:
+
+      1. range-repartition on the order columns (the same exchange a
+         global orderBy pays), sort within partitions;
+      2. ``monotonically_increasing_id`` = (partitionId << 33) | localRow,
+         assigned in sorted row order, all map-side;
+      3. one metadata-sized job collects per-partition counts, prefix-sums
+         them driver-side, rejoins as a broadcast literal map;
+      4. rank = offset[pid] + localRow + 1 — every pass parallel.
+
+    ``order_cols`` may mix names and Column expressions (incl. ``.desc()``
+    — the caller must make the total order unambiguous for determinism).
+    The persisted midpoint guarantees the count job and the final job see
+    the SAME physical layout (range-sampling boundaries resolve once)."""
+    from pyspark.sql import functions as F
+
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_id = tracked_persist(
+        ranged.withColumn("_gr_mid", F.monotonically_increasing_id())
+    )
+    pid = (F.col("_gr_mid") / F.lit(1 << 33)).cast("long")
+    local = F.col("_gr_mid") % F.lit(1 << 33)
+    counts = with_id.groupBy(pid.alias("_pid")).count().orderBy("_pid").collect()
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.extend([F.lit(row["_pid"]), F.lit(acc)])
+        acc += row["count"]
+    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    return with_id.withColumn(
+        rank_col, (off_map[pid] + local + F.lit(1)).cast("long")
+    ).drop("_gr_mid")
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only when the input has fewer partitions than the session's
     parallelism. A small parquet file arrives as 1 partition, which serializes
