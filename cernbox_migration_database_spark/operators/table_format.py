@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -513,18 +514,62 @@ def _part_cols(scheme) -> list[str]:
     return [scheme] if isinstance(scheme, str) else list(scheme)
 
 
+# The character set Spark/Hive escape in partition directory names
+# (ExternalCatalogUtils.escapePathName): ASCII control chars plus the
+# filesystem/URI-special set, each written as %XX.
+_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(1, 0x20)]
+    + list('"#%\'*/:=?\\{[]^')
+    + [chr(0x7F)]
+)
+
+
+def _escape_path_name(s: str) -> str:
+    """Python twin of Spark's partition-directory escaping. Without it a
+    value like ``Brand#9`` records ``p_brand=Brand#9`` in touched_rels
+    while the writer creates ``p_brand=Brand%239`` — the carry loop then
+    matches NOTHING and hardlinks every base partition on top of the
+    rewrite, silently duplicating the whole table (caught by the
+    table_schema_evolution differential)."""
+    if not any(ch in _ESCAPE_CHARS for ch in s):
+        return s
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in s
+    )
+
+
+def _unescape_path_name(s: str) -> str:
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+
+
 def _part_dir_value(v) -> str:
     """A partition VALUE as its partition-DIRECTORY string — null becomes
-    the hive default marker, everything else its plain str form (matching
-    how Spark names `col=value` directories for the types we partition
-    by; values needing URL-escaping should not be partition keys here)."""
-    return _HIVE_NULL if v is None else str(v)
+    the hive default marker, everything else Spark's escaped directory
+    form (so the representation always matches what the writer puts on
+    disk, '#', ':', '%' and friends included)."""
+    return _HIVE_NULL if v is None else _escape_path_name(str(v))
 
 
 def _part_rel(cols: list[str], vals: tuple) -> str:
     """A partition-value tuple as its RELATIVE directory path
-    (``c1=v1/c2=v2``) — the log/compare representation for any depth."""
+    (``c1=v1/c2=v2``, escaped exactly as on disk) — the log/compare
+    representation for any depth."""
     return "/".join(f"{c}={_part_dir_value(v)}" for c, v in zip(cols, vals))
+
+
+def _rel_cmp(rel: str) -> str:
+    """An escaped relative partition path as the RAW-value comparison
+    string `_part_dir_expr` computes per row (\\x01-separated so a value
+    containing '/' cannot alias a different tuple). Splitting happens on
+    the ESCAPED form — '/' and '=' inside values are still %XX there — so
+    the decomposition is unambiguous."""
+    comps = []
+    for comp in rel.split("/"):
+        c, _, v = comp.partition("=")
+        comps.append(f"{c}={v if v == _HIVE_NULL else _unescape_path_name(v)}")
+    return "\x01".join(comps)
 
 
 def _part_in(cols: list[str], touched: set):
@@ -544,9 +589,10 @@ def _part_in(cols: list[str], touched: set):
 
 
 def _part_dir_expr(cols: list[str]):
-    """Row expression computing the same relative-path string
-    ``_part_rel`` produces — lets a DataFrame filter compare against
-    log-recorded touched partitions at any nesting depth."""
+    """Row expression computing the RAW-value comparison string that
+    ``_rel_cmp`` derives from a log-recorded relative path — lets a
+    DataFrame filter compare against touched partitions at any nesting
+    depth without re-implementing directory escaping as an expression."""
     parts = [
         F.concat(
             F.lit(f"{c}="),
@@ -554,7 +600,7 @@ def _part_dir_expr(cols: list[str]):
         )
         for c in cols
     ]
-    return F.concat_ws("/", *parts)
+    return F.concat_ws("\x01", *parts)
 
 
 def _leaf_partition_dirs(base_dir: str, cols: list[str]):
@@ -1313,7 +1359,7 @@ def compact_partitions(
         )
     df = read_table(spark, root, base_v)
     rewritten = df.where(
-        _part_dir_expr(pcols).isin(*touched_rels)
+        _part_dir_expr(pcols).isin(*[_rel_cmp(r) for r in touched_rels])
     ).repartition(*pcols)
     if zorder:
         rewritten = _z_sorted(rewritten, rewritten, zorder, pcols)
@@ -1601,8 +1647,9 @@ def read_changes(
         # paths (nulls as the hive default marker, ``c1=v1/c2=v2`` when
         # nested); compare in the same space.
         dirval = _part_dir_expr(_part_cols(part_col))
-        old = old.where(dirval.isin(sorted(touched)))
-        new = new.where(dirval.isin(sorted(touched)))
+        cmps = sorted(_rel_cmp(r) for r in touched)
+        old = old.where(dirval.isin(cmps))
+        new = new.where(dirval.isin(cmps))
 
     keys = [key] if isinstance(key, str) else list(key)
     val_cols = [c for c in new.columns if c not in keys]

@@ -7055,6 +7055,272 @@ def events_attribution(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: lakehouse schema evolution + OPTIMIZE, URL functions,
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_schema_evolution",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+           CASE WHEN p_partkey % 10 = 0
+                THEN CAST(p_partkey % 7 AS BIGINT) END AS discount_pct
+    FROM part
+    """,
+)
+def table_schema_evolution(spark, sf_dir):
+    """ALTER TABLE ADD COLUMN via evolving MERGE (table_format.merge_into
+    evolve_schema=True): the source carries only (key, new column) — all
+    other columns keep their target values, untouched rows surface the
+    evolved column as typed nulls through footer schema merging, and
+    hardlink-carried partitions never rewrite. The oracle is the
+    relational equivalent (LEFT-JOIN semantics collapsed to a CASE). The
+    differential pins the whole evolve→commit→read path including
+    column-order stability."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("evolve", sf_dir)
+    base = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    TF.create_table(base, root, partition_by="p_brand")
+    delta = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            (F.col("p_partkey") % 7).alias("discount_pct"),
+        )
+    )
+    TF.merge_into(
+        spark, root, delta, on="p_partkey",
+        when_not_matched=None, evolve_schema=True,
+    )
+    return TF.read_table(spark, root).select(
+        "p_partkey", "p_brand", "p_retailprice", "discount_pct"
+    )
+
+
+@register(
+    "table_optimize_compact",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_optimize_compact(spark, sf_dir):
+    """OPTIMIZE (table_format.compact): a deliberately fragmented table
+    (16-way repartition before create, so every partition directory holds
+    many small files) is compacted to one file per partition — data
+    byte-identical, only layout changes — and the result is read back
+    through the post-OPTIMIZE manifest. The oracle is the plain relational
+    aggregate over the same rows: any row lost, duplicated, or mutated by
+    the rewrite flips the hash. In-query evidence the compaction actually
+    ran: the manifest-derived file count per partition must be 1 (asserted
+    here, not just in pytest)."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("optimize", sf_dir)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(16)
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.compact(spark, root)
+    per_dir: dict = {}
+    for e in TF.manifest(root):
+        d = e["path"].rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_URL_HOST_RE = "^[a-z]+://([^/?#]+)"
+_URL_PATH_RE = "^[a-z]+://[^/?#]+(/[^?#]*)"
+_URL_REF_RE = "[?&]ref=([^&#]*)"
+
+
+@register(
+    "url_functions",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || CAST(doc_id % 7 AS VARCHAR)
+             || '.Example.org/' || lang || '/doc-'
+             || CAST(doc_id AS VARCHAR) || '?utm=x&ref=r'
+             || CAST(doc_id % 13 AS VARCHAR) AS url
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '{_URL_HOST_RE}', 1)) AS host,
+             regexp_extract(url, '{_URL_PATH_RE}', 1) AS path,
+             regexp_extract(url, '{_URL_REF_RE}', 1) AS ref
+      FROM u)
+    SELECT doc_id, host,
+           regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain,
+           path, ref,
+           'https://' || host || path AS canonical
+    FROM parsed
+    """,
+)
+def url_functions(spark, sf_dir):
+    """URL parsing/normalization — the dedup key derivation every crawl
+    pipeline runs before anything else (CommonCrawl-style): host extract +
+    lowercase, registered-domain suffix, path, query-parameter pull, and a
+    canonical form with tracking parameters stripped. Pure row-local
+    regexp_extract against anchored patterns shared verbatim with the
+    oracle — no UDF, scan-linear, trivially partition-parallel at any
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.org/"), F.col("lang"), F.lit("/doc-"),
+        F.col("doc_id").cast("string"), F.lit("?utm=x&ref=r"),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, _URL_HOST_RE, 1)).alias("host"),
+        F.regexp_extract(url, _URL_PATH_RE, 1).alias("path"),
+        F.regexp_extract(url, _URL_REF_RE, 1).alias("ref"),
+    )
+    return parsed.select(
+        "doc_id",
+        "host",
+        F.regexp_extract(F.col("host"), "([^.]+[.][^.]+)$", 1).alias("domain"),
+        "path",
+        "ref",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias(
+            "canonical"
+        ),
+    )
+
+
+_BM25_TERMS = ("merge", "window", "customer")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tfc FROM toks
+      WHERE tok IN {repr(tuple(_BM25_TERMS))} GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+    term_scores AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.dfc + 0.5) / (df.dfc + 0.5))
+             * (tf.tfc * ({_BM25_K1!r} + 1.0))
+             / (tf.tfc + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                + {_BM25_B!r} * dl.dlen / stats.avgdl)) AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), stats),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(s AS DECIMAL(18,12)) * 1000000000000
+                  AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS score
+      FROM term_scores GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query over
+    the corpus — the lexical half of every retrieval/RAG pipeline next to
+    the embedding ANN family. Term frequencies, document lengths, and
+    document frequencies come from ONE exploded token relation (the tf
+    aggregate is filtered to the query terms before any join, so the
+    scored relation is |matching docs| x |terms|, never corpus-sized);
+    df/avgdl/N join in as broadcast scalars. Per-term scores are
+    quantized to exact scaled longs before the per-doc sum, making the
+    floating-point ln()/division pipeline bit-deterministic cross-engine;
+    the top-50 rank uses the two-pass offset scheme (util.global_rank),
+    not a single-task window."""
+    d = _t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    dl = tracked_persist(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tfc"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    k1, b = _BM25_K1, _BM25_B
+    s = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+        )
+        * (F.col("tfc") * F.lit(k1 + 1.0))
+        / (
+            F.col("tfc")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dlen") / F.col("avgdl")
+            )
+        )
+    )
+    term_scores = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    scored = term_scores.groupBy("doc_id").agg(
+        (
+            F.sum(
+                (F.col("s").cast("decimal(18,12)") * F.lit(10**12)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.lit(float(10**12))
+        ).alias("score")
+    )
+    ranked = global_rank(scored, [F.col("score").desc(), F.col("doc_id")])
+    return ranked.where(F.col("rank") <= 50)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
 # evidence only. Rebuild the registry so the load-bearing queries — the

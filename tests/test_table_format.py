@@ -884,6 +884,47 @@ def test_vacuum_collects_orphans_with_grace(spark, tmp_path):
     assert TF.merge_into(spark, root, src, on="id", when_not_matched=None) == 2
 
 
+def test_partition_values_with_escaped_characters(spark, tmp_path):
+    """Partition values containing Hive-escaped characters ('#', ':', '%')
+    must round-trip through the COW carry: before the escape fix,
+    touched_rels recorded 'p=Brand#9' while the writer created
+    'p=Brand%239', so the carry matched nothing and hardlinked every base
+    partition ON TOP of the rewrite — silently duplicating the table."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(id=1, grp="Brand#9", val=1.0),
+            Row(id=2, grp="Brand#9", val=2.0),
+            Row(id=3, grp="a:b%c", val=3.0),
+            Row(id=4, grp="plain", val=4.0),
+        ]
+    )
+    TF.create_table(df, root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=1, grp="Brand#9", val=11.0)])
+    v = TF.merge_into(spark, root, src, on="id", when_not_matched=None)
+    got = sorted(
+        (r["id"], r["grp"], r["val"])
+        for r in TF.read_table(spark, root, v).collect()
+    )
+    assert got == [
+        (1, "Brand#9", 11.0),
+        (2, "Brand#9", 2.0),
+        (3, "a:b%c", 3.0),
+        (4, "plain", 4.0),
+    ]
+    assert TF.history(root)[-1]["touched_partitions"] == ["grp=Brand%239"]
+    # CDF pruning compares in the same space: exactly one update surfaces
+    ch = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {1: "update"}
+    # partition-scoped OPTIMIZE accepts the value form and the rel form
+    TF.compact_partitions(spark, root, ["a:b%c"])
+    got2 = sorted(r["id"] for r in TF.read_table(spark, root).collect())
+    assert got2 == [1, 2, 3, 4]
+
+
 def test_failed_commit_never_deletes_competing_writers_data(
     spark, tmp_path, monkeypatch
 ):
