@@ -163,6 +163,55 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTED near-duplicate pairs by exact k-shingle containment
+    ``|A∩B| / |A|`` — the asymmetric twin of :func:`jaccard_pairs` that
+    catches sub-document duplication Jaccard misses: a short doc fully
+    embedded in a long one has containment 1.0 but Jaccard ≈ |A|/|B|.
+    Same inverted-index join (one undirected ``ia < ib`` pass — never the
+    doubled ``ia != ib`` shuffle); both directions are emitted from each
+    undirected intersection row and thresholded independently."""
+    sets_a = _shingle_sets(df, text_col, id_col, block_col, k)
+    ex = sets_a.select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []),
+        F.col("n_sh"), F.explode("sh").alias("shingle"),
+    )
+    a = ex.select(
+        F.col(id_col).alias("ia"), F.col("n_sh").alias("na"),
+        F.col("shingle").alias("sh_a"),
+        *([F.col(block_col).alias("ba")] if block_col else []),
+    )
+    b = ex.select(
+        F.col(id_col).alias("ib"), F.col("n_sh").alias("nb"),
+        F.col("shingle").alias("sh_b"),
+        *([F.col(block_col).alias("bb")] if block_col else []),
+    )
+    cond = (a.ia < b.ib) & (a.sh_a == b.sh_b)
+    if block_col:
+        cond = cond & (a.ba == b.bb)
+    inter = (
+        a.join(b, cond)
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    fwd = inter.select(
+        F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"),
+        (F.col("inter").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("ib").alias("doc_a"), F.col("ia").alias("doc_b"),
+        (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -7321,6 +7321,253 @@ def bm25_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: exact-fixed-point distributed k-means, cosine range
+# search, shingle containment, blocking-key entity resolution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,4)) * 10000
+                    AS BIGINT)) AS sv
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, sv AS cv FROM v WHERE vec_id < 8),
+    d1 AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(list_zip(v.sv, c.cv),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM v CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS r
+        FROM d1) WHERE r = 1),
+    sums AS (
+      SELECT a1.cell, idx.i, SUM(v.sv[idx.i]) AS s, COUNT(*) AS n
+      FROM a1 JOIN v USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY a1.cell, idx.i),
+    c1 AS (
+      SELECT cell,
+             list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                  ORDER BY i) AS cv
+      FROM sums GROUP BY cell),
+    d2 AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(list_zip(v.sv, c.cv),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM v CROSS JOIN c1 c)
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS r
+      FROM d2) WHERE r = 1
+    """,
+)
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 iterations) in EXACT fixed-point
+    arithmetic — the cross-engine-verifiable twin of the float
+    applyInPandas trainer (operators/similarity.py kmeans_train, whose
+    means are order-sensitive in the last ulp by design). Vectors quantize
+    to scale-4 longs; assignment is a row-local argmin over literal
+    centroids (exact integer squared distances, first-min tie-break =
+    smallest cell); the centroid update aggregates per-(cell, dimension)
+    integer sums — map-side combinable, one shuffle on the k-valued cell
+    key — and quantizes the mean as floor(sum/count), which is exact for
+    any count (the quotient can never sit within one ulp of a wrong
+    floor). Driver traffic is k x dim integers per iteration — the same
+    metadata class as a broadcast. Scale: each iteration is one scan +
+    one tiny shuffle; literals keep assignment shuffle-free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k, dim = 8, 64
+    sv = F.transform(
+        F.col("embedding"),
+        lambda x: (x.cast("double").cast("decimal(12,4)") * F.lit(10**4)).cast(
+            "long"
+        ),
+    )
+    v = tracked_persist(
+        ensure_parallelism(emb).select("vec_id", sv.alias("sv"))
+    )
+
+    def assign(cent_vecs: list, cell_ids: list):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cv in cent_vecs
+        ]
+        arr = F.array(*dists)
+        idx = F.array_position(arr, F.array_min(arr)).cast("int")
+        cid = F.array(*[F.lit(int(c)) for c in cell_ids])
+        return F.element_at(cid, idx)
+
+    seed = v.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    a1 = v.withColumn(
+        "cell", assign([list(r["sv"]) for r in seed], [r["vec_id"] for r in seed])
+    )
+    comp = (
+        a1.select("cell", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math as _math
+
+    byc: dict = {}
+    for r in comp:
+        # floor(exact-int-sum / count) in double: sums stay < 2^53, the
+        # division is correctly rounded, and a true quotient is never
+        # within one ulp of the wrong side of an integer
+        byc.setdefault(r["cell"], {})[r["pos"]] = _math.floor(r["s"] / r["n"])
+    cell_ids = sorted(byc)
+    cents2 = [[byc[c][p] for p in range(dim)] for c in cell_ids]
+    a2 = v.withColumn("cell", assign(cents2, cell_ids))
+    return a2.select("vec_id", "cell")
+
+
+@register(
+    "similarity_range_search",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+          FROM nv WHERE vec_id < 100),
+    pairs AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             {_dot_sql('q.qe', 'n.embedding')} / (q.qn * n.nrm) AS cosine
+      FROM nv n CROSS JOIN q
+      WHERE n.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(cosine, 9) AS cosine
+    FROM pairs WHERE cosine >= 0.3
+    """,
+)
+def similarity_range_search(spark, sf_dir):
+    """Cosine RANGE search (radius query): every corpus neighbor within
+    cosine >= 0.3 of each query — the fixed-radius companion to top-k KNN
+    (dedup wants "everything closer than tau", not "the 5 closest"). Like
+    similarity_knn this is the documented exact baseline: the 100-query
+    side broadcasts and the corpus streams once, all arithmetic in the
+    shared fixed-point form; the bucketed scale path for radius queries is
+    the LSH/IVF family (cell-blocked candidates, identical verify
+    expression)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = S.with_norm(emb)
+    q = d.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"),
+    )
+    c = d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("svec").alias("cs"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cosine",
+        S.cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")),
+    )
+    return pairs.where(F.col("cosine") >= 0.3).select(
+        "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, len(s) AS n, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    directed AS (
+      SELECT ia AS doc_a, ib AS doc_b, inter::DOUBLE / na AS containment
+      FROM inter
+      UNION ALL
+      SELECT ib AS doc_a, ia AS doc_b, inter::DOUBLE / nb AS containment
+      FROM inter)
+    SELECT doc_a, doc_b, containment FROM directed WHERE containment >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directed shingle-containment pairs (operators/dedup.py
+    containment_pairs): |A∩B|/|A| >= 0.5 — catches a short document
+    embedded in a longer one, which symmetric Jaccard scores near
+    |A|/|B| and misses. One undirected inverted-index join; both
+    directions derived from each intersection row."""
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", k=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_cross_field",
+    """
+    WITH b AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer),
+    g AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                                 bal_band) AS BIGINT) AS block_size,
+             CAST(MIN(c_custkey) OVER (PARTITION BY c_nationkey,
+                                       c_mktsegment, bal_band)
+                  AS BIGINT) AS canonical
+      FROM b)
+    SELECT c_custkey, c_nationkey, c_mktsegment, bal_band, block_size,
+           canonical
+    FROM g WHERE block_size > 1
+    """,
+)
+def dedup_cross_field(spark, sf_dir):
+    """Blocking-key entity resolution over structured fields: records
+    agreeing on a composite normalized key (nation, segment, balance
+    band) form candidate-duplicate blocks; each member is tagged with the
+    block's canonical representative (min key) and size. This is the
+    blocking stage every record-linkage pipeline runs before expensive
+    pairwise comparison — partitioned windows only, so block computation
+    shuffles once on the blocking key and scales with the largest block,
+    not the table."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    )
+    w = W.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+    g = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        F.count(F.lit(1)).over(w).alias("block_size"),
+        F.min("c_custkey").over(w).alias("canonical"),
+    )
+    return g.where(F.col("block_size") > 1)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
 # evidence only. Rebuild the registry so the load-bearing queries — the
@@ -7387,7 +7634,7 @@ _PRIORITY = [
     "events_ohlc_bars",
     "market_basket_pairs",
     "window_ewma",
-    "minhash_containment",
+    "dedup_containment_pairs",
     "events_attribution",
     "text_ngram_entropy",
     "similarity_range_search",
