@@ -7568,6 +7568,245 @@ def dedup_cross_field(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: per-group OLS, triangle counting, partition evolution,
+# multi-vector MaxSim retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_linear_fit",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             (epoch_us(ts) - 1704067200000000) // 1000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 9)
+           END AS slope,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                THEN round((CAST(sy AS DOUBLE) / 100.0
+                            - (CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                              * CAST(sx AS DOUBLE)) / n, 9)
+           END AS intercept
+    FROM s
+    """,
+)
+def stats_linear_fit(spark, sf_dir):
+    """Grouped ordinary-least-squares trend fit: per-user slope/intercept
+    of purchase value over time — the closed-form regression every
+    metrics/forecast pipeline computes per entity. All five sufficient
+    statistics (n, Σx, Σy, Σx², Σxy) accumulate as EXACT integers (seconds
+    since the epoch floor via integer division, values at cent precision),
+    so the result is bit-deterministic at any partition count: one
+    map-side-combinable aggregate per group, no window, no second pass.
+    The closed form divides two exact integers cast to double — both
+    correctly rounded, identical cross-engine."""
+    base_us = 1_704_067_200_000_000  # 2024-01-01 in µs
+    pts = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(
+                f"(unix_micros(ts) - {base_us}L) div 1000000"
+            ).alias("x"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ok = (F.col("n") >= 2) & (den != 0)
+    slope = num.cast("double") / den.cast("double") / F.lit(100.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return s.select(
+        "user_id",
+        "n",
+        F.when(ok, F.round(slope, 9)).alias("slope"),
+        F.when(ok, F.round(intercept, 9)).alias("intercept"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH pr AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (
+      SELECT p1 AS u, p2 AS v FROM pr
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1 JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting over the co-purchase graph (edges =
+    part pairs bought together in >= 2 orders, oriented low->high id so
+    each triangle is counted exactly once). Two equi-joins on edge
+    endpoints — the standard BSP triangle scheme: the wedge join's output
+    is bounded by Σ deg(v)², and orienting edges by id keeps the heaviest
+    hub's wedge set split across both join sides. No windows, no cross
+    join; the counts are scalar aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    e = tracked_persist(
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("l_orderkey", "p1", "p2")
+        .distinct()
+        .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(F.broadcast(n_tris))
+
+
+@register(
+    "table_partition_evolution",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def table_partition_evolution(spark, sf_dir):
+    """Partition evolution (table_format.repartition_table): a table
+    created partitioned by o_orderpriority is re-laid-out to partition by
+    o_orderstatus, then a post-evolution merge updates rows THROUGH the
+    new scheme (its COW touched-set logic resolves against the latest
+    commit's partition columns, and only the matched status partitions
+    rewrite). Old snapshots stay readable in their old layout. The oracle
+    is the relational end state; the differential pins
+    evolve→merge→read."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("partevo", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.repartition_table(spark, root, "o_orderstatus")
+    delta = base.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    TF.merge_into(spark, root, delta, on="o_orderkey", when_not_matched=None)
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "similarity_maxsim",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM nv WHERE vec_id < 8),
+    best AS (
+      SELECT q.qid, n.label,
+             MAX({_dot_sql('q.qe', 'n.embedding')} / (q.qn * n.nrm))
+               AS best_cos
+      FROM nv n CROSS JOIN q
+      GROUP BY q.qid, n.label)
+    SELECT label,
+           CAST(SUM(CAST(CAST(best_cos AS DECIMAL(18,12)) * 1000000000000
+                AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS maxsim
+    FROM best GROUP BY label
+    """,
+)
+def similarity_maxsim(spark, sf_dir):
+    """Multi-vector MaxSim scoring (the ColBERT late-interaction shape):
+    a query of 8 token vectors against documents modeled as vector SETS
+    (one per label); score = Σ over query tokens of the best cosine in
+    the document's set. The per-(token, doc) max is an aggregate over the
+    candidate join — here the documented exact baseline with the 8-vector
+    query broadcast; at scale candidates come from the same IVF/LSH
+    blocking the ANN family uses, with this identical scoring expression
+    as the verify step. Per-token maxima quantize to scaled longs before
+    the sum so the score is bit-deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = S.with_norm(emb)
+    q = d.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"),
+    )
+    c = d.select(
+        "label", F.col("svec").alias("cs"), F.col("norm").alias("cn")
+    )
+    best = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos",
+            S.cosine_scaled(
+                F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")
+            ),
+        )
+        .groupBy("qid", "label")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    return best.groupBy("label").agg(
+        (
+            F.sum(
+                (
+                    F.col("best_cos").cast("decimal(18,12)") * F.lit(10**12)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(float(10**12))
+        ).alias("maxsim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering. The correctness harness verifies the first 50
 # entries of queries() in dict order; everything after gets selfcheck/pytest
 # evidence only. Rebuild the registry so the load-bearing queries — the
@@ -7642,6 +7881,10 @@ _PRIORITY = [
     "table_optimize_compact",
     "events_top_transitions",
     "dedup_cross_field",
+    "stats_linear_fit",
+    "graph_triangle_count",
+    "table_partition_evolution",
+    "similarity_maxsim",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
     "dedup_exact",
