@@ -366,6 +366,7 @@ def create_table(
         1,
         {
             "action": "create",
+            "schema_json": df.schema.json(),
             # normalized like merge/compact commits: str when single, list
             # when hierarchical — keeps cross-commit scheme comparisons
             # (read_changes pruning) representation-stable
@@ -388,7 +389,37 @@ def read_table(
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} of {root} does not exist (vacuumed?)")
     reader, cols = _snapshot_reader(spark, root, v)
+    try:
+        entries = manifest(root, v)
+    except Exception:
+        entries = None
+    if entries == []:
+        # A fully-emptied snapshot (e.g. DELETE matching every row of a
+        # partitioned table) has NO data files to infer a schema from;
+        # reconstruct the empty frame from the commit log's recorded
+        # schema instead of failing the read.
+        empty = _empty_snapshot_df(spark, root, v, cols)
+        if empty is not None:
+            return empty
     df = reader.parquet(vdir)
+    if cols and set(cols) == set(df.columns):
+        df = df.select(*cols)
+    return df
+
+
+def _empty_snapshot_df(spark, root: str, v: int, cols):
+    """Zero-row DataFrame with the schema the nearest commit at-or-before
+    ``v`` recorded (None when no commit in range carries one — pre-schema
+    tables keep the old failure mode)."""
+    from pyspark.sql.types import StructType
+
+    es = [
+        e for e in history(root) if e["version"] <= v and e.get("schema_json")
+    ]
+    if not es:
+        return None
+    schema = StructType.fromJson(json.loads(es[-1]["schema_json"]))
+    df = spark.createDataFrame([], schema)
     if cols and set(cols) == set(df.columns):
         df = df.select(*cols)
     return df
@@ -729,7 +760,26 @@ def merge_into(
         update_can_move = when_matched == "update" and (
             any(c in src_cols for c in pcols) or any(c in update_set for c in pcols)
         )
-        if update_can_move:
+        # Fast path for the common full-schema upsert: when the source
+        # provides EVERY partition column, no update_set rewrites one, and
+        # inserts are on, every source row lands at its own partition
+        # values (matched → update takes the source value; unmatched →
+        # insert takes it too), so ONE source-only distinct collect is
+        # exact — no pair join, no anti-join. Falls through to the precise
+        # joins only for the cases where raw source values are wrong
+        # (partial partition columns, update_set on a partition column) or
+        # over-approximate (insert off).
+        all_pcols_from_src = all(c in src_cols for c in pcols) and not any(
+            c in update_set for c in pcols
+        )
+        fast_path = when_not_matched == "insert" and (
+            all_pcols_from_src or not update_can_move
+        )
+        if fast_path:
+            touched |= {
+                tuple(r) for r in source.select(*pcols).distinct().collect()
+            }
+        if not fast_path and update_can_move:
             pairs = target.join(
                 source.select(
                     *keys,
@@ -764,7 +814,7 @@ def merge_into(
             touched |= {
                 tuple(r) for r in pairs.select(*dest_exprs).distinct().collect()
             }
-        if when_not_matched == "insert":
+        if not fast_path and when_not_matched == "insert":
             # Inserts land at the source row's own partition values (an
             # omitted partition column inserts into the null partition).
             # Only actual INSERT rows count — a matched source row's raw
@@ -927,6 +977,7 @@ def _cow_commit(
             "touched_partitions": sorted(touched_rels)
             if touched_rels is not None
             else None,
+            "schema_json": rewritten.schema.json(),
             # flagged so an operator can see a deployment whose carry
             # degraded from free hardlinks to data-IO copies
             **({"carry_copied_files": carry_copied} if carry_copied else {}),
@@ -1092,6 +1143,18 @@ def restore(root: str, version: int) -> int:
             "action": "restore",
             "parent": base_v,
             "restored_version": version,
+            **(
+                {"schema_json": sj}
+                if (sj := next(
+                    (
+                        e.get("schema_json")
+                        for e in reversed(entries)
+                        if e["version"] <= version and e.get("schema_json")
+                    ),
+                    None,
+                ))
+                else {}
+            ),
             **({"carry_copied_files": carry_copied} if carry_copied else {}),
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
@@ -1153,6 +1216,18 @@ def clone_table(
             "action": "clone",
             "source_root": src_root,
             "source_version": v,
+            **(
+                {"schema_json": sj}
+                if (sj := next(
+                    (
+                        e.get("schema_json")
+                        for e in reversed(entries)
+                        if e["version"] <= v and e.get("schema_json")
+                    ),
+                    None,
+                ))
+                else {}
+            ),
             **({"carry_copied_files": carry_copied} if carry_copied else {}),
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
@@ -1247,6 +1322,7 @@ def compact(
         new_v,
         {
             "action": "compact",
+            "schema_json": df.schema.json(),
             "parent": base_v,
             "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "zorder": list(zorder) if zorder else None,
@@ -1583,6 +1659,7 @@ def repartition_table(
         new_v,
         {
             "action": "repartition",
+            "schema_json": df.schema.json(),
             "parent": base_v,
             "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "columns": df.columns,

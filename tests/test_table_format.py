@@ -884,6 +884,34 @@ def test_vacuum_collects_orphans_with_grace(spark, tmp_path):
     assert TF.merge_into(spark, root, src, on="id", when_not_matched=None) == 2
 
 
+def test_fully_emptied_snapshot_stays_readable(spark, tmp_path):
+    """A DELETE matching every row leaves a version with zero data files;
+    reads must synthesize the empty frame from the commit log's recorded
+    schema (hypothesis found the bare parquet read failing with
+    UNABLE_TO_INFER_SCHEMA), and the table must accept later merges and
+    produce a coherent change feed across the empty epoch."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.delete_where(spark, root, "val >= 0")
+    df = TF.read_table(spark, root)
+    assert df.count() == 0
+    assert df.columns == ["id", "grp", "val"]
+    # time travel to the populated version still works
+    assert TF.read_table(spark, root, version=1).count() == 4
+    # the empty table accepts a merge and the feed shows delete+insert
+    TF.merge_into(
+        spark, root, spark.createDataFrame([Row(id=9, grp="z", val=9.0)]),
+        on="id",
+    )
+    got = [(r["id"], r["grp"]) for r in TF.read_table(spark, root).collect()]
+    assert got == [(9, "z")]
+    ch = {
+        r["id"]: r["_change_type"]
+        for r in TF.read_changes(spark, root, key="id", from_version=1).collect()
+    }
+    assert ch == {1: "delete", 2: "delete", 3: "delete", 4: "delete", 9: "insert"}
+
+
 def test_partition_values_with_escaped_characters(spark, tmp_path):
     """Partition values containing Hive-escaped characters ('#', ':', '%')
     must round-trip through the COW carry: before the escape fix,
