@@ -125,6 +125,122 @@ def _commit(root: str, version: int, meta: dict) -> None:
 
 _MANIFEST = "_manifest.jsonl"
 
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors.
+#
+# Copy-on-write's honest cost is rewriting every file of a touched
+# partition; for a SPARSE delete against a 100 TB fact table (RTBF purge of
+# a handful of users, a late-arriving correction touching 0.01 % of rows)
+# that write amplification is the dominant cost. The merge-on-read answer —
+# the same one Delta deletion vectors and Iceberg position deletes ship —
+# is to leave the data files alone and commit a sidecar of (file, position)
+# tombstones; readers subtract the tombstones, and compaction (OPTIMIZE)
+# later materializes them into a clean rewrite.
+#
+# Layout: each version dir may carry ``_dv/`` (invisible to Spark's parquet
+# reader — leading underscore) holding parquet files with columns
+# ``file`` (data-file path RELATIVE to the version dir — hardlink carry
+# preserves relative paths, so tombstones stay valid across versions) and
+# ``pos`` (the row's ``_metadata.row_index`` in that file). For a
+# partitioned table the tombstones mirror the hive layout
+# (``_dv/p=1/part-*.parquet``) so copy-on-write of partition P drops
+# exactly P's tombstones (the rewrite reads the DV-applied snapshot, so the
+# survivors are materialized and the tombstones retire). ``_dv_counts.json``
+# at the version root records tombstones per partition so ``table_stats``
+# stays exact without opening files.
+#
+# Read side: one anti-join of the scan against the tombstone frame on
+# (relative path, row index). Tombstones are a vanishing fraction of table
+# rows, so AQE plans the anti-join as a broadcast at any realistic DV size
+# (no manual hint — plan-audit rule NO_BROADCAST_HINT). Row identity comes
+# from ``_metadata.row_index`` (Spark's stable physical row position), not
+# from any data column — tombstoning never requires a table key.
+_DV = "_dv"
+_DV_COUNTS = "_dv_counts.json"
+
+
+def _has_dv(vdir: str) -> bool:
+    return os.path.isdir(os.path.join(vdir, _DV))
+
+
+def _dv_files(vdir: str) -> list[str]:
+    """Absolute paths of the snapshot's tombstone parquet files. Read as an
+    EXPLICIT file list: the ``_dv`` root itself is underscore-hidden (so the
+    snapshot's data read can never pick it up), and handing Spark the leaf
+    files directly sidesteps the hidden-root filtering instead of leaning on
+    it warning-and-proceeding."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(os.path.join(vdir, _DV)):
+        for fn in filenames:
+            if not fn.startswith(("_", ".")):
+                out.append(os.path.join(dirpath, fn))
+    return sorted(out)
+
+
+def _dv_frame(spark: SparkSession, vdir: str):
+    """The snapshot's tombstones as a (file, pos) DataFrame, or None when
+    the snapshot carries none."""
+    if not _has_dv(vdir):
+        return None
+    files = _dv_files(vdir)
+    if not files:
+        return None
+    return spark.read.parquet(*files).select("file", "pos")
+
+
+def _dv_counts(vdir: str) -> dict[str, int]:
+    """Tombstones per partition rel ('' for unpartitioned), {} when none."""
+    try:
+        with open(os.path.join(vdir, _DV_COUNTS), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _write_dv_counts(vdir: str, counts: dict[str, int]) -> None:
+    """Write-new + atomic replace: the carried counts file is a HARDLINK to
+    the parent version's — in-place modification would corrupt history."""
+    path = os.path.join(vdir, _DV_COUNTS)
+    if not counts:
+        if os.path.exists(path):
+            os.unlink(path)
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(counts, fh)
+    os.replace(tmp, path)
+
+
+def _rel_file_expr(n_pcols: int):
+    """The scanned row's data-file path RELATIVE to the version dir, from
+    ``_metadata.file_path``. A hive layout has exactly ``n_pcols`` partition
+    directories between the version dir and the file, so the relative path
+    is the last ``n_pcols + 1`` '/'-separated components — partition VALUES
+    cannot smuggle a '/' past this (the directory escaping writes it as
+    %2F), so the decomposition is unambiguous and independent of how the
+    filesystem renders the URI prefix."""
+    return F.substring_index(
+        F.col("_metadata.file_path"), "/", -(n_pcols + 1)
+    )
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, vdir: str, n_pcols: int) -> DataFrame:
+    """Subtract the snapshot's deletion vectors from a raw file scan:
+    anti-join on (relative file path, row index). No-op (plan-identical)
+    for snapshots without tombstones."""
+    raw = _dv_frame(spark, vdir)
+    if raw is None:
+        return df
+    dv = raw.select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    return (
+        df.withColumn("__dv_file", _rel_file_expr(n_pcols))
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    )
+
 
 def _file_stats(path: str) -> dict:
     """Footer-only read of one parquet file: row count + per-column
@@ -231,7 +347,9 @@ def _write_manifest(vdir: str, prev_entries: list[dict] | None = None) -> None:
     }
     rows: list[dict] = []
     fresh: list[tuple[int, str]] = []  # (index into rows, absolute path)
-    for dirpath, _dirnames, filenames in os.walk(vdir):
+    for dirpath, dirnames, filenames in os.walk(vdir):
+        # sidecar trees (_dv deletion vectors) are metadata, not data files
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         rel_dir = os.path.relpath(dirpath, vdir)
         for fn in sorted(filenames):
             if fn.startswith(("_", ".")):
@@ -273,7 +391,8 @@ def manifest(root: str, version: int | None = None) -> list[dict]:
         with open(mpath, encoding="utf-8") as fh:
             return [json.loads(line) for line in fh]
     out = []
-    for dirpath, _dirnames, filenames in os.walk(vdir):
+    for dirpath, dirnames, filenames in os.walk(vdir):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         rel_dir = os.path.relpath(dirpath, vdir)
         for fn in filenames:
             if fn.startswith(("_", ".")):
@@ -401,7 +520,12 @@ def read_table(
         empty = _empty_snapshot_df(spark, root, v, cols)
         if empty is not None:
             return empty
-    df = reader.parquet(vdir)
+    df = _apply_dv(
+        spark,
+        reader.parquet(vdir),
+        vdir,
+        len(_part_cols(partition_scheme(root, v))),
+    )
     if cols and set(cols) == set(df.columns):
         df = df.select(*cols)
     return df
@@ -660,6 +784,7 @@ def merge_into(
     matched_condition=None,
     evolve_schema: bool = False,
     update_set=None,
+    write_mode: str = "cow",
 ) -> int:
     """MERGE ``source`` into the versioned table on key column(s) ``on``
     (a composite key is passed as a list).
@@ -689,28 +814,43 @@ def merge_into(
     merging. Source may also OMIT table columns — omitted columns keep
     their target values on update and insert as null.
 
-    Copy-on-write: with a partitioned table, only partitions containing a
-    matched key or an insert are rewritten; the rest hardlink forward.
+    Copy-on-write (``write_mode='cow'``, default): with a partitioned
+    table, only partitions containing a matched key or an insert are
+    rewritten; the rest hardlink forward. ``write_mode='mor'`` commits
+    MERGE-ON-READ instead: matched target rows are tombstoned via
+    ``_dv/`` position deletes and the merge output (updates + inserts)
+    lands in freshly APPENDED files — no existing file is rewritten, so a
+    small-source merge into huge partitions costs O(source rows), not
+    O(rows of every touched partition). Readers subtract tombstones with
+    one anti-join until the next OPTIMIZE materializes them.
     Returns the new version number.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched}")
+    if write_mode not in ("cow", "mor"):
+        raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if check_cardinality:
         assert_exactly_one(source, keys[0] if len(keys) == 1 else keys)
 
     base_v = current_version(root)
     meta = history(root)[0]
-    pcols = _part_cols(partition_scheme(root, base_v))
-    target = read_table(spark, root, base_v)
+    if write_mode == "mor":
+        target, pcols = _snapshot_with_rowid(spark, root, base_v)
+        rowid = ["__f", "__p"]
+    else:
+        pcols = _part_cols(partition_scheme(root, base_v))
+        target = read_table(spark, root, base_v)
+        rowid = []
+    tcols = [c for c in target.columns if c not in rowid]
 
     src_cols = set(source.columns)
     missing_keys = [k for k in keys if k not in src_cols]
     if missing_keys:
         raise ValueError(f"source is missing the merge key column(s) {missing_keys}")
-    new_fields = [f for f in source.schema.fields if f.name not in set(target.columns)]
+    new_fields = [f for f in source.schema.fields if f.name not in set(tcols)]
     if new_fields and not evolve_schema:
         raise ValueError(
             f"source has columns not in the table schema "
@@ -718,16 +858,17 @@ def merge_into(
         )
     for f in new_fields:
         target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+        tcols.append(f.name)
     # Columns the source omits ride along as nulls so the full-outer join
     # is schema-aligned; the update expressions below keep TARGET values
     # for them (an omitted column is "not set by this merge", not nulled).
     for f in target.schema.fields:
-        if f.name not in src_cols:
+        if f.name not in src_cols and f.name in set(tcols):
             source = source.withColumn(f.name, F.lit(None).cast(f.dataType))
-    source = source.select(*target.columns)  # align column order to table schema
+    source = source.select(*tcols)  # align column order to table schema
 
     update_set = update_set or {}
-    unknown = [c for c in update_set if c not in target.columns or c in keys]
+    unknown = [c for c in update_set if c not in tcols or c in keys]
     if unknown:
         raise ValueError(
             f"update_set names non-updatable column(s) {unknown} "
@@ -747,6 +888,16 @@ def merge_into(
             .collect()
         }
         touched = set(matched_parts)
+        if write_mode == "mor":
+            # Merge-on-read rewrites nothing, so the target scan only needs
+            # the partitions holding a matched key (for the update/delete
+            # images and the insert anti-detection: a source key matching
+            # ANY target row makes that row's partition a matched
+            # partition, so anti-join against this subset equals anti-join
+            # against the full table). Insert/update destinations are
+            # derived from the files actually appended at commit.
+            keep = target.where(_part_in(pcols, matched_parts))
+            touched = None
         # An update can move a row across partitions when the source
         # PROVIDES a partition column (an omitted column keeps the target
         # value, so the row stays put) or when update_set rewrites one.
@@ -772,10 +923,11 @@ def merge_into(
         all_pcols_from_src = all(c in src_cols for c in pcols) and not any(
             c in update_set for c in pcols
         )
-        fast_path = when_not_matched == "insert" and (
-            all_pcols_from_src or not update_can_move
+        fast_path = write_mode == "mor" or (
+            when_not_matched == "insert"
+            and (all_pcols_from_src or not update_can_move)
         )
-        if fast_path:
+        if fast_path and write_mode != "mor":
             touched |= {
                 tuple(r) for r in source.select(*pcols).distinct().collect()
             }
@@ -827,7 +979,8 @@ def merge_into(
             touched |= {
                 tuple(r) for r in insert_rows.select(*pcols).distinct().collect()
             }
-        keep = target.where(_part_in(pcols, touched))
+        if write_mode != "mor":
+            keep = target.where(_part_in(pcols, touched))
     else:
         touched = None
         keep = target
@@ -841,14 +994,14 @@ def merge_into(
         src_tag.select(
             *keys,
             F.col("__src"),
-            *[F.col(c).alias(f"__s_{c}") for c in target.columns if c not in keys],
+            *[F.col(c).alias(f"__s_{c}") for c in tcols if c not in keys],
         ),
         keys,
         "full_outer",
     )
-    tgt_cols = {c: F.col(c) for c in target.columns}
+    tgt_cols = {c: F.col(c) for c in tcols}
     srcd = {k: F.col(k) for k in keys}
-    srcd.update({c: F.col(f"__s_{c}") for c in target.columns if c not in keys})
+    srcd.update({c: F.col(f"__s_{c}") for c in tcols if c not in keys})
     if matched_condition is not None:
         # A NULL-evaluating condition must read as "condition not met", not
         # poison the survives filter (WHERE NULL silently drops rows).
@@ -856,7 +1009,7 @@ def merge_into(
     else:
         cond = F.lit(True)
     out_cols = []
-    for c in target.columns:
+    for c in tcols:
         if c in keys:
             out_cols.append(F.col(c))
         elif when_matched == "update" and (c in src_cols or c in update_set):
@@ -901,8 +1054,42 @@ def merge_into(
             & F.lit(when_not_matched == "insert")
         )
     )
-    merged = joined.where(survives).select(*out_cols)
     table_checks = meta.get("checks") or {}
+    if write_mode == "mor":
+        # Tombstone every matched target row the merge consumes (update
+        # replaces it with an appended image; delete just removes it), and
+        # append the merge's output rows. Nothing else is read back or
+        # rewritten — target-only rows stay in their carried files.
+        matched_mask = F.col("__tgt").isNotNull() & F.col("__src").isNotNull() & cond
+        dv_new = joined.where(
+            matched_mask & F.lit(when_matched in ("update", "delete"))
+        ).select(F.col("__f").alias("file"), F.col("__p").alias("pos"), *pcols)
+        appended = joined.where(
+            (matched_mask & F.lit(when_matched == "update"))
+            | (
+                F.col("__tgt").isNull()
+                & F.col("__src").isNotNull()
+                & F.lit(when_not_matched == "insert")
+            )
+        ).select(*out_cols)
+        if table_checks:
+            _enforce_checks(appended, table_checks, "merge")
+        return _mor_commit(
+            spark,
+            root,
+            base_v,
+            pcols,
+            dv_new,
+            appended,
+            {
+                "action": "merge_mor",
+                "schema_json": appended.schema.json(),
+                "columns": tcols,
+                "evolved": bool(new_fields),
+            },
+        )
+
+    merged = joined.where(survives).select(*out_cols)
     if table_checks:
         # One extra aggregate pass over the rewritten rows, and only when
         # the table declares constraints; a violating merge aborts with
@@ -917,7 +1104,7 @@ def merge_into(
         touched,
         {
             "action": "merge",
-            "columns": target.columns,
+            "columns": tcols,
             "evolved": bool(new_fields),
         },
     )
@@ -960,6 +1147,26 @@ def _cow_commit(
                     continue
                 _linked, copied = _link_tree(full, os.path.join(staging, rel))
                 carry_copied += copied
+            # Deletion vectors ride with their partition: untouched
+            # partitions keep their tombstones (the carried data files still
+            # contain the deleted rows); REWRITTEN partitions drop them —
+            # the rewrite read the DV-applied snapshot, so its output
+            # already materializes the deletes.
+            base_dvdir = os.path.join(base_dir, _DV)
+            if os.path.isdir(base_dvdir):
+                for rel, full in _leaf_partition_dirs(base_dvdir, pcols):
+                    if rel in touched_rels:
+                        continue
+                    _linked, copied = _link_tree(
+                        full, os.path.join(staging, _DV, rel)
+                    )
+                    carry_copied += copied
+                counts = {
+                    r: n
+                    for r, n in _dv_counts(base_dir).items()
+                    if r not in touched_rels
+                }
+                _write_dv_counts(staging, counts)
         os.rename(staging, vdir)
     except Exception:
         # Un-burn the claimed version: a failed write must not block the
@@ -987,23 +1194,87 @@ def _cow_commit(
     return new_v
 
 
-def delete_where(spark: SparkSession, root: str, condition) -> int:
-    """``DELETE FROM table WHERE condition`` (SQL string or Column) as a
-    copy-on-write commit. SQL DELETE semantics: only rows where the
-    predicate is TRUE are removed — NULL-evaluating rows survive.
+def delete_where(
+    spark: SparkSession, root: str, condition, mode: str = "cow"
+) -> int:
+    """``DELETE FROM table WHERE condition`` (SQL string or Column). SQL
+    DELETE semantics: only rows where the predicate is TRUE are removed —
+    NULL-evaluating rows survive.
 
-    Partition pruning: only partitions that CONTAIN a matching row are
-    rewritten (one metadata-sized collect of distinct partition values of
-    matched rows); every other partition hardlinks forward. A
-    predicate-free day-partition retention delete therefore costs one
-    partition rewrite, not a table scan-and-rewrite — the posture that
-    keeps RTBF/GDPR purges viable against a 100 TB fact table.
+    ``mode='cow'`` (default) commits a copy-on-write rewrite: only
+    partitions that CONTAIN a matching row are rewritten (one
+    metadata-sized collect of distinct partition values of matched rows);
+    every other partition hardlinks forward. A predicate-free day-partition
+    retention delete therefore costs one partition rewrite, not a table
+    scan-and-rewrite.
+
+    ``mode='mor'`` commits MERGE-ON-READ deletion vectors instead: no data
+    file is rewritten at all — the commit writes (file, row-position)
+    tombstones under ``_dv/`` and readers subtract them. Write cost is
+    O(deleted rows) regardless of how big the touched files are, which is
+    what keeps a sparse RTBF purge (a few thousand rows scattered across a
+    100 TB table) from rewriting terabytes; the deferred rewrite happens at
+    the next OPTIMIZE/compaction of the affected partitions, off the
+    ingest critical path. Readers pay one anti-join until then.
 
     Returns the new version number."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    if mode == "mor":
+        return _mor_modify(spark, root, condition, None, "delete_mor")
     return _modify_where(spark, root, condition, None, "delete")
 
 
-def update_where(spark: SparkSession, root: str, condition, set: dict) -> int:
+def _mor_modify(spark, root, condition, set_exprs, action) -> int:
+    """Shared merge-on-read DELETE/UPDATE: tombstone the matched rows; for
+    an update, additionally append fresh files carrying their post-SET
+    images (an update under MOR is delete-old + append-new, which also
+    makes cross-partition SET moves natural — the new image simply lands
+    in its new partition's appended file)."""
+    base_v = current_version(root)
+    meta0 = history(root)[0]
+    df, pcols = _snapshot_with_rowid(spark, root, base_v)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = df.where(F.coalesce(cond, F.lit(False)))
+    dv_new = matched.select(
+        F.col("__f").alias("file"), F.col("__p").alias("pos"), *pcols
+    )
+    appended = None
+    if set_exprs is not None:
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        data_cols = [c for c in df.columns if c not in ("__f", "__p")]
+        unknown = [c for c in exprs if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"update_where SET names column(s) {unknown} not in {data_cols}"
+            )
+        appended = matched.select(
+            *[exprs[c].alias(c) if c in exprs else F.col(c) for c in data_cols]
+        )
+        table_checks = meta0.get("checks") or {}
+        if table_checks:
+            _enforce_checks(appended, table_checks, "update")
+    return _mor_commit(
+        spark,
+        root,
+        base_v,
+        pcols,
+        dv_new,
+        appended,
+        {
+            "action": action,
+            "schema_json": df.drop("__f", "__p").schema.json(),
+            "columns": [c for c in df.columns if c not in ("__f", "__p")],
+        },
+    )
+
+
+def update_where(
+    spark: SparkSession, root: str, condition, set: dict, mode: str = "cow"
+) -> int:
     """``UPDATE table SET col = expr, ... WHERE condition`` as a
     copy-on-write commit. ``set`` maps column name → SQL expression string
     or Column; every SET expression sees the row's PRE-update values
@@ -1016,9 +1287,20 @@ def update_where(spark: SparkSession, root: str, condition, set: dict) -> int:
     metadata-sized collects). CHECK constraints declared at create_table
     are enforced on the rewritten rows before anything is claimed.
 
+    With ``mode='mor'`` the update commits as delete-old + append-new
+    merge-on-read: matched rows are tombstoned in place (``_dv/`` position
+    deletes, no file rewrite) and their post-SET images land in freshly
+    appended files — write cost O(matched rows) instead of O(rows of every
+    touched file). Cross-partition SET moves need no special casing: the
+    new image's appended file simply lands in the destination partition.
+
     Returns the new version number."""
     if not set:
         raise ValueError("update_where requires a non-empty set mapping")
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    if mode == "mor":
+        return _mor_modify(spark, root, condition, set, "update_mor")
     return _modify_where(spark, root, condition, set, "update")
 
 
@@ -1093,6 +1375,146 @@ def _modify_where(spark, root, condition, set_exprs, action) -> int:
         touched,
         {"action": action, "columns": target.columns},
     )
+
+
+def _snapshot_with_rowid(spark: SparkSession, root: str, v: int):
+    """The raw snapshot scan plus ``__f``/``__p`` row-identity columns
+    (file-relative path, row index), with EXISTING deletion vectors already
+    subtracted — the starting frame for every merge-on-read writer (a row
+    tombstoned by an earlier commit must be invisible to later predicates
+    and can never be tombstoned twice). Returns ``(df, pcols)``."""
+    vdir = _vdir(root, v)
+    pcols = _part_cols(partition_scheme(root, v))
+    reader, cols = _snapshot_reader(spark, root, v)
+    df = (
+        reader.parquet(vdir)
+        .withColumn("__f", _rel_file_expr(len(pcols)))
+        .withColumn("__p", F.col("_metadata.row_index"))
+    )
+    dv = _dv_frame(spark, vdir)
+    if dv is not None:
+        df = df.join(
+            dv.select(F.col("file").alias("__f"), F.col("pos").alias("__p")),
+            ["__f", "__p"],
+            "left_anti",
+        )
+    if cols and set(cols) == set(c for c in df.columns if c not in ("__f", "__p")):
+        df = df.select(*cols, "__f", "__p")
+    return df, pcols
+
+
+def _move_spark_output(tmp: str, dest_base: str) -> dict[str, int]:
+    """Move a Spark partitioned write's data files from ``tmp`` into
+    ``dest_base``, preserving the hive directory structure. Same-filesystem
+    renames (both live under the table's ``_versions``), so this is pure
+    metadata. Returns files moved per relative partition dir ('' for an
+    unpartitioned layout). Spark part-file names embed a job UUID, so moved
+    files can never collide with carried ones."""
+    moved: dict[str, int] = {}
+    for dirpath, dirnames, filenames in os.walk(tmp):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        rel_dir = os.path.relpath(dirpath, tmp)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for fn in filenames:
+            if fn.startswith(("_", ".")):
+                continue
+            tgt_dir = os.path.join(dest_base, rel_dir) if rel_dir else dest_base
+            os.makedirs(tgt_dir, exist_ok=True)
+            os.rename(os.path.join(dirpath, fn), os.path.join(tgt_dir, fn))
+            moved[rel_dir] = moved.get(rel_dir, 0) + 1
+    return moved
+
+
+def _recount_dv(vdir_staging: str) -> dict[str, int]:
+    """Exact tombstones per partition rel, from the footers of the staged
+    ``_dv`` files (carried + new). DV files are a vanishing fraction of the
+    table, so re-deriving the counts each MOR commit is metadata-cheap and
+    immune to bookkeeping drift."""
+    import pyarrow.parquet as pq
+
+    dvdir = os.path.join(vdir_staging, _DV)
+    counts: dict[str, int] = {}
+    if not os.path.isdir(dvdir):
+        return counts
+    for dirpath, _dirnames, filenames in os.walk(dvdir):
+        rel_dir = os.path.relpath(dirpath, dvdir)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for fn in filenames:
+            if fn.startswith(("_", ".")):
+                continue
+            n = pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+            counts[rel_dir] = counts.get(rel_dir, 0) + n
+    return counts
+
+
+def _mor_commit(
+    spark: SparkSession,
+    root: str,
+    base_v: int,
+    pcols: list[str],
+    dv_new: DataFrame,
+    appended: DataFrame | None,
+    meta: dict,
+) -> int:
+    """Merge-on-read commit: carry EVERY base file forward (hardlinks — no
+    data rewrite at all), add fresh tombstone files under ``_dv/`` for the
+    rows ``dv_new`` names, and (for update/merge) add fresh data files for
+    ``appended`` rows. Write amplification is O(changed rows), independent
+    of the size of the files the changes land in — the sparse-write posture
+    copy-on-write cannot offer. ``dv_new`` must carry columns ``file``,
+    ``pos`` plus the partition columns; ``appended`` carries the table
+    schema. The commit log records the DV'd partitions ∪ the appended
+    partitions as ``touched_partitions``, so change-feed pruning stays
+    exact."""
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    base_dir = _vdir(root, base_v)
+    try:
+        os.makedirs(staging)
+        # Spark outputs stage INSIDE the claimed-version staging dir (dot
+        # prefix: invisible to readers, activity keeps vacuum's
+        # orphan-grace clock running for the whole write).
+        dv_tmp = os.path.join(staging, ".dv_new")
+        dv_writer = dv_new.write.mode("overwrite")
+        if pcols:
+            dv_writer = dv_writer.partitionBy(*pcols)
+        dv_writer.parquet(dv_tmp)
+        app_tmp = None
+        if appended is not None:
+            app_tmp = os.path.join(staging, ".appended")
+            app_writer = appended.write.mode("overwrite")
+            if pcols:
+                app_writer = app_writer.partitionBy(*pcols)
+            app_writer.parquet(app_tmp)
+        # Carry the whole base snapshot: data files, existing _dv tree,
+        # manifest (reused stats for every carried file), counts sidecar.
+        _linked, carry_copied = _link_tree(base_dir, staging)
+        dv_moved = _move_spark_output(dv_tmp, os.path.join(staging, _DV))
+        shutil.rmtree(dv_tmp, ignore_errors=True)
+        app_moved: dict[str, int] = {}
+        if app_tmp is not None:
+            app_moved = _move_spark_output(app_tmp, staging)
+            shutil.rmtree(app_tmp, ignore_errors=True)
+        _write_dv_counts(staging, _recount_dv(staging))
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        _unclaim(vdir)
+        raise
+    touched = sorted(set(dv_moved) | set(app_moved)) if pcols else None
+    _commit(
+        root,
+        new_v,
+        {
+            "parent": base_v,
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
+            "touched_partitions": touched,
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
+            **meta,
+        },
+    )
+    return new_v
 
 
 def restore(root: str, version: int) -> int:
@@ -1244,7 +1666,8 @@ def table_stats(root: str, version: int | None = None) -> dict:
     file count, per-partition file/row breakdown, and per-column global
     [min, max] folded from the per-file bounds (None when any file lacks
     stats for the column — unknown, never guessed)."""
-    entries = manifest(root, version)
+    v = current_version(root) if version is None else version
+    entries = manifest(root, v)
     parts: dict[str, dict] = {}
     col_bounds: dict[str, list] = {}
     total_rows = 0
@@ -1273,13 +1696,25 @@ def table_stats(root: str, version: int | None = None) -> dict:
         name: (col_bounds[name] if counts.get(name) == n_files else None)
         for name in col_bounds
     }
+    # Merge-on-read tombstones: manifest row counts describe the FILES;
+    # subtract the per-partition deletion-vector counts so the reported
+    # row counts describe the TABLE. Column [min, max] bounds stay as-is —
+    # a tombstoned extremum only WIDENS a bound, which can cost a read but
+    # never a wrong skip.
+    dv = _dv_counts(_vdir(root, v))
+    deleted = 0
+    for rel, n in dv.items():
+        if rel in parts:
+            parts[rel]["rows"] -= n
+        deleted += n
     return {
-        "version": current_version(root) if version is None else version,
+        "version": v,
         "files": n_files,
         "bytes": sum(e["size"] for e in entries),
-        "rows": total_rows,
+        "rows": total_rows - deleted,
         "partitions": parts,
         "columns": columns,
+        **({"deleted_rows": deleted} if deleted else {}),
     }
 
 
@@ -1505,7 +1940,12 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     reader, cols = _snapshot_reader(spark, root, v)
     if not paths:
         return read_table(spark, root, v).where(F.lit(False))
-    df = reader.option("basePath", vdir).parquet(*paths)
+    df = _apply_dv(
+        spark,
+        reader.option("basePath", vdir).parquet(*paths),
+        vdir,
+        len(_part_cols(partition_scheme(root, v))),
+    )
     if cols:
         missing = [c for c in cols if c not in df.columns]
         if missing:

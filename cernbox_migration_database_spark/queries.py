@@ -6472,6 +6472,116 @@ def table_delete_where(spark, sf_dir):
 
 
 @register(
+    "table_delete_vectors",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 50 = 7)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_delete_vectors(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (table_format.delete_where
+    mode='mor'): a SPARSE predicate (2 % of rows, scattered across every
+    partition) is committed as (file, row-position) tombstones under
+    ``_dv/`` — the query ASSERTS the new version's data-file set is
+    byte-identical to the base (zero rewrite amplification; a COW commit
+    here would rewrite every partition), then aggregates the DV-applied
+    read. This is the Delta deletion-vector / Iceberg position-delete
+    design: sparse RTBF-style purges cost O(deleted rows), and the
+    deferred rewrite happens at the next OPTIMIZE of the touched
+    partitions. The oracle is the pure relational complement, so the
+    tombstone write → carry → anti-join read path is differentialed
+    end-to-end."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("mordel", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.delete_where(spark, root, "o_orderkey % 50 = 7", mode="mor")
+    # the MOR contract: no data file was rewritten or dropped
+    assert {e["path"] for e in TF.manifest(root, 2)} == {
+        e["path"] for e in TF.manifest(root, 1)
+    }
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_merge_mor",
+    """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 200000000, '9-MOR-INSERT', 555.0
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_merge_mor(spark, sf_dir):
+    """MERGE INTO with write_mode='mor': matched target rows are tombstoned
+    via ``_dv/`` position deletes and the merge output (updated images +
+    inserts) lands in freshly APPENDED files — no base file is rewritten
+    (asserted: the base file set is a subset of the new version's), so a
+    small-source merge into huge partitions costs O(source rows) instead
+    of O(rows of every touched partition). Same oracle shape as the COW
+    ``merge_into_versioned`` twin, so the two protocols are differentialed
+    against the same relational MERGE semantics."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("mormerge", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = base.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        F.lit("9-MOR-INSERT").alias("o_orderpriority"),
+        F.lit(555.0).alias("o_totalprice"),
+    )
+    TF.merge_into(
+        spark, root, updates.unionByName(inserts), on="o_orderkey",
+        write_mode="mor",
+    )
+    # every base data file carried untouched; the merge only APPENDED
+    base_files = {e["path"] for e in TF.manifest(root, 1)}
+    assert base_files <= {e["path"] for e in TF.manifest(root, 2)}
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "table_update_where",
     """
     WITH updated AS (
@@ -7829,12 +7939,12 @@ def similarity_maxsim(spark, sf_dir):
 # slots. After a green r5, every oracle-paired query in the registry has
 # a driver row on record.
 _PRIORITY = [
-    # --- sentinel core (driver-green in all prior rounds) ---
+    # --- sentinel core (driver-green in all prior rounds; audit/
+    # dead-letters rotated to backstop to make room for the two round-5
+    # merge-on-read queries — migration_merged still covers the family) ---
     "scan_filter_project_sort",
     "scan_param_filter",
     "migration_merged",
-    "migration_audit",
-    "migration_dead_letters",
     "join_enrich_parts",
     "merge_update_orders",
     "router_4way",
@@ -7885,8 +7995,13 @@ _PRIORITY = [
     "graph_triangle_count",
     "table_partition_evolution",
     "similarity_maxsim",
+    # --- round-5 merge-on-read deletion-vector queries ---
+    "table_delete_vectors",
+    "table_merge_mor",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
+    "migration_audit",
+    "migration_dead_letters",
     "dedup_exact",
     "q1_pricing_summary",
     "q3_shipping_priority",

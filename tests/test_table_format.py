@@ -1761,10 +1761,165 @@ def test_commit_with_retry_replans_maintenance_after_race(spark, tmp_path, monke
     assert got[0] == 999.0 and len(got) == 60
 
 
+def test_mor_delete_rewrites_no_data_files(spark, tmp_path):
+    """Merge-on-read DELETE: the commit adds only ``_dv/`` tombstones — the
+    data-file set of the new version is IDENTICAL to the base (that is the
+    whole point: O(deleted rows) write cost, zero rewrite amplification).
+    Readers subtract tombstones; stacked MOR deletes compose; time travel
+    and table_stats stay exact."""
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+    root = str(tmp_path / "t")
+    TF.create_table(df, root, partition_by="grp")
+    TF.delete_where(spark, root, "id % 10 = 1", mode="mor")
+
+    assert {e["path"] for e in TF.manifest(root, 2)} == {
+        e["path"] for e in TF.manifest(root, 1)
+    }
+    assert TF.read_table(spark, root).count() == 180
+    assert TF.read_table(spark, root).where("id % 10 = 1").count() == 0
+    assert TF.read_table(spark, root, version=1).count() == 200
+
+    TF.delete_where(spark, root, "id % 10 = 2", mode="mor")
+    assert TF.read_table(spark, root).count() == 160
+    st = TF.table_stats(root)
+    assert st["rows"] == 160 and st["deleted_rows"] == 40
+    # per-partition counts subtract too (grp carries ids ≡ grp mod 4)
+    assert sum(p["rows"] for p in st["partitions"].values()) == 160
+    # tombstoned partitions recorded for change-feed pruning: ids ≡ 2
+    # (mod 10) land in grp ∈ {0, 2} (id mod 4 alternates 2, 0)
+    assert set(TF.history(root)[-1]["touched_partitions"]) == {"grp=0", "grp=2"}
+    ch = TF.read_changes(spark, root, "id", 1, 3)
+    assert ch.count() == 40
+    assert ch.select("_change_type").distinct().collect()[0][0] == "delete"
+
+
+def test_mor_update_is_delete_plus_append_with_partition_move(spark, tmp_path):
+    """Merge-on-read UPDATE: matched rows are tombstoned in place and their
+    post-SET images land in freshly APPENDED files — cross-partition SET
+    moves land in the destination partition's appended file. SET
+    expressions see pre-update values (single projection)."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    base_files = {e["path"] for e in TF.manifest(root, 1)}
+    TF.update_where(
+        spark, root, "grp = 'a'",
+        {"grp": "'z'", "val": "val + id"},  # val reads PRE-update id/val
+        mode="mor",
+    )
+    got = {r["id"]: (r["grp"], r["val"]) for r in TF.read_table(spark, root).collect()}
+    assert got == {
+        1: ("z", 11.0), 2: ("z", 22.0), 3: ("b", 30.0), 4: ("c", 40.0)
+    }
+    # every base file carried; appended files add the destination partition
+    m2 = {e["path"] for e in TF.manifest(root, 2)}
+    assert base_files <= m2
+    assert any(p.startswith("grp=z/") for p in m2 - base_files)
+    touched = set(TF.history(root)[-1]["touched_partitions"])
+    assert touched == {"grp=a", "grp=z"}
+
+
+def test_mor_merge_equals_cow_merge(spark, tmp_path):
+    """Differential: the SAME mixed merge (update two keys, insert two,
+    matched_condition gating one, update_set on a value column) committed
+    with write_mode='mor' and write_mode='cow' must produce byte-equal
+    tables — MOR changes the physical protocol, never the semantics."""
+    src = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val=100.0),   # matched, passes condition
+            Row(id=3, grp="b", val=1.0),     # matched, FAILS condition
+            Row(id=9, grp="d", val=90.0),    # insert (new partition)
+            Row(id=10, grp="a", val=55.0),   # insert
+        ]
+    )
+    roots = {}
+    for mode in ("cow", "mor"):
+        root = str(tmp_path / mode)
+        TF.create_table(_base(spark), root, partition_by="grp")
+        TF.merge_into(
+            spark, root, src, on="id",
+            matched_condition=lambda t, s: s["val"] > t["val"],
+            update_set={"val": lambda t, s: t["val"] + s["val"]},
+            write_mode=mode,
+        )
+        roots[mode] = {
+            r["id"]: (r["grp"], r["val"])
+            for r in TF.read_table(spark, root).collect()
+        }
+    assert roots["mor"] == roots["cow"]
+    assert roots["mor"][1] == ("a", 110.0)   # gated update applied additively
+    assert roots["mor"][3] == ("b", 30.0)    # condition failed → untouched
+    assert roots["mor"][9] == ("d", 90.0)
+
+
+def test_cow_rewrite_retires_only_touched_partition_tombstones(spark, tmp_path):
+    """COW after MOR: rewriting partition P materializes P's deletes into
+    the rewrite (tombstones retire with the files they reference); OTHER
+    partitions keep their tombstones and their carried files. The
+    interleaving must stay exact — stale tombstones resurrecting deleted
+    rows or dropped tombstones deleting live rows are the failure modes."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("grp"),
+        (F.col("id") * 3).alias("val"),
+    )
+    root = str(tmp_path / "t")
+    TF.create_table(df, root, partition_by="grp")
+    TF.delete_where(spark, root, "id IN (0, 1, 2, 3)", mode="mor")  # both grps
+    # COW update rewrites ONLY grp=0 (even ids)
+    TF.update_where(spark, root, "id = 10", {"val": "999"})
+    vdir = TF._vdir(root, 3)
+    assert os.path.isdir(os.path.join(vdir, "_dv", "grp=1"))  # kept
+    assert not os.path.isdir(os.path.join(vdir, "_dv", "grp=0"))  # retired
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert len(got) == 96 and 0 not in got and 1 not in got
+    assert got[10] == 999
+    counts = TF._dv_counts(vdir)
+    assert counts == {"grp=1": 2}
+    # compaction of the remaining partition retires the rest
+    TF.compact_partitions(spark, root, rels=["grp=1"])
+    assert TF._dv_counts(TF._vdir(root, 4)) == {}
+    assert TF.read_table(spark, root).count() == 96
+
+
+def test_mor_merge_schema_evolution(spark, tmp_path):
+    """MOR merge with evolve_schema: appended files carry the new column,
+    carried files read it as null via footer merging, tombstones still
+    subtract correctly from the mixed-schema scan."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=2, grp="a", val=21.0, note="x")])
+    TF.merge_into(spark, root, src, on="id", evolve_schema=True, write_mode="mor")
+    got = {r["id"]: r["note"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: None, 2: "x", 3: None, 4: None}
+    # the pre-merge image of id=2 is tombstoned, not duplicated
+    assert TF.read_table(spark, root).where("id = 2").count() == 1
+
+
+def test_mor_fully_emptied_partition_stays_consistent(spark, tmp_path):
+    """A MOR delete that tombstones EVERY row of a partition leaves the
+    files in place but the reader must see zero rows from it; a later full
+    delete of the whole table via MOR keeps the snapshot readable (the
+    files still provide the schema)."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.delete_where(spark, root, "grp = 'a'", mode="mor")
+    assert TF.read_table(spark, root).count() == 2
+    TF.delete_where(spark, root, "TRUE", mode="mor")
+    out = TF.read_table(spark, root)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "grp", "val"}
+
+
 def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
     """Model-based property test: random sequences of table operations
     (keyed merge upsert / merge delete / predicate delete / restore /
-    OPTIMIZE) applied to the versioned table AND to a plain dict model;
+    OPTIMIZE — each mutation in BOTH copy-on-write and merge-on-read
+    form, so random interleavings of rewrites, tombstones, compactions
+    and rollbacks are exercised) applied to the versioned table AND to a
+    plain dict model;
     after every op the committed snapshot must equal the model, and at the
     end EVERY historical version must equal the model's recorded history
     (time travel is part of the contract, not an afterthought)."""
@@ -1773,17 +1928,17 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
 
     op = st.one_of(
         st.tuples(
-            st.just("upsert"),
+            st.sampled_from(["upsert", "mor_upsert"]),
             st.lists(
                 st.tuples(st.integers(0, 14), st.integers(0, 99)),
                 min_size=1, max_size=4, unique_by=lambda t: t[0],
             ),
         ),
         st.tuples(
-            st.just("mdelete"),
+            st.sampled_from(["mdelete", "mor_mdelete"]),
             st.lists(st.integers(0, 14), min_size=1, max_size=3, unique=True),
         ),
-        st.tuples(st.just("pdelete"), st.integers(0, 99)),
+        st.tuples(st.sampled_from(["pdelete", "mor_pdelete"]), st.integers(0, 99)),
         st.tuples(st.just("restore"), st.integers(1, 3)),
         st.tuples(st.just("optimize"), st.none()),
     )
@@ -1806,21 +1961,26 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
         model = dict(seed)
         hist = {1: dict(model)}
         for kind, arg in ops:
-            if kind == "upsert":
+            if kind in ("upsert", "mor_upsert"):
                 TF.merge_into(
                     spark, root,
                     mk({k: v for k, v in arg}), on="id",
+                    write_mode="mor" if kind == "mor_upsert" else "cow",
                 )
                 model.update({k: v for k, v in arg})
-            elif kind == "mdelete":
+            elif kind in ("mdelete", "mor_mdelete"):
                 TF.merge_into(
                     spark, root, mk({k: 0 for k in arg}), on="id",
                     when_matched="delete", when_not_matched=None,
+                    write_mode="mor" if kind == "mor_mdelete" else "cow",
                 )
                 for k in arg:
                     model.pop(k, None)
-            elif kind == "pdelete":
-                TF.delete_where(spark, root, f"val >= {arg}")
+            elif kind in ("pdelete", "mor_pdelete"):
+                TF.delete_where(
+                    spark, root, f"val >= {arg}",
+                    mode="mor" if kind == "mor_pdelete" else "cow",
+                )
                 model = {k: v for k, v in model.items() if not v >= arg}
             elif kind == "restore":
                 v = min(arg, TF.current_version(root))
