@@ -6582,6 +6582,60 @@ def table_merge_mor(spark, sf_dir):
 
 
 @register(
+    "table_cdc_replication",
+    """
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderkey % 23 = 7)
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_cdc_replication(spark, sf_dir):
+    """End-to-end CDC replication (table_format.replicate_changes): a
+    REPLICA versioned table is bootstrapped from the upstream snapshot,
+    the upstream then takes a COW update and a merge-on-read delete, and
+    one incremental replication step applies the change feed (cursor-
+    gated, partition-pruned via the upstream commit log) to the replica.
+    The query aggregates the REPLICA — so the oracle differential covers
+    change capture, the delete/upsert apply merges, and cursor
+    bookkeeping in one pass. The replica is deliberately partitioned
+    DIFFERENTLY (unpartitioned) than the source: a replica owes its
+    layout to its own readers, not its source's."""
+    from .operators import table_format as TF
+
+    scratch = _versioned_scratch("cdcrep", sf_dir)
+    src, dst, cursor = scratch + "/src", scratch + "/dst", scratch + "/cur"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, src, partition_by="o_orderpriority")
+    TF.replicate_changes(spark, src, dst, "o_orderkey", cursor)  # bootstrap
+    TF.update_where(
+        spark, src, "o_orderkey % 19 = 0", {"o_totalprice": "o_totalprice * 2"}
+    )
+    TF.delete_where(spark, src, "o_orderkey % 23 = 7", mode="mor")
+    TF.replicate_changes(spark, src, dst, "o_orderkey", cursor)
+    return (
+        TF.read_table(spark, dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "table_update_where",
     """
     WITH updated AS (
@@ -7940,10 +7994,10 @@ def similarity_maxsim(spark, sf_dir):
 # a driver row on record.
 _PRIORITY = [
     # --- sentinel core (driver-green in all prior rounds; audit/
-    # dead-letters rotated to backstop to make room for the two round-5
-    # merge-on-read queries — migration_merged still covers the family) ---
+    # dead-letters/param-scan rotated to backstop to make room for the
+    # round-5 merge-on-read + CDC queries — scan_filter_project_sort and
+    # migration_merged still cover those families) ---
     "scan_filter_project_sort",
-    "scan_param_filter",
     "migration_merged",
     "join_enrich_parts",
     "merge_update_orders",
@@ -7995,11 +8049,13 @@ _PRIORITY = [
     "graph_triangle_count",
     "table_partition_evolution",
     "similarity_maxsim",
-    # --- round-5 merge-on-read deletion-vector queries ---
+    # --- round-5 merge-on-read deletion-vector + CDC replication queries ---
     "table_delete_vectors",
     "table_merge_mor",
+    "table_cdc_replication",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
+    "scan_param_filter",
     "migration_audit",
     "migration_dead_letters",
     "dedup_exact",

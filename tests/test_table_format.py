@@ -1913,6 +1913,68 @@ def test_mor_fully_emptied_partition_stays_consistent(spark, tmp_path):
     assert set(out.columns) == {"id", "grp", "val"}
 
 
+def test_replicate_changes_cdc_replica_converges_and_is_idempotent(
+    spark, tmp_path
+):
+    """CDC replication: a downstream replica built purely from the change
+    feed must equal the upstream snapshot after every increment — across
+    COW updates, MOR deletes, inserts, and a differently-partitioned
+    replica layout. Crash replay (apply without advancing the cursor, then
+    re-apply) must converge to the same state (exactly-once via
+    idempotent keyed merges + commit-cursor-last)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cursor = str(tmp_path / "cursor")
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).cast("int").alias("grp"),
+        (F.col("id") * 7).alias("val"),
+    )
+    TF.create_table(df, src, partition_by="grp")
+
+    def snap(root):
+        return {
+            r["id"]: (r["grp"], r["val"])
+            for r in TF.read_table(spark, root).collect()
+        }
+
+    # bootstrap — replica partitions DIFFERENTLY (by val parity via grp col
+    # reuse is fine; just use unpartitioned to prove layout independence)
+    n = TF.replicate_changes(spark, src, dst, "id", cursor)
+    assert n == 50 and snap(dst) == snap(src)
+
+    # caught up → no-op
+    assert TF.replicate_changes(spark, src, dst, "id", cursor) == 0
+
+    # upstream mutations: COW update, MOR delete, merge insert
+    TF.update_where(spark, src, "id < 5", {"val": "val + 1000"})
+    TF.delete_where(spark, src, "id % 10 = 9", mode="mor")
+    TF.merge_into(
+        spark, src,
+        spark.createDataFrame([(100, 0, 1), (101, 1, 2)], "id long, grp int, val long"),
+        on="id",
+    )
+    n = TF.replicate_changes(spark, src, dst, "id", cursor)
+    assert n == 5 + 5 + 2  # 5 updates, 5 deletes, 2 inserts
+    assert snap(dst) == snap(src)
+
+    # crash replay: rewind the cursor to simulate a crash after apply but
+    # before the cursor commit; re-applying the same delta must be a no-op
+    # in effect (replica still equals upstream)
+    TF.update_where(spark, src, "id = 10", {"val": "0"})
+    pre = TF.cursor_version(cursor)
+    TF.replicate_changes(spark, src, dst, "id", cursor)
+    TF.commit_cursor(cursor, pre)  # rewind = the crash window
+    TF.replicate_changes(spark, src, dst, "id", cursor)
+    assert snap(dst) == snap(src)
+
+    # MOR-applied replication: next increment lands as tombstones/appends
+    TF.delete_where(spark, src, "id BETWEEN 20 AND 24", mode="cow")
+    before = {e["path"] for e in TF.manifest(dst)}
+    TF.replicate_changes(spark, src, dst, "id", cursor, write_mode="mor")
+    assert snap(dst) == snap(src)
+    assert before <= {e["path"] for e in TF.manifest(dst)}  # no dst rewrite
+
+
 def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
     """Model-based property test: random sequences of table operations
     (keyed merge upsert / merge delete / predicate delete / restore /
