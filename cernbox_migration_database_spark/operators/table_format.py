@@ -507,7 +507,7 @@ def read_table(
     vdir = _vdir(root, v)
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} of {root} does not exist (vacuumed?)")
-    reader, cols = _snapshot_reader(spark, root, v)
+    reader, cols, pcols = _snapshot_reader(spark, root, v)
     try:
         entries = manifest(root, v)
     except Exception:
@@ -520,12 +520,7 @@ def read_table(
         empty = _empty_snapshot_df(spark, root, v, cols)
         if empty is not None:
             return empty
-    df = _apply_dv(
-        spark,
-        reader.parquet(vdir),
-        vdir,
-        len(_part_cols(partition_scheme(root, v))),
-    )
+    df = _apply_dv(spark, reader.parquet(vdir), vdir, len(pcols))
     if cols and set(cols) == set(df.columns):
         df = df.select(*cols)
     return df
@@ -550,10 +545,11 @@ def _empty_snapshot_df(spark, root: str, v: int, cols):
 
 
 def _snapshot_reader(spark: SparkSession, root: str, v: int):
-    """The (reader, logical column order) pair for snapshot ``v`` — shared
-    by the directory read (:func:`read_table`) and the manifest-planned
-    file-list read (:func:`scan_partitions`) so both apply identical
-    schema-evolution and column-order policy."""
+    """The (reader, logical column order, partition columns) triple for
+    snapshot ``v`` — shared by the directory read (:func:`read_table`) and
+    the manifest-planned file-list read (:func:`scan_partitions`) so both
+    apply identical schema-evolution and column-order policy, from ONE
+    commit-log read."""
     entries = [e for e in history(root) if e["version"] <= v]
     # Hardlink-carried partitions keep their ORIGINAL files, so after a
     # schema-evolving merge a version directory legitimately mixes footer
@@ -579,7 +575,7 @@ def _snapshot_reader(spark: SparkSession, root: str, v: int):
     # read surfaces the partition column last, which would leak the
     # physical layout into the table's schema contract.
     cols = entries[-1].get("columns") or entries[0].get("columns")
-    return reader, cols
+    return reader, cols, _part_cols(entries[-1].get("partition_by"))
 
 
 def history(root: str) -> list[dict]:
@@ -1384,8 +1380,7 @@ def _snapshot_with_rowid(spark: SparkSession, root: str, v: int):
     tombstoned by an earlier commit must be invisible to later predicates
     and can never be tombstoned twice). Returns ``(df, pcols)``."""
     vdir = _vdir(root, v)
-    pcols = _part_cols(partition_scheme(root, v))
-    reader, cols = _snapshot_reader(spark, root, v)
+    reader, cols, pcols = _snapshot_reader(spark, root, v)
     df = (
         reader.parquet(vdir)
         .withColumn("__f", _rel_file_expr(len(pcols)))
@@ -1937,14 +1932,14 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     """Read an explicit manifest-chosen file list as the snapshot schema
     (basePath keeps hive partition columns; empty list → empty frame)."""
     vdir = _vdir(root, v)
-    reader, cols = _snapshot_reader(spark, root, v)
+    reader, cols, pcols = _snapshot_reader(spark, root, v)
     if not paths:
         return read_table(spark, root, v).where(F.lit(False))
     df = _apply_dv(
         spark,
         reader.option("basePath", vdir).parquet(*paths),
         vdir,
-        len(_part_cols(partition_scheme(root, v))),
+        len(pcols),
     )
     if cols:
         missing = [c for c in cols if c not in df.columns]
@@ -2379,6 +2374,7 @@ def stream_merge_into(
     checkpoint_location: str | None = None,
     optimize_every: int | None = None,
     optimize_max_files: int = 8,
+    write_mode: str = "cow",
 ):
     """Streaming MERGE INTO the versioned table: each micro-batch is first
     reduced LAST-WINS per key on ``order_cols`` (a batch may carry several
@@ -2405,6 +2401,13 @@ def stream_merge_into(
     layout-only (the CDF ignores it; replays stay no-ops), planned entirely
     from the manifest sidecar, and sequential with the merges inside
     foreachBatch — no writer races.
+
+    ``write_mode='mor'`` merges each micro-batch merge-on-read: the batch
+    lands as tombstones + appended files (O(batch rows) per commit, no
+    partition rewrites on the ingest path) and the SAME periodic
+    compaction both collapses small files and materializes the
+    accumulated tombstones — the pairing that keeps a high-frequency
+    upsert stream's per-batch latency flat while read cost stays bounded.
 
     Returns the started StreamingQuery; callers stop() it. The table must
     already exist (create_table) so inserts inherit its schema contract.
@@ -2434,6 +2437,7 @@ def stream_merge_into(
                 on=on,
                 check_cardinality=False,  # last-wins reduction IS the guarantee
                 matched_condition=newer,
+                write_mode=write_mode,
             )
         if optimize_every and epoch_id % optimize_every == optimize_every - 1:
             worst = small_file_partitions(root, max_files=optimize_max_files)

@@ -294,6 +294,67 @@ def test_stream_merge_into_equals_batch_latest_and_is_idempotent(spark, sf_dir, 
     # ...but byte-equal data (idempotent merge)
 
 
+def test_stream_merge_mor_with_inline_optimize(spark, sf_dir, tmp_path):
+    """Streaming MERGE INTO with write_mode='mor': every micro-batch lands
+    as tombstones + appends (no partition rewrites on the ingest path) and
+    the in-line OPTIMIZE both collapses small files and materializes the
+    accumulated deletion vectors. End state must equal batch
+    keep-latest-per-user exactly — same contract as the COW stream."""
+    from cernbox_migration_database_spark import streaming as ST
+    from cernbox_migration_database_spark.sources.catalog import load_table
+    from pyspark.sql import Window as W2
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    w = W2.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = lambda df: (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    # seed with each user's EARLIEST row so the stream genuinely updates
+    # every seeded user (tombstone + append in every bucket)
+    w_first = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    seed = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .where("_rn = 1")
+        .drop("_rn")
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+    )
+    root = str(tmp_path / "t")
+    TF.create_table(seed, root, partition_by="bucket")
+    q = TF.stream_merge_into(
+        ST.read_event_stream(spark, sf_dir)
+        .select(*cols)
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int")),
+        root,
+        on="user_id",
+        order_cols=["ts", "event_id"],
+        write_mode="mor",
+        # the fixture stream arrives as ONE micro-batch: run maintenance
+        # after every batch, flagging any partition with >1 file (seed +
+        # MOR appends) so the compaction also materializes the tombstones
+        optimize_every=1,
+        optimize_max_files=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"]) for r in latest(ev).collect()
+    }
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in TF.read_table(spark, root).collect()
+    }
+    assert got == want
+    # at least one merge_mor commit landed, and the inline maintenance ran
+    actions = [e["action"] for e in TF.history(root)]
+    assert "merge_mor" in actions
+    assert "compact_partitions" in actions
+
+
 def test_schema_evolution_merge_and_time_travel(spark, tmp_path):
     root = str(tmp_path / "t")
     TF.create_table(_base(spark), root, partition_by="grp")

@@ -176,7 +176,13 @@ def table_mode_main(argv: list[str]) -> int:
         vs hardlinked bytes (the claim: amplification tracks the touched
         fraction, not table size);
       * matview refresh wall-time for a FIXED-size delta (the claim:
-        refresh is delta-bound — flat as the base grows).
+        refresh is delta-bound — flat as the base grows);
+      * a SPARSE scattered delete (~0.1 % of rows, touching EVERY
+        partition) committed both copy-on-write and merge-on-read from
+        two shallow clones of the same snapshot (the claim: COW rewrite
+        bytes track TABLE size while MOR tombstone bytes track DELETED
+        rows — flat in k — which is why deletion vectors exist), plus the
+        DV read tax (post-delete scan wall-time, MOR vs COW).
     """
     import tempfile
 
@@ -272,6 +278,34 @@ def table_mode_main(argv: list[str]) -> int:
             ]
             listing_ms = 1000 * (time.monotonic() - t0)
             assert len(entries) == len(listed)
+            # Sparse scattered delete, COW vs MOR, from two shallow
+            # clones of the SAME snapshot (clone = hardlink carry, so the
+            # branch itself is free and both sides start byte-identical).
+            c_cow, c_mor = os.path.join(d, "c_cow"), os.path.join(d, "c_mor")
+            TF.clone_table(root, c_cow)
+            TF.clone_table(root, c_mor)
+            pred = "o_orderkey % 997 = 0"
+            t0 = time.monotonic()
+            TF.delete_where(spark, c_cow, pred, mode="cow")
+            cow_sec = time.monotonic() - t0
+            cow_new, _l = sizes(
+                os.path.join(c_cow, "_versions", "v00000002"),
+                inodes(os.path.join(c_cow, "_versions", "v00000001")),
+            )
+            t0 = time.monotonic()
+            TF.delete_where(spark, c_mor, pred, mode="mor")
+            mor_sec = time.monotonic() - t0
+            mor_vdir = os.path.join(c_mor, "_versions", "v00000002")
+            mor_new = sum(
+                os.path.getsize(p) for p in TF._dv_files(mor_vdir)
+            )
+            t0 = time.monotonic()
+            n_mor = TF.read_table(spark, c_mor).count()
+            mor_read = time.monotonic() - t0
+            t0 = time.monotonic()
+            n_cow = TF.read_table(spark, c_cow).count()
+            cow_read = time.monotonic() - t0
+            assert n_mor == n_cow
             return {
                 "table_bytes": total,
                 "rewritten_bytes": new_b,
@@ -281,6 +315,12 @@ def table_mode_main(argv: list[str]) -> int:
                 "plan_files": len(entries),
                 "manifest_plan_ms": round(manifest_ms, 1),
                 "listing_plan_ms": round(listing_ms, 1),
+                "sparse_delete_cow_sec": round(cow_sec, 2),
+                "sparse_delete_cow_rewritten_bytes": cow_new,
+                "sparse_delete_mor_sec": round(mor_sec, 2),
+                "sparse_delete_mor_tombstone_bytes": mor_new,
+                "post_delete_read_cow_sec": round(cow_read, 2),
+                "post_delete_read_mor_sec": round(mor_read, 2),
             }
 
     r1, rk = run(1), run(k)
@@ -295,6 +335,15 @@ def table_mode_main(argv: list[str]) -> int:
                 f"at_{k}x": rk,
                 "mv_refresh_ratio": round(
                     rk["mv_refresh_sec"] / max(r1["mv_refresh_sec"], 1e-9), 2
+                ),
+                # COW bytes grow ~k-fold with the table; MOR tombstone
+                # bytes track deleted-row count (×k rows deleted here, so
+                # ~k in bytes too, but 3-4 orders of magnitude smaller —
+                # the ratio of ratios below is the headline claim)
+                "sparse_delete_write_ratio_cow_over_mor_at_k": round(
+                    rk["sparse_delete_cow_rewritten_bytes"]
+                    / max(rk["sparse_delete_mor_tombstone_bytes"], 1),
+                    1,
                 ),
             }
         )
