@@ -1381,6 +1381,24 @@ def _snapshot_with_rowid(spark: SparkSession, root: str, v: int):
     and can never be tombstoned twice). Returns ``(df, pcols)``."""
     vdir = _vdir(root, v)
     reader, cols, pcols = _snapshot_reader(spark, root, v)
+    try:
+        entries = manifest(root, v)
+    except Exception:
+        entries = None
+    if entries == []:
+        # Zero-data-file snapshot (a COW delete matched every row): the
+        # directory read would fail schema inference, exactly like the
+        # read_table empty-epoch case — synthesize the empty frame (with
+        # null row identity: there are no physical rows to tombstone).
+        # Found by the model-based property test interleaving a
+        # wipe-everything COW delete with a merge-on-read upsert.
+        empty = _empty_snapshot_df(spark, root, v, cols)
+        if empty is not None:
+            return (
+                empty.withColumn("__f", F.lit(None).cast("string"))
+                .withColumn("__p", F.lit(None).cast("long")),
+                pcols,
+            )
     df = (
         reader.parquet(vdir)
         .withColumn("__f", _rel_file_expr(len(pcols)))
@@ -2297,6 +2315,82 @@ def read_changes_since(
         ),
         cur,
     )
+
+
+def purge_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    keep_last: int = 1,
+) -> dict:
+    """Compliance-grade (RTBF/GDPR) PHYSICAL purge. A plain DELETE — COW
+    or MOR — is a LOGICAL delete: the bytes survive in earlier version
+    directories (time travel is the feature), and under merge-on-read
+    they survive in the CURRENT version's data files too, masked only by
+    tombstones. Erasure obligations need the bytes gone; this helper runs
+    the full recipe and proves it:
+
+    1. copy-on-write ``delete_where`` — matched partitions are REWRITTEN
+       without the matching rows (a MOR delete would leave the rows on
+       disk), everything else hardlinks forward;
+    2. ``vacuum(keep_last=...)`` — drops the historical version
+       directories that still contain the purged bytes. ``keep_last=1``
+       keeps only the purged snapshot: maximal erasure, no time travel
+       past the purge (the compliance trade-off made explicit).
+
+    Partition planning runs against the PHYSICAL (pre-deletion-vector)
+    snapshot: a row already tombstoned by an earlier MOR delete is
+    invisible to the logical predicate, but its bytes still sit in the
+    partition's files — a delete_where-based purge would hardlink that
+    partition forward untouched (caught live by this module's byte-scan
+    test). Every partition holding a physical match is rewritten from the
+    DV-applied read (materializing its tombstones on the way), so the
+    purged bytes exist in no surviving file.
+
+    Returns ``{"version": new, "removed_versions": [...],
+    "residual_versions": [...]}`` where residual_versions lists still-
+    readable snapshots that PREDATE the purge commit (non-empty when
+    ``keep_last > 1`` or another writer raced a commit in between) — an
+    auditor's signal that erasure is not yet complete. Clones are
+    independent tables and must be purged separately (hardlinked bytes
+    live until the LAST referent drops — documented inode semantics)."""
+    base_v = current_version(root)
+    vdir = _vdir(root, base_v)
+    reader, _cols, pcols = _snapshot_reader(spark, root, base_v)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = F.coalesce(cond, F.lit(False))
+    logical = read_table(spark, root, base_v)
+    if pcols:
+        # physical matches: the raw scan, tombstones NOT subtracted
+        raw = reader.parquet(vdir)
+        touched = {
+            tuple(r)
+            for r in raw.where(matched).select(*pcols).distinct().collect()
+        }
+        keep = logical.where(_part_in(pcols, touched))
+    else:
+        touched = None
+        keep = logical
+    new_v = _cow_commit(
+        root,
+        base_v,
+        pcols,
+        keep.where(~matched),
+        touched,
+        {"action": "purge", "columns": logical.columns,
+         "schema_json": logical.schema.json()},
+    )
+    removed = vacuum(root, keep_last=keep_last)
+    residual = [
+        e["version"]
+        for e in history(root)
+        if e["version"] < new_v and os.path.isdir(_vdir(root, e["version"]))
+    ]
+    return {
+        "version": new_v,
+        "removed_versions": removed,
+        "residual_versions": residual,
+    }
 
 
 def replicate_changes(

@@ -1974,6 +1974,62 @@ def test_mor_fully_emptied_partition_stays_consistent(spark, tmp_path):
     assert set(out.columns) == {"id", "grp", "val"}
 
 
+def test_mor_ops_on_zero_file_snapshot(spark, tmp_path):
+    """Regression (found by the model-based property test): a COW delete
+    that wipes EVERY row leaves a zero-data-file snapshot; a following
+    merge-on-read op must synthesize the empty frame from the recorded
+    schema instead of failing parquet schema inference — and the MOR
+    insert must repopulate the table."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    TF.delete_where(spark, root, "val >= 0")  # COW full wipe
+    assert TF.read_table(spark, root).count() == 0
+    src = spark.createDataFrame([Row(id=9, grp="z", val=1.0)])
+    TF.merge_into(spark, root, src, on="id", write_mode="mor")
+    got = TF.read_table(spark, root).collect()
+    assert [(r["id"], r["grp"], r["val"]) for r in got] == [(9, "z", 1.0)]
+    # MOR delete/update on an (again) empty snapshot are no-op commits
+    TF.delete_where(spark, root, "TRUE", mode="mor")
+    TF.update_where(spark, root, "val > 0", {"val": "val + 1"}, mode="mor")
+    assert TF.read_table(spark, root).count() == 0
+
+
+def test_purge_where_physically_removes_bytes(spark, tmp_path):
+    """RTBF purge: after purge_where, the purged rows' bytes exist in NO
+    remaining version directory — including the case where they were
+    previously only TOMBSTONED (merge-on-read), which a logical delete
+    alone would leave on disk."""
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 4).cast("int").alias("grp"),
+        F.concat(F.lit("SECRET-"), F.col("id"), F.lit("-X")).alias("payload"),
+    )
+    TF.create_table(df, root, partition_by="grp")
+    # a MOR delete first: rows masked but bytes still in current files
+    TF.delete_where(spark, root, "id = 7", mode="mor")
+
+    def secret_on_disk(needle: bytes) -> bool:
+        for dp, _dn, fs in os.walk(os.path.join(root, "_versions")):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    with open(os.path.join(dp, f), "rb") as fh:
+                        if needle in fh.read():
+                            return True
+        return False
+
+    assert secret_on_disk(b"SECRET-7-X")  # MOR delete is logical only
+
+    out = TF.purge_where(spark, root, "id IN (7, 13)", keep_last=1)
+    assert not secret_on_disk(b"SECRET-7-X")
+    assert not secret_on_disk(b"SECRET-13-X")
+    assert secret_on_disk(b"SECRET-14-X")  # untouched rows intact
+    assert out["residual_versions"] == []
+    got = TF.read_table(spark, root)
+    assert got.count() == 98
+    assert got.where("id IN (7, 13)").count() == 0
+
+
 def test_replicate_changes_cdc_replica_converges_and_is_idempotent(
     spark, tmp_path
 ):
