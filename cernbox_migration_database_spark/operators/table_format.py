@@ -597,6 +597,69 @@ def partition_scheme(root: str, version: int | None = None) -> str | None:
     return entries[-1].get("partition_by")
 
 
+def table_checks(root: str, version: int | None = None) -> dict[str, str]:
+    """The CHECK constraints in effect at ``version`` (default current):
+    the NEWEST commit at-or-before it that carries a ``checks`` record —
+    create_table sets the initial contract, :func:`set_checks` commits a
+    revision (ALTER TABLE ADD/DROP CONSTRAINT)."""
+    v = current_version(root) if version is None else version
+    for e in reversed([e for e in history(root) if e["version"] <= v]):
+        if "checks" in e:
+            return e["checks"] or {}
+    return {}
+
+
+def set_checks(spark: SparkSession, root: str, checks: dict[str, str]) -> int:
+    """``ALTER TABLE ... ADD/DROP CONSTRAINT`` as a metadata-only commit:
+    record the FULL new constraint set (name → SQL predicate). Adding a
+    constraint validates the CURRENT snapshot first — an ALTER that the
+    existing data violates must fail, not poison future writers — then
+    the commit hardlinks every data file forward (zero data IO). Every
+    later create/merge/update enforces the new set; time travel sees the
+    constraints that were in effect at each version."""
+    base_v = current_version(root)
+    new = {n: s for n, s in (checks or {}).items()}
+    added = {n: s for n, s in new.items() if table_checks(root).get(n) != s}
+    if added:
+        _enforce_checks(read_table(spark, root, base_v), added, "alter")
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    try:
+        _linked, carry_copied = _link_tree(_vdir(root, base_v), staging)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        _unclaim(vdir)
+        raise
+    entries = [e for e in history(root) if e["version"] <= base_v]
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "set_checks",
+            "parent": base_v,
+            "checks": new,
+            "partition_by": entries[-1].get("partition_by"),
+            "columns": entries[-1].get("columns") or entries[0].get("columns"),
+            **(
+                {"schema_json": sj}
+                if (sj := next(
+                    (
+                        e.get("schema_json")
+                        for e in reversed(entries)
+                        if e.get("schema_json")
+                    ),
+                    None,
+                ))
+                else {}
+            ),
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
+        },
+    )
+    return new_v
+
+
 def version_at(root: str, ts: float) -> int:
     """AS OF timestamp resolution: the version that was current at unix
     time ``ts`` (the newest commit with commit-ts <= ts). Compose with
@@ -832,7 +895,6 @@ def merge_into(
         assert_exactly_one(source, keys[0] if len(keys) == 1 else keys)
 
     base_v = current_version(root)
-    meta = history(root)[0]
     if write_mode == "mor":
         target, pcols = _snapshot_with_rowid(spark, root, base_v)
         rowid = ["__f", "__p"]
@@ -1050,7 +1112,7 @@ def merge_into(
             & F.lit(when_not_matched == "insert")
         )
     )
-    table_checks = meta.get("checks") or {}
+    checks_now = table_checks(root, base_v)
     if write_mode == "mor":
         # Tombstone every matched target row the merge consumes (update
         # replaces it with an appended image; delete just removes it), and
@@ -1068,8 +1130,8 @@ def merge_into(
                 & F.lit(when_not_matched == "insert")
             )
         ).select(*out_cols)
-        if table_checks:
-            _enforce_checks(appended, table_checks, "merge")
+        if checks_now:
+            _enforce_checks(appended, checks_now, "merge")
         return _mor_commit(
             spark,
             root,
@@ -1086,11 +1148,11 @@ def merge_into(
         )
 
     merged = joined.where(survives).select(*out_cols)
-    if table_checks:
+    if checks_now:
         # One extra aggregate pass over the rewritten rows, and only when
         # the table declares constraints; a violating merge aborts with
         # the base version still live (nothing claimed or written yet).
-        _enforce_checks(merged, table_checks, "merge")
+        _enforce_checks(merged, checks_now, "merge")
 
     return _cow_commit(
         root,
@@ -1228,7 +1290,6 @@ def _mor_modify(spark, root, condition, set_exprs, action) -> int:
     makes cross-partition SET moves natural — the new image simply lands
     in its new partition's appended file)."""
     base_v = current_version(root)
-    meta0 = history(root)[0]
     df, pcols = _snapshot_with_rowid(spark, root, base_v)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     matched = df.where(F.coalesce(cond, F.lit(False)))
@@ -1250,9 +1311,9 @@ def _mor_modify(spark, root, condition, set_exprs, action) -> int:
         appended = matched.select(
             *[exprs[c].alias(c) if c in exprs else F.col(c) for c in data_cols]
         )
-        table_checks = meta0.get("checks") or {}
-        if table_checks:
-            _enforce_checks(appended, table_checks, "update")
+        checks_now = table_checks(root, base_v)
+        if checks_now:
+            _enforce_checks(appended, checks_now, "update")
     return _mor_commit(
         spark,
         root,
@@ -1302,7 +1363,6 @@ def update_where(
 
 def _modify_where(spark, root, condition, set_exprs, action) -> int:
     base_v = current_version(root)
-    meta = history(root)[0]
     pcols = _part_cols(partition_scheme(root, base_v))
     target = read_table(spark, root, base_v)
 
@@ -1359,9 +1419,9 @@ def _modify_where(spark, root, condition, set_exprs, action) -> int:
                 for c in keep.columns
             ]
         )
-        table_checks = meta.get("checks") or {}
-        if table_checks:
-            _enforce_checks(rewritten, table_checks, "update")
+        checks_now = table_checks(root, base_v)
+        if checks_now:
+            _enforce_checks(rewritten, checks_now, "update")
 
     return _cow_commit(
         root,
@@ -1667,7 +1727,13 @@ def clone_table(
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
             "evolved": evolved,
-            "checks": entries[0].get("checks") or {},
+            # constraints in effect AT the cloned version (alterable via
+            # set_checks — the first commit is not authoritative)
+            "checks": next(
+                (e["checks"] for e in reversed(entries) if "checks" in e),
+                {},
+            )
+            or {},
         },
     )
     return 1
@@ -1920,6 +1986,36 @@ def small_file_partitions(
     ]
 
 
+def tombstone_heavy_partitions(
+    root: str, max_ratio: float = 0.1, version: int | None = None
+) -> list[str]:
+    """Partitions whose deletion-vector tombstones exceed ``max_ratio`` of
+    their physical rows — the merge-on-read maintenance trigger, planned
+    entirely from the two sidecars (manifest row counts + ``_dv_counts``;
+    zero file opens, zero cluster work). Every MOR commit shifts cost to
+    readers (one anti-join over the tombstones); past a threshold the
+    right move is materializing them with a partition-scoped rewrite.
+    Returns relative partition paths sorted worst-first; feed straight
+    into ``compact_partitions(rels=...)`` — the rewrite reads the
+    DV-applied snapshot, so compaction retires exactly these partitions'
+    vectors. Complements :func:`small_file_partitions` (fragmentation) as
+    the second OPTIMIZE trigger."""
+    v = current_version(root) if version is None else version
+    dv = _dv_counts(_vdir(root, v))
+    if not dv:
+        return []
+    rows: dict[str, int] = {}
+    for e in manifest(root, v):
+        rel = os.path.dirname(e["path"])
+        rows[rel] = rows.get(rel, 0) + (e.get("rows") or 0)
+    scored = [
+        (n / rows[rel], rel)
+        for rel, n in dv.items()
+        if rows.get(rel) and n / rows[rel] > max_ratio
+    ]
+    return [rel for _ratio, rel in sorted(scored, key=lambda t: (-t[0], t[1]))]
+
+
 def scan_partitions(
     spark: SparkSession,
     root: str,
@@ -2159,10 +2255,13 @@ def read_changes(
     old = old.select(*new.columns)
 
     entries = [e for e in history(root) if from_version < e["version"] <= to_version]
-    # Layout-only commits (full or partition-scoped compaction) change no
-    # rows — they neither widen the pruning set nor contribute changes.
+    # Layout/metadata-only commits (compaction, constraint changes)
+    # change no rows — they neither widen the pruning set nor contribute
+    # changes.
     data_commits = [
-        e for e in entries if e["action"] not in ("compact", "compact_partitions")
+        e
+        for e in entries
+        if e["action"] not in ("compact", "compact_partitions", "set_checks")
     ]
     part_col = data_commits[0].get("partition_by") if data_commits else None
     touched: set[str] | None = set()
@@ -2534,9 +2633,15 @@ def stream_merge_into(
                 write_mode=write_mode,
             )
         if optimize_every and epoch_id % optimize_every == optimize_every - 1:
-            worst = small_file_partitions(root, max_files=optimize_max_files)
+            worst = set(small_file_partitions(root, max_files=optimize_max_files))
+            if write_mode == "mor":
+                # MOR batches also accrue tombstones; past 10% of a
+                # partition's rows the read-side anti-join tax outweighs
+                # the rewrite — materialize them in the same maintenance
+                # pass (both triggers plan from sidecars only)
+                worst |= set(tombstone_heavy_partitions(root))
             if worst:
-                compact_partitions(spark, root, rels=worst)
+                compact_partitions(spark, root, rels=sorted(worst))
 
     writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
     if checkpoint_location is not None:

@@ -1994,6 +1994,82 @@ def test_mor_ops_on_zero_file_snapshot(spark, tmp_path):
     assert TF.read_table(spark, root).count() == 0
 
 
+def test_set_checks_alter_validate_and_time_travel(spark, tmp_path):
+    """ALTER TABLE constraints: set_checks validates the current snapshot
+    before committing (an ALTER the data violates must fail), later
+    writes enforce the NEW set, dropping a constraint re-permits writes,
+    and the constraint set is version-resolved (time travel semantics)."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    assert TF.table_checks(root) == {}
+
+    # adding a constraint the existing data violates fails pre-commit
+    with pytest.raises(ValueError, match="val_small"):
+        TF.set_checks(spark, root, {"val_small": "val < 20"})
+    assert TF.current_version(root) == 1  # nothing committed
+
+    v2 = TF.set_checks(spark, root, {"val_pos": "val > 0"})
+    assert TF.table_checks(root) == {"val_pos": "val > 0"}
+    assert TF.table_checks(root, version=1) == {}
+
+    # the new constraint gates writes through every path
+    bad = spark.createDataFrame([Row(id=9, grp="a", val=-1.0)])
+    with pytest.raises(ValueError, match="val_pos"):
+        TF.merge_into(spark, root, bad, on="id")
+    with pytest.raises(ValueError, match="val_pos"):
+        TF.merge_into(spark, root, bad, on="id", write_mode="mor")
+    with pytest.raises(ValueError, match="val_pos"):
+        TF.update_where(spark, root, "id = 1", {"val": "-5.0"})
+
+    # dropping it re-permits; the metadata commit carried data untouched
+    TF.set_checks(spark, root, {})
+    TF.update_where(spark, root, "id = 1", {"val": "-5.0"})
+    assert (
+        TF.read_table(spark, root).where("id = 1").collect()[0]["val"] == -5.0
+    )
+    # set_checks commits are metadata-only for the change feed
+    ch = TF.read_changes(spark, root, "id", 1, v2)
+    assert ch.count() == 0
+    # clone inherits the constraints in effect AT the cloned version
+    TF.set_checks(spark, root, {"val_any": "val IS NOT NULL"})
+    clone = str(tmp_path / "c")
+    TF.clone_table(root, clone)
+    with pytest.raises(ValueError, match="val_any"):
+        TF.merge_into(
+            spark,
+            clone,
+            spark.createDataFrame(
+                [(77, "a", None)], "id long, grp string, val double"
+            ),
+            on="id",
+        )
+
+
+def test_tombstone_heavy_partitions_feeds_compaction(spark, tmp_path):
+    """MOR maintenance trigger: partitions past the tombstone-ratio
+    threshold are flagged (sidecar-planned, worst first) and a
+    partition-scoped compaction retires exactly their vectors."""
+    df = spark.range(100).select(
+        "id", (F.col("id") % 2).cast("int").alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+    root = str(tmp_path / "t")
+    TF.create_table(df, root, partition_by="grp")
+    # grp=0: 40% tombstoned; grp=1: 2% — only grp=0 crosses 10%
+    TF.delete_where(spark, root, "grp = 0 AND id % 5 < 2", mode="mor")
+    TF.delete_where(spark, root, "id = 1", mode="mor")
+    assert TF.tombstone_heavy_partitions(root, max_ratio=0.1) == ["grp=0"]
+    assert TF.tombstone_heavy_partitions(root, max_ratio=0.5) == []
+    TF.compact_partitions(
+        spark, root, rels=TF.tombstone_heavy_partitions(root, max_ratio=0.1)
+    )
+    assert TF._dv_counts(TF._vdir(root, TF.current_version(root))) == {
+        "grp=1": 1
+    }
+    assert TF.read_table(spark, root).count() == 79
+    assert TF.tombstone_heavy_partitions(root, max_ratio=0.1) == []
+
+
 def test_purge_where_physically_removes_bytes(spark, tmp_path):
     """RTBF purge: after purge_where, the purged rows' bytes exist in NO
     remaining version directory — including the case where they were
