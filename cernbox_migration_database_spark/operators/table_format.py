@@ -163,26 +163,34 @@ def _has_dv(vdir: str) -> bool:
     return os.path.isdir(os.path.join(vdir, _DV))
 
 
-def _dv_files(vdir: str) -> list[str]:
+def _dv_files(vdir: str, rels: list[str] | None = None) -> list[str]:
     """Absolute paths of the snapshot's tombstone parquet files. Read as an
     EXPLICIT file list: the ``_dv`` root itself is underscore-hidden (so the
     snapshot's data read can never pick it up), and handing Spark the leaf
     files directly sidesteps the hidden-root filtering instead of leaning on
-    it warning-and-proceeding."""
+    it warning-and-proceeding. ``rels`` restricts to the named partitions'
+    tombstone subtrees — a pruned scan only needs the tombstones of the
+    partitions it reads (vectors mirror the hive layout for exactly this)."""
+    dvdir = os.path.join(vdir, _DV)
+    if rels is None:
+        roots = [dvdir]
+    else:
+        roots = [os.path.join(dvdir, r) for r in rels]
     out = []
-    for dirpath, _dirnames, filenames in os.walk(os.path.join(vdir, _DV)):
-        for fn in filenames:
-            if not fn.startswith(("_", ".")):
-                out.append(os.path.join(dirpath, fn))
+    for r in roots:
+        for dirpath, _dirnames, filenames in os.walk(r):
+            for fn in filenames:
+                if not fn.startswith(("_", ".")):
+                    out.append(os.path.join(dirpath, fn))
     return sorted(out)
 
 
-def _dv_frame(spark: SparkSession, vdir: str):
+def _dv_frame(spark: SparkSession, vdir: str, rels: list[str] | None = None):
     """The snapshot's tombstones as a (file, pos) DataFrame, or None when
-    the snapshot carries none."""
+    the snapshot (or the pruned partition subset) carries none."""
     if not _has_dv(vdir):
         return None
-    files = _dv_files(vdir)
+    files = _dv_files(vdir, rels)
     if not files:
         return None
     return spark.read.parquet(*files).select("file", "pos")
@@ -224,11 +232,18 @@ def _rel_file_expr(n_pcols: int):
     )
 
 
-def _apply_dv(spark: SparkSession, df: DataFrame, vdir: str, n_pcols: int) -> DataFrame:
+def _apply_dv(
+    spark: SparkSession,
+    df: DataFrame,
+    vdir: str,
+    n_pcols: int,
+    rels: list[str] | None = None,
+) -> DataFrame:
     """Subtract the snapshot's deletion vectors from a raw file scan:
     anti-join on (relative file path, row index). No-op (plan-identical)
-    for snapshots without tombstones."""
-    raw = _dv_frame(spark, vdir)
+    for snapshots without tombstones. ``rels`` prunes the tombstone read
+    to the scanned partitions."""
+    raw = _dv_frame(spark, vdir, rels)
     if raw is None:
         return df
     dv = raw.select(
@@ -2049,11 +2064,17 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     reader, cols, pcols = _snapshot_reader(spark, root, v)
     if not paths:
         return read_table(spark, root, v).where(F.lit(False))
+    # tombstones prune WITH the scan: only the read partitions' vectors
+    # load (dirname of each chosen file's vdir-relative path)
+    rels = sorted(
+        {os.path.dirname(os.path.relpath(p, vdir)) for p in paths}
+    )
     df = _apply_dv(
         spark,
         reader.option("basePath", vdir).parquet(*paths),
         vdir,
         len(pcols),
+        rels=rels,
     )
     if cols:
         missing = [c for c in cols if c not in df.columns]

@@ -2070,6 +2070,34 @@ def test_tombstone_heavy_partitions_feeds_compaction(spark, tmp_path):
     assert TF.tombstone_heavy_partitions(root, max_ratio=0.1) == []
 
 
+def test_pruned_scans_apply_partition_scoped_tombstones(spark, tmp_path):
+    """Manifest-planned pruned reads on a MOR table must subtract exactly
+    the scanned partitions' tombstones (the DV read prunes WITH the scan)
+    and stay result-identical to the filtered full read."""
+    df = spark.range(60).select(
+        "id", (F.col("id") % 3).cast("int").alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+    root = str(tmp_path / "t")
+    TF.create_table(df, root, partition_by="grp")
+    TF.delete_where(spark, root, "id % 4 = 1", mode="mor")
+    want = {
+        r["id"]
+        for r in TF.read_table(spark, root).where("grp = 2").collect()
+    }
+    got = {r["id"] for r in TF.scan_partitions(spark, root, ["grp=2"]).collect()}
+    assert got == want and got  # non-empty and identical
+    # the pruned DV file list is a strict subset of the full one
+    vdir = TF._vdir(root, TF.current_version(root))
+    assert set(TF._dv_files(vdir, ["grp=2"])) < set(TF._dv_files(vdir))
+    # stats-pruned range scan composes with tombstones too
+    sw = TF.scan_files_where(spark, root, "id", lo=10, hi=30)
+    assert {r["id"] for r in sw.collect()} == {
+        r["id"]
+        for r in TF.read_table(spark, root).where("id BETWEEN 10 AND 30").collect()
+    }
+
+
 def test_purge_where_physically_removes_bytes(spark, tmp_path):
     """RTBF purge: after purge_where, the purged rows' bytes exist in NO
     remaining version directory — including the case where they were
