@@ -802,6 +802,45 @@ def test_merge_with_retry_race_and_orphan(spark, tmp_path, monkeypatch):
         )
 
 
+def test_mor_merge_retry_races_cow_writer(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency across write PROTOCOLS: a merge-on-read
+    merge that loses its version claim to a racing COW update must re-run
+    against the winner's snapshot — its tombstones then reference the
+    winner's REWRITTEN files (the raced partition's old files are gone),
+    and both writers' effects land."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+
+    real_claim = TF._claim_version
+    state = {"raced": False}
+
+    def racing_claim(r, version):
+        if not state["raced"]:
+            state["raced"] = True
+            # competing COW writer rewrites partition 'a' first
+            TF.update_where(spark, r, "id = 2", {"val": "222.0"})
+            raise FileExistsError("lost the claim")
+        return real_claim(r, version)
+
+    monkeypatch.setattr(TF, "_claim_version", racing_claim)
+    v = TF.commit_with_retry(
+        root,
+        lambda: TF.merge_into(
+            spark, root,
+            spark.createDataFrame([Row(id=1, grp="a", val=111.0)]),
+            on="id", when_not_matched=None, write_mode="mor",
+        ),
+        what="mor-merge",
+    )
+    monkeypatch.setattr(TF, "_claim_version", real_claim)
+    assert v == 3
+    got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: 111.0, 2: 222.0, 3: 30.0, 4: 40.0}
+    # the MOR commit's tombstone points into the COW winner's v2 file set
+    assert TF.history(root)[-1]["action"] == "merge_mor"
+    assert TF._dv_counts(TF._vdir(root, 3)) == {"grp=a": 1}
+
+
 def test_delete_where_cow_null_semantics_and_pruning(spark, tmp_path):
     root = str(tmp_path / "del")
     base = spark.createDataFrame(
