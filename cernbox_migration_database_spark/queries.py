@@ -8417,6 +8417,120 @@ def graph_bfs_levels(spark, sf_dir):
     )
 
 
+@register(
+    "search_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tfc FROM toks
+      WHERE tok IN {repr(tuple(_BM25_TERMS))} GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+    term_scores AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.dfc + 0.5) / (df.dfc + 0.5))
+             * (tf.tfc * ({_BM25_K1!r} + 1.0))
+             / (tf.tfc + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                + {_BM25_B!r} * dl.dlen / stats.avgdl)) AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), stats),
+    lex_scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(s AS DECIMAL(18,12)) * 1000000000000
+                  AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS score
+      FROM term_scores GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM lex_scored),
+    nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    vpairs AS (
+      SELECT c.vec_id AS doc_id,
+             {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+               AS cosine
+      FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = 0),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+      FROM vpairs),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+             + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+      FROM (SELECT * FROM lex WHERE lex_rank <= 50) l
+      FULL OUTER JOIN (SELECT * FROM vec WHERE vec_rank <= 50) v
+        ON l.doc_id = v.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, rrf,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM (
+      SELECT doc_id, lex_rank, vec_rank, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 20
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (k=60): the lexical
+    BM25 top-50 (the registered bm25_search pipeline, reused verbatim)
+    and the cosine top-50 for a query embedding fuse as
+    ``Σ 1/(60 + rank)`` — the standard RAG-stack combiner of sparse and
+    dense retrievers, robust to their incomparable score scales because
+    only RANKS enter the sum. Both ranked lists are top-k-bounded, so the
+    fusion join is metadata-sized regardless of corpus scale; ranks are
+    engine-stable (exact-fixed-point scores with total tie-breaks on both
+    sides) and the RRF sum is two exact single-op divisions, so the fused
+    ordering matches the oracle bitwise. The fused rank uses the two-pass
+    offset scheme (no single-task window)."""
+    from .operators import similarity as S2
+
+    lex = (
+        QUERIES["bm25_search"](spark, sf_dir)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = (
+        S2.knn_bruteforce(
+            emb.where(F.col("vec_id") != 0),
+            emb.where(F.col("vec_id") == 0),
+            top_k=50,
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(1.0 / (60.0 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60.0 + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    ranked = global_rank(
+        fused, [F.col("rrf").desc(), F.col("doc_id")], rank_col="fused_rank"
+    )
+    return ranked.where(F.col("fused_rank") <= 20).select(
+        "doc_id", "lex_rank", "vec_rank", "rrf",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -8499,6 +8613,7 @@ _PRIORITY = [
     # --- first in line for the round-6 window (selfcheck-verified now,
     # window already at its 50-slot capacity) ---
     "graph_bfs_levels",
+    "search_hybrid_rrf",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
     "join_enrich_parts",
