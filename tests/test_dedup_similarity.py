@@ -19,6 +19,8 @@ from cernbox_migration_database_spark.operators.multimodal import (
     decode_media,
     documents_as_media,
     frame_sample_plan,
+    perceptual_hash,
+    phash_near_dup_pairs,
 )
 from cernbox_migration_database_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -148,6 +150,50 @@ def test_multimodal_decode_real_is_marked_stub(spark):
     media = documents_as_media(_docs(spark))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_media(media, fake=False).collect()
+
+
+def test_perceptual_hash_near_dup_pairs(spark):
+    """Image near-dup via dHash + exact pigeonhole banding: a blob with a
+    one-byte corruption must pair with its original at small Hamming
+    distance; unrelated blobs must not pair. The banded candidate path
+    must find every pair brute force finds (pigeonhole exactness)."""
+    base = bytes(range(200)) * 3
+    near = bytearray(base)
+    near[100] ^= 0xFF  # one-byte corruption (big enough to flip a cell)
+    blobs = [
+        (1, base),
+        (2, bytes(near)),
+        (3, b"completely different content " * 30),
+        (4, base),  # exact duplicate of 1
+    ]
+    media = spark.createDataFrame(
+        [(i, b, "image/fake", None, None, None) for i, b in blobs],
+        "media_id long, blob binary, media_type string, width int, "
+        "height int, duration_ms long",
+    )
+    hashes = perceptual_hash(media, fake=True)
+    hs = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in hs.values())
+    assert hs[1] == hs[4]  # identical blobs → identical hash
+
+    pairs = {
+        (r["ia"], r["ib"]): r["hamming"]
+        for r in phash_near_dup_pairs(hashes, max_hamming=8).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 8
+    assert not any(3 in p for p in pairs)
+    # banding is exact: must equal the brute-force pair set
+    brute = {
+        (a, b)
+        for a in hs
+        for b in hs
+        if a < b and sum(x != y for x, y in zip(hs[a], hs[b])) <= 8
+    }
+    assert set(pairs) == brute
+
+    with pytest.raises(Exception, match="NotImplementedError|decoder|dHash"):
+        perceptual_hash(media, fake=False).collect()
 
 
 def test_frame_sample_plan(spark):
