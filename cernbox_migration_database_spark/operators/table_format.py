@@ -1540,7 +1540,7 @@ def _mor_commit(
     root: str,
     base_v: int,
     pcols: list[str],
-    dv_new: DataFrame,
+    dv_new: DataFrame | None,
     appended: DataFrame | None,
     meta: dict,
 ) -> int:
@@ -1563,11 +1563,13 @@ def _mor_commit(
         # Spark outputs stage INSIDE the claimed-version staging dir (dot
         # prefix: invisible to readers, activity keeps vacuum's
         # orphan-grace clock running for the whole write).
-        dv_tmp = os.path.join(staging, ".dv_new")
-        dv_writer = dv_new.write.mode("overwrite")
-        if pcols:
-            dv_writer = dv_writer.partitionBy(*pcols)
-        dv_writer.parquet(dv_tmp)
+        dv_tmp = None
+        if dv_new is not None:
+            dv_tmp = os.path.join(staging, ".dv_new")
+            dv_writer = dv_new.write.mode("overwrite")
+            if pcols:
+                dv_writer = dv_writer.partitionBy(*pcols)
+            dv_writer.parquet(dv_tmp)
         app_tmp = None
         if appended is not None:
             app_tmp = os.path.join(staging, ".appended")
@@ -1578,8 +1580,10 @@ def _mor_commit(
         # Carry the whole base snapshot: data files, existing _dv tree,
         # manifest (reused stats for every carried file), counts sidecar.
         _linked, carry_copied = _link_tree(base_dir, staging)
-        dv_moved = _move_spark_output(dv_tmp, os.path.join(staging, _DV))
-        shutil.rmtree(dv_tmp, ignore_errors=True)
+        dv_moved: dict[str, int] = {}
+        if dv_tmp is not None:
+            dv_moved = _move_spark_output(dv_tmp, os.path.join(staging, _DV))
+            shutil.rmtree(dv_tmp, ignore_errors=True)
         app_moved: dict[str, int] = {}
         if app_tmp is not None:
             app_moved = _move_spark_output(app_tmp, staging)
@@ -2434,6 +2438,50 @@ def read_changes_since(
             spark, root, key, last, cur, include_preimage=include_preimage
         ),
         cur,
+    )
+
+
+def insert_into(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """``INSERT INTO`` — the append-only commit: new rows land as fresh
+    files in their partitions, EVERY existing file hardlink-carries, and
+    nothing is read, joined, or rewritten. Cost is O(inserted rows) — the
+    bulk-load path a merge (which must join against the target to detect
+    matches) cannot match. Append semantics: duplicate keys are NOT
+    detected (a table has no declared key here); use ``merge_into`` for
+    upserts. Source must carry exactly the table's columns (any order);
+    CHECK constraints are enforced pre-commit. Returns the new version."""
+    base_v = current_version(root)
+    pcols = _part_cols(partition_scheme(root, base_v))
+    target_cols = [
+        c
+        for c in (
+            [e for e in history(root) if e["version"] <= base_v][-1].get("columns")
+            or read_table(spark, root, base_v).columns
+        )
+    ]
+    missing = [c for c in target_cols if c not in df.columns]
+    extra = [c for c in df.columns if c not in target_cols]
+    if missing or extra:
+        raise ValueError(
+            f"insert_into source columns {df.columns} != table columns "
+            f"{target_cols} (missing {missing}, unexpected {extra})"
+        )
+    df = df.select(*target_cols)
+    checks_now = table_checks(root, base_v)
+    if checks_now:
+        _enforce_checks(df, checks_now, "insert")
+    return _mor_commit(
+        spark,
+        root,
+        base_v,
+        pcols,
+        None,
+        df,
+        {
+            "action": "insert",
+            "schema_json": df.schema.json(),
+            "columns": target_cols,
+        },
     )
 
 

@@ -2033,6 +2033,42 @@ def test_mor_ops_on_zero_file_snapshot(spark, tmp_path):
     assert TF.read_table(spark, root).count() == 0
 
 
+def test_insert_into_appends_without_rewrite(spark, tmp_path):
+    """INSERT INTO: zero rewrite (base file set strictly carried), new
+    partitions created on demand, CDF reports the appends as inserts,
+    schema mismatch and CHECK violations rejected pre-commit."""
+    root = str(tmp_path / "t")
+    TF.create_table(
+        _base(spark), root, partition_by="grp",
+    )
+    TF.set_checks(spark, root, {"val_pos": "val > 0"})
+    base_files = {e["path"] for e in TF.manifest(root)}
+    TF.insert_into(
+        spark,
+        root,
+        spark.createDataFrame(
+            [Row(id=9, grp="z", val=9.0), Row(id=10, grp="a", val=1.5)]
+        ),
+    )
+    m = {e["path"] for e in TF.manifest(root)}
+    assert base_files < m
+    assert any(p.startswith("grp=z/") for p in m - base_files)
+    got = {r["id"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1, 2, 3, 4, 9, 10}
+    ch = TF.read_changes(spark, root, "id", 2, 3)
+    assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
+        (9, "insert"), (10, "insert"),
+    }
+    with pytest.raises(ValueError, match="val_pos"):
+        TF.insert_into(
+            spark, root, spark.createDataFrame([Row(id=11, grp="a", val=-1.0)])
+        )
+    with pytest.raises(ValueError, match="columns"):
+        TF.insert_into(
+            spark, root, spark.createDataFrame([Row(id=12, grp="a")])
+        )
+
+
 def test_set_checks_alter_validate_and_time_travel(spark, tmp_path):
     """ALTER TABLE constraints: set_checks validates the current snapshot
     before committing (an ALTER the data violates must fail), later
