@@ -536,7 +536,12 @@ def read_table(
         if empty is not None:
             return empty
     df = _apply_dv(spark, reader.parquet(vdir), vdir, len(pcols))
-    if cols and set(cols) == set(df.columns):
+    # SUBSET select: the commit-recorded logical columns both fix the
+    # column ORDER (partitioned reads surface partition columns last) and
+    # implement logical DROP COLUMN — a dropped column's data stays in the
+    # carried files but vanishes from every read until a full rewrite
+    # physically retires it.
+    if cols and set(cols) <= set(df.columns):
         df = df.select(*cols)
     return df
 
@@ -610,6 +615,65 @@ def partition_scheme(root: str, version: int | None = None) -> str | None:
     v = current_version(root) if version is None else version
     entries = [e for e in history(root) if e["version"] <= v]
     return entries[-1].get("partition_by")
+
+
+def drop_column(spark: SparkSession, root: str, col: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` as a METADATA-ONLY commit: the new
+    version hardlinks every data file forward and records a columns list
+    without ``col`` — reads select the recorded logical columns, so the
+    dropped column disappears immediately at zero data IO (its bytes
+    physically retire at the next full rewrite: compact/repartition; a
+    privacy-motivated drop should use :func:`purge_where`-style reasoning
+    and follow with OPTIMIZE + vacuum). Later merges treat a re-added
+    column of the same name as schema evolution. Partition columns cannot
+    be dropped (they ARE the layout). Time travel sees the pre-drop
+    schema at pre-drop versions."""
+    base_v = current_version(root)
+    entries = [e for e in history(root) if e["version"] <= base_v]
+    cols = entries[-1].get("columns") or entries[0].get("columns") or []
+    if col not in cols:
+        raise ValueError(f"column {col!r} not in table columns {cols}")
+    pcols = _part_cols(entries[-1].get("partition_by"))
+    if col in pcols:
+        raise ValueError(f"cannot drop partition column {col!r}")
+    new_cols = [c for c in cols if c != col]
+    # post-drop schema for empty-snapshot synthesis: the nearest recorded
+    # schema minus the dropped field (computed BEFORE the commit — a
+    # published log entry is immutable)
+    from pyspark.sql.types import StructType
+
+    sj = next(
+        (e.get("schema_json") for e in reversed(entries) if e.get("schema_json")),
+        None,
+    )
+    new_sj = None
+    if sj is not None:
+        st = StructType.fromJson(json.loads(sj))
+        new_sj = StructType([f for f in st.fields if f.name != col]).json()
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    try:
+        _linked, carry_copied = _link_tree(_vdir(root, base_v), staging)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        _unclaim(vdir)
+        raise
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "drop_column",
+            "parent": base_v,
+            "dropped": col,
+            "columns": new_cols,
+            "partition_by": entries[-1].get("partition_by"),
+            **({"schema_json": new_sj} if new_sj else {}),
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
+        },
+    )
+    return new_v
 
 
 def table_checks(root: str, version: int | None = None) -> dict[str, str]:

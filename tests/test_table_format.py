@@ -2033,6 +2033,44 @@ def test_mor_ops_on_zero_file_snapshot(spark, tmp_path):
     assert TF.read_table(spark, root).count() == 0
 
 
+def test_drop_column_metadata_only_with_time_travel(spark, tmp_path):
+    """Logical DROP COLUMN: metadata-only commit (files carried), the
+    column vanishes from reads, pre-drop versions still show it, a full
+    compact physically retires it, partition columns are protected, and
+    merges after the drop operate on the narrowed schema."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    files_v1 = {e["path"] for e in TF.manifest(root, 1)}
+    v2 = TF.drop_column(spark, root, "val")
+    assert {e["path"] for e in TF.manifest(root, v2)} == files_v1  # carried
+    assert TF.read_table(spark, root).columns == ["id", "grp"]
+    assert "val" in TF.read_table(spark, root, version=1).columns
+    with pytest.raises(ValueError, match="partition column"):
+        TF.drop_column(spark, root, "grp")
+    with pytest.raises(ValueError, match="not in table"):
+        TF.drop_column(spark, root, "nope")
+    # merge on the narrowed schema
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([(9, "z")], "id long, grp string"),
+        on="id",
+    )
+    assert {r["id"] for r in TF.read_table(spark, root).collect()} == {
+        1, 2, 3, 4, 9,
+    }
+    # physical retirement at the next full rewrite
+    TF.compact(spark, root)
+    vdir = TF._vdir(root, TF.current_version(root))
+    import pyarrow.parquet as pq
+
+    for dp, dn, fs in os.walk(vdir):
+        dn[:] = [d for d in dn if not d.startswith(("_", "."))]
+        for f in fs:
+            if f.endswith(".parquet"):
+                names = pq.ParquetFile(os.path.join(dp, f)).schema_arrow.names
+                assert "val" not in names
+
+
 def test_insert_into_appends_without_rewrite(spark, tmp_path):
     """INSERT INTO: zero rewrite (base file set strictly carried), new
     partitions created on demand, CDF reports the appends as inserts,
