@@ -522,7 +522,7 @@ def read_table(
     vdir = _vdir(root, v)
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} of {root} does not exist (vacuumed?)")
-    reader, cols, pcols = _snapshot_reader(spark, root, v)
+    reader, cols, pcols, renames = _snapshot_reader(spark, root, v)
     try:
         entries = manifest(root, v)
     except Exception:
@@ -535,7 +535,9 @@ def read_table(
         empty = _empty_snapshot_df(spark, root, v, cols)
         if empty is not None:
             return empty
-    df = _apply_dv(spark, reader.parquet(vdir), vdir, len(pcols))
+    df = _apply_renames(
+        _apply_dv(spark, reader.parquet(vdir), vdir, len(pcols)), renames
+    )
     # SUBSET select: the commit-recorded logical columns both fix the
     # column ORDER (partitioned reads surface partition columns last) and
     # implement logical DROP COLUMN — a dropped column's data stays in the
@@ -595,7 +597,51 @@ def _snapshot_reader(spark: SparkSession, root: str, v: int):
     # read surfaces the partition column last, which would leak the
     # physical layout into the table's schema contract.
     cols = entries[-1].get("columns") or entries[0].get("columns")
-    return reader, cols, _part_cols(entries[-1].get("partition_by"))
+    # ACTIVE renames: files written before a rename_column commit carry
+    # the old field name until the next full rewrite; reads map them to
+    # the logical name. restore/clone record the renames that were active
+    # in the snapshot they hardlinked back in (same contract as the
+    # evolved flag).
+    renames = list(entries[last_uniform].get("renames_active") or [])
+    renames += [
+        e["renamed"] for e in entries[last_uniform:] if e.get("renamed")
+    ]
+    return reader, cols, _part_cols(entries[-1].get("partition_by")), renames
+
+
+def _active_renames(entries: list[dict]) -> list[list[str]]:
+    """The rename chain in effect at the LAST entry (same windowing as
+    :func:`_snapshot_reader`) — what restore/clone must record so carried
+    old-name files stay readable after the reset point."""
+    last_uniform = max(
+        (
+            i
+            for i, e in enumerate(entries)
+            if e["action"] in ("create", "compact", "repartition", "restore")
+        ),
+        default=0,
+    )
+    renames = list(entries[last_uniform].get("renames_active") or [])
+    renames += [
+        e["renamed"] for e in entries[last_uniform:] if e.get("renamed")
+    ]
+    return renames
+
+
+def _apply_renames(df: DataFrame, renames) -> DataFrame:
+    """Map pre-rename physical field names to logical names, in rename
+    order. After a mergeSchema read, a mixed snapshot surfaces BOTH
+    names: any physical row has a value under exactly one of them (a file
+    carries one name), so ``coalesce(new, old)`` reconstructs the logical
+    column exactly; a uniform old-name read is a plain rename."""
+    for old, new in renames:
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(
+                new, F.coalesce(F.col(new), F.col(old))
+            ).drop(old)
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
 
 
 def history(root: str) -> list[dict]:
@@ -669,6 +715,76 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
             "dropped": col,
             "columns": new_cols,
             "partition_by": entries[-1].get("partition_by"),
+            **({"schema_json": new_sj} if new_sj else {}),
+            **({"carry_copied_files": carry_copied} if carry_copied else {}),
+        },
+    )
+    return new_v
+
+
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` as a METADATA-ONLY commit. Files
+    written before the rename keep the old physical field name (zero data
+    IO — the whole point); reads map it to the logical name, and a mixed
+    snapshot (old-name carried files + new-name files from later writes)
+    reconstructs the logical column with ``coalesce(new, old)`` — exact,
+    because any physical row carries a value under exactly one of the
+    names. The mapping stays active until the next full rewrite
+    (compact/repartition) materializes every file under the new name.
+    This is the name-based-format answer to Iceberg/Delta field-ID column
+    mapping; the restriction it implies: ``new`` must not collide with
+    any existing column, and partition columns can't be renamed (the
+    directory layout IS the name)."""
+    base_v = current_version(root)
+    entries = [e for e in history(root) if e["version"] <= base_v]
+    cols = entries[-1].get("columns") or entries[0].get("columns") or []
+    if old not in cols:
+        raise ValueError(f"column {old!r} not in table columns {cols}")
+    if new in cols:
+        raise ValueError(f"column {new!r} already exists in {cols}")
+    pcols = _part_cols(entries[-1].get("partition_by"))
+    if old in pcols:
+        raise ValueError(f"cannot rename partition column {old!r}")
+    new_cols = [new if c == old else c for c in cols]
+    from pyspark.sql.types import StructField, StructType
+
+    sj = next(
+        (e.get("schema_json") for e in reversed(entries) if e.get("schema_json")),
+        None,
+    )
+    new_sj = None
+    if sj is not None:
+        st = StructType.fromJson(json.loads(sj))
+        new_sj = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in st.fields
+            ]
+        ).json()
+    new_v = base_v + 1
+    vdir = _claim_version(root, new_v)
+    staging = vdir + ".staging"
+    try:
+        _linked, carry_copied = _link_tree(_vdir(root, base_v), staging)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        _unclaim(vdir)
+        raise
+    _commit(
+        root,
+        new_v,
+        {
+            "action": "rename_column",
+            "parent": base_v,
+            "renamed": [old, new],
+            "columns": new_cols,
+            "partition_by": entries[-1].get("partition_by"),
+            # carried files keep the OLD footer name → later reads must
+            # footer-merge until the next full rewrite
+            "evolved": True,
             **({"schema_json": new_sj} if new_sj else {}),
             **({"carry_copied_files": carry_copied} if carry_copied else {}),
         },
@@ -1519,7 +1635,7 @@ def _snapshot_with_rowid(spark: SparkSession, root: str, v: int):
     tombstoned by an earlier commit must be invisible to later predicates
     and can never be tombstoned twice). Returns ``(df, pcols)``."""
     vdir = _vdir(root, v)
-    reader, cols, pcols = _snapshot_reader(spark, root, v)
+    reader, cols, pcols, renames = _snapshot_reader(spark, root, v)
     try:
         entries = manifest(root, v)
     except Exception:
@@ -1539,7 +1655,7 @@ def _snapshot_with_rowid(spark: SparkSession, root: str, v: int):
                 pcols,
             )
     df = (
-        reader.parquet(vdir)
+        _apply_renames(reader.parquet(vdir), renames)
         .withColumn("__f", _rel_file_expr(len(pcols)))
         .withColumn("__p", F.col("_metadata.row_index"))
     )
@@ -1737,6 +1853,8 @@ def restore(root: str, version: int) -> int:
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
             "evolved": evolved,
+            # carried old-name files stay mapped after the reset point
+            "renames_active": _active_renames(entries),
         },
     )
     return new_v
@@ -1810,6 +1928,7 @@ def clone_table(
             "partition_by": entries[-1].get("partition_by"),
             "columns": entries[-1].get("columns") or entries[0].get("columns"),
             "evolved": evolved,
+            "renames_active": _active_renames(entries),
             # constraints in effect AT the cloned version (alterable via
             # set_checks — the first commit is not authoritative)
             "checks": next(
@@ -2129,7 +2248,7 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     """Read an explicit manifest-chosen file list as the snapshot schema
     (basePath keeps hive partition columns; empty list → empty frame)."""
     vdir = _vdir(root, v)
-    reader, cols, pcols = _snapshot_reader(spark, root, v)
+    reader, cols, pcols, renames = _snapshot_reader(spark, root, v)
     if not paths:
         return read_table(spark, root, v).where(F.lit(False))
     # tombstones prune WITH the scan: only the read partitions' vectors
@@ -2137,12 +2256,15 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     rels = sorted(
         {os.path.dirname(os.path.relpath(p, vdir)) for p in paths}
     )
-    df = _apply_dv(
-        spark,
-        reader.option("basePath", vdir).parquet(*paths),
-        vdir,
-        len(pcols),
-        rels=rels,
+    df = _apply_renames(
+        _apply_dv(
+            spark,
+            reader.option("basePath", vdir).parquet(*paths),
+            vdir,
+            len(pcols),
+            rels=rels,
+        ),
+        renames,
     )
     if cols:
         missing = [c for c in cols if c not in df.columns]
@@ -2336,21 +2458,37 @@ def read_changes(
         raise ValueError(f"need from_version < to_version, got {from_version} >= {to_version}")
     old = read_table(spark, root, from_version)
     new = read_table(spark, root, to_version)
+    entries = [e for e in history(root) if from_version < e["version"] <= to_version]
+    # A rename inside the window changes the LOGICAL name, not the rows:
+    # map the old snapshot's columns forward before diffing, else every
+    # row would misreport as an update (old value under the old name,
+    # "new" column null on the old side).
+    for pair in (e["renamed"] for e in entries if e.get("renamed")):
+        o, n = pair
+        if o in old.columns:
+            old = old.withColumnRenamed(o, n)
     # Schema evolution between the snapshots: diff in the NEW schema, the
-    # old side reading appended columns as null.
+    # old side reading appended columns as null (a column DROPPED in the
+    # window simply leaves the comparison — select below excludes it).
     for f in new.schema.fields:
         if f.name not in set(old.columns):
             old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
     old = old.select(*new.columns)
 
-    entries = [e for e in history(root) if from_version < e["version"] <= to_version]
-    # Layout/metadata-only commits (compaction, constraint changes)
-    # change no rows — they neither widen the pruning set nor contribute
-    # changes.
+    # Layout/metadata-only commits (compaction, constraint/schema-name
+    # changes) change no rows — they neither widen the pruning set nor
+    # contribute changes.
     data_commits = [
         e
         for e in entries
-        if e["action"] not in ("compact", "compact_partitions", "set_checks")
+        if e["action"]
+        not in (
+            "compact",
+            "compact_partitions",
+            "set_checks",
+            "rename_column",
+            "drop_column",
+        )
     ]
     part_col = data_commits[0].get("partition_by") if data_commits else None
     touched: set[str] | None = set()
@@ -2588,13 +2726,14 @@ def purge_where(
     live until the LAST referent drops — documented inode semantics)."""
     base_v = current_version(root)
     vdir = _vdir(root, base_v)
-    reader, _cols, pcols = _snapshot_reader(spark, root, base_v)
+    reader, _cols, pcols, renames = _snapshot_reader(spark, root, base_v)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     matched = F.coalesce(cond, F.lit(False))
     logical = read_table(spark, root, base_v)
     if pcols:
-        # physical matches: the raw scan, tombstones NOT subtracted
-        raw = reader.parquet(vdir)
+        # physical matches: the raw scan, tombstones NOT subtracted — but
+        # rename-mapped, so the predicate speaks logical column names
+        raw = _apply_renames(reader.parquet(vdir), renames)
         touched = {
             tuple(r)
             for r in raw.where(matched).select(*pcols).distinct().collect()

@@ -2071,6 +2071,63 @@ def test_drop_column_metadata_only_with_time_travel(spark, tmp_path):
                 assert "val" not in names
 
 
+def test_rename_column_metadata_only_mixed_files(spark, tmp_path):
+    """Logical RENAME COLUMN: metadata-only commit; a later merge writes
+    NEW-name files while carried files keep the old physical name — the
+    coalesce mapping reconstructs the logical column exactly across the
+    mixed snapshot. CDF across the rename window reports only real row
+    changes; restore across the rename keeps the mapping; compact
+    materializes the new name physically."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    files_v1 = {e["path"] for e in TF.manifest(root, 1)}
+    v2 = TF.rename_column(spark, root, "val", "amount")
+    assert {e["path"] for e in TF.manifest(root, v2)} == files_v1  # carried
+    got = {r["id"]: r["amount"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    assert TF.read_table(spark, root).columns == ["id", "grp", "amount"]
+    # pre-rename version still shows the old name (time travel)
+    assert "val" in TF.read_table(spark, root, version=1).columns
+
+    with pytest.raises(ValueError, match="already exists"):
+        TF.rename_column(spark, root, "id", "grp")
+    with pytest.raises(ValueError, match="partition column"):
+        TF.rename_column(spark, root, "grp", "g2")
+
+    # mixed snapshot: merge writes new-name files into partition 'a';
+    # partitions b/c keep old-name files
+    src = spark.createDataFrame([Row(id=1, grp="a", amount=11.0)])
+    TF.merge_into(spark, root, src, on="id")
+    got = {r["id"]: r["amount"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+    # CDF across the rename: only the real update reports
+    ch = TF.read_changes(spark, root, "id", 1, TF.current_version(root))
+    rows = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(1, "update")}
+
+    # MOR write through the mapping
+    TF.delete_where(spark, root, "amount = 30.0", mode="mor")
+    assert TF.read_table(spark, root).count() == 3
+
+    # restore to the mixed epoch keeps the mapping
+    TF.restore(root, 3)
+    assert {r["id"]: r["amount"] for r in TF.read_table(spark, root).collect()} == {
+        1: 11.0, 2: 20.0, 3: 30.0, 4: 40.0
+    }
+    # compact materializes the new physical name everywhere
+    TF.compact(spark, root)
+    import pyarrow.parquet as pq
+
+    vdir = TF._vdir(root, TF.current_version(root))
+    for dp, dn, fs in os.walk(vdir):
+        dn[:] = [d for d in dn if not d.startswith(("_", "."))]
+        for f in fs:
+            if f.endswith(".parquet"):
+                names = pq.ParquetFile(os.path.join(dp, f)).schema_arrow.names
+                assert "val" not in names and "amount" in names
+
+
 def test_insert_into_appends_without_rewrite(spark, tmp_path):
     """INSERT INTO: zero rewrite (base file set strictly carried), new
     partitions created on demand, CDF reports the appends as inserts,
