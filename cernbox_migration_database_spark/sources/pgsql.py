@@ -1,0 +1,218 @@
+"""LIVE relational-database scan + upsert sink over ``psql`` subprocesses.
+
+The reference is a migration CLI against a live MySQL server: connect
+(main.go:78-85), full-table scan into memory (main.go:86-97), and a
+per-row ``UPDATE ... WHERE id=?`` sink (main.go:217-240). The container
+ships no MySQL and no JDBC driver jar — but it DOES ship a complete
+PostgreSQL installation, so this module implements the live half of that
+contract against a real server, using the ``psql`` CLI as the transport
+(the same subprocess-executor pattern as the reference's ``eos`` shell-outs,
+operators/enrich.py):
+
+* **Parallel scan** (:func:`pg_scan`): the classic JDBC-partitioned-read
+  scheme — the key range [lo, hi] splits into N disjoint predicates, and
+  EACH SPARK TASK runs its own ``psql COPY (SELECT ...) TO STDOUT CSV``
+  subprocess, streaming its slice through Arrow into the plan. The server
+  sees N concurrent range scans (what a 1000-executor cluster does to a
+  sharded source); no row ever passes through the driver.
+* **Batched upsert sink** (:func:`pg_upsert_sink`): ``INSERT ... ON
+  CONFLICT (key) DO UPDATE`` in bounded batches per partition — the
+  set-based form of the reference's row-at-a-time UPDATE loop, idempotent
+  by construction (safe under Spark task retries, which re-run whole
+  partitions).
+
+Values cross the boundary as CSV with an explicit NULL sentinel and
+quoting handled by COPY / literal-escaping on the write side; the scan
+parses with pandas against the caller's declared Spark schema. DBAPI
+twins for generic drivers live in sources/io.py (dbapi_parallel_scan) and
+operators/merge.py (dbapi_upsert_writer); this module is the one that is
+integration-tested against a REAL server (tests/test_pgsql_live.py boots
+a private postgres instance per test session).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import subprocess
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_NULL = "\\N"  # COPY null sentinel: distinguishes NULL from empty string
+
+
+def _psql_argv(dsn: dict) -> list[str]:
+    return [
+        "psql",
+        "-h", str(dsn["host"]),
+        "-p", str(dsn.get("port", 5432)),
+        "-U", str(dsn.get("user", "postgres")),
+        "-d", str(dsn.get("dbname", "postgres")),
+        "-v", "ON_ERROR_STOP=1",
+        "-X",  # never read a ~/.psqlrc
+        "-q",
+    ]
+
+
+def psql_exec(dsn: dict, sql: str, timeout: float = 120.0) -> str:
+    """Run one SQL script through psql; raises on any statement error."""
+    r = subprocess.run(
+        _psql_argv(dsn) + ["-c", sql],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"psql failed ({r.returncode}): {r.stderr.strip()}")
+    return r.stdout
+
+
+def _copy_query(dsn: dict, query: str, timeout: float = 300.0) -> str:
+    """``COPY (query) TO STDOUT CSV`` — the streaming extract."""
+    sql = f"COPY ({query}) TO STDOUT WITH (FORMAT csv, HEADER, NULL '{_NULL}')"
+    return psql_exec(dsn, sql, timeout=timeout)
+
+
+def pg_scan(
+    spark: SparkSession,
+    dsn: dict,
+    table: str,
+    schema: StructType | str,
+    partition_col: str | None = None,
+    lo: int | None = None,
+    hi: int | None = None,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Parallel live scan of a PostgreSQL table (or ``(subquery) q``).
+
+    With ``partition_col``/``lo``/``hi``, the key range splits into
+    ``num_partitions`` disjoint stride predicates and each Spark task runs
+    its own server-side range scan — the JDBC ``partitionColumn/lower/
+    upperBound/numPartitions`` contract re-expressed over psql. Without a
+    partition column the scan is a single task (dimension-table shape).
+    ``schema`` declares the result columns (a live source cannot be
+    allowed to infer — the table's types are the contract)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    cols = ", ".join(f.name for f in schema.fields)
+    if partition_col is None:
+        preds = [None]
+    else:
+        if lo is None or hi is None or num_partitions < 1:
+            raise ValueError("partitioned scan needs partition_col, lo, hi")
+        # JDBC-style strides: lower/upper partitions are open-ended so
+        # rows OUTSIDE [lo, hi] are still read exactly once.
+        width = max(1, (hi - lo + num_partitions) // num_partitions)
+        bounds = [lo + i * width for i in range(1, num_partitions)]
+        preds = []
+        for i in range(num_partitions):
+            ps = []
+            if i > 0:
+                ps.append(f"{partition_col} >= {bounds[i - 1]}")
+            if i < num_partitions - 1:
+                ps.append(f"{partition_col} < {bounds[i]}")
+            preds.append(" AND ".join(ps) if ps else None)
+    queries = [
+        f"SELECT {cols} FROM {table}"
+        + (f" WHERE {p}" if p is not None else "")
+        for p in preds
+    ]
+    names = [f.name for f in schema.fields]
+    # numeric/bool/ts parsing happens pandas-side; string columns must NOT
+    # collapse the NULL sentinel and empty string together
+    dsn_items = tuple(sorted(dsn.items()))
+
+    def read_slices(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = dict(dsn_items)
+        for pdf in batches:
+            for q in pdf["__q"]:
+                raw = _copy_query(d, q)
+                out = pd.read_csv(
+                    _io.StringIO(raw),
+                    header=0,
+                    names=names,
+                    na_values=[_NULL],
+                    keep_default_na=False,
+                    dtype="object",
+                )
+                yield out
+
+    from pyspark.sql.types import StringType, StructField
+
+    qdf = spark.createDataFrame(
+        [(q,) for q in queries], "__q string"
+    ).repartition(len(queries), "__q")
+    str_schema = StructType(
+        [StructField(f.name, StringType(), True) for f in schema.fields]
+    )
+    raw = qdf.mapInPandas(read_slices, schema=str_schema)
+    # typed projection: CSV arrives as strings; cast per the declared
+    # schema (ANSI-safe: a live source that emits garbage should fail loud)
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def _sql_literal(v) -> str:
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def pg_upsert_sink(
+    df: DataFrame,
+    dsn: dict,
+    table: str,
+    key_cols: list[str],
+    batch_size: int = 500,
+) -> int:
+    """Write ``df`` into a live PostgreSQL table as batched
+    ``INSERT ... ON CONFLICT (keys) DO UPDATE SET`` statements, one psql
+    subprocess per batch, executed per Spark partition (the S6 update-sink
+    contract, main.go:217-240, in its set-based idempotent form — a task
+    retry re-upserts the same rows to the same values). Returns the
+    number of rows written."""
+    cols = df.columns
+    non_keys = [c for c in cols if c not in key_cols]
+    if not non_keys:
+        raise ValueError("upsert needs at least one non-key column")
+    dsn_items = tuple(sorted(dsn.items()))
+    col_list = ", ".join(cols)
+    conflict = ", ".join(key_cols)
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+
+    def write_partition(rows) -> None:
+        d = dict(dsn_items)
+        batch: list[str] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            values = ", ".join(batch)
+            psql_exec(
+                d,
+                f"INSERT INTO {table} ({col_list}) VALUES {values} "
+                f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}",
+            )
+            batch.clear()
+
+        for row in rows:
+            batch.append(
+                "(" + ", ".join(_sql_literal(row[c]) for c in cols) + ")"
+            )
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    n = df.count()
+    df.foreachPartition(write_partition)
+    return n
