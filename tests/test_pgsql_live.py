@@ -115,6 +115,136 @@ def test_live_parallel_scan_roundtrip(spark, pg_dsn):
     )
 
 
+def test_live_end_to_end_migration_pipeline(spark, pg_dsn):
+    """The reference's ENTIRE main() against a real database: the
+    oc_share-shaped table lives IN PostgreSQL, the flagship migration
+    plan scans it live (3 parallel psql slices), runs the full
+    enrich→route→versions-lookup→create→update pipeline, and the
+    computed updates flow BACK into the live table through the upsert
+    sink (the main.go:217-240 UPDATE loop, set-based). Expected final DB
+    state matches the parquet-fixture differential row for row —
+    including the spaces-in-path share — and a replay is a no-op."""
+    import datetime as dt
+
+    from cernbox_migration_database_spark.plans.migration import run_migration
+
+    PG.psql_exec(
+        pg_dsn,
+        """
+        DROP TABLE IF EXISTS oc_share;
+        CREATE TABLE oc_share (
+            id BIGINT PRIMARY KEY, share_type INT, share_with TEXT,
+            uid_owner TEXT, parent BIGINT, item_type TEXT,
+            item_source TEXT, item_target TEXT, file_source BIGINT,
+            file_target TEXT, permissions TEXT, stime INT, accepted INT,
+            expiration TIMESTAMP, token TEXT, mail_send INT
+        );
+        INSERT INTO oc_share VALUES
+          (1, 3, NULL, 'jdoe', NULL, 'file', 'old', '/old', 101, '/f1', '1', 0, 0, '2030-01-01', 't1', 0),
+          (2, 3, NULL, 'jdoe', NULL, 'file', 'old', '/old', 102, '/f2', '1', 0, 0, '2030-01-01', 't2', 0),
+          (3, 3, NULL, 'jdoe', NULL, 'file', 'old', '/old', 103, '/f3', '1', 0, 0, '2030-01-01', 't3', 0),
+          (4, 3, NULL, 'jdoe', NULL, 'file', 'old', '/old', 104, '/f4', '1', 0, 0, '2030-01-01', 't4', 0),
+          (5, 3, NULL, 'jdoe', NULL, 'file', 'old', '/old', 105, '/f5', '1', 0, 0, '2030-01-01', 't5', 0),
+          (9, 3, NULL, 'jdoe', NULL, 'file', 'old', '/old', 109, '/f9', '1', 0, 0, '2030-01-01', 't9', 0);
+        """,
+    )
+    schema = (
+        "id long, share_type int, share_with string, uid_owner string, "
+        "parent long, item_type string, item_source string, "
+        "item_target string, file_source long, file_target string, "
+        "permissions string, stime int, accepted int, "
+        "expiration timestamp, token string, mail_send int"
+    )
+    shares = PG.pg_scan(
+        spark, pg_dsn, "oc_share", schema,
+        partition_col="id", lo=1, hi=10, num_partitions=3,
+    )
+    meta = spark.createDataFrame(
+        [
+            (101, "/eos/user/j/jdoe/a.txt", "u", "g", 10),
+            (201, "/eos/user/j/jdoe/.sys.v#.a.txt", "u", "g", 0),
+            (102, "/eos/user/j/jdoe/b.txt", "u2", "g2", 10),
+            (103, "/eos/user/j/jdoe/.sys.v#.c.txt", "u", "g", 0),
+            (104, "/tmp/elsewhere/d.txt", "u", "g", 10),
+            (105, "/eos/user/j/jdoe/.sys.v#.e.txt/v42", "u", "g", 5),
+            (205, "/eos/user/j/jdoe/.sys.v#.e.txt", "u", "g", 0),
+            (109, "/eos/user/j/jdoe/my doc v2.txt", "u", "g", 10),
+            (209, "/eos/user/j/jdoe/.sys.v#.my doc v2.txt", "u", "g", 0),
+        ],
+        ["inode", "path", "uid", "gid", "size"],
+    )
+
+    def create(missing_df):
+        rows = missing_df.select("id", "target_path", "f_uid", "f_gid").collect()
+        return spark.createDataFrame(
+            [
+                (1000 + r["id"], r["target_path"], r["f_uid"], r["f_gid"], 0)
+                for r in rows
+            ],
+            "inode long, path string, uid string, gid string, size long",
+        )
+
+    res = run_migration(shares, meta, create_fn=create)
+    # write the updates BACK to the live table: full post-update rows
+    # upsert on id (the reference's UPDATE ... WHERE id, set-based)
+    upd = res.updates
+    full = (
+        shares.alias("s")
+        .join(upd.alias("u"), "id", "inner")
+        .select(
+            "id",
+            *[F.col(f"s.{c}") for c in (
+                "share_type", "share_with", "uid_owner", "parent",
+                "item_type",
+            )],
+            F.col("u.item_source").alias("item_source"),
+            F.col("u.item_target").alias("item_target"),
+            F.col("u.file_source").alias("file_source"),
+            F.col("u.file_target").alias("file_target"),
+            *[F.col(f"s.{c}") for c in (
+                "permissions", "stime", "accepted", "expiration", "token",
+                "mail_send",
+            )],
+        )
+    )
+    PG.pg_upsert_sink(full, pg_dsn, "oc_share", key_cols=["id"])
+
+    def snap():
+        return {
+            r["id"]: (
+                r["item_source"], r["item_target"],
+                r["file_source"], r["file_target"],
+            )
+            for r in PG.pg_scan(spark, pg_dsn, "oc_share", schema).collect()
+        }
+
+    got = snap()
+    assert got[1] == ("201", "/201", 201, "/.sys.v#.a.txt")
+    assert got[2][2] == 1002  # created versions folder inode
+    assert got[5] == ("205", "/205", 205, "/.sys.v#.e.txt")
+    assert got[9][3] == "/.sys.v#.my doc v2.txt"  # spaces survived DB I/O
+    assert got[3] == ("old", "/old", 103, "/f3")  # already-version: untouched
+    assert got[4] == ("old", "/old", 104, "/f4")  # not-under-home: untouched
+
+    # replay: re-scan the UPDATED live table and re-run — migrated rows
+    # now point at version folders, so the router sends them down the
+    # audit-only ALREADY_VERSION branch (ids 1/5/9; id 2's created inode
+    # is absent from the catalog fixture → dead letter): the pipeline
+    # computes ZERO updates and the database state stays put.
+    res2 = run_migration(
+        PG.pg_scan(
+            spark, pg_dsn, "oc_share", schema,
+            partition_col="id", lo=1, hi=10, num_partitions=3,
+        ),
+        meta,
+        create_fn=create,
+    )
+    assert res2.updates.count() == 0
+    audit2 = {r["id"]: r["decision"] for r in res2.audit.collect()}
+    assert audit2[1] == "ALREADY_POINTS_TO_VERSION_FOLDER"
+    assert snap() == got  # nothing written, state unchanged
+
+
 def test_live_upsert_sink_idempotent(spark, pg_dsn):
     """The S6 update-sink contract against the live server: Spark rows
     upsert via batched INSERT ... ON CONFLICT DO UPDATE; re-running the
