@@ -2330,7 +2330,33 @@ def scan_files_where(
     return df.where(pred)
 
 
-def commit_with_retry(root: str, attempt, retries: int = 3, what: str = "commit"):
+def _claim_activity(vdir: str) -> float | None:
+    """Newest mtime across a claim dir and its staging sibling — the
+    liveness signal of an in-flight writer (same activity notion vacuum's
+    orphan grace keys on). None when neither exists (claim released)."""
+    newest: float | None = None
+    for path in (vdir, vdir + ".staging"):
+        if not os.path.exists(path):
+            continue
+        newest = max(newest or 0.0, os.path.getmtime(path))
+        for dirpath, dirnames, filenames in os.walk(path):
+            for n in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, n))
+                    )
+                except OSError:
+                    pass
+    return newest
+
+
+def commit_with_retry(
+    root: str,
+    attempt,
+    retries: int = 3,
+    what: str = "commit",
+    inflight_grace_s: float = 30.0,
+):
     """Optimistic-concurrency loop around ANY single-shot committing table
     op (merge, OPTIMIZE, DELETE/UPDATE, restore): when another writer wins
     the version claim (FileExistsError from the atomic mkdir), re-run
@@ -2338,24 +2364,42 @@ def commit_with_retry(root: str, attempt, retries: int = 3, what: str = "commit"
     a fresh run is the correct conflict resolution (the Delta/Iceberg
     retry posture; for maintenance ops the re-run also re-PLANS, e.g. a
     re-read of the manifest may find the racing merge already rewrote a
-    partition that no longer needs compacting). Distinguishes a real race
-    (pointer advanced → retry) from an ORPHANED claim directory left by a
-    crashed writer (pointer unmoved → raise immediately and tell the
-    operator to vacuum; spinning would never succeed). ``attempt`` is a
-    zero-arg callable returning the committed version."""
+    partition that no longer needs compacting).
+
+    An unmoved pointer after a lost claim does NOT immediately mean a
+    crashed writer: the winner may simply still be WRITING (claim taken,
+    pointer not yet swapped) — the real-concurrency window the
+    two-thread stress test exposed. The loop therefore polls: while the
+    claim (or its staging sibling) shows filesystem activity within
+    ``inflight_grace_s``, the competitor is presumed alive and we wait
+    for its pointer swap, then re-run; only a claim with NO activity for
+    the grace period (or whose pointer never moves while it sits
+    stagnant) raises the orphaned-claim error with the vacuum hint —
+    spinning on a truly crashed writer's leftovers would never succeed.
+    ``attempt`` is a zero-arg callable returning the committed version."""
     for _attempt in range(retries + 1):
         base = current_version(root)
         try:
             return attempt()
         except FileExistsError:
-            if current_version(root) == base:
-                raise FileExistsError(
-                    f"version {base + 1} of {root} is claimed but the pointer "
-                    f"never moved — orphaned claim from a crashed writer; "
-                    f"vacuum the table and retry"
-                )
-            # pointer advanced: a competing writer committed — loop re-runs
-            # against the new snapshot
+            if current_version(root) != base:
+                continue  # competitor committed: re-run on its snapshot
+            vdir = _vdir(root, base + 1)
+            while True:
+                if current_version(root) != base:
+                    break  # in-flight writer finished — retry
+                act = _claim_activity(vdir)
+                if act is None:
+                    break  # claim released (loser cleanup) — retry
+                if time.time() - act >= inflight_grace_s:
+                    raise FileExistsError(
+                        f"version {base + 1} of {root} is claimed, the "
+                        f"pointer never moved, and the claim shows no "
+                        f"activity for {inflight_grace_s:.0f}s — orphaned "
+                        f"claim from a crashed writer; vacuum the table "
+                        f"and retry"
+                    )
+                time.sleep(0.2)
     raise RuntimeError(
         f"{what} on {root} lost the commit race {retries + 1} times; "
         f"raise retries or serialize the writers"
@@ -2368,6 +2412,7 @@ def merge_with_retry(
     source: DataFrame,
     on: str | list[str],
     retries: int = 3,
+    inflight_grace_s: float = 30.0,
     **kwargs,
 ) -> int:
     """:func:`commit_with_retry` specialized to :func:`merge_into` (kept
@@ -2377,6 +2422,7 @@ def merge_with_retry(
         lambda: merge_into(spark, root, source, on, **kwargs),
         retries=retries,
         what="merge",
+        inflight_grace_s=inflight_grace_s,
     )
 
 

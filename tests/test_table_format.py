@@ -791,15 +791,81 @@ def test_merge_with_retry_race_and_orphan(spark, tmp_path, monkeypatch):
     got = {r["id"]: r["val"] for r in TF.read_table(spark, root).collect()}
     assert got[1] == 11.0 and got[3] == 33.0  # both merges landed
 
-    # ORPHAN: a leftover claim dir with an unmoved pointer raises with the
-    # vacuum hint instead of spinning
+    # ORPHAN: a leftover claim dir with an unmoved pointer and NO
+    # filesystem activity past the in-flight grace raises with the vacuum
+    # hint instead of spinning (grace shrunk so the test doesn't wait —
+    # a live writer's claim shows fresh mtimes and is waited on instead)
     os.mkdir(os.path.join(root, "_versions", f"v{v + 1:08d}"))
+    import time as _time
+
+    _time.sleep(1.2)
     with pytest.raises(FileExistsError, match="orphaned claim"):
         TF.merge_with_retry(
             spark, root,
             spark.createDataFrame([Row(id=2, grp="a", val=2.0)]),
-            on="id", when_not_matched=None,
+            on="id", when_not_matched=None, inflight_grace_s=1.0,
         )
+
+
+def test_mor_commit_degrades_to_copy_carry(spark, tmp_path, monkeypatch):
+    """Merge-on-read commits carry the ENTIRE base snapshot, so the
+    no-hardlink degradation (object-store stand-in) must hold there too:
+    byte-copied carry, correct reads, flagged commit."""
+
+    def no_link(_s, _d):
+        raise OSError("EXDEV: cross-device link simulated")
+
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    monkeypatch.setattr(TF.os, "link", no_link)
+    TF.delete_where(spark, root, "id = 2", mode="mor")
+    monkeypatch.undo()
+    assert TF.history(root)[-1].get("carry_copied_files", 0) > 0
+    got = {r["id"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1, 3, 4}
+    # tombstones still subtract against the COPIED files (relative paths,
+    # not inodes, are the identity)
+    assert TF.table_stats(root)["deleted_rows"] == 1
+
+
+def test_concurrent_writers_all_land_with_retry(spark, tmp_path):
+    """REAL concurrency (not monkeypatched): two threads each push five
+    sequential keyed merges through merge_with_retry against one table.
+    Optimistic claims collide for real; every one of the 10 commits must
+    land, the final state must contain every writer's rows, and the
+    version chain must be gapless."""
+    import threading
+
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    errors: list[Exception] = []
+
+    def writer(offset: int) -> None:
+        try:
+            for i in range(5):
+                k = 100 + offset * 10 + i
+                TF.merge_with_retry(
+                    spark, root,
+                    spark.createDataFrame(
+                        [(k, "ab"[k % 2], float(k))],
+                        "id long, grp string, val double",
+                    ),
+                    on="id",
+                    retries=20,
+                )
+        except Exception as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(o,)) for o in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    got = {r["id"] for r in TF.read_table(spark, root).collect()}
+    assert got == {1, 2, 3, 4} | {100 + o * 10 + i for o in (0, 1) for i in range(5)}
+    versions = [e["version"] for e in TF.history(root)]
+    assert versions == list(range(1, 12))  # create + 10 merges, gapless
 
 
 def test_mor_merge_retry_races_cow_writer(spark, tmp_path, monkeypatch):
