@@ -2714,7 +2714,13 @@ def insert_into(spark: SparkSession, root: str, df: DataFrame) -> int:
             f"insert_into source columns {df.columns} != table columns "
             f"{target_cols} (missing {missing}, unexpected {extra})"
         )
-    df = df.select(*target_cols)
+    # align TYPES as well as names: an int source column appended where
+    # the table holds bigint would write a mixed-type footer that a
+    # non-mergeSchema read could mis-sample
+    tgt_schema = {f.name: f.dataType for f in read_table(spark, root, base_v).schema.fields}
+    df = df.select(
+        *[F.col(c).cast(tgt_schema[c]).alias(c) for c in target_cols]
+    )
     checks_now = table_checks(root, base_v)
     if checks_now:
         _enforce_checks(df, checks_now, "insert")
