@@ -2213,7 +2213,11 @@ def tombstone_heavy_partitions(
     scored = [
         (n / rows[rel], rel)
         for rel, n in dv.items()
-        if rows.get(rel) and n / rows[rel] > max_ratio
+        # `rel` truthiness: an unpartitioned table's tombstones live at
+        # rel '' which compact_partitions cannot target — full compact()
+        # is its materialization path (same guard small_file_partitions
+        # applies)
+        if rel and rows.get(rel) and n / rows[rel] > max_ratio
     ]
     return [rel for _ratio, rel in sorted(scored, key=lambda t: (-t[0], t[1]))]
 
