@@ -829,10 +829,11 @@ def test_mor_commit_degrades_to_copy_carry(spark, tmp_path, monkeypatch):
 
 
 def test_concurrent_writers_all_land_with_retry(spark, tmp_path):
-    """REAL concurrency (not monkeypatched): two threads each push five
-    sequential keyed merges through merge_with_retry against one table.
-    Optimistic claims collide for real; every one of the 10 commits must
-    land, the final state must contain every writer's rows, and the
+    """REAL concurrency (not monkeypatched): two threads — one committing
+    COPY-ON-WRITE, one MERGE-ON-READ — each push five sequential keyed
+    merges through merge_with_retry against one table. Optimistic claims
+    collide for real ACROSS write protocols; every one of the 10 commits
+    must land, the final state must contain every writer's rows, and the
     version chain must be gapless."""
     import threading
 
@@ -852,6 +853,7 @@ def test_concurrent_writers_all_land_with_retry(spark, tmp_path):
                     ),
                     on="id",
                     retries=20,
+                    write_mode="mor" if offset else "cow",
                 )
         except Exception as e:  # surface into the main thread
             errors.append(e)
@@ -2435,10 +2437,13 @@ def test_replicate_changes_cdc_replica_converges_and_is_idempotent(
 def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
     """Model-based property test: random sequences of table operations
     (keyed merge upsert / merge delete / predicate delete / restore /
-    OPTIMIZE — each mutation in BOTH copy-on-write and merge-on-read
-    form, so random interleavings of rewrites, tombstones, compactions
-    and rollbacks are exercised) applied to the versioned table AND to a
-    plain dict model;
+    OPTIMIZE / append-only INSERT / RENAME COLUMN — each mutation in
+    BOTH copy-on-write and merge-on-read form where applicable, so
+    random interleavings of rewrites, tombstones, appends, logical
+    renames, compactions and rollbacks are exercised; the model tracks
+    the value column's logical NAME so rename→restore→rename chains
+    must keep old-name carried files readable) applied to the versioned
+    table AND to a plain dict model;
     after every op the committed snapshot must equal the model, and at the
     end EVERY historical version must equal the model's recorded history
     (time travel is part of the contract, not an afterthought)."""
@@ -2460,6 +2465,14 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
         st.tuples(st.sampled_from(["pdelete", "mor_pdelete"]), st.integers(0, 99)),
         st.tuples(st.just("restore"), st.integers(1, 3)),
         st.tuples(st.just("optimize"), st.none()),
+        st.tuples(
+            st.just("insert"),
+            st.lists(
+                st.tuples(st.integers(20, 34), st.integers(0, 99)),
+                min_size=1, max_size=3, unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(st.just("rename"), st.none()),
     )
 
     counter = {"n": 0}
@@ -2473,12 +2486,18 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
         counter["n"] += 1
         root = str(tmp_path / f"t{counter['n']}")
         seed = {i: i * 10 for i in range(0, 8)}
-        mk = lambda d: spark.createDataFrame(
-            [Row(id=k, grp="ab"[k % 2], val=v) for k, v in sorted(d.items())]
-        )
+        vcol = "val"  # renames toggle the VALUE column's logical name
+
+        def mk(d, col=None):
+            col = col or vcol
+            return spark.createDataFrame(
+                [(k, "ab"[k % 2], v) for k, v in sorted(d.items())],
+                f"id long, grp string, {col} long",
+            )
+
         TF.create_table(mk(seed), root, partition_by="grp")
         model = dict(seed)
-        hist = {1: dict(model)}
+        hist = {1: (dict(model), vcol)}
         for kind, arg in ops:
             if kind in ("upsert", "mor_upsert"):
                 TF.merge_into(
@@ -2497,10 +2516,20 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
                     model.pop(k, None)
             elif kind in ("pdelete", "mor_pdelete"):
                 TF.delete_where(
-                    spark, root, f"val >= {arg}",
+                    spark, root, f"{vcol} >= {arg}",
                     mode="mor" if kind == "mor_pdelete" else "cow",
                 )
                 model = {k: v for k, v in model.items() if not v >= arg}
+            elif kind == "insert":
+                # append-only: only genuinely NEW keys (INSERT has no key
+                # semantics — appending an existing key would duplicate)
+                rows = {k: v for k, v in arg if k not in model}
+                TF.insert_into(spark, root, mk(rows))
+                model.update(rows)
+            elif kind == "rename":
+                new = "v2" if vcol == "val" else "val"
+                TF.rename_column(spark, root, vcol, new)
+                vcol = new
             elif kind == "restore":
                 v = min(arg, TF.current_version(root))
                 if v == TF.current_version(root):
@@ -2508,19 +2537,19 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
                         TF.restore(root, v)
                     continue
                 TF.restore(root, v)
-                model = dict(hist[v])
+                model, vcol = dict(hist[v][0]), hist[v][1]
             else:
                 TF.compact(spark, root)
             cur = TF.current_version(root)
-            hist[cur] = dict(model)
+            hist[cur] = (dict(model), vcol)
             got = {
-                r["id"]: r["val"]
+                r["id"]: r[vcol]
                 for r in TF.read_table(spark, root).collect()
             }
             assert got == model, f"after {kind}: {got} != {model}"
-        for v, snap in hist.items():
+        for v, (snap, col) in hist.items():
             got = {
-                r["id"]: r["val"]
+                r["id"]: r[col]
                 for r in TF.read_table(spark, root, version=v).collect()
             }
             assert got == snap, f"time travel v{v}"
