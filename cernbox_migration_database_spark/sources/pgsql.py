@@ -33,6 +33,7 @@ a private postgres instance per test session).
 from __future__ import annotations
 
 import io as _io
+import os
 import subprocess
 from typing import Iterator
 
@@ -155,6 +156,62 @@ def pg_scan(
     return raw.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def pg_incremental_ingest(
+    spark: SparkSession,
+    dsn: dict,
+    table: str,
+    schema: StructType | str,
+    cursor_col: str,
+    cursor_path: str,
+    dest_root: str,
+    key: str | list[str] | None = None,
+    partition_by: str | list[str] | None = None,
+    num_partitions: int = 4,
+) -> int:
+    """Watermark-cursor ingestion from the live database into a versioned
+    table — the standing DB→lakehouse bridge. Each call scans only rows
+    with ``cursor_col`` past the durable watermark (server-side predicate:
+    the years-old backlog is never re-read), applies them as a keyed merge
+    (``key`` set — a monotonically bumped ``cursor_col`` such as an
+    updated-at then captures UPDATES too) or an append (``key`` None:
+    insert-only feeds), and advances the watermark ONLY after the
+    versioned commit publishes — a crash in between replays the same
+    slice, and both apply modes are replay-idempotent, so the lakehouse
+    copy converges exactly-once (the same contract as
+    :func:`...table_format.replicate_changes`, pointed at a live source).
+    Returns rows ingested (0 when caught up)."""
+    from ..operators import table_format as TF
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    last = TF.cursor_version(cursor_path)
+    where = f" WHERE {cursor_col} > {last}" if last is not None else ""
+    inner = f"SELECT * FROM {table}{where}"
+    # bound the slice's own key range server-side for the parallel scan
+    bounds = psql_exec(
+        dsn,
+        f"COPY (SELECT COALESCE(MIN({cursor_col}), 0), "
+        f"COALESCE(MAX({cursor_col}), 0), COUNT(*) FROM ({inner}) b) "
+        f"TO STDOUT WITH (FORMAT csv)",
+    ).strip()
+    lo, hi, n = (int(float(x)) for x in bounds.split(","))
+    if n == 0:
+        return 0
+    delta = pg_scan(
+        spark, dsn, f"({inner}) q", schema,
+        partition_col=cursor_col, lo=lo, hi=hi + 1,
+        num_partitions=min(num_partitions, max(1, n)),
+    )
+    if not os.path.exists(os.path.join(dest_root, "_latest")):
+        TF.create_table(delta, dest_root, partition_by=partition_by)
+    elif key is not None:
+        TF.merge_into(spark, dest_root, delta, on=key)
+    else:
+        TF.insert_into(spark, dest_root, delta)
+    TF.commit_cursor(cursor_path, hi)
+    return n
 
 
 def _sql_literal(v) -> str:

@@ -245,6 +245,66 @@ def test_live_end_to_end_migration_pipeline(spark, pg_dsn):
     assert snap() == got  # nothing written, state unchanged
 
 
+def test_live_incremental_ingest_into_versioned_table(spark, pg_dsn, tmp_path):
+    """DB→lakehouse bridge: watermark-cursor ingestion from the live
+    server into a versioned table. Bootstrap loads everything; a second
+    call after server-side inserts AND an update (with a bumped
+    updated-at watermark) scans ONLY the delta and merges it; a caught-up
+    call is a no-op; crash replay (cursor rewound) converges."""
+    PG.psql_exec(
+        pg_dsn,
+        """
+        DROP TABLE IF EXISTS acct;
+        CREATE TABLE acct (
+            uid BIGINT PRIMARY KEY, balance BIGINT, mtime BIGINT
+        );
+        INSERT INTO acct SELECT i, i * 100, i FROM generate_series(0, 49) g(i);
+        """,
+    )
+    dest = str(tmp_path / "t")
+    cursor = str(tmp_path / "cur")
+    schema = "uid bigint, balance bigint, mtime bigint"
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    n = PG.pg_incremental_ingest(
+        spark, pg_dsn, "acct", schema, "mtime", cursor, dest, key="uid"
+    )
+    assert n == 50
+    assert TF.read_table(spark, dest).count() == 50
+
+    # server-side delta: 10 inserts + 1 update, all with mtime > watermark
+    PG.psql_exec(
+        pg_dsn,
+        """
+        INSERT INTO acct SELECT i, i * 100, i + 1000
+        FROM generate_series(50, 59) g(i);
+        UPDATE acct SET balance = 777, mtime = 2000 WHERE uid = 7;
+        """,
+    )
+    n2 = PG.pg_incremental_ingest(
+        spark, pg_dsn, "acct", schema, "mtime", cursor, dest, key="uid"
+    )
+    assert n2 == 11  # only the delta crossed the wire
+    snap = {
+        r["uid"]: r["balance"] for r in TF.read_table(spark, dest).collect()
+    }
+    assert len(snap) == 60 and snap[7] == 777 and snap[55] == 5500
+
+    assert PG.pg_incremental_ingest(
+        spark, pg_dsn, "acct", schema, "mtime", cursor, dest, key="uid"
+    ) == 0  # caught up
+
+    # crash replay: rewind the cursor; re-ingest must converge, not dup
+    TF.commit_cursor(cursor, 999)
+    PG.pg_incremental_ingest(
+        spark, pg_dsn, "acct", schema, "mtime", cursor, dest, key="uid"
+    )
+    snap2 = {
+        r["uid"]: r["balance"] for r in TF.read_table(spark, dest).collect()
+    }
+    assert snap2 == snap
+
+
 def test_live_upsert_sink_idempotent(spark, pg_dsn):
     """The S6 update-sink contract against the live server: Spark rows
     upsert via batched INSERT ... ON CONFLICT DO UPDATE; re-running the
