@@ -741,6 +741,18 @@ END-TO-END against the live PostgreSQL server (scan → plan → upsert
 back → replay no-op), and capture_plans.py carries two new flagship
 dumps: the MOR tombstone anti-join read and the single-Arrow-boundary
 perceptual-hash plan.
+
+### DB→lakehouse bridge (closing the live-source loop)
+pg_incremental_ingest completes the live-database story in the other
+direction: watermark-cursor slices (server-side `cursor_col > watermark`
+predicate — the backlog is never re-read; the slice's own min/max bound
+the parallel stride scan), applied to a versioned table as a keyed merge
+(an updated-at watermark then captures UPDATES, not just inserts) or an
+append, cursor committed only after the versioned publish. Live-tested
+including a rewound-cursor crash replay that must converge without
+duplicating. Together with replicate_changes (lakehouse→lakehouse) and
+pg_upsert_sink (lakehouse→DB) the engine now covers all three legs of
+the reference's data-movement triangle against real storage.
 """
 
 
