@@ -753,6 +753,16 @@ including a rewound-cursor crash replay that must converge without
 duplicating. Together with replicate_changes (lakehouse→lakehouse) and
 pg_upsert_sink (lakehouse→DB) the engine now covers all three legs of
 the reference's data-movement triangle against real storage.
+
+### Round-5 final bench (3-run protocol, sf0.1, low-contention window)
+Medians: cold 21.19 / warm 13.37 (spread cold [20.83, 22.59], run-start
+loads 0.7–4.5) with merge_into_versioned in the headline at 3.46 cold /
+2.44 warm. The r4-comparable 16-query subtotal: **17.73 cold vs the r4
+protocol median 22.73 (0.78x) and 10.93 warm vs 12.55 (0.87x)** — at
+comparable load the engine is measurably faster than last round on
+byte-identical plans plus the round's fixes; the earlier same-session
+run at loads 1.0–6.2 had read 25.5/17.4, which is precisely the
+co-tenant variance the protocol exists to expose.
 """
 
 
