@@ -91,15 +91,30 @@ def pg_scan(
     With ``partition_col``/``lo``/``hi``, the key range splits into
     ``num_partitions`` disjoint stride predicates and each Spark task runs
     its own server-side range scan — the JDBC ``partitionColumn/lower/
-    upperBound/numPartitions`` contract re-expressed over psql. Without a
-    partition column the scan is a single task (dimension-table shape).
-    ``schema`` declares the result columns (a live source cannot be
-    allowed to infer — the table's types are the contract)."""
+    upperBound/numPartitions`` contract re-expressed over psql. With a
+    ``partition_col`` but NO bounds, the split is by server-side HASH
+    (``abs(hashtext(col::text)) % N = i``) — parallelism for string/uuid/
+    composite keys where a numeric range does not exist (each slice is a
+    full-index-agnostic scan server-side; range slices are the better
+    plan when a clustered numeric key exists). Without a partition column
+    the scan is a single task (dimension-table shape). ``schema``
+    declares the result columns (a live source cannot be allowed to
+    infer — the table's types are the contract)."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     cols = ", ".join(f.name for f in schema.fields)
     if partition_col is None:
         preds = [None]
+    elif lo is None and hi is None:
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        # COALESCE: a NULL key hashes to NULL and would vanish from every
+        # slice — route NULLs through the empty-string bucket instead
+        preds = [
+            f"abs(hashtext(coalesce({partition_col}::text, ''))) % "
+            f"{num_partitions} = {i}"
+            for i in range(num_partitions)
+        ]
     else:
         if lo is None or hi is None or num_partitions < 1:
             raise ValueError("partitioned scan needs partition_col, lo, hi")

@@ -113,6 +113,15 @@ def test_live_parallel_scan_roundtrip(spark, pg_dsn):
         ).count()
         == 1000
     )
+    # HASH-sliced parallelism (no numeric bounds — the string/uuid-key
+    # shape): slices are disjoint and exhaustive
+    hashed = PG.pg_scan(
+        spark, pg_dsn, "files",
+        "id bigint, path string, size_bytes bigint, owner_uid int",
+        partition_col="path", num_partitions=5,
+    )
+    assert hashed.count() == 1000
+    assert hashed.select("id").distinct().count() == 1000
 
 
 def test_live_end_to_end_migration_pipeline(spark, pg_dsn):
