@@ -93,11 +93,20 @@ def current_version(root: str) -> int:
         raise FileNotFoundError(f"no versioned table at {root} (missing {_POINTER})")
 
 
-def _commit(root: str, version: int, meta: dict) -> None:
+def _commit(root: str, version: int, meta: dict, publish: bool = True) -> None:
     """Publish ``version``: write the version's file manifest, then the
     commit log entry, then atomically swap the pointer. A crash before the
     replace leaves the old version live and the new directory orphaned
-    (vacuum collects it) — never a torn table."""
+    (vacuum collects it) — never a torn table.
+
+    ``publish=False`` is the STAGE half of write-audit-publish: the data
+    and manifest are fully materialized and the log entry is written under
+    a ``.staged.json`` name — invisible to :func:`history`, so readers,
+    time travel, and the change feed see only published commits; auditors
+    read the staged snapshot explicitly via ``read_table(version=N)``
+    (the version directory is complete). :func:`publish_staged` renames
+    the entry into the log and swaps the pointer; an abandoned stage is
+    just a claim-without-log that vacuum's orphan pass collects."""
     vdir = _vdir(root, version)
     prev = None
     if os.path.exists(os.path.join(vdir, _MANIFEST)):
@@ -114,13 +123,62 @@ def _commit(root: str, version: int, meta: dict) -> None:
     logdir = os.path.join(root, _LOG)
     os.makedirs(logdir, exist_ok=True)
     meta = {"version": version, "ts": time.time(), **meta}
-    with open(os.path.join(logdir, f"v{version:08d}.json"), "w", encoding="utf-8") as fh:
+    name = f"v{version:08d}.json" if publish else f"v{version:08d}.staged.json"
+    with open(os.path.join(logdir, name), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
+    if not publish:
+        return
     ptr = os.path.join(root, _POINTER)
     tmp = ptr + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(version))
     os.replace(tmp, ptr)  # the one atomic publish point
+
+
+def publish_staged(root: str, version: int) -> int:
+    """The PUBLISH half of write-audit-publish: after the staged snapshot
+    passed its audits, move its log entry into the committed log and swap
+    the pointer. Refuses when an intervening writer published a different
+    version ``>= version`` (the stage was planned against a snapshot that
+    is no longer current — re-stage against the new base rather than
+    silently dropping the competitor's commit). Returns ``version``."""
+    logdir = os.path.join(root, _LOG)
+    staged = os.path.join(logdir, f"v{version:08d}.staged.json")
+    if not os.path.exists(staged):
+        raise FileNotFoundError(
+            f"no staged commit v{version} at {root} (published already, "
+            f"abandoned, or never staged)"
+        )
+    cur = current_version(root)
+    if cur >= version:
+        raise ValueError(
+            f"cannot publish staged v{version}: table already at v{cur} — "
+            f"a competing writer published first; re-stage against the "
+            f"current snapshot"
+        )
+    os.replace(staged, os.path.join(logdir, f"v{version:08d}.json"))
+    ptr = os.path.join(root, _POINTER)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, ptr)
+    return version
+
+
+def abandon_staged(root: str, version: int) -> None:
+    """Drop a staged (never-published) commit: remove its staged log entry
+    and its version directory — the failed-audit exit of
+    write-audit-publish. The claim is released, so the next writer can
+    claim the version number."""
+    logdir = os.path.join(root, _LOG)
+    staged = os.path.join(logdir, f"v{version:08d}.staged.json")
+    if os.path.exists(
+        os.path.join(logdir, f"v{version:08d}.json")
+    ) or current_version(root) >= version:
+        raise ValueError(f"v{version} of {root} is published; restore instead")
+    if os.path.exists(staged):
+        os.unlink(staged)
+    shutil.rmtree(_vdir(root, version), ignore_errors=True)
 
 
 _MANIFEST = "_manifest.jsonl"
@@ -645,10 +703,13 @@ def _apply_renames(df: DataFrame, renames) -> DataFrame:
 
 
 def history(root: str) -> list[dict]:
-    """Commit log, oldest first."""
+    """Commit log, oldest first. PUBLISHED commits only — staged
+    (write-audit-publish) entries are invisible until published."""
     logdir = os.path.join(root, _LOG)
     out = []
     for name in sorted(os.listdir(logdir)):
+        if not name.endswith(".json") or name.endswith(".staged.json"):
+            continue
         with open(os.path.join(logdir, name), encoding="utf-8") as fh:
             out.append(json.load(fh))
     return out
@@ -1039,6 +1100,7 @@ def merge_into(
     evolve_schema: bool = False,
     update_set=None,
     write_mode: str = "cow",
+    publish: bool = True,
 ) -> int:
     """MERGE ``source`` into the versioned table on key column(s) ``on``
     (a composite key is passed as a list).
@@ -1075,7 +1137,13 @@ def merge_into(
     ``_dv/`` position deletes and the merge output (updates + inserts)
     lands in freshly APPENDED files — no existing file is rewritten, so a
     small-source merge into huge partitions costs O(source rows), not
-    O(rows of every touched partition). Readers subtract tombstones with
+    O(rows of every touched partition). ``publish=False`` stages the
+    merge WITHOUT moving the pointer (write-audit-publish): the returned
+    version's directory is complete and auditable via
+    ``read_table(version=...)``, readers keep seeing the old snapshot,
+    and :func:`publish_staged` / :func:`abandon_staged` finish the
+    protocol — a staged commit holds the version claim, intentionally
+    serializing writers until the audit resolves. Readers subtract tombstones with
     one anti-join until the next OPTIMIZE materializes them.
     Returns the new version number.
     """
@@ -1340,6 +1408,7 @@ def merge_into(
                 "columns": tcols,
                 "evolved": bool(new_fields),
             },
+            publish=publish,
         )
 
     merged = joined.where(survives).select(*out_cols)
@@ -1360,6 +1429,7 @@ def merge_into(
             "columns": tcols,
             "evolved": bool(new_fields),
         },
+        publish=publish,
     )
 
 
@@ -1371,6 +1441,7 @@ def _cow_commit(
     touched: set | None,
     meta: dict,
     touched_rels: set[str] | None = None,
+    publish: bool = True,
 ) -> int:
     """Shared copy-on-write commit protocol for merge/delete/update: claim
     the version number (atomic mkdir), materialize the rewritten rows in a
@@ -1443,6 +1514,7 @@ def _cow_commit(
             **({"carry_copied_files": carry_copied} if carry_copied else {}),
             **meta,
         },
+        publish=publish,
     )
     return new_v
 
@@ -1723,6 +1795,7 @@ def _mor_commit(
     dv_new: DataFrame | None,
     appended: DataFrame | None,
     meta: dict,
+    publish: bool = True,
 ) -> int:
     """Merge-on-read commit: carry EVERY base file forward (hardlinks — no
     data rewrite at all), add fresh tombstone files under ``_dv/`` for the
@@ -1785,6 +1858,7 @@ def _mor_commit(
             **({"carry_copied_files": carry_copied} if carry_copied else {}),
             **meta,
         },
+        publish=publish,
     )
     return new_v
 

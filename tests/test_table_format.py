@@ -2232,6 +2232,55 @@ def test_insert_into_appends_without_rewrite(spark, tmp_path):
         )
 
 
+def test_write_audit_publish_flow(spark, tmp_path):
+    """Write-audit-publish: a merge staged with publish=False is fully
+    materialized and auditable by version, INVISIBLE to readers/history/
+    CDF until published; publish is one atomic pointer swap; a failed
+    audit abandons the stage and releases the version number. Applies to
+    both COW and MOR staging."""
+    root = str(tmp_path / "t")
+    TF.create_table(_base(spark), root, partition_by="grp")
+    src = spark.createDataFrame([Row(id=1, grp="a", val=-999.0)])
+    v = TF.merge_into(
+        spark, root, src, on="id", when_not_matched=None, publish=False
+    )
+    assert v == 2
+    # readers and history see ONLY v1
+    assert TF.current_version(root) == 1
+    assert [e["version"] for e in TF.history(root)] == [1]
+    assert TF.read_table(spark, root).where("id = 1").collect()[0]["val"] == 10.0
+    # the auditor reads the staged snapshot explicitly
+    staged = {r["id"]: r["val"] for r in TF.read_table(spark, root, version=2).collect()}
+    assert staged[1] == -999.0
+    # audit fails (negative value) → abandon: version number released
+    TF.abandon_staged(root, 2)
+    assert not os.path.isdir(TF._vdir(root, 2))
+    v2 = TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=1, grp="a", val=111.0)]),
+        on="id", when_not_matched=None, publish=False, write_mode="mor",
+    )
+    assert v2 == 2  # the abandoned claim was reusable
+    # audit passes → publish: one atomic swap makes it current
+    assert TF.publish_staged(root, v2) == 2
+    assert TF.current_version(root) == 2
+    assert TF.read_table(spark, root).where("id = 1").collect()[0]["val"] == 111.0
+    assert [e["version"] for e in TF.history(root)] == [1, 2]
+    ch = TF.read_changes(spark, root, "id", 1, 2)
+    assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {(1, "update")}
+    # double-publish and stale-publish are rejected
+    with pytest.raises(FileNotFoundError, match="no staged commit"):
+        TF.publish_staged(root, 2)
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=2, grp="a", val=5.0)]),
+        on="id", when_not_matched=None, publish=False,
+    )
+    with pytest.raises(ValueError, match="published; restore instead"):
+        TF.abandon_staged(root, 2)
+    TF.abandon_staged(root, 3)  # clean up the dangling stage
+
+
 def test_set_checks_alter_validate_and_time_travel(spark, tmp_path):
     """ALTER TABLE constraints: set_checks validates the current snapshot
     before committing (an ALTER the data violates must fail), later
