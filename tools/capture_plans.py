@@ -763,6 +763,17 @@ comparable load the engine is measurably faster than last round on
 byte-identical plans plus the round's fixes; the earlier same-session
 run at loads 1.0–6.2 had read 25.5/17.4, which is precisely the
 co-tenant variance the protocol exists to expose.
+
+### Write-audit-publish
+merge_into(publish=False) completes the lakehouse write-governance set:
+the staged version directory and manifest are fully materialized and a
+`.staged.json` log entry keeps the commit invisible to history/readers/
+CDF (auditors read it explicitly by version); publish_staged promotes
+the entry and swaps the pointer in one atomic step, refusing when a
+competitor published first; abandon_staged releases the claim so the
+version number is reusable. A staged commit deliberately holds the
+version claim — the activity-aware retry loop added earlier makes
+competing writers wait rather than misfire the orphan error.
 """
 
 
