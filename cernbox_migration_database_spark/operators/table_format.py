@@ -156,6 +156,15 @@ def publish_staged(root: str, version: int) -> int:
             f"a competing writer published first; re-stage against the "
             f"current snapshot"
         )
+    if not os.path.isdir(_vdir(root, version)):
+        # vacuum's orphan pass may collect a long-staged version DIRECTORY
+        # (it is a claim without a committed log entry); publishing its
+        # dangling log entry would point readers at nothing
+        os.unlink(staged)
+        raise FileNotFoundError(
+            f"staged v{version} of {root} was vacuumed (orphan grace "
+            f"elapsed before publish); re-stage"
+        )
     os.replace(staged, os.path.join(logdir, f"v{version:08d}.json"))
     ptr = os.path.join(root, _POINTER)
     tmp = ptr + ".tmp"

@@ -2278,7 +2278,14 @@ def test_write_audit_publish_flow(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="published; restore instead"):
         TF.abandon_staged(root, 2)
-    TF.abandon_staged(root, 3)  # clean up the dangling stage
+    # a stage whose version DIRECTORY was vacuumed (orphan grace elapsed)
+    # must refuse to publish rather than point readers at nothing
+    import shutil as _sh
+
+    _sh.rmtree(TF._vdir(root, 3))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        TF.publish_staged(root, 3)
+    assert TF.current_version(root) == 2
 
 
 def test_set_checks_alter_validate_and_time_travel(spark, tmp_path):
