@@ -580,11 +580,19 @@ def create_table(
 
 
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """Read a snapshot (the committed version, or a pinned one — time
-    travel). The returned plan reads an immutable directory: concurrent
-    merges never change what this DataFrame sees."""
+    """Read a snapshot (the committed version, a pinned one, or — with
+    ``timestamp`` — the version that was current at that unix time: the
+    ``AS OF TIMESTAMP`` form). The returned plan reads an immutable
+    directory: concurrent merges never change what this DataFrame sees."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at(root, timestamp)
     v = current_version(root) if version is None else version
     vdir = _vdir(root, v)
     if not os.path.isdir(vdir):

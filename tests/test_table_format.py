@@ -580,6 +580,10 @@ def test_check_constraints_and_version_at(spark, tmp_path):
     assert TF.version_at(root, _time.time()) == 2
     with pytest.raises(ValueError, match="no version"):
         TF.version_at(root, 0.0)
+    # read_table(timestamp=) is the composed AS OF TIMESTAMP read
+    assert TF.read_table(spark, root, timestamp=t_v1).count() == 4
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        TF.read_table(spark, root, version=1, timestamp=t_v1)
 
 
 def test_null_partition_values_cow_and_cdf(spark, tmp_path):
