@@ -64,7 +64,10 @@ def _read_log(root: str, after: int = 0, upto: int | None = None):
     except FileNotFoundError:
         return
     for name in names:
-        if not name.endswith(".json"):
+        # published commits only — .staged.json entries (write-audit-
+        # publish stages) are invisible until published, matching
+        # table_format.history()
+        if not name.endswith(".json") or name.endswith(".staged.json"):
             continue
         with open(os.path.join(logdir, name), encoding="utf-8") as fh:
             e = json.load(fh)
