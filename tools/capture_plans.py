@@ -690,7 +690,7 @@ itself is no longer a stub.
   Queued first for round 6 (all individually selfcheck + driver_sim
   verified): graph_bfs_levels, search_hybrid_rrf,
   multimodal_phash_dedup, table_insert_append.
-* **pytest: 227 passed, 1 env-skip** (transformWithState execution —
+* **pytest: 234 passed, 1 env-skip at close** (transformWithState execution —
   needs protobuf; plan-construction asserted everywhere).
 * **Plan audit: 0 flagged across the catalog** (judge-rule sweep re-run
   this session pre-additions; each addition audited individually).
@@ -774,6 +774,18 @@ competitor published first; abandon_staged releases the claim so the
 version number is reusable. A staged commit deliberately holds the
 version claim — the activity-aware retry loop added earlier makes
 competing writers wait rather than misfire the orphan error.
+
+### Round-5 final additions after the closing summary
+Write-audit-publish staging (merge_into publish=False →
+publish_staged/abandon_staged, vacuumed-stage publish guard), AS OF
+TIMESTAMP reads, hash-sliced live scans for non-numeric keys (NULL keys
+coalesced into a bucket — a NULL hash silently dropped rows, caught by
+the live fixture), pg_incremental_ingest (DB→lakehouse watermark
+bridge), staged commits hidden from the history source, and the
+in-flight-writer orphan-misdiagnosis fix with a two-thread COW-vs-MOR
+stress. Final gates after ALL of it: pytest 234 passed / 1 env-skip,
+driver window selfcheck 50/50 (third sweep), window driver_sim 50/50,
+full-catalog selfcheck 195/195, plan audit 0 flagged.
 """
 
 
