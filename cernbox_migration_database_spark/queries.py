@@ -8637,6 +8637,152 @@ def table_insert_append(spark, sf_dir):
     )
 
 
+@register(
+    "window_gap_islands",
+    """
+    WITH runs AS (
+      SELECT user_id, event_id,
+             event_id - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY event_id) AS island
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS run_len,
+             MIN(event_id) AS run_start, MAX(event_id) AS run_end
+      FROM runs GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           MAX(run_len) AS longest_run,
+           CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS runs_ge_3,
+           MIN(run_start) AS first_event,
+           MAX(run_end) AS last_event
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event ids per user
+    via the classic ``id - row_number()`` constant-within-a-run trick —
+    the sequence-segmentation idiom behind contiguous-session detection,
+    missing-range audits, and streak analytics (window_sessionize is the
+    time-gap twin; this is the dense-key form). Two aggregations over one
+    user-keyed window: the heavy shuffle is the single partitionBy on
+    user_id; islands and the per-user rollup are combinable aggregates.
+    All-integer arithmetic — bit-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    runs = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("island"),
+    )
+    islands = runs.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("event_id").alias("run_start"),
+        F.max("event_id").alias("run_end"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("run_len").alias("longest_run"),
+            F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("runs_ge_3"),
+            F.min("run_start").alias("first_event"),
+            F.max("run_end").alias("last_event"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stats_ttest_groups",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(cents) AS sx,
+             SUM(cents * cents) AS sxx
+      FROM q GROUP BY event_type
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           (CAST(a.sx AS DOUBLE) / 100.0 / a.n) AS mean_a,
+           (CAST(b.sx AS DOUBLE) / 100.0 / b.n) AS mean_b,
+           ((CAST(a.sx AS DOUBLE) / 100.0 / a.n)
+            - (CAST(b.sx AS DOUBLE) / 100.0 / b.n))
+           / sqrt(
+               ((CAST(a.sxx AS DOUBLE) / 10000.0 / a.n
+                 - (CAST(a.sx AS DOUBLE) / 100.0 / a.n)
+                   * (CAST(a.sx AS DOUBLE) / 100.0 / a.n)) / a.n)
+               + ((CAST(b.sxx AS DOUBLE) / 10000.0 / b.n
+                 - (CAST(b.sx AS DOUBLE) / 100.0 / b.n)
+                   * (CAST(b.sx AS DOUBLE) / 100.0 / b.n)) / b.n)
+             ) AS t_stat
+    FROM (SELECT * FROM s WHERE event_type = 'purchase') a
+    CROSS JOIN (SELECT * FROM s WHERE event_type = 'click') b
+    """,
+)
+def stats_ttest_groups(spark, sf_dir):
+    """Welch two-sample t statistic (purchase vs click values) from EXACT
+    integer sufficient statistics: cent-scaled sums and sums of squares
+    accumulate as int64 (one combinable aggregate pass, no variance
+    UDAF), and the t statistic assembles from those exact sums through a
+    single shared literal op sequence — bit-deterministic doubles, where
+    a cross-engine VAR_SAMP would drift with partition order. The A/B
+    primitive every metrics pipeline runs; group pair is fixed so the
+    final join is two one-row broadcast sides."""
+    q = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    a = s.where("event_type = 'purchase'").select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = s.where("event_type = 'click'").select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    j = a.crossJoin(b)
+    mean_a = F.col("sx_a").cast("double") / 100.0 / F.col("n_a")
+    mean_b = F.col("sx_b").cast("double") / 100.0 / F.col("n_b")
+    var_a = (
+        F.col("sxx_a").cast("double") / 10000.0 / F.col("n_a") - mean_a * mean_a
+    )
+    var_b = (
+        F.col("sxx_b").cast("double") / 10000.0 / F.col("n_b") - mean_b * mean_b
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+        ).alias("t_stat"),
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -8722,6 +8868,8 @@ _PRIORITY = [
     "search_hybrid_rrf",
     "multimodal_phash_dedup",
     "table_insert_append",
+    "window_gap_islands",
+    "stats_ttest_groups",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
     "join_enrich_parts",
