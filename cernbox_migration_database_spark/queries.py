@@ -8783,6 +8783,125 @@ def stats_ttest_groups(spark, sf_dir):
     )
 
 
+@register(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(o_orderkey % 7 + 1 AS BIGINT) AS wt
+      FROM orders
+    ),
+    c AS (
+      SELECT grp, price_cents, wt,
+             SUM(wt) OVER (PARTITION BY grp ORDER BY price_cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_wt,
+             SUM(wt) OVER (PARTITION BY grp) AS tot_wt
+      FROM w
+    )
+    SELECT grp,
+           (CAST(MIN(price_cents) AS DOUBLE) / 100.0) AS weighted_median,
+           CAST(MAX(tot_wt) AS BIGINT) AS total_weight
+    FROM c
+    WHERE cum_wt * 2 >= tot_wt
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """EXACT weighted median per group (weights derived deterministically
+    from the key): sort by value within the group, take the first value
+    whose cumulative weight reaches half the total — one ordered
+    cumulative-sum window + a MIN over the qualifying suffix, all integer
+    arithmetic (cent-scaled values, integer weights), so the order
+    statistic is bit-identical cross-engine. The estimator behind
+    sample-weighted quality cutoffs and importance-weighted label
+    aggregation; no UDAF, no collect, one shuffle on the group key. Ties
+    in the value column are harmless: cumulative weights at equal values
+    differ only in row order WITHIN the tie, and the selected MIN value
+    is the same whichever tied row crosses the threshold."""
+    w = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        (F.col("o_orderkey") % 7 + 1).cast("long").alias("wt"),
+    )
+    win = (
+        W.partitionBy("grp")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = w.select(
+        "grp",
+        "price_cents",
+        F.sum("wt").over(win).alias("cum_wt"),
+        F.sum("wt").over(W.partitionBy("grp")).alias("tot_wt"),
+    )
+    return (
+        c.where(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+        .groupBy("grp")
+        .agg(
+            (F.min("price_cents").cast("double") / 100.0).alias(
+                "weighted_median"
+            ),
+            F.max("tot_wt").alias("total_weight"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "events_rolling_distinct_users",
+    """
+    WITH hu AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events
+    ),
+    hours AS (SELECT DISTINCT hour FROM hu)
+    SELECT h.hour,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_24h
+    FROM hours h
+    JOIN hu u
+      ON u.hour <= h.hour AND u.hour > h.hour - INTERVAL 24 HOURS
+    GROUP BY h.hour
+    ORDER BY h.hour
+    """,
+)
+def events_rolling_distinct_users(spark, sf_dir):
+    """Trailing-24h distinct active users per hour — the DAU/rolling-
+    engagement metric. COUNT(DISTINCT) over a window FRAME is unsupported
+    in both engines, so the correct formulation is: dedup to (hour, user)
+    once (the only corpus-sized shuffle), then a bounded RANGE JOIN of
+    the hour spine against the deduped pairs with a distinct-count per
+    spine hour. The join fan-out is |hours| x 24-hour slices of the
+    already-deduped pairs — at any scale the heavy input is pre-shrunk to
+    distinct pairs, and the spine is metadata-sized. (The approximate
+    twin at extreme scale swaps the distinct count for an HLL sketch
+    merged over the window — sketches.py; this is the exact form.)"""
+    ev = _t(spark, sf_dir, "events")
+    hu = (
+        ev.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .distinct()
+    )
+    hours = hu.select("hour").distinct()
+    u = hu.select(F.col("hour").alias("u_hour"), "user_id")
+    return (
+        hours.join(
+            u,
+            (F.col("u_hour") <= F.col("hour"))
+            & (
+                F.col("u_hour")
+                > F.col("hour") - F.expr("INTERVAL 24 HOURS")
+            ),
+        )
+        .groupBy("hour")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users_24h"))
+        .orderBy("hour")
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -8870,6 +8989,8 @@ _PRIORITY = [
     "table_insert_append",
     "window_gap_islands",
     "stats_ttest_groups",
+    "agg_weighted_median",
+    "events_rolling_distinct_users",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
     "join_enrich_parts",
