@@ -8902,6 +8902,94 @@ def events_rolling_distinct_users(spark, sf_dir):
     )
 
 
+@register(
+    "train_dataset_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             md5(text) AS fp
+      FROM documents
+    ),
+    dup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM t
+    ),
+    top_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY lang
+      ORDER BY n DESC, lang LIMIT 1
+    )
+    SELECT d.n_docs, d.n_unique,
+           (CAST(d.n_docs - d.n_unique AS DOUBLE) / d.n_docs) AS dup_rate,
+           d.total_tokens, d.total_chars,
+           (CAST(d.total_tokens AS DOUBLE) / d.n_docs) AS mean_tokens,
+           d.n_langs, d.n_sources,
+           tl.lang AS top_lang,
+           (CAST(tl.n AS DOUBLE) / d.n_docs) AS top_lang_share
+    FROM dup d CROSS JOIN top_lang tl
+    """,
+)
+def train_dataset_card(spark, sf_dir):
+    """The DATASET CARD a training pipeline ships with its output: one
+    wide summary row — corpus size, exact-duplicate rate (content
+    fingerprints), token/char totals and means, language/source
+    diversity, dominant language and its share. Everything reduces
+    map-side-combinably (counts, sums, distincts) plus one metadata-sized
+    top-1; exact integer totals with fixed-op-sequence derived doubles
+    keep the card bit-reproducible — a card whose numbers drift between
+    runs is worse than no card. At 100 TB this is the same single
+    aggregation pass any of the corpus queries make; the card is the
+    cheap, always-on artifact that catches upstream drops (dup-rate or
+    lang-share jumps) before training does."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(TX.tokens("text")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    dup = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    top = (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return dup.crossJoin(top).select(
+        "n_docs",
+        "n_unique",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
+        "total_tokens",
+        "total_chars",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+        "n_langs",
+        "n_sources",
+        "top_lang",
+        (F.col("top_n").cast("double") / F.col("n_docs")).alias(
+            "top_lang_share"
+        ),
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -8991,6 +9079,7 @@ _PRIORITY = [
     "stats_ttest_groups",
     "agg_weighted_median",
     "events_rolling_distinct_users",
+    "train_dataset_card",
     # --- backstop: earlier-round driver-green queries fill any slots the
     # round-5 names above leave open ---
     "join_enrich_parts",
