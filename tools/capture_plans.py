@@ -786,6 +786,20 @@ in-flight-writer orphan-misdiagnosis fix with a two-thread COW-vs-MOR
 stress. Final gates after ALL of it: pytest 234 passed / 1 env-skip,
 driver window selfcheck 50/50 (third sweep), window driver_sim 50/50,
 full-catalog selfcheck 195/195, plan audit 0 flagged.
+
+### Round-5 definitive close: 200 queries, 200/200 exact
+Five more idiom queries landed after the earlier close (gaps-and-
+islands, Welch t from exact sufficient statistics, exact weighted
+median, rolling distinct actives via dedup-then-range-join, and the
+one-row bit-reproducible dataset card), each triple-verified
+(selfcheck + vanilla driver_sim + plan audit; driver_sim's dtype hash
+caught a DuckDB HUGEINT sum leaking into the weighted-median oracle).
+The definitive full-catalog sweep after everything: **200 registered
+queries, 200 oracle-paired, 200/200 exact-value green at sf0.01**
+(/tmp/full_selfcheck_200.log). Round-6 window queue (all pre-verified):
+graph_bfs_levels, search_hybrid_rrf, multimodal_phash_dedup,
+table_insert_append, window_gap_islands, stats_ttest_groups,
+agg_weighted_median, events_rolling_distinct_users, train_dataset_card.
 """
 
 
