@@ -1755,7 +1755,13 @@ def _snapshot_with_rowid(spark: SparkSession, root: str, v: int):
             ["__f", "__p"],
             "left_anti",
         )
-    if cols and set(cols) == set(c for c in df.columns if c not in ("__f", "__p")):
+    # SUBSET select — the same test read_table applies, NOT equality: after
+    # a logical DROP COLUMN the physical files still carry the dropped
+    # field, so the raw frame is a SUPERSET of the logical columns. An
+    # equality test skipped the projection there, and every merge-on-read
+    # writer (fed by this frame) re-committed the dropped column's name
+    # AND data back into the table — undoing the DROP.
+    if cols and set(cols) <= set(c for c in df.columns if c not in ("__f", "__p")):
         df = df.select(*cols, "__f", "__p")
     return df, pcols
 

@@ -109,9 +109,14 @@ def pg_scan(
         if num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
         # COALESCE: a NULL key hashes to NULL and would vanish from every
-        # slice — route NULLs through the empty-string bucket instead
+        # slice — route NULLs through the empty-string bucket instead.
+        # Mask, don't abs(): hashtext returns int4, and abs(-2147483648)
+        # overflows int4 ('integer out of range'), failing the whole slice
+        # for the ~2^-32-per-key unlucky hash — material odds on the
+        # billion-row tables this scan targets. & 0x7fffffff maps that
+        # value to 0 and is sign-safe for every other hash.
         preds = [
-            f"abs(hashtext(coalesce({partition_col}::text, ''))) % "
+            f"(hashtext(coalesce({partition_col}::text, '')) & 2147483647) % "
             f"{num_partitions} = {i}"
             for i in range(num_partitions)
         ]
@@ -186,23 +191,44 @@ def pg_incremental_ingest(
     num_partitions: int = 4,
 ) -> int:
     """Watermark-cursor ingestion from the live database into a versioned
-    table — the standing DB→lakehouse bridge. Each call scans only rows
-    with ``cursor_col`` past the durable watermark (server-side predicate:
-    the years-old backlog is never re-read), applies them as a keyed merge
-    (``key`` set — a monotonically bumped ``cursor_col`` such as an
-    updated-at then captures UPDATES too) or an append (``key`` None:
-    insert-only feeds), and advances the watermark ONLY after the
+    table — the standing DB→lakehouse bridge. Each call re-scans from the
+    durable watermark INCLUSIVE (server-side ``cursor_col >= watermark``
+    predicate: the years-old backlog is never re-read, but the boundary
+    value is always re-read). Inclusive matters: the watermark commits as
+    ``MAX(cursor_col)`` of the slice, and a row that becomes visible
+    LATER with ``cursor_col`` equal to that max — a same-second
+    updated-at tie, or an in-flight transaction that commits after the
+    bounds query ran — would be silently skipped forever by an exclusive
+    re-scan. Re-reading the boundary is safe in both apply modes: the
+    keyed merge (``key`` set — a monotonically bumped ``cursor_col`` such
+    as an updated-at then captures UPDATES too) and the append path
+    (``key`` None: insert-only feeds) both first anti-join the re-scanned
+    rows against the destination's OWN boundary slice — a null-safe
+    full-row match, so a replayed boundary row is recognized as
+    already-applied, never duplicated (append) and never the cause of a
+    spurious no-op version commit (merge); stats-skipping keeps that
+    destination read to the files whose min/max straddle the watermark.
+    (The one append-mode caveat: two GENUINELY identical source rows
+    sharing the boundary cursor value collapse to one — give such feeds a
+    key or a unique column.) The watermark advances ONLY after the
     versioned commit publishes — a crash in between replays the same
-    slice, and both apply modes are replay-idempotent, so the lakehouse
-    copy converges exactly-once (the same contract as
-    :func:`...table_format.replicate_changes`, pointed at a live source).
-    Returns rows ingested (0 when caught up)."""
+    slice and converges. Transactions still in flight at commit time
+    whose cursor lands STRICTLY BELOW the committed max remain the
+    operator's responsibility: use a transaction-monotonic cursor
+    (sequence/LSN), or re-run after the write traffic quiesces. Returns
+    rows newly applied (0 when caught up — boundary replays don't
+    count, and a fully-replayed slice commits nothing)."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
     from ..operators import table_format as TF
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     last = TF.cursor_version(cursor_path)
-    where = f" WHERE {cursor_col} > {last}" if last is not None else ""
+    where = f" WHERE {cursor_col} >= {last}" if last is not None else ""
     inner = f"SELECT * FROM {table}{where}"
     # bound the slice's own key range server-side for the parallel scan
     bounds = psql_exec(
@@ -219,14 +245,39 @@ def pg_incremental_ingest(
         partition_col=cursor_col, lo=lo, hi=hi + 1,
         num_partitions=min(num_partitions, max(1, n)),
     )
-    if not os.path.exists(os.path.join(dest_root, "_latest")):
-        TF.create_table(delta, dest_root, partition_by=partition_by)
-    elif key is not None:
-        TF.merge_into(spark, dest_root, delta, on=key)
-    else:
-        TF.insert_into(spark, dest_root, delta)
+    bootstrap = not os.path.exists(os.path.join(dest_root, "_latest"))
+    if not bootstrap and last is not None:
+        # drop boundary replays: rows the previous call already applied
+        # re-arrive with cursor == last; a null-safe full-row anti-join
+        # against the destination's boundary slice recognizes them (rows
+        # with cursor > last can never match the slice and pass through)
+        seen = TF.read_table(spark, dest_root).where(
+            F.col(cursor_col) == F.lit(last)
+        )
+        cond = functools.reduce(
+            operator.and_,
+            [delta[c].eqNullSafe(seen[c]) for c in delta.columns],
+        )
+        delta = delta.join(seen, on=cond, how="left_anti")
+    # persist: pg_scan re-runs its server subprocesses per action, and the
+    # count and the apply must see the same rows
+    delta = delta.persist()
+    try:
+        applied = delta.count()
+        if applied == 0:
+            # every scanned row was a boundary replay (which also means
+            # hi == last): nothing to commit, watermark already durable
+            return 0
+        if bootstrap:
+            TF.create_table(delta, dest_root, partition_by=partition_by)
+        elif key is not None:
+            TF.merge_into(spark, dest_root, delta, on=key)
+        else:
+            TF.insert_into(spark, dest_root, delta)
+    finally:
+        delta.unpersist()
     TF.commit_cursor(cursor_path, hi)
-    return n
+    return applied
 
 
 def _sql_literal(v) -> str:
@@ -251,25 +302,42 @@ def pg_upsert_sink(
     ``INSERT ... ON CONFLICT (keys) DO UPDATE SET`` statements, one psql
     subprocess per batch, executed per Spark partition (the S6 update-sink
     contract, main.go:217-240, in its set-based idempotent form — a task
-    retry re-upserts the same rows to the same values). Returns the
-    number of rows written."""
+    retry re-upserts the same rows to the same values).
+
+    Duplicate keys WITHIN a batch collapse last-wins before the statement
+    is built: Postgres rejects a multi-row ``ON CONFLICT DO UPDATE`` that
+    touches the same key twice ('command cannot affect row a second
+    time'), so without the collapse a non-deduped input aborted the write
+    mid-partition. Across batches the same key simply upserts again —
+    later statements win, preserving arrival order within a partition.
+    (Rows whose key columns are all NULL never conflict in Postgres;
+    they still collapse here, which only matters for keyless feeds — use
+    a real key.) Returns the number of input rows consumed, counted by an
+    accumulator inside the single write action (exactly-once per task for
+    action-side accumulator updates), so the count and the rows written
+    can never come from two different executions of a non-deterministic
+    upstream."""
     cols = df.columns
     non_keys = [c for c in cols if c not in key_cols]
     if not non_keys:
         raise ValueError("upsert needs at least one non-key column")
+    key_idx = [cols.index(c) for c in key_cols]
     dsn_items = tuple(sorted(dsn.items()))
     col_list = ", ".join(cols)
     conflict = ", ".join(key_cols)
     updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+    acc = df.sparkSession.sparkContext.accumulator(0)
 
     def write_partition(rows) -> None:
         d = dict(dsn_items)
-        batch: list[str] = []
+        # key literals → full VALUES tuple: dict insertion order keeps the
+        # statement deterministic, overwrite makes in-batch dupes last-wins
+        batch: dict[tuple, str] = {}
 
         def flush() -> None:
             if not batch:
                 return
-            values = ", ".join(batch)
+            values = ", ".join(batch.values())
             psql_exec(
                 d,
                 f"INSERT INTO {table} ({col_list}) VALUES {values} "
@@ -278,13 +346,14 @@ def pg_upsert_sink(
             batch.clear()
 
         for row in rows:
-            batch.append(
-                "(" + ", ".join(_sql_literal(row[c]) for c in cols) + ")"
+            lits = [_sql_literal(row[c]) for c in cols]
+            batch[tuple(lits[i] for i in key_idx)] = (
+                "(" + ", ".join(lits) + ")"
             )
+            acc.add(1)
             if len(batch) >= batch_size:
                 flush()
         flush()
 
-    n = df.count()
     df.foreachPartition(write_partition)
-    return n
+    return acc.value

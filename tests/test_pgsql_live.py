@@ -359,3 +359,76 @@ def test_live_upsert_sink_idempotent(spark, pg_dsn):
     df2 = df.withColumn("quota_gb", F.col("quota_gb") * 2)
     PG.pg_upsert_sink(df2, pg_dsn, "quotas", key_cols=["uid"])
     assert snap()[50] == (150.0, "mig-50")
+
+
+def test_live_ingest_boundary_tie_not_skipped(spark, pg_dsn, tmp_path):
+    """Round-5 advice regression: a row that becomes visible AFTER a scan
+    with cursor_col EQUAL to the committed watermark (same-second
+    updated-at tie / late-committing transaction) must be picked up by
+    the next call — the old exclusive (>) re-scan skipped it forever.
+    The inclusive re-scan must also not duplicate the boundary rows it
+    replays, in keyed AND append modes, and a fully-replayed slice must
+    not commit a spurious version."""
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    PG.psql_exec(
+        pg_dsn,
+        """
+        DROP TABLE IF EXISTS tie;
+        CREATE TABLE tie (uid BIGINT PRIMARY KEY, v BIGINT, mtime BIGINT);
+        INSERT INTO tie VALUES (1, 10, 100), (2, 20, 200);
+        """,
+    )
+    schema = "uid bigint, v bigint, mtime bigint"
+    for mode, key in (("keyed", "uid"), ("append", None)):
+        dest = str(tmp_path / f"t_{mode}")
+        cursor = str(tmp_path / f"cur_{mode}")
+        assert PG.pg_incremental_ingest(
+            spark, pg_dsn, "tie", schema, "mtime", cursor, dest, key=key
+        ) == 2
+        # late arrival AT the watermark (mtime=200 == committed max)
+        PG.psql_exec(pg_dsn, "INSERT INTO tie VALUES (3, 30, 200)")
+        assert PG.pg_incremental_ingest(
+            spark, pg_dsn, "tie", schema, "mtime", cursor, dest, key=key
+        ) == 1  # the tie row lands; boundary replay of uid=2 does not dup
+        snap = {
+            r["uid"]: r["v"] for r in TF.read_table(spark, dest).collect()
+        }
+        assert snap == {1: 10, 2: 20, 3: 30}
+        v_before = TF.current_version(dest)
+        assert PG.pg_incremental_ingest(
+            spark, pg_dsn, "tie", schema, "mtime", cursor, dest, key=key
+        ) == 0  # caught up: boundary replays only
+        assert TF.current_version(dest) == v_before  # no spurious commit
+        assert TF.read_table(spark, dest).count() == 3  # and no dup rows
+        PG.psql_exec(pg_dsn, "DELETE FROM tie WHERE uid = 3")
+
+
+def test_live_upsert_sink_duplicate_keys_in_batch(spark, pg_dsn):
+    """Round-5 advice regression: duplicate keys WITHIN one statement
+    batch used to abort the write ('command cannot affect row a second
+    time'); they must collapse last-wins instead. Duplicates that span
+    batches must also land (later statement wins)."""
+    PG.psql_exec(
+        pg_dsn,
+        """
+        DROP TABLE IF EXISTS dupes;
+        CREATE TABLE dupes (uid BIGINT PRIMARY KEY, v BIGINT);
+        """,
+    )
+    # 3 copies of each key interleaved in ONE partition, so every batch
+    # holds in-batch duplicates; the highest v per key is the last seen
+    df = (
+        spark.range(0, 300)
+        .select((F.col("id") % 100).alias("uid"), F.col("id").alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("v")
+    )
+    n = PG.pg_upsert_sink(df, pg_dsn, "dupes", key_cols=["uid"], batch_size=7)
+    assert n == 300  # every input row consumed
+    got = {
+        r["uid"]: r["v"]
+        for r in PG.pg_scan(spark, pg_dsn, "dupes", "uid bigint, v bigint").collect()
+    }
+    assert len(got) == 100
+    assert all(got[u] == u + 200 for u in range(100))  # last copy won

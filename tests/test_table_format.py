@@ -2143,6 +2143,53 @@ def test_drop_column_metadata_only_with_time_travel(spark, tmp_path):
                 assert "val" not in names
 
 
+def test_drop_column_survives_mor_writes(spark, tmp_path):
+    """Regression (round-5 advice): a merge-on-read write AFTER a logical
+    DROP COLUMN must not resurrect the dropped column. The MOR writers all
+    start from _snapshot_with_rowid, which projected the logical columns
+    only when they EQUALLED the physical set — after a metadata-only drop
+    the physical files are a superset, the projection was skipped, and the
+    writer committed the dropped column's name and old data back into the
+    log. create(id,p,secret) → drop('secret') → MOR delete/update/merge
+    must each keep 'secret' gone, in the live read AND the commit log."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s2"), (3, "a", "s3"), (4, "b", "s4")],
+        "id long, p string, secret string",
+    )
+    TF.create_table(df, root, partition_by="p")
+    TF.drop_column(spark, root, "secret")
+
+    TF.delete_where(spark, root, "id = 2", mode="mor")
+    out = TF.read_table(spark, root)
+    assert out.columns == ["id", "p"]
+    assert {r["id"] for r in out.collect()} == {1, 3, 4}
+
+    TF.update_where(spark, root, "id = 3", {"p": "'b'"}, mode="mor")
+    out = TF.read_table(spark, root)
+    assert out.columns == ["id", "p"]
+    assert {(r["id"], r["p"]) for r in out.collect()} == {
+        (1, "a"), (3, "b"), (4, "b"),
+    }
+
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([(9, "a"), (1, "b")], "id long, p string"),
+        on="id", write_mode="mor",
+    )
+    out = TF.read_table(spark, root)
+    assert out.columns == ["id", "p"]
+    assert {r["id"] for r in out.collect()} == {1, 3, 4, 9}
+    # the commit log must agree with the reads: no entry at-or-after the
+    # drop may record the dropped column
+    drop_v = next(
+        e["version"] for e in TF.history(root) if e["action"] == "drop_column"
+    )
+    for e in TF.history(root):
+        if e["version"] >= drop_v and e.get("columns"):
+            assert "secret" not in e["columns"], e
+
+
 def test_rename_column_metadata_only_mixed_files(spark, tmp_path):
     """Logical RENAME COLUMN: metadata-only commit; a later merge writes
     NEW-name files while carried files keep the old physical name — the
@@ -2497,13 +2544,16 @@ def test_replicate_changes_cdc_replica_converges_and_is_idempotent(
 def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
     """Model-based property test: random sequences of table operations
     (keyed merge upsert / merge delete / predicate delete / restore /
-    OPTIMIZE / append-only INSERT / RENAME COLUMN — each mutation in
-    BOTH copy-on-write and merge-on-read form where applicable, so
-    random interleavings of rewrites, tombstones, appends, logical
-    renames, compactions and rollbacks are exercised; the model tracks
-    the value column's logical NAME so rename→restore→rename chains
-    must keep old-name carried files readable) applied to the versioned
-    table AND to a plain dict model;
+    OPTIMIZE / append-only INSERT / RENAME COLUMN / DROP COLUMN — each
+    mutation in BOTH copy-on-write and merge-on-read form where
+    applicable, so random interleavings of rewrites, tombstones, appends,
+    logical renames, logical drops, compactions and rollbacks are
+    exercised; the model tracks the value column's logical NAME so
+    rename→restore→rename chains must keep old-name carried files
+    readable, and tracks whether the droppable 'extra' column is live so
+    drop→MOR-write→restore chains must keep a dropped column dropped and
+    a restored one restored) applied to the versioned table AND to a
+    plain dict model;
     after every op the committed snapshot must equal the model, and at the
     end EVERY historical version must equal the model's recorded history
     (time travel is part of the contract, not an afterthought)."""
@@ -2533,6 +2583,7 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
             ),
         ),
         st.tuples(st.just("rename"), st.none()),
+        st.tuples(st.just("drop"), st.none()),
     )
 
     counter = {"n": 0}
@@ -2547,9 +2598,18 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
         root = str(tmp_path / f"t{counter['n']}")
         seed = {i: i * 10 for i in range(0, 8)}
         vcol = "val"  # renames toggle the VALUE column's logical name
+        has_extra = True  # the droppable column; its value is always id*100
 
         def mk(d, col=None):
             col = col or vcol
+            if has_extra:
+                return spark.createDataFrame(
+                    [
+                        (k, "ab"[k % 2], v, k * 100)
+                        for k, v in sorted(d.items())
+                    ],
+                    f"id long, grp string, {col} long, extra long",
+                )
             return spark.createDataFrame(
                 [(k, "ab"[k % 2], v) for k, v in sorted(d.items())],
                 f"id long, grp string, {col} long",
@@ -2557,7 +2617,7 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
 
         TF.create_table(mk(seed), root, partition_by="grp")
         model = dict(seed)
-        hist = {1: (dict(model), vcol)}
+        hist = {1: (dict(model), vcol, has_extra)}
         for kind, arg in ops:
             if kind in ("upsert", "mor_upsert"):
                 TF.merge_into(
@@ -2590,6 +2650,14 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
                 new = "v2" if vcol == "val" else "val"
                 TF.rename_column(spark, root, vcol, new)
                 vcol = new
+            elif kind == "drop":
+                if has_extra:
+                    TF.drop_column(spark, root, "extra")
+                    has_extra = False
+                else:
+                    with pytest.raises(ValueError, match="not in table"):
+                        TF.drop_column(spark, root, "extra")
+                    continue
             elif kind == "restore":
                 v = min(arg, TF.current_version(root))
                 if v == TF.current_version(root):
@@ -2597,21 +2665,33 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
                         TF.restore(root, v)
                     continue
                 TF.restore(root, v)
-                model, vcol = dict(hist[v][0]), hist[v][1]
+                model, vcol, has_extra = (
+                    dict(hist[v][0]), hist[v][1], hist[v][2]
+                )
             else:
                 TF.compact(spark, root)
             cur = TF.current_version(root)
-            hist[cur] = (dict(model), vcol)
-            got = {
-                r["id"]: r[vcol]
-                for r in TF.read_table(spark, root).collect()
-            }
+            hist[cur] = (dict(model), vcol, has_extra)
+            snap_df = TF.read_table(spark, root)
+            assert ("extra" in snap_df.columns) == has_extra, (
+                f"after {kind}: extra live={has_extra} cols={snap_df.columns}"
+            )
+            rows = snap_df.collect()
+            got = {r["id"]: r[vcol] for r in rows}
             assert got == model, f"after {kind}: {got} != {model}"
-        for v, (snap, col) in hist.items():
-            got = {
-                r["id"]: r[col]
-                for r in TF.read_table(spark, root, version=v).collect()
-            }
+            if has_extra:
+                assert {r["id"]: r["extra"] for r in rows} == {
+                    k: k * 100 for k in model
+                }, f"after {kind}: extra values"
+        for v, (snap, col, hx) in hist.items():
+            df_v = TF.read_table(spark, root, version=v)
+            assert ("extra" in df_v.columns) == hx, f"time travel v{v} extra"
+            rows = df_v.collect()
+            got = {r["id"]: r[col] for r in rows}
             assert got == snap, f"time travel v{v}"
+            if hx:
+                assert {r["id"]: r["extra"] for r in rows} == {
+                    k: k * 100 for k in snap
+                }, f"time travel v{v} extra values"
 
     run()
