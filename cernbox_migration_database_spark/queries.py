@@ -9002,75 +9002,19 @@ def train_dataset_card(spark, sf_dir):
 # slots. After a green r5, every oracle-paired query in the registry has
 # a driver row on record.
 _PRIORITY = [
-    # --- sentinel core, slimmed to 5 for round 5: every rotated-out
-    # sentinel (join_enrich_parts, router_4way, path_functions,
-    # similarity_ann_ivf, text_langid, audit/dead-letters/param-scan) is
-    # driver-green in BOTH r1-r3 and the full r4 window and moves to the
-    # backstop; the freed slots go to never-driver-verified round-5
-    # queries — full-catalog coverage (the r3/r4 verdicts' #1 ask)
-    # outranks re-proving 4x-verified plans a fifth time. The 5 kept span
-    # the distinct execution families: pushdown scan, the flagship
-    # migration join pipeline, the merge sink, expression-heavy kv
-    # parsing, and the shuffle-heavy LSH dedup. ---
+    # --- sentinel core, 5 queries spanning the distinct execution
+    # families (pushdown scan, the flagship migration join pipeline, the
+    # merge sink, expression-heavy kv parsing, the shuffle-heavy LSH
+    # dedup) — driver-green every round r1-r5, kept as the canary. ---
     "scan_filter_project_sort",
     "migration_merged",
     "merge_update_orders",
     "kv_parse_map",
     "dedup_minhash_lsh",
-    # --- the 17 round-4 queries never driver-verified (judge-selfcheck
-    # green in the r4 verdict) ---
-    "merge_into_versioned",
-    "merge_into_nested_partitions",
-    "migration_upsert_versioned",
-    "table_time_travel",
-    "table_changes",
-    "table_delete_where",
-    "table_update_where",
-    "table_restore",
-    "table_manifest_scan",
-    "table_stats_skipping",
-    "mv_incremental_refresh",
-    "point_lookup_indexed",
-    "similarity_ivf_pq",
-    "dedup_semantic_keep",
-    "dedup_repeated_spans",
-    "bloom_decontaminate",
-    "train_weighted_sample",
-    # --- last never-verified oracle-paired query ---
-    "approx_sketches",
-    # --- round-5 additions (skipped until defined; each new query claims
-    # the next open slot) ---
-    "table_schema_evolution",
-    "url_functions",
-    "bm25_search",
-    "embedding_kmeans",
-    "events_ohlc_bars",
-    "market_basket_pairs",
-    "window_ewma",
-    "dedup_containment_pairs",
-    "events_attribution",
-    "text_ngram_entropy",
-    "similarity_range_search",
-    "train_curriculum_stages",
-    "table_optimize_compact",
-    "events_top_transitions",
-    "dedup_cross_field",
-    "stats_linear_fit",
-    "graph_triangle_count",
-    "table_partition_evolution",
-    "similarity_maxsim",
-    # --- round-5 merge-on-read deletion-vector + CDC replication queries ---
-    "table_delete_vectors",
-    "table_merge_mor",
-    "table_cdc_replication",
-    # --- round-5 analytics additions ---
-    "events_sequence_match",
-    "stats_mad_outliers",
-    "stats_covariance_matrix",
-    "stats_chi_square_cells",
-    "ts_interpolate",
-    # --- first in line for the round-6 window (selfcheck-verified now,
-    # window already at its 50-slot capacity) ---
+    # --- the ONLY 9 catalog queries without a driver row after r5 (the
+    # round-5 window hit its 50-slot cap; all 9 are selfcheck- and
+    # driver_sim-verified) — with these green, all 200 pre-round-6
+    # queries have full-catalog driver coverage ---
     "graph_bfs_levels",
     "search_hybrid_rrf",
     "multimodal_phash_dedup",
@@ -9080,8 +9024,21 @@ _PRIORITY = [
     "agg_weighted_median",
     "events_rolling_distinct_users",
     "train_dataset_card",
-    # --- backstop: earlier-round driver-green queries fill any slots the
-    # round-5 names above leave open ---
+    # --- round-6 additions claim the next slots as they are defined ---
+    # --- backstop: driver-green queries from earlier rounds fill the
+    # remaining window slots, broadest families first ---
+    "merge_into_versioned",
+    "table_changes",
+    "table_merge_mor",
+    "table_cdc_replication",
+    "mv_incremental_refresh",
+    "point_lookup_indexed",
+    "similarity_ivf_pq",
+    "dedup_semantic_keep",
+    "dedup_repeated_spans",
+    "bloom_decontaminate",
+    "train_weighted_sample",
+    "approx_sketches",
     "join_enrich_parts",
     "router_4way",
     "path_functions",
