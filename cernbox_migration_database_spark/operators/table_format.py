@@ -533,11 +533,14 @@ def create_table(
     root: str,
     partition_by: str | list[str] | None = None,
     checks: dict[str, str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Create version 1 of a versioned table from ``df``. ``checks`` maps
     constraint name → SQL predicate (e.g. ``{"price_nonneg": "price >= 0",
     "id_not_null": "id IS NOT NULL"}``); every create and merge enforces
-    them on the rows being written, aborting pre-commit on violation."""
+    them on the rows being written, aborting pre-commit on violation.
+    ``txn=(app_id, version)`` records an idempotent-writer marker in the
+    commit (see :func:`last_txn_version`)."""
     os.makedirs(root, exist_ok=True)
     if os.path.exists(os.path.join(root, _POINTER)):
         raise FileExistsError(f"versioned table already exists at {root}")
@@ -574,9 +577,35 @@ def create_table(
             "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
             "columns": df.columns,
             "checks": checks or {},
+            **_txn_meta(txn),
         },
     )
     return 1
+
+
+def _txn_meta(txn: tuple[str, int] | None) -> dict:
+    """The commit-log form of an idempotent-writer marker — the Delta
+    ``txn`` action: ``(app_id, monotonically increasing version)``."""
+    if txn is None:
+        return {}
+    app, ver = txn
+    return {"txn_app": str(app), "txn_ver": int(ver)}
+
+
+def last_txn_version(root: str, app_id: str) -> int | None:
+    """The highest ``txn`` version any PUBLISHED commit records for
+    ``app_id`` (None when the writer has never committed). An idempotent
+    writer (e.g. a streaming foreachBatch sink replaying a microbatch
+    after a crash) checks this BEFORE applying: a batch id at or below
+    the recorded version already committed — atomically with its data,
+    because the marker travels inside the commit-log entry itself — so
+    the replay is skipped and the sink is exactly-once end-to-end."""
+    vs = [
+        e["txn_ver"]
+        for e in history(root)
+        if e.get("txn_app") == app_id and "txn_ver" in e
+    ]
+    return max(vs) if vs else None
 
 
 def read_table(
@@ -1118,6 +1147,7 @@ def merge_into(
     update_set=None,
     write_mode: str = "cow",
     publish: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE ``source`` into the versioned table on key column(s) ``on``
     (a composite key is passed as a list).
@@ -1424,6 +1454,7 @@ def merge_into(
                 "schema_json": appended.schema.json(),
                 "columns": tcols,
                 "evolved": bool(new_fields),
+                **_txn_meta(txn),
             },
             publish=publish,
         )
@@ -1445,6 +1476,7 @@ def merge_into(
             "action": "merge",
             "columns": tcols,
             "evolved": bool(new_fields),
+            **_txn_meta(txn),
         },
         publish=publish,
     )
@@ -2790,7 +2822,12 @@ def read_changes_since(
     )
 
 
-def insert_into(spark: SparkSession, root: str, df: DataFrame) -> int:
+def insert_into(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> int:
     """``INSERT INTO`` — the append-only commit: new rows land as fresh
     files in their partitions, EVERY existing file hardlink-carries, and
     nothing is read, joined, or rewritten. Cost is O(inserted rows) — the
@@ -2836,6 +2873,7 @@ def insert_into(spark: SparkSession, root: str, df: DataFrame) -> int:
             "action": "insert",
             "schema_json": df.schema.json(),
             "columns": target_cols,
+            **_txn_meta(txn),
         },
     )
 

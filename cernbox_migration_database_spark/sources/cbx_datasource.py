@@ -1,0 +1,689 @@
+"""The versioned table as a first-class Spark DATA SOURCE — format
+``cbxtable`` — via the Python DataSource API (Spark 4).
+
+``operators/table_format.py`` gives the engine a lakehouse table; this
+module plugs that table into Spark's own source contract, so anything
+that speaks ``spark.read.format(...)`` / ``spark.readStream.format(...)``
+— SQL ``CREATE TABLE ... USING``, third-party tooling, the streaming
+runtime — can consume it without knowing our Python API:
+
+* **Batch read** (:class:`CbxTableReader`): planned ENTIRELY from the
+  commit log + manifest — one metadata file read, zero directory
+  listings (the thing that dominates planning cost on an object store at
+  100k files). One Spark task per data file; each task reads its file
+  with pyarrow and streams Arrow record batches straight into the scan
+  (the zero-copy path of the Python data source API). Snapshot options:
+  ``version`` / ``timestamp`` give time travel through the standard
+  reader options.
+* **Filter pushdown** (:meth:`CbxTableReader.pushFilters`): partition
+  values prune whole directories; the manifest's per-file min/max column
+  bounds (our zone maps) skip files WITHIN partitions — the same
+  two-level pruning ``scan_partitions`` does, surfaced through Spark's
+  own pushdown protocol. Every filter is also RETURNED to Spark (the
+  API's "unsupported" channel), so Spark re-applies them post-scan:
+  pruning can only skip files, never change results — a conservative
+  bug in the bounds logic degrades to reading more, never to wrong rows.
+* **Streaming source** (:class:`CbxTableStreamReader`): the table's
+  commit log as a microbatch stream — offsets ARE version numbers, each
+  batch is the data files NEW in the commits between two versions
+  (computed as a manifest diff, again metadata-only). Exactly the
+  Delta-streaming-source contract: append commits stream; a commit that
+  removes files or adds deletion vectors is a CHANGE commit and raises,
+  unless ``skipChangeCommits`` (skip it) or ``ignoreChanges`` (emit just
+  its appended files) says otherwise. ``startingVersion`` (a number or
+  ``earliest``) backfills history; the default streams only commits
+  after the query starts.
+
+The native :func:`...table_format.read_table` remains the hot batch path
+(JVM parquet scan, whole-stage codegen); this connector is the
+ECOSYSTEM path — its per-file work crosses the Python worker boundary
+as Arrow batches, which is the fast lane of that boundary but still a
+boundary. The design scales the same way the native path does: planning
+is O(#files) metadata on the driver, reading is one independent task
+per file, and pruning happens before any task launches.
+
+Reference parity: the reference CLI reads its source table in one full
+scan (main.go:86-97); this module is the generalization of that scan
+into a pluggable source with snapshots, pruning, and a change stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructField, StructType
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+# ---------------------------------------------------------------------------
+# Driver-side snapshot metadata (no SparkSession — the DataSource API's
+# schema()/partitions() hooks run on the driver outside any session scope).
+
+
+def _snapshot_meta(root: str, v: int):
+    """(entries<=v, logical cols, pcols, active renames, last schema_json)."""
+    from ..operators import table_format as TF
+
+    entries = [e for e in TF.history(root) if e["version"] <= v]
+    if not entries:
+        raise FileNotFoundError(f"no committed version <= {v} at {root}")
+    cols = entries[-1].get("columns") or entries[0].get("columns")
+    pcols = TF._part_cols(entries[-1].get("partition_by"))
+    renames = TF._active_renames(entries)
+    sj = next(
+        (e["schema_json"] for e in reversed(entries) if e.get("schema_json")),
+        None,
+    )
+    return entries, cols, pcols, renames, sj
+
+
+def _rename_chain_names(logical: str, renames) -> list[str]:
+    """All physical names a file might carry for ``logical``, newest
+    first: the logical name itself, then each pre-rename ancestor
+    (walking the active chain backwards — rename a→b→c means a file may
+    carry c, b, or a)."""
+    names = [logical]
+    cur = logical
+    for old, new in reversed(list(renames)):
+        if new == cur:
+            names.append(old)
+            cur = old
+    return names
+
+
+def _infer_pcol_type(vals: list[str]):
+    """Replicate Spark's hive partition-value type inference (int → long
+    → double → date → string) over the snapshot's actual directory
+    values. This MUST mirror what ``spark.read.parquet`` on the version
+    directory infers, or the connector's schema would diverge from the
+    native :func:`read_table` on numeric-looking partition values
+    (Spark reads ``p=0/p=1`` back as INT even when the writer's column
+    was string)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return StringType()
+
+    def all_parse(fn) -> bool:
+        try:
+            for x in vals:
+                fn(x)
+            return True
+        except (ValueError, OverflowError):
+            return False
+
+    if all_parse(int):
+        ints = [int(x) for x in vals]
+        if all(-(2**31) <= i < 2**31 for i in ints):
+            return IntegerType()
+        if all(-(2**63) <= i < 2**63 for i in ints):
+            return LongType()
+        return StringType()
+    if all_parse(float):
+        return DoubleType()
+    if all_parse(datetime.date.fromisoformat):
+        return DateType()
+    return StringType()
+
+
+def _logical_schema(root: str, v: int) -> StructType:
+    """The snapshot's logical schema, assembled from the commit log's
+    recorded ``schema_json`` (mapped through active renames), the hive
+    partition-value inference for partition columns (matching the native
+    read), and — for columns added by schema-evolving COW merges, which
+    record only the name — from the first manifest file footer that
+    carries the column."""
+    from ..operators import table_format as TF
+
+    _entries, cols, pcols, renames, sj = _snapshot_meta(root, v)
+    fields: dict[str, StructField] = {}
+    if sj is not None:
+        for f in StructType.fromJson(json.loads(sj)).fields:
+            fields[f.name] = f
+        for old, new in renames:
+            if old in fields and new not in fields:
+                fields[new] = StructField(new, fields.pop(old).dataType, True)
+    cols = list(cols or fields)
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        import pyarrow.parquet as pq
+
+        vdir = TF._vdir(root, v)
+        for e in TF.manifest(root, v):
+            if not missing:
+                break
+            try:
+                sch = pq.read_schema(os.path.join(vdir, e["path"]))
+            except Exception:
+                continue
+            for c in list(missing):
+                for phys in _rename_chain_names(c, renames):
+                    if phys in sch.names:
+                        fields[c] = StructField(
+                            c, from_arrow_type(sch.field(phys).type), True
+                        )
+                        missing.remove(c)
+                        break
+    still = [c for c in cols if c not in fields]
+    if still:
+        raise ValueError(
+            f"cannot resolve a type for column(s) {still} of {root}@v{v} "
+            f"(no schema_json and no data file carries them)"
+        )
+    if pcols:
+        by_col: dict[str, list] = {c: [] for c in pcols}
+        for e in TF.manifest(root, v):
+            for c, raw in _split_rel(e["path"], pcols)[1].items():
+                by_col[c].append(raw)
+        for c in pcols:
+            if c in fields and by_col[c]:
+                fields[c] = StructField(c, _infer_pcol_type(by_col[c]), True)
+    return StructType([fields[c] for c in cols])
+
+
+def _split_rel(rel: str, pcols: list[str]) -> tuple[str, dict]:
+    """A manifest-relative file path → (partition dir rel, {pcol: raw
+    string or None}). Hive layout: exactly one ``col=value`` directory
+    per partition column between the version dir and the file."""
+    parts = rel.split("/")
+    vals: dict = {}
+    for seg, col in zip(parts[: len(pcols)], pcols):
+        raw = seg.split("=", 1)[1] if "=" in seg else seg
+        vals[col] = None if raw == _HIVE_NULL else _unescape_pv(raw)
+    return "/".join(parts[:-1]), vals
+
+
+def _unescape_pv(raw: str) -> str:
+    """Undo Spark's hive-path percent-escaping of special characters."""
+    if "%" not in raw:
+        return raw
+    out, i = [], 0
+    while i < len(raw):
+        ch = raw[i]
+        if ch == "%" and i + 2 < len(raw) + 1 and i + 3 <= len(raw):
+            try:
+                out.append(chr(int(raw[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _parse_pv(raw: str | None, dt):
+    """A raw hive partition-value string as a typed Python value (None
+    stays None). Unparseable values raise — a partition directory that
+    does not parse as its declared type is corruption, not data."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if raw is None:
+        return None
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return int(raw)
+    if isinstance(dt, (FloatType, DoubleType)):
+        return float(raw)
+    if isinstance(dt, DecimalType):
+        import decimal
+
+        return decimal.Decimal(raw)
+    if isinstance(dt, BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, StringType):
+        return raw
+    raise ValueError(f"unsupported partition column type {dt}")
+
+
+# ---------------------------------------------------------------------------
+# Pruning: conservative could-this-file/partition-match tests. Every
+# "False" skips IO; every doubt returns True (Spark re-applies all
+# filters post-scan, so keeping too much is only cost, never corruption).
+
+
+def _comparable(a, b) -> bool:
+    num = (int, float)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return type(a) is type(b)
+
+
+def _pv_matches(f: Filter, val) -> bool:
+    """May a partition with value ``val`` contain rows matching ``f``?"""
+    try:
+        if isinstance(f, IsNull):
+            return val is None
+        if isinstance(f, IsNotNull):
+            return val is not None
+        if isinstance(f, EqualNullSafe):
+            if val is None or f.value is None:
+                return val is None and f.value is None
+            return _pv_matches(EqualTo(f.attribute, f.value), val)
+        if val is None:
+            return False  # no comparison matches NULL
+        if isinstance(f, EqualTo):
+            return not _comparable(val, f.value) or val == f.value
+        if isinstance(f, In):
+            vals = [x for x in f.values if _comparable(val, x)]
+            return len(vals) < len(list(f.values)) or val in vals
+        if isinstance(f, GreaterThan):
+            return not _comparable(val, f.value) or val > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return not _comparable(val, f.value) or val >= f.value
+        if isinstance(f, LessThan):
+            return not _comparable(val, f.value) or val < f.value
+        if isinstance(f, LessThanOrEqual):
+            return not _comparable(val, f.value) or val <= f.value
+        if isinstance(f, StringStartsWith):
+            return not isinstance(val, str) or val.startswith(f.value)
+    except TypeError:
+        return True
+    return True  # unknown filter shape: never prune on it
+
+
+def _bounds_match(f: Filter, lo, hi) -> bool:
+    """May a file whose column spans [lo, hi] contain rows matching
+    ``f``? (min/max say nothing about nulls: IsNull never prunes here.)"""
+    try:
+        if isinstance(f, EqualTo) or (
+            isinstance(f, EqualNullSafe) and f.value is not None
+        ):
+            return not _comparable(lo, f.value) or lo <= f.value <= hi
+        if isinstance(f, In):
+            vals = [x for x in f.values if _comparable(lo, x)]
+            return len(vals) < len(list(f.values)) or any(
+                lo <= x <= hi for x in vals
+            )
+        if isinstance(f, GreaterThan):
+            return not _comparable(hi, f.value) or hi > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return not _comparable(hi, f.value) or hi >= f.value
+        if isinstance(f, LessThan):
+            return not _comparable(lo, f.value) or lo < f.value
+        if isinstance(f, LessThanOrEqual):
+            return not _comparable(lo, f.value) or lo <= f.value
+        if isinstance(f, StringStartsWith) and isinstance(lo, str):
+            p = f.value
+            return lo[: len(p)] <= p <= hi[: len(p)]
+    except TypeError:
+        return True
+    return True
+
+
+class _FilePart(InputPartition):
+    """One data file = one Spark task. Carries everything the executor
+    needs so read() never touches the commit log."""
+
+    def __init__(self, file, rel, part_vals, dv_files):
+        self.file = file
+        self.rel = rel
+        self.part_vals = part_vals  # {pcol: raw string | None}
+        self.dv_files = dv_files  # tombstone parquet files for its dir
+
+
+def _read_file_batches(part: _FilePart, arrow_schema, renames, pcols):
+    """Executor-side file read → Arrow record batches shaped EXACTLY to
+    the scan's arrow schema: tombstoned rows dropped, physical names
+    mapped through the rename chain, absent columns (files written before
+    a schema-evolving commit) filled with nulls, partition columns
+    attached as typed constants, every column cast to the declared type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    tbl = pq.read_table(part.file)
+    if part.dv_files:
+        dv = pa.concat_tables(
+            [pq.read_table(f, columns=["file", "pos"]) for f in part.dv_files]
+        )
+        pos = dv.filter(pc.equal(dv["file"], part.rel)).column("pos").to_pylist()
+        if pos:
+            import numpy as np
+
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[np.asarray(pos, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
+    n = tbl.num_rows
+    arrays = []
+    for field in arrow_schema:
+        if field.name in part.part_vals:
+            typed = _parse_pv(
+                part.part_vals[field.name], from_arrow_type(field.type)
+            )
+            arrays.append(pa.array([typed] * n, type=field.type))
+            continue
+        col = None
+        for phys in _rename_chain_names(field.name, renames):
+            if phys in tbl.column_names:
+                col = tbl.column(phys)
+                break
+        if col is None:
+            arrays.append(pa.nulls(n, type=field.type))
+        else:
+            arrays.append(
+                col.cast(field.type) if col.type != field.type else col
+            )
+    out = pa.table(dict(zip(arrow_schema.names, arrays)))
+    yield from out.to_batches()
+
+
+# ---------------------------------------------------------------------------
+# Batch reader.
+
+
+class CbxTableReader(DataSourceReader):
+    def __init__(self, root: str, schema: StructType, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._root = root
+        self._schema = schema
+        self._arrow_schema = to_arrow_schema(schema)
+        v = _resolve_version(root, options)
+        self._v = v
+        _entries, _cols, pcols, renames, _sj = _snapshot_meta(root, v)
+        self._pcols = pcols
+        self._renames = [list(r) for r in renames]
+        self._filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        # keep every filter for pruning, hand every filter BACK to Spark
+        # for post-scan re-application: pruning is pure skipping
+        self._filters = [
+            f for f in filters if getattr(f, "attribute", None) is not None
+        ]
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts, _skipped = _plan_files(
+            self._root, self._v, self._filters, self._schema
+        )
+        # Spark requires >= 1 partition; an everything-pruned scan reads
+        # nothing through one no-op task
+        return parts or [_FilePart(None, None, {}, ())]
+
+    def read(self, partition: _FilePart) -> Iterator:
+        if partition.file is None:
+            return iter(())
+        return _read_file_batches(
+            partition, self._arrow_schema, self._renames, self._pcols
+        )
+
+
+def _resolve_version(root: str, options) -> int:
+    from ..operators import table_format as TF
+
+    ver = options.get("version")
+    ts = options.get("timestamp")
+    if ver is not None and ts is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if ts is not None:
+        return TF.version_at(root, float(ts))
+    return int(ver) if ver is not None else TF.current_version(root)
+
+
+def _plan_files(
+    root: str, v: int, filters: list[Filter], schema: StructType
+) -> tuple[list[_FilePart], int]:
+    """Manifest-planned file list for snapshot ``v`` with two-level
+    pruning (partition values, then per-file min/max bounds). Returns
+    (kept partitions, #files skipped) — the count is the pruning
+    evidence the tests pin."""
+    from ..operators import table_format as TF
+
+    vdir = TF._vdir(root, v)
+    _entries, _cols, pcols, renames, _sj = _snapshot_meta(root, v)
+    types = {f.name: f.dataType for f in schema.fields}
+    # single-column filters only; pruning on a column we don't know is a bug
+    flt = [
+        (f, f.attribute[0])
+        for f in filters
+        if getattr(f, "attribute", None) is not None
+        and len(f.attribute) == 1
+        and f.attribute[0] in types
+    ]
+    has_dv = TF._has_dv(vdir)
+    dv_by_dir: dict[str, tuple] = {}
+    parts: list[_FilePart] = []
+    skipped = 0
+    for e in TF.manifest(root, v):
+        rel = e["path"]
+        pdir, raw_vals = _split_rel(rel, pcols)
+        keep = True
+        for f, col in flt:
+            if col in raw_vals:
+                try:
+                    typed = _parse_pv(raw_vals[col], types[col])
+                except (ValueError, TypeError):
+                    continue
+                if not _pv_matches(f, typed):
+                    keep = False
+                    break
+            else:
+                stats = e.get("stats") or {}
+                b = next(
+                    (
+                        stats[p]
+                        for p in _rename_chain_names(col, renames)
+                        if p in stats
+                    ),
+                    None,
+                )
+                if b is not None and not _bounds_match(f, b[0], b[1]):
+                    keep = False
+                    break
+        if not keep:
+            skipped += 1
+            continue
+        if has_dv and pdir not in dv_by_dir:
+            dv_by_dir[pdir] = tuple(
+                TF._dv_files(vdir, [pdir] if pdir else None)
+            )
+        parts.append(
+            _FilePart(
+                os.path.join(vdir, rel),
+                rel,
+                raw_vals,
+                dv_by_dir.get(pdir, ()),
+            )
+        )
+    return parts, skipped
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader: the commit log as a microbatch source.
+
+
+class CbxTableStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema: StructType, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..operators import table_format as TF
+
+        self._root = root
+        self._schema = schema
+        self._arrow_schema = to_arrow_schema(schema)
+        self._skip_changes = _opt_bool(options, "skipchangecommits")
+        self._ignore_changes = _opt_bool(options, "ignorechanges")
+        sv = options.get("startingversion")
+        if sv is None:
+            self._start_v = TF.current_version(root)
+        elif str(sv).lower() == "earliest":
+            self._start_v = 0
+        else:
+            self._start_v = int(sv)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start_v}
+
+    def latestOffset(self) -> dict:
+        from ..operators import table_format as TF
+
+        return {"version": TF.current_version(self._root)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            parts.extend(self._version_parts(v))
+        return parts
+
+    def read(self, partition: _FilePart) -> Iterator:
+        if partition.file is None:
+            return iter(())
+        return _read_file_batches(
+            partition, self._arrow_schema, partition.renames, ()
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable table versions; nothing to release
+
+    def _version_parts(self, v: int) -> list[_FilePart]:
+        """The data files NEW in commit ``v`` — a manifest diff against
+        the parent (hardlink-carried files keep path AND mtime, so
+        (path, mtime_ns) identifies carried vs fresh). A commit that
+        REMOVES files or adds tombstones changed existing rows: raise,
+        skip (skipChangeCommits) or stream just its appends
+        (ignoreChanges) — the Delta streaming-source contract."""
+        from ..operators import table_format as TF
+
+        entries = [e for e in TF.history(self._root) if e["version"] <= v]
+        if not entries or entries[-1]["version"] != v:
+            raise FileNotFoundError(
+                f"version {v} of {self._root} is not in the commit log "
+                f"(vacuumed past the stream's offset?)"
+            )
+        pcols = TF._part_cols(entries[-1].get("partition_by"))
+        renames = [list(r) for r in TF._active_renames(entries)]
+        cur = {
+            (e["path"], e.get("mtime_ns")): e for e in TF.manifest(self._root, v)
+        }
+        prev_keys: set = set()
+        prev_dv = 0
+        if v > 1:
+            prev_keys = {
+                (e["path"], e.get("mtime_ns"))
+                for e in TF.manifest(self._root, v - 1)
+            }
+            prev_dv = sum(TF._dv_counts(TF._vdir(self._root, v - 1)).values())
+        new = [e for k, e in sorted(cur.items()) if k not in prev_keys]
+        removed = prev_keys - set(cur)
+        cur_dv = sum(TF._dv_counts(TF._vdir(self._root, v)).values())
+        if removed or cur_dv > prev_dv:
+            if self._skip_changes:
+                return []
+            if not self._ignore_changes:
+                action = entries[-1].get("action")
+                raise ValueError(
+                    f"commit v{v} ({action}) of {self._root} changed or "
+                    f"removed existing rows; a cbxtable stream is "
+                    f"append-only. Set skipChangeCommits=true to drop such "
+                    f"commits or ignoreChanges=true to stream just their "
+                    f"appended files (downstream must tolerate replays)."
+                )
+        vdir = TF._vdir(self._root, v)
+        out = []
+        for e in new:
+            rel = e["path"]
+            _pdir, raw_vals = _split_rel(rel, pcols)
+            p = _FilePart(os.path.join(vdir, rel), rel, raw_vals, ())
+            p.renames = renames  # per-version: restores can revive old names
+            out.append(p)
+        return out
+
+
+def _opt_bool(options, key: str) -> bool:
+    return str(options.get(key, "false")).lower() == "true"
+
+
+# ---------------------------------------------------------------------------
+# The DataSource.
+
+
+class CbxTableDataSource(DataSource):
+    """``spark.dataSource.register(CbxTableDataSource)`` then::
+
+        spark.read.format("cbxtable").option("version", 3).load(root)
+        spark.readStream.format("cbxtable")
+             .option("startingVersion", "earliest").load(root)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cbxtable"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "cbxtable needs a table root: .load(path) or .option('path', ...)"
+            )
+        return root
+
+    def schema(self) -> StructType:
+        root = self._root()
+        return _logical_schema(root, _resolve_version(root, self.options))
+
+    def reader(self, schema: StructType) -> CbxTableReader:
+        return CbxTableReader(self._root(), schema, self.options)
+
+    def streamReader(self, schema: StructType) -> CbxTableStreamReader:
+        return CbxTableStreamReader(self._root(), schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session. Also enables
+    Python-data-source filter pushdown (a runtime SQL conf, default
+    false): a reader that implements ``pushFilters`` is REJECTED outright
+    while the conf is off, so registration and the conf travel together —
+    the harness's vanilla sessions get both from this one call."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CbxTableDataSource)

@@ -1,0 +1,225 @@
+"""The ``cbxtable`` Python DataSource: the versioned table as a native
+Spark source (batch + time travel + pushdown pruning), a streaming
+source (commit log as microbatches), and — with the txn-marker sink —
+both ends of an exactly-once table→stream→table pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark.operators import table_format as TF
+from cernbox_migration_database_spark.sources import cbx_datasource as DS
+from cernbox_migration_database_spark.streaming.table_sink import (
+    exactly_once_batch_writer,
+    stream_write_table,
+)
+
+
+@pytest.fixture(autouse=True)
+def _registered(spark):
+    DS.register(spark)
+    yield
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _evolved_table(spark, root):
+    """create(partitioned) → MOR delete → rename → evolve-schema merge:
+    the snapshot mixes footer schemas, carries tombstones, and maps an
+    old physical name — everything the file-level reader must honor."""
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10, f"s{i}") for i in range(20)],
+        "id long, grp string, val long, note string",
+    )
+    TF.create_table(df, root, partition_by="grp")
+    TF.delete_where(spark, root, "id % 5 = 0", mode="mor")
+    TF.rename_column(spark, root, "note", "comment")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame(
+            [(100, "a", 1, "new", 9.5)],
+            "id long, grp string, val long, comment string, score double",
+        ),
+        on="id", evolve_schema=True,
+    )
+
+
+def test_batch_read_matches_native_across_evolution(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _evolved_table(spark, root)
+    native = TF.read_table(spark, root)
+    via = spark.read.format("cbxtable").load(root)
+    assert via.schema == native.schema
+    assert _rows(via) == _rows(native)
+    # time travel through reader options, version and timestamp forms
+    v1 = spark.read.format("cbxtable").option("version", "1").load(root)
+    assert v1.count() == 20 and v1.columns == ["id", "grp", "val", "note"]
+    ts = [e["ts"] for e in TF.history(root) if e["version"] == 2][0]
+    v2 = spark.read.format("cbxtable").option("timestamp", str(ts)).load(root)
+    assert v2.count() == 16  # after the MOR delete of id%5==0
+
+
+def test_filters_prune_partitions_and_files(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    root = str(tmp_path / "t")
+    # 4 partitions x several files with disjoint id ranges per insert
+    TF.create_table(
+        spark.range(0, 400)
+        .select(
+            F.col("id"),
+            (F.col("id") % 4).cast("string").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .repartition(4, "p"),
+        root,
+        partition_by="p",
+    )
+    TF.insert_into(
+        spark, root,
+        spark.range(1000, 1400).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("string").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        ),
+    )
+    schema = DS._logical_schema(root, TF.current_version(root))
+    # Spark's hive partition inference reads "0".."3" back as INT; the
+    # connector must mirror that or native/connector schemas diverge
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)[
+        "p"
+    ] == "int"
+    total = len(TF.manifest(root, TF.current_version(root)))
+    # partition-value pruning: p = 1 keeps only that directory's files
+    kept, skipped = DS._plan_files(
+        root, TF.current_version(root), [EqualTo(("p",), 1)], schema
+    )
+    assert skipped > 0 and len(kept) + skipped == total
+    assert all("/p=1/" in p.file or "p=1" in p.rel for p in kept)
+    # manifest min/max stats skip the low-id files for a high-id predicate
+    kept2, skipped2 = DS._plan_files(
+        root, TF.current_version(root), [GreaterThan(("id",), 1000)], schema
+    )
+    assert skipped2 > 0
+    # end-to-end: pruned scans return exactly the native rows
+    via = spark.read.format("cbxtable").load(root)
+    native = TF.read_table(spark, root)
+    for cond in ["p = 1", "id > 1000", "p = 1 AND id > 1000", "id = 7"]:
+        assert _rows(via.where(cond)) == _rows(native.where(cond)), cond
+    # an everything-pruned scan is an empty result, not an error
+    assert via.where("id = -5").count() == 0
+
+
+def test_stream_appends_skip_and_error_semantics(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, grp string, v long")
+    TF.create_table(
+        mk([(i, "ab"[i % 2], i) for i in range(10)]), root, partition_by="grp"
+    )
+    TF.insert_into(spark, root, mk([(100, "a", 100), (101, "b", 101)]))
+    TF.delete_where(spark, root, "id = 3", mode="mor")  # change commit
+    TF.insert_into(spark, root, mk([(102, "a", 102)]))
+
+    q = (
+        spark.readStream.format("cbxtable")
+        .option("startingVersion", "earliest")
+        .option("skipChangeCommits", "true")
+        .load(root)
+        .writeStream.format("memory").queryName("ds_skip")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.sql("SELECT * FROM ds_skip").collect()}
+    # append-stream semantics: id=3 streamed with the CREATE commit; the
+    # later delete commit is skipped, not retroactively applied
+    assert got == set(range(10)) | {100, 101, 102}
+
+    with pytest.raises(Exception, match="append-only"):
+        q2 = (
+            spark.readStream.format("cbxtable")
+            .option("startingVersion", "earliest")
+            .load(root)
+            .writeStream.format("memory").queryName("ds_err")
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(120)
+
+    # default start: nothing until a commit AFTER the checkpointed offset
+    # (parquet sink: the memory sink cannot recover from a checkpoint)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_tail():
+        q = (
+            spark.readStream.format("cbxtable").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_tail()
+    assert spark.read.parquet(out).count() == 0
+    TF.insert_into(spark, root, mk([(200, "b", 200)]))
+    run_tail()
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {200}
+
+
+def test_exactly_once_sink_replay_is_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    apply = exactly_once_batch_writer(root, "app1", key="k")
+    apply(mk([(1, 10), (2, 20)]), 0)   # creates the table
+    apply(mk([(2, 21), (3, 30)]), 1)   # upserts
+    v_after = TF.current_version(root)
+    apply(mk([(2, 21), (3, 30)]), 1)   # crash-replay of batch 1
+    apply(mk([(1, 10), (2, 20)]), 0)   # deep replay
+    assert TF.current_version(root) == v_after  # no new commits
+    assert {
+        (r["k"], r["v"]) for r in TF.read_table(spark, root).collect()
+    } == {(1, 10), (2, 21), (3, 30)}
+    assert TF.last_txn_version(root, "app1") == 1
+    assert TF.last_txn_version(root, "elsewhere") is None
+    apply(mk([(4, 40)]), 2)            # progress resumes past the replay
+    assert TF.read_table(spark, root).count() == 4
+    # in-batch duplicate keys must not trip the merge cardinality check
+    apply(mk([(5, 50), (5, 51)]), 3)
+    assert TF.read_table(spark, root).where("k = 5").count() == 1
+
+
+def test_table_to_table_streaming_pipeline(spark, tmp_path):
+    """Source table → cbxtable stream → exactly-once sink table; a second
+    pass over the SAME checkpoint after new source commits moves only the
+    delta, and a re-run with no new commits moves nothing."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    TF.create_table(mk(0, 50), src, partition_by="g")
+    TF.insert_into(spark, src, mk(50, 80))
+
+    def run_pipe():
+        stream = (
+            spark.readStream.format("cbxtable")
+            .option("startingVersion", "earliest").load(src)
+        )
+        q = stream_write_table(
+            stream, dst, ckpt, app_id="pipe", key="id", partition_by="g"
+        )
+        q.awaitTermination(180)
+
+    run_pipe()
+    assert _rows(TF.read_table(spark, dst)) == _rows(TF.read_table(spark, src))
+    v_dst = TF.current_version(dst)
+    run_pipe()  # no new source commits: offsets caught up, no new version
+    assert TF.current_version(dst) == v_dst
+    TF.insert_into(spark, src, mk(80, 90))
+    run_pipe()
+    assert _rows(TF.read_table(spark, dst)) == _rows(TF.read_table(spark, src))
