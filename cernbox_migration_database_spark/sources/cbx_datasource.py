@@ -312,8 +312,8 @@ def _pv_matches(f: Filter, val) -> bool:
         if isinstance(f, EqualTo):
             return not _comparable(val, f.value) or val == f.value
         if isinstance(f, In):
-            vals = [x for x in f.values if _comparable(val, x)]
-            return len(vals) < len(list(f.values)) or val in vals
+            vals = [x for x in f.value if _comparable(val, x)]
+            return len(vals) < len(list(f.value)) or val in vals
         if isinstance(f, GreaterThan):
             return not _comparable(val, f.value) or val > f.value
         if isinstance(f, GreaterThanOrEqual):
@@ -338,8 +338,8 @@ def _bounds_match(f: Filter, lo, hi) -> bool:
         ):
             return not _comparable(lo, f.value) or lo <= f.value <= hi
         if isinstance(f, In):
-            vals = [x for x in f.values if _comparable(lo, x)]
-            return len(vals) < len(list(f.values)) or any(
+            vals = [x for x in f.value if _comparable(lo, x)]
+            return len(vals) < len(list(f.value)) or any(
                 lo <= x <= hi for x in vals
             )
         if isinstance(f, GreaterThan):
@@ -554,6 +554,7 @@ class CbxTableStreamReader(DataSourceStreamReader):
         self._arrow_schema = to_arrow_schema(schema)
         self._skip_changes = _opt_bool(options, "skipchangecommits")
         self._ignore_changes = _opt_bool(options, "ignorechanges")
+        self._with_version = _opt_bool(options, "withcommitversion")
         sv = options.get("startingversion")
         if sv is None:
             self._start_v = TF.current_version(root)
@@ -634,6 +635,12 @@ class CbxTableStreamReader(DataSourceStreamReader):
         for e in new:
             rel = e["path"]
             _pdir, raw_vals = _split_rel(rel, pcols)
+            if self._with_version:
+                # rides the same typed-constant path as partition values:
+                # one microbatch may span SEVERAL commits, and a
+                # last-wins consumer needs the per-row commit order that
+                # batch boundaries no longer carry
+                raw_vals = {**raw_vals, "_commit_version": str(v)}
             p = _FilePart(os.path.join(vdir, rel), rel, raw_vals, ())
             p.renames = renames  # per-version: restores can revive old names
             out.append(p)
@@ -669,10 +676,22 @@ class CbxTableDataSource(DataSource):
         return root
 
     def schema(self) -> StructType:
-        root = self._root()
-        return _logical_schema(root, _resolve_version(root, self.options))
+        from pyspark.sql.types import LongType
 
-    def reader(self, schema: StructType) -> CbxTableReader:
+        root = self._root()
+        st = _logical_schema(root, _resolve_version(root, self.options))
+        if _opt_bool(self.options, "withcommitversion"):
+            st = StructType(
+                st.fields + [StructField("_commit_version", LongType(), False)]
+            )
+        return st
+
+    def reader(self, schema: StructType):
+        if _opt_bool(self.options, "withcommitversion"):
+            raise ValueError(
+                "withCommitVersion is a streaming option (a batch snapshot "
+                "has ONE version; per-file provenance is not recorded)"
+            )
         return CbxTableReader(self._root(), schema, self.options)
 
     def streamReader(self, schema: StructType) -> CbxTableStreamReader:

@@ -38,6 +38,8 @@ def exactly_once_batch_writer(
     key: str | list[str] | None = None,
     partition_by: str | list[str] | None = None,
     write_mode: str = "cow",
+    order_by: str | None = None,
+    drop_order_col: bool = True,
 ):
     """The foreachBatch function: apply a microbatch to the versioned
     table at ``root`` exactly once per ``(app_id, batch_id)``.
@@ -46,15 +48,48 @@ def exactly_once_batch_writer(
     VERSIONS converges to last-write-wins state; ``key`` None → append
     (insert-only feeds). The first batch creates the table. Returns the
     callable to hand to ``writeStream.foreachBatch`` — also usable
-    directly in tests to simulate crash-replay."""
+    directly in tests to simulate crash-replay.
+
+    ``order_by`` names the column that defines "last" when one microbatch
+    carries SEVERAL images of a key (availableNow catch-up runs compress
+    a whole backlog into one batch, erasing batch-boundary ordering): the
+    reduce keeps the max-``order_by`` row per key as one map-side-
+    combinable struct-max aggregation — no window, no per-key state. The
+    cbxtable streaming source's ``withCommitVersion`` option exists
+    precisely to supply this column; ``drop_order_col`` (default) removes
+    it before the merge so it never becomes a table column. Without
+    ``order_by``, in-batch duplicates collapse ARBITRARILY (documented:
+    only safe when a batch cannot carry two images of a key)."""
+
+    keys = [key] if isinstance(key, str) else list(key or [])
+
+    def reduce_last_wins(batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if order_by is None:
+            return batch_df.dropDuplicates(keys)
+        rest = [c for c in batch_df.columns if c not in keys]
+        # struct-max orders by the FIRST field: (order_by, payload...)
+        reduced = (
+            batch_df.groupBy(*keys)
+            .agg(
+                F.max(F.struct(order_by, *[c for c in rest if c != order_by]))
+                .alias("__s")
+            )
+            .select(*keys, "__s.*")
+            .select(*batch_df.columns)
+        )
+        return reduced.drop(order_by) if drop_order_col else reduced
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if key is not None:
+            batch_df = reduce_last_wins(batch_df)
         if not os.path.exists(os.path.join(root, "_latest")):
-            if batch_df.isEmpty():
-                return
             TF.create_table(
                 batch_df, root, partition_by=partition_by,
                 txn=(app_id, batch_id),
@@ -63,19 +98,9 @@ def exactly_once_batch_writer(
         last = TF.last_txn_version(root, app_id)
         if last is not None and batch_id <= last:
             return  # replayed microbatch: already committed, skip
-        if batch_df.isEmpty():
-            return
         if key is not None:
-            # last-wins WITHIN the batch too: a microbatch may carry
-            # several versions of one key and merge demands key-unique
-            # sources; highest batch offset order is not recoverable
-            # here, so callers needing in-batch ordering add a sequence
-            # column and pre-reduce — this dedup only guards exactness
-            deduped = batch_df.dropDuplicates(
-                [key] if isinstance(key, str) else list(key)
-            )
             TF.merge_into(
-                spark, root, deduped, on=key,
+                spark, root, batch_df, on=key,
                 write_mode=write_mode, txn=(app_id, batch_id),
             )
         else:
@@ -93,6 +118,7 @@ def stream_write_table(
     partition_by: str | list[str] | None = None,
     write_mode: str = "cow",
     available_now: bool = True,
+    order_by: str | None = None,
 ):
     """``stream.writeStream`` into the versioned table with exactly-once
     commits. Returns the started StreamingQuery (caller awaits it)."""
@@ -103,6 +129,7 @@ def stream_write_table(
             exactly_once_batch_writer(
                 root, app_id, key=key,
                 partition_by=partition_by, write_mode=write_mode,
+                order_by=order_by,
             )
         )
     )

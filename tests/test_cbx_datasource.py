@@ -65,7 +65,7 @@ def test_batch_read_matches_native_across_evolution(spark, tmp_path):
 
 
 def test_filters_prune_partitions_and_files(spark, tmp_path):
-    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
 
     root = str(tmp_path / "t")
     # 4 partitions x several files with disjoint id ranges per insert
@@ -106,6 +106,10 @@ def test_filters_prune_partitions_and_files(spark, tmp_path):
         root, TF.current_version(root), [GreaterThan(("id",), 1000)], schema
     )
     assert skipped2 > 0
+    kept3, skipped3 = DS._plan_files(
+        root, TF.current_version(root), [In(("p",), (1, 2))], schema
+    )
+    assert skipped3 > 0 and len(kept3) + skipped3 == total
     # end-to-end: pruned scans return exactly the native rows
     via = spark.read.format("cbxtable").load(root)
     native = TF.read_table(spark, root)
@@ -190,6 +194,42 @@ def test_exactly_once_sink_replay_is_noop(spark, tmp_path):
     # in-batch duplicate keys must not trip the merge cardinality check
     apply(mk([(5, 50), (5, 51)]), 3)
     assert TF.read_table(spark, root).where("k = 5").count() == 1
+
+
+def test_commit_version_column_orders_multi_commit_batches(spark, tmp_path):
+    """An availableNow catch-up compresses several commits into ONE
+    microbatch, so a corrected key arrives with both its old and new
+    image in the same batch. withCommitVersion stamps rows with their
+    commit; the sink's struct-max reduce must keep the NEWEST image —
+    an arbitrary dropDuplicates here would be flaky-wrong."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, g string, v long")
+    TF.create_table(mk([(1, "a", 10), (2, "b", 20)]), src, partition_by="g")
+    TF.merge_into(spark, src, mk([(1, "a", 11)]), on="k")   # correction 1
+    TF.merge_into(spark, src, mk([(1, "a", 12)]), on="k")   # correction 2
+    stream = (
+        spark.readStream.format("cbxtable")
+        .option("startingVersion", "earliest")
+        .option("ignoreChanges", "true")
+        .option("withCommitVersion", "true")
+        .load(src)
+    )
+    assert "_commit_version" in stream.columns
+    q = stream_write_table(
+        stream, dst, str(tmp_path / "ckpt"), app_id="ord",
+        key="k", partition_by="g", order_by="_commit_version",
+    )
+    q.awaitTermination(180)
+    got = {(r["k"], r["v"]) for r in TF.read_table(spark, dst).collect()}
+    assert got == {(1, 12), (2, 20)}
+    # the synthetic column must not leak into the destination schema
+    assert "_commit_version" not in TF.read_table(spark, dst).columns
+    # and a batch snapshot read rejects the streaming-only option
+    with pytest.raises(Exception, match="streaming option"):
+        spark.read.format("cbxtable").option(
+            "withCommitVersion", "true"
+        ).load(src).collect()
 
 
 def test_table_to_table_streaming_pipeline(spark, tmp_path):
