@@ -689,7 +689,7 @@ def _snapshot_reader(spark: SparkSession, root: str, v: int):
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore")
+            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite")
         ),
         default=0,
     )
@@ -721,7 +721,7 @@ def _active_renames(entries: list[dict]) -> list[list[str]]:
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore")
+            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite")
         ),
         default=0,
     )
@@ -1944,7 +1944,7 @@ def restore(root: str, version: int) -> int:
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore")
+            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite")
         ),
         default=0,
     )
@@ -2019,7 +2019,7 @@ def clone_table(
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore", "clone")
+            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite", "clone")
         ),
         default=0,
     )

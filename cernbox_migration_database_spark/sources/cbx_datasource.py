@@ -55,6 +55,7 @@ from typing import Iterable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualNullSafe,
@@ -69,6 +70,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructField, StructType
 
@@ -652,6 +654,261 @@ def _opt_bool(options, key: str) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Batch writer: df.write.format("cbxtable").  Write tasks emit parquet
+# files straight into a job staging area (per-file stats could be
+# collected here too — this IS the write-tasks-collect design real
+# formats use); the driver's commit() turns exactly the files named in
+# the SUCCESSFUL tasks' commit messages into one atomic table version.
+# Speculative/retried task attempts may leave stray files in the staging
+# area — they are never committed (only message-listed files move) and
+# the job dir is removed afterwards.
+
+# Spark's ExternalCatalogUtils.escapePathName character set: hive
+# partition directories written here must be byte-identical to what the
+# native Spark writer produces, or one table would mix two encodings.
+_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_pv(val: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE else c for c in val
+    )
+
+
+def _pv_to_path(val) -> str:
+    """A typed partition value as its hive directory string."""
+    if val is None:
+        return _HIVE_NULL
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    import datetime
+    import decimal
+
+    if isinstance(val, (int, str, decimal.Decimal)):
+        return _escape_pv(str(val))
+    if isinstance(val, float):
+        return _escape_pv(repr(val))
+    if isinstance(val, (datetime.date, datetime.datetime)):
+        return _escape_pv(val.isoformat(sep=" ") if isinstance(val, datetime.datetime) else val.isoformat())
+    raise ValueError(f"unsupported partition value type {type(val)}")
+
+
+class _WriteResult(WriterCommitMessage):
+    def __init__(self, rel_paths: list[str], rows: int):
+        self.rel_paths = rel_paths
+        self.rows = rows
+
+
+class CbxTableWriter(DataSourceArrowWriter):
+    def __init__(self, root: str, schema: StructType, overwrite: bool, options):
+        import uuid
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..operators import table_format as TF
+
+        self._root = root
+        self._schema = schema
+        self._overwrite = overwrite
+        self._target_arrow = None
+        exists = os.path.exists(os.path.join(root, TF._POINTER))
+        self._exists = exists
+        if exists:
+            if TF.table_checks(root):
+                raise ValueError(
+                    "this table declares CHECK constraints; the format "
+                    "writer does not enforce them — use "
+                    "table_format.insert_into/merge_into instead"
+                )
+            scheme = TF.partition_scheme(root)
+            self._pcols = TF._part_cols(scheme)
+            logical = _logical_schema(root, TF.current_version(root))
+            want = [f.name for f in logical.fields]
+            have = list(schema.names)
+            if sorted(want) != sorted(have):
+                raise ValueError(
+                    f"write schema columns {have} != table columns {want}"
+                )
+            if not overwrite:
+                # appended footers must carry the TABLE's types, or a
+                # non-mergeSchema read could mis-sample a narrower file
+                self._target_arrow = to_arrow_schema(logical)
+        else:
+            pb = options.get("partition_by") or options.get("partitionby")
+            self._pcols = TF._part_cols(pb)
+            missing = [c for c in self._pcols if c not in schema.names]
+            if missing:
+                raise ValueError(
+                    f"partition_by column(s) {missing} not in {schema.names}"
+                )
+        bad = [c for c in self._pcols if c.startswith(("_", "."))]
+        if bad:
+            raise ValueError(f"partition column name(s) {bad} are reserved")
+        # job staging INSIDE the table root: same filesystem as the final
+        # version dir, so every commit-time move is a metadata rename
+        self._job_dir = os.path.join(root, f".ds_write_{uuid.uuid4().hex}")
+        os.makedirs(self._job_dir, exist_ok=True)
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _WriteResult([], 0)
+        tbl = pa.Table.from_batches(batches)
+        if self._target_arrow is not None:
+            tbl = pa.table(
+                {
+                    n: (
+                        tbl.column(n).cast(self._target_arrow.field(n).type)
+                        if tbl.column(n).type != self._target_arrow.field(n).type
+                        else tbl.column(n)
+                    )
+                    for n in tbl.column_names
+                }
+            )
+        task_id = uuid.uuid4().hex
+        rels: list[str] = []
+
+        def emit(sub: "pa.Table", rel_dir: str) -> None:
+            if sub.num_rows == 0:
+                return
+            data = sub.drop_columns(self._pcols) if self._pcols else sub
+            rel = (
+                f"{rel_dir}/part-{task_id}-{len(rels):05d}.parquet"
+                if rel_dir
+                else f"part-{task_id}-{len(rels):05d}.parquet"
+            )
+            full = os.path.join(self._job_dir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(data, full)
+            rels.append(rel)
+
+        if not self._pcols:
+            emit(tbl, "")
+            return _WriteResult(rels, tbl.num_rows)
+        combos = (
+            tbl.select(self._pcols).group_by(self._pcols).aggregate([])
+        )
+        for i in range(combos.num_rows):
+            mask = None
+            segs = []
+            for c in self._pcols:
+                v = combos.column(c)[i].as_py()
+                cond = (
+                    pc.is_null(tbl.column(c))
+                    if v is None
+                    else pc.equal(tbl.column(c), v)
+                )
+                mask = cond if mask is None else pc.and_(mask, cond)
+                segs.append(f"{c}={_pv_to_path(v)}")
+            emit(tbl.filter(mask), "/".join(segs))
+        return _WriteResult(rels, tbl.num_rows)
+
+    # -- driver side --------------------------------------------------------
+    def commit(self, messages) -> None:
+        import shutil
+
+        from ..operators import table_format as TF
+
+        rels = [r for m in messages if m is not None for r in m.rel_paths]
+        try:
+            if not self._exists:
+                self._commit_new(rels, action="create", version=1)
+            elif self._overwrite:
+                self._commit_new(
+                    rels,
+                    action="overwrite",
+                    version=TF.current_version(self._root) + 1,
+                )
+            else:
+                self._commit_append(rels)
+        finally:
+            shutil.rmtree(self._job_dir, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._job_dir, ignore_errors=True)
+
+    def _move_listed(self, rels: list[str], staging: str) -> None:
+        for rel in rels:
+            dst = os.path.join(staging, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(self._job_dir, rel), dst)
+
+    def _commit_new(self, rels: list[str], action: str, version: int) -> None:
+        import shutil
+
+        from ..operators import table_format as TF
+
+        pcols = self._pcols
+        root = self._root
+        vdir = TF._claim_version(root, version)
+        staging = vdir + ".staging"
+        try:
+            os.makedirs(staging)
+            self._move_listed(rels, staging)
+            os.rename(staging, vdir)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            TF._unclaim(vdir)
+            raise
+        meta = {
+            "action": action,
+            "schema_json": self._schema.json(),
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
+            "columns": list(self._schema.names),
+            **({"checks": {}} if action == "create" else {}),
+            **(
+                {"parent": version - 1}
+                if action != "create"
+                else {}
+            ),
+        }
+        TF._commit(root, version, meta)
+
+    def _commit_append(self, rels: list[str]) -> None:
+        import shutil
+
+        from ..operators import table_format as TF
+
+        root = self._root
+        base_v = TF.current_version(root)
+        version = base_v + 1
+        vdir = TF._claim_version(root, version)
+        staging = vdir + ".staging"
+        try:
+            os.makedirs(staging)
+            _linked, carry_copied = TF._link_tree(TF._vdir(root, base_v), staging)
+            self._move_listed(rels, staging)
+            os.rename(staging, vdir)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            TF._unclaim(vdir)
+            raise
+        entries = [e for e in TF.history(root) if e["version"] <= base_v]
+        TF._commit(
+            root,
+            version,
+            {
+                "action": "insert",
+                "parent": base_v,
+                "schema_json": self._schema.json(),
+                "partition_by": entries[-1].get("partition_by"),
+                "columns": entries[-1].get("columns")
+                or list(self._schema.names),
+                **({"carry_copied_files": carry_copied} if carry_copied else {}),
+            },
+        )
+
+
+# ---------------------------------------------------------------------------
 # The DataSource.
 
 
@@ -696,6 +953,9 @@ class CbxTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> CbxTableStreamReader:
         return CbxTableStreamReader(self._root(), schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> CbxTableWriter:
+        return CbxTableWriter(self._root(), schema, overwrite, self.options)
 
 
 def register(spark) -> None:

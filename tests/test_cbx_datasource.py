@@ -263,3 +263,101 @@ def test_table_to_table_streaming_pipeline(spark, tmp_path):
     TF.insert_into(spark, src, mk(80, 90))
     run_pipe()
     assert _rows(TF.read_table(spark, dst)) == _rows(TF.read_table(spark, src))
+
+
+def test_writer_create_append_overwrite_roundtrip(spark, tmp_path):
+    """df.write.format('cbxtable'): append to a missing table CREATES it
+    (Python data sources allow only Append/Overwrite modes), appends
+    commit new versions that hardlink-carry, native merges interoperate,
+    and overwrite is a full-reset commit with history intact."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(20)],
+        "id long, p string, v long",
+    )
+    (
+        df.write.format("cbxtable").mode("append")
+        .option("partition_by", "p").save(root)
+    )
+    assert TF.current_version(root) == 1
+    assert _rows(TF.read_table(spark, root)) == _rows(df)
+    # partition dirs use Spark's hive naming, manifest carries stats
+    assert {e["path"].split("/")[0] for e in TF.manifest(root, 1)} == {
+        "p=a", "p=b",
+    }
+    assert all("stats" in e and "rows" in e for e in TF.manifest(root, 1))
+
+    # append with NARROWER source types: footers must carry table types
+    df2 = spark.createDataFrame(
+        [(100, "a", 5)], "id int, p string, v int"
+    )
+    df2.write.format("cbxtable").mode("append").save(root)
+    assert TF.read_table(spark, root).count() == 21
+    assert TF.read_table(spark, root).schema["v"].dataType.simpleString() == "bigint"
+
+    # native writer interop on a format-created table
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([(1, "a", 999)], "id long, p string, v long"),
+        on="id",
+    )
+    assert TF.read_table(spark, root).where("id = 1").collect()[0]["v"] == 999
+
+    # overwrite: full reset, older versions still readable
+    spark.createDataFrame([(7, "a", 7)], "id long, p string, v long").write \
+        .format("cbxtable").mode("overwrite").save(root)
+    assert _rows(TF.read_table(spark, root)) == [(7, "a", 7)]
+    assert TF.read_table(spark, root, version=3).count() == 21
+
+    # schema-mismatch and CHECK-constraint guards
+    with pytest.raises(Exception, match="table columns"):
+        spark.createDataFrame([(1, "a")], "id long, p string").write \
+            .format("cbxtable").mode("append").save(root)
+    chk = str(tmp_path / "chk")
+    TF.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), chk,
+        checks={"b_pos": "b > 0"},
+    )
+    with pytest.raises(Exception, match="CHECK"):
+        spark.createDataFrame([(3, -4)], "a long, b long").write \
+            .format("cbxtable").mode("append").save(chk)
+
+
+def test_writer_overwrite_resets_rename_chain(spark, tmp_path):
+    """'overwrite' joins create/compact/restore as a uniform-reset point:
+    files before it are gone, so rename mappings and evolved flags from
+    the prior lineage must not leak into reads of the new one."""
+    root = str(tmp_path / "t")
+    TF.create_table(
+        spark.createDataFrame([(1, 10)], "id long, old long"), root
+    )
+    TF.rename_column(spark, root, "old", "new")
+    spark.createDataFrame([(2, 20)], "id long, new long").write \
+        .format("cbxtable").mode("overwrite").save(root)
+    out = TF.read_table(spark, root)
+    assert out.columns == ["id", "new"]
+    assert _rows(out) == [(2, 20)]
+    via = spark.read.format("cbxtable").load(root)
+    assert _rows(via) == [(2, 20)]
+
+
+def test_writer_null_and_special_partition_values(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__ and
+    special characters escape exactly like Spark's native writer, so the
+    native reader and the connector agree on both."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "a/b:c=d", 20), (3, "plain", 30)],
+        "id long, p string, v long",
+    )
+    (
+        df.write.format("cbxtable").mode("append")
+        .option("partition_by", "p").save(root)
+    )
+    native = TF.read_table(spark, root)
+    assert _rows(native) == _rows(df)
+    via = spark.read.format("cbxtable").load(root)
+    assert _rows(via) == _rows(df)
+    dirs = {e["path"].split("/")[0] for e in TF.manifest(root, 1)}
+    assert "p=__HIVE_DEFAULT_PARTITION__" in dirs
+    assert "p=a%2Fb%3Ac%3Dd" in dirs
