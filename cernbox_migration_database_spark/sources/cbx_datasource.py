@@ -821,13 +821,24 @@ class CbxTableWriter(DataSourceArrowWriter):
             if not self._exists:
                 self._commit_new(rels, action="create", version=1)
             elif self._overwrite:
-                self._commit_new(
-                    rels,
-                    action="overwrite",
-                    version=TF.current_version(self._root) + 1,
+                # optimistic concurrency, same as native committing ops: a
+                # racing writer costs a re-claim against the new head, and
+                # both closures re-derive the base version on each attempt
+                TF.commit_with_retry(
+                    self._root,
+                    lambda: self._commit_new(
+                        rels,
+                        action="overwrite",
+                        version=TF.current_version(self._root) + 1,
+                    ),
+                    what="overwrite",
                 )
             else:
-                self._commit_append(rels)
+                TF.commit_with_retry(
+                    self._root,
+                    lambda: self._commit_append(rels),
+                    what="append",
+                )
         finally:
             shutil.rmtree(self._job_dir, ignore_errors=True)
 

@@ -361,3 +361,79 @@ def test_writer_null_and_special_partition_values(spark, tmp_path):
     dirs = {e["path"].split("/")[0] for e in TF.manifest(root, 1)}
     assert "p=__HIVE_DEFAULT_PARTITION__" in dirs
     assert "p=a%2Fb%3Ac%3Dd" in dirs
+
+
+def test_writer_append_retries_after_losing_claim(spark, tmp_path, monkeypatch):
+    """A format-writer append racing a native merge loses the version
+    claim and must retry against the winner's snapshot — the same
+    optimistic-concurrency posture every native committing op has. The
+    writer object is driven in-process here (in production write()/
+    commit() run inside Python worker subprocesses, which a driver-side
+    monkeypatch cannot reach — the code path is identical). The final
+    table carries BOTH the merge's update and the appended rows, with a
+    gapless version chain."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "t")
+    TF.create_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        root, partition_by="p",
+    )
+    schema = DS._logical_schema(root, 1)
+    writer = DS.CbxTableWriter(root, schema, False, {})
+    msg = writer.write(
+        iter(
+            pa.table(
+                {"id": [3], "p": ["a"], "v": [30]},
+            ).cast(pa.schema([("id", pa.int64()), ("p", pa.string()), ("v", pa.int64())])).to_batches()
+        )
+    )
+    real_claim = TF._claim_version
+    state = {"raced": False}
+
+    def racing_claim(r, version):
+        if r == root and not state["raced"]:
+            state["raced"] = True
+            TF.merge_into(
+                spark, r,
+                spark.createDataFrame(
+                    [(1, "a", 999)], "id long, p string, v long"
+                ),
+                on="id", when_not_matched=None,
+            )
+            raise FileExistsError("lost the claim")
+        return real_claim(r, version)
+
+    monkeypatch.setattr(TF, "_claim_version", racing_claim)
+    writer.commit([msg])
+    monkeypatch.setattr(TF, "_claim_version", real_claim)
+    got = {(r["id"], r["v"]) for r in TF.read_table(spark, root).collect()}
+    assert got == {(1, 999), (2, 20), (3, 30)}
+    assert [e["version"] for e in TF.history(root)] == [1, 2, 3]
+
+
+def test_writer_abort_leaves_table_untouched(spark, tmp_path):
+    """A failing write task aborts the job: no version commits, the
+    snapshot is unchanged, and no writer staging survives under the
+    table root."""
+    root = str(tmp_path / "t")
+    TF.create_table(
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        root, partition_by="p",
+    )
+
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("task failure injected")
+
+    bad = spark.createDataFrame(
+        [(9, "a", 90)], "id long, p string, v long"
+    ).withColumn("v", boom("v"))
+    with pytest.raises(Exception):
+        bad.write.format("cbxtable").mode("append").save(root)
+    assert TF.current_version(root) == 1
+    assert _rows(TF.read_table(spark, root)) == [(1, "a", 10)]
+    stray = [d for d in os.listdir(root) if d.startswith(".ds_write_")]
+    assert stray == []
