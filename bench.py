@@ -32,9 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Representative coverage: scan/topk, heavy aggregation, multi-join, window,
 # event-time, kv/json parse, text, dedup (exact + LSH + simhash), vectors,
-# and the versioned-table lakehouse path (create + COW MERGE INTO + CDF).
+# the versioned-table lakehouse path (create + COW MERGE INTO + CDF), and
+# the cbxtable Spark-DataSource scan (round-6 flagship: Python-worker
+# Arrow-batch reads with manifest pruning — tracked so the connector's
+# overhead vs the native JVM scan stays measured, not assumed).
 HEADLINE = [
     "scan_filter_project_sort",
+    "datasource_scan_pruned",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -2132,6 +2132,7 @@ def compact(
     spark: SparkSession,
     root: str,
     zorder: tuple[str, str] | None = None,
+    target_files: int | None = None,
 ) -> int:
     """OPTIMIZE: commit a new version with byte-identical DATA but a better
     physical layout. Every long-lived merge target accretes small files
@@ -2156,7 +2157,7 @@ def compact(
     vdir = _claim_version(root, new_v)
     staging = vdir + ".staging"
     try:
-        _compact_write(spark, df, pcols, zorder, staging)
+        _compact_write(spark, df, pcols, zorder, staging, target_files)
         os.rename(staging, vdir)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
@@ -2217,7 +2218,7 @@ def _z_sorted(
     )
 
 
-def _compact_write(spark, df, pcols, zorder, staging):
+def _compact_write(spark, df, pcols, zorder, staging, target_files=None):
     if pcols:
         out = df.repartition(*pcols)
         if zorder:
@@ -2232,9 +2233,8 @@ def _compact_write(spark, df, pcols, zorder, staging):
 
         write_z_ordered(df, zorder[0], zorder[1], staging)
     else:
-        df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)).write.mode(
-            "overwrite"
-        ).parquet(staging)
+        n = target_files or max(1, spark.sparkContext.defaultParallelism // 4)
+        df.coalesce(n).write.mode("overwrite").parquet(staging)
 
 
 def compact_partitions(
@@ -2349,6 +2349,84 @@ def tombstone_heavy_partitions(
         if rel and rows.get(rel) and n / rows[rel] > max_ratio
     ]
     return [rel for _ratio, rel in sorted(scored, key=lambda t: (-t[0], t[1]))]
+
+
+def auto_optimize(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 8,
+    max_tombstone_ratio: float = 0.1,
+    max_targets: int | None = None,
+    zorder: tuple[str, str] | None = None,
+    vacuum_keep_last: int | None = None,
+) -> dict:
+    """The standing maintenance job, as one idempotent call: plan repair
+    targets from the metadata sidecars alone (fragmented partitions over
+    ``max_files`` files ∪ merge-on-read partitions whose tombstones
+    exceed ``max_tombstone_ratio``), rewrite only those partitions
+    (worst-first, optionally capped at ``max_targets`` per call so a
+    bounded maintenance window repairs the worst offenders and catches
+    the rest next run), and optionally vacuum history down to
+    ``vacuum_keep_last`` versions. A clean table commits NOTHING — safe
+    to run on a schedule. Racing writers are handled by the same
+    optimistic retry every committing op uses, and a layout-only commit
+    is invisible to the change feed, so downstream CDF consumers never
+    see maintenance as data. For an UNPARTITIONED table the only repair
+    unit is the whole table: it full-compacts when fragmented or
+    tombstone-heavy past the thresholds. Returns
+    ``{"targets": [...], "compacted_version": int|None,
+    "vacuumed": [...]}``."""
+    v = current_version(root)
+    pcols = _part_cols(partition_scheme(root, v))
+    report: dict = {"targets": [], "compacted_version": None, "vacuumed": []}
+    if pcols:
+        targets = list(
+            dict.fromkeys(
+                small_file_partitions(root, max_files=max_files, version=v)
+                + tombstone_heavy_partitions(
+                    root, max_ratio=max_tombstone_ratio, version=v
+                )
+            )
+        )
+        if max_targets is not None:
+            targets = targets[:max_targets]
+        report["targets"] = targets
+        if targets:
+            report["compacted_version"] = commit_with_retry(
+                root,
+                lambda: compact_partitions(
+                    spark, root, rels=targets, zorder=zorder
+                ),
+                what="auto_optimize",
+            )
+    else:
+        files = len(manifest(root, v))
+        dv = sum(_dv_counts(_vdir(root, v)).values())
+        rows = sum(e.get("rows") or 0 for e in manifest(root, v))
+        if files > max_files or (rows and dv / rows > max_tombstone_ratio):
+            report["targets"] = [""]
+            # compact to AT MOST the trigger threshold (capped by the
+            # default parallelism target), or every scheduled run would
+            # re-flag and re-commit the same table forever
+            tgt = max(
+                1,
+                min(
+                    max_files,
+                    spark.sparkContext.defaultParallelism // 4 or 1,
+                ),
+            )
+            report["compacted_version"] = commit_with_retry(
+                root,
+                lambda: compact(
+                    spark, root, zorder=zorder, target_files=tgt
+                ),
+                what="auto_optimize",
+            )
+    if vacuum_keep_last is not None:
+        report["vacuumed"] = vacuum(
+            root, keep_last=vacuum_keep_last, remove_orphans=True
+        )
+    return report
 
 
 def scan_partitions(

@@ -437,3 +437,112 @@ def test_writer_abort_leaves_table_untouched(spark, tmp_path):
     assert _rows(TF.read_table(spark, root)) == [(1, "a", 10)]
     stray = [d for d in os.listdir(root) if d.startswith(".ds_write_")]
     assert stray == []
+
+
+def test_property_connector_reads_equal_native_across_random_histories(
+    spark, tmp_path
+):
+    """Model-based differential for the WHOLE connector read path: random
+    sequences of table operations (COW/MOR upserts, merge deletes,
+    predicate deletes, append inserts, RENAME, DROP, OPTIMIZE, restore)
+    build arbitrary histories; after every op, `spark.read.format
+    ("cbxtable")` must return exactly the native `read_table`'s schema
+    and rows — and at the end, for EVERY historical version (time travel
+    through reader options). The native reader is the trusted oracle
+    here; it is itself differentialed against DuckDB by the catalog."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(
+            st.sampled_from(["upsert", "mor_upsert"]),
+            st.lists(
+                st.tuples(st.integers(0, 14), st.integers(0, 99)),
+                min_size=1, max_size=3, unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(
+            st.just("mdelete"),
+            st.lists(st.integers(0, 14), min_size=1, max_size=2, unique=True),
+        ),
+        st.tuples(st.just("pdelete"), st.integers(0, 99)),
+        st.tuples(st.just("insert"), st.integers(20, 34)),
+        st.tuples(st.just("rename"), st.none()),
+        st.tuples(st.just("drop"), st.none()),
+        st.tuples(st.just("optimize"), st.none()),
+        st.tuples(st.just("restore"), st.integers(1, 3)),
+    )
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        counter["n"] += 1
+        root = str(tmp_path / f"t{counter['n']}")
+        vcol = "val"
+        has_extra = True
+
+        def mk(d):
+            if has_extra:
+                return spark.createDataFrame(
+                    [(k, "ab"[k % 2], v, k * 100) for k, v in sorted(d.items())],
+                    f"id long, grp string, {vcol} long, extra long",
+                )
+            return spark.createDataFrame(
+                [(k, "ab"[k % 2], v) for k, v in sorted(d.items())],
+                f"id long, grp string, {vcol} long",
+            )
+
+        TF.create_table(mk({i: i * 10 for i in range(8)}), root, partition_by="grp")
+        for kind, arg in ops:
+            if kind in ("upsert", "mor_upsert"):
+                TF.merge_into(
+                    spark, root, mk(dict(arg)), on="id",
+                    write_mode="mor" if kind == "mor_upsert" else "cow",
+                )
+            elif kind == "mdelete":
+                TF.merge_into(
+                    spark, root, mk({k: 0 for k in arg}), on="id",
+                    when_matched="delete", when_not_matched=None,
+                )
+            elif kind == "pdelete":
+                TF.delete_where(spark, root, f"{vcol} >= {arg}", mode="mor")
+            elif kind == "insert":
+                TF.insert_into(spark, root, mk({arg: arg}))
+            elif kind == "rename":
+                new = "v2" if vcol == "val" else "val"
+                TF.rename_column(spark, root, vcol, new)
+                vcol = new
+            elif kind == "drop":
+                if not has_extra:
+                    continue
+                TF.drop_column(spark, root, "extra")
+                has_extra = False
+            elif kind == "optimize":
+                TF.compact(spark, root)
+            else:
+                v = min(arg, TF.current_version(root))
+                if v == TF.current_version(root):
+                    continue
+                TF.restore(root, v)
+                ent = [e for e in TF.history(root) if e["version"] == v][0]
+                cols = ent.get("columns") or []
+                vcol = "v2" if "v2" in cols else "val"
+                has_extra = "extra" in cols
+            native = TF.read_table(spark, root)
+            via = spark.read.format("cbxtable").load(root)
+            assert via.schema == native.schema, f"after {kind}"
+            assert _rows(via) == _rows(native), f"after {kind}"
+        for v in range(1, TF.current_version(root) + 1):
+            native = TF.read_table(spark, root, version=v)
+            via = (
+                spark.read.format("cbxtable")
+                .option("version", str(v)).load(root)
+            )
+            assert via.schema == native.schema, f"v{v}"
+            assert _rows(via) == _rows(native), f"v{v}"
+
+    run()

@@ -2695,3 +2695,45 @@ def test_model_based_random_op_sequences_match_dict_oracle(spark, tmp_path):
                 }, f"time travel v{v} extra values"
 
     run()
+
+
+def test_auto_optimize_repairs_then_noops(spark, tmp_path):
+    """auto_optimize: fragmented + tombstone-heavy partitions are planned
+    from the sidecars, repaired worst-first under max_targets, history
+    vacuums, and a CLEAN table commits nothing (idempotent schedule
+    safety). Unpartitioned tables full-compact when past thresholds."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="abc"[i % 3], val=float(i)) for i in range(60)]
+    ).repartition(6)
+    TF.create_table(df, root, partition_by="grp")  # 6 files per partition
+    # tombstone one partition heavily via MOR delete
+    TF.delete_where(spark, root, "grp = 'a' AND id < 30", mode="mor")
+
+    rep = TF.auto_optimize(
+        spark, root, max_files=2, max_tombstone_ratio=0.05,
+        vacuum_keep_last=2,
+    )
+    assert rep["targets"] and rep["compacted_version"] == 3
+    assert set(rep["vacuumed"]) == {1}
+    # every partition now one file, tombstones materialized away
+    counts = {}
+    for e in TF.manifest(root):
+        counts[e["path"].split("/")[0]] = counts.get(e["path"].split("/")[0], 0) + 1
+    assert all(n == 1 for n in counts.values())
+    assert TF._dv_counts(TF._vdir(root, 3)) == {}
+    assert TF.read_table(spark, root).count() == 50
+
+    # clean table: nothing to do, nothing committed
+    rep2 = TF.auto_optimize(spark, root, max_files=2, max_tombstone_ratio=0.05)
+    assert rep2 == {"targets": [], "compacted_version": None, "vacuumed": []}
+    assert TF.current_version(root) == 3
+
+    # unpartitioned: full-compact path
+    u = str(tmp_path / "u")
+    TF.create_table(spark.range(40).repartition(8), u)
+    rep3 = TF.auto_optimize(spark, u, max_files=4)
+    assert rep3["targets"] == [""] and rep3["compacted_version"] == 2
+    assert len(TF.manifest(u)) <= 4  # at most the trigger threshold
+    # idempotent: the repaired table no longer trips its own trigger
+    assert TF.auto_optimize(spark, u, max_files=4)["compacted_version"] is None
