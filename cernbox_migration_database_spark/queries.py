@@ -9131,6 +9131,99 @@ def table_stream_pipeline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction (operators/pii.py) — the compliance pass of a
+# training-data pipeline, JVM-side regex + Luhn digit fold, zero UDFs.
+# ---------------------------------------------------------------------------
+
+from .operators import pii as PII  # noqa: E402
+
+
+def _pii_aug_sql() -> str:
+    """The deterministic PII-bearing text both engines construct: the
+    corpus is synthetic word-soup with no real PII, so the query plants
+    category instances derived from doc_id (some Luhn-valid, some not)
+    and the differential then tests the detection/validation/redaction
+    machinery itself — regex parity, checksum fold, placeholder order."""
+    return (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-867-5309'"
+        " ELSE ' ssn 078-05-1120' END"
+        " || ' card ' || lpad(CAST((CAST(doc_id AS BIGINT) * 1234567 + 11)"
+        " % 10000000000000000 AS VARCHAR), 16, '0')"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, {_pii_aug_sql()} AS t FROM documents
+    )
+    SELECT
+        doc_id,
+        len(regexp_extract_all(t, '{PII.PII_PATTERNS["email"]}')) AS n_email,
+        len(regexp_extract_all(t, '{PII.PII_PATTERNS["ssn"]}')) AS n_ssn,
+        len(regexp_extract_all(t, '{PII.PII_PATTERNS["phone"]}')) AS n_phone,
+        len(regexp_extract_all(t, '{PII.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+        len(regexp_extract_all(t, '{PII.PII_PATTERNS["ccn"]}')) AS n_ccn,
+        len(list_filter(regexp_extract_all(t, '{PII.PII_PATTERNS["ccn"]}'),
+            cc -> {PII.luhn_valid_sql("cc")})) AS n_ccn_valid,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(t,
+            '{PII.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+            '{PII.PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+            '{PII.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+            '{PII.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+            '{PII.PII_PATTERNS["ccn"]}', '<CCN>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII compliance scan: detect emails / SSN-shaped ids / phones /
+    IPv4 / 16-digit card runs, Luhn-validate the card candidates, and
+    hash the placeholder-redacted text. The corpus carries no PII, so
+    deterministic instances are planted from doc_id (identically in the
+    oracle) and the differential verifies the machinery: Java-regex vs
+    RE2 parity on the shared pattern subset, the transform/aggregate
+    checksum fold, and the redaction order. Pure map — no shuffle; at
+    100 TB this runs at scan speed inside whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    ccn = F.lpad(
+        ((F.col("doc_id").cast("bigint") * 1234567 + 11) % F.lit(10**16))
+        .cast("string"),
+        16,
+        "0",
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit(" ssn 078-05-1120")
+        ),
+        F.lit(" card "),
+        ccn,
+    )
+    base = docs.select("doc_id", aug.alias("text"))
+    scrubbed = PII.scrub(base)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "n_ccn",
+        "n_ccn_valid",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -9168,6 +9261,11 @@ _PRIORITY = [
     # --- round-6 additions claim the next slots as they are defined ---
     "datasource_scan_pruned",
     "table_stream_pipeline",
+    "text_pii_scrub",
+    "train_shard_manifest",
+    "train_pack_nextfit",
+    "train_bpe_merges",
+    "table_tag_read",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
