@@ -9224,6 +9224,49 @@ def text_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Deterministic shard export (operators/shard.py) — content-addressed
+# shard assignment + per-shard manifest for the training loader.
+# ---------------------------------------------------------------------------
+
+from .operators import shard as SH  # noqa: E402
+
+
+@register(
+    "train_shard_manifest",
+    f"""
+    WITH s AS (
+        SELECT {SH.shard_key_sql("doc_id", 16)} AS shard, doc_id, lang, text
+        FROM documents
+    )
+    SELECT
+        shard,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(list_filter(string_split(text, ' '), t -> t != '')))
+             AS BIGINT) AS tok_sum,
+        CAST(SUM(length(text)) AS BIGINT) AS byte_sum,
+        COUNT(DISTINCT lang) AS n_langs,
+        MIN(doc_id) AS min_id,
+        MAX(doc_id) AS max_id
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def train_shard_manifest(spark, sf_dir):
+    """Shard-export manifest: content-addressed md5 shard assignment
+    (stable under corpus growth — adding documents never moves existing
+    ones) and the N-row per-shard summary a training loader consumes
+    instead of re-scanning the corpus. Assignment is row-local codegen;
+    the manifest is one map-side-combinable aggregation on a 16-value
+    key. The export itself (`export_shards`) adds a single exact 1:1
+    repartition on the shard id with an in-exchange sort — pytest-covered
+    (`test_shard_export.py`); this query differentials the assignment and
+    the manifest math."""
+    docs = _t(spark, sf_dir, "documents")
+    return SH.shard_manifest(docs, "doc_id", n_shards=16)
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
