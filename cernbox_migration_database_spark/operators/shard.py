@@ -109,3 +109,79 @@ def export_shards(
         .parquet(path)
     )
     return shard_manifest(df, key_col, n_shards=n_shards, seed=seed)
+
+
+def pack_next_fit(
+    df: DataFrame,
+    tok_col: Column,
+    budget: int,
+    key_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("lang",),
+    n_buckets: int = 4,
+    seed: str = "pack",
+) -> DataFrame:
+    """Next-fit sequence packing: walk each packing group in ``key_col``
+    order, appending documents to the current bin until the token budget
+    would overflow, then open a new bin — the streaming-friendly packing
+    discipline training pipelines use (an oversized document gets a bin
+    of its own). Output: one row per document with its ``bin`` (1-based
+    per group) and ``fill_after`` (bin occupancy including the doc).
+
+    Packing is inherently a sequential fold, so the unit of sequence is
+    bounded explicitly: groups are ``group_cols`` × a content-addressed
+    ``bucket`` (md5 of the key, so membership is stable under corpus
+    growth). Within a group the fold runs JVM-side — ``sort_array`` over
+    a collected struct array, then ``aggregate`` with a struct
+    accumulator; no Python crosses the row path. At 100 TB you raise
+    ``n_buckets`` so each group's array stays executor-memory-sized: the
+    shuffle is one hash partition on (group, bucket) and the fold is
+    O(group) with no further exchange."""
+    bucket = shard_key(F.col(key_col), n_buckets, seed).alias("bucket")
+    base = df.select(
+        *group_cols, bucket, F.col(key_col), tok_col.cast("int").alias("_tc")
+    )
+    gb = [*group_cols, "bucket"]
+    grouped = base.groupBy(*gb).agg(
+        F.sort_array(F.collect_list(F.struct(key_col, "_tc"))).alias("_docs")
+    )
+    key_t = base.schema[key_col].dataType.simpleString()
+    acc_t = f"array<struct<{key_col}:{key_t},bin:int,fill:int>>"
+    zero = F.struct(
+        F.array().cast(acc_t).alias("out"),
+        F.lit(0).alias("bin"),
+        F.lit(0).alias("fill"),
+    )
+
+    def step(acc, x):
+        opens = (acc["fill"] == 0) | (acc["fill"] + x["_tc"] > budget)
+        nbin = F.when(acc["fill"] == 0, F.lit(1)).otherwise(
+            F.when(acc["fill"] + x["_tc"] > budget, acc["bin"] + 1).otherwise(
+                acc["bin"]
+            )
+        )
+        nfill = F.when(opens, x["_tc"]).otherwise(acc["fill"] + x["_tc"])
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x[key_col].alias(key_col),
+                        nbin.alias("bin"),
+                        nfill.alias("fill"),
+                    )
+                ),
+            ).alias("out"),
+            nbin.alias("bin"),
+            nfill.alias("fill"),
+        )
+
+    folded = grouped.select(
+        *gb, F.aggregate("_docs", zero, step)["out"].alias("_packed")
+    )
+    ex = folded.select(*gb, F.explode("_packed").alias("_e"))
+    return ex.select(
+        *gb,
+        F.col(f"_e.{key_col}").alias(key_col),
+        F.col("_e.bin").alias("bin"),
+        F.col("_e.fill").alias("fill_after"),
+    )

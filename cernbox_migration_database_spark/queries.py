@@ -9267,6 +9267,50 @@ def train_shard_manifest(spark, sf_dir):
     return SH.shard_manifest(docs, "doc_id", n_shards=16)
 
 
+@register(
+    "train_pack_nextfit",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT lang, {SH.shard_key_sql("doc_id", 4, "pack")} AS bucket, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+                    AS INT) AS tc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, {SH.shard_key_sql("doc_id", 4, "pack")}
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    p AS (
+        SELECT lang, bucket, rn, doc_id, tc, 1 AS bin, tc AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.bucket, d.rn, d.doc_id, d.tc,
+               CASE WHEN p.fill + d.tc > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + d.tc > 256 THEN d.tc ELSE p.fill + d.tc END
+        FROM p JOIN d
+          ON d.lang = p.lang AND d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT lang, bucket, doc_id, bin, fill AS fill_after
+    FROM p
+    ORDER BY lang, bucket, doc_id
+    """,
+)
+def train_pack_nextfit(spark, sf_dir):
+    """Next-fit sequence packing (operators/shard.py:pack_next_fit):
+    documents walk their (lang × content-addressed bucket) group in id
+    order and fill 256-token bins, opening a new bin on overflow — the
+    mapper from corpus to fixed-budget training sequences. The fold is a
+    JVM `aggregate` over per-group sorted struct arrays (packing is
+    sequential by nature; the bucket bounds the sequence length, and at
+    scale you raise n_buckets to keep groups executor-sized). The oracle
+    replays the identical discipline as a recursive CTE — a genuinely
+    order-dependent operator differentialed exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    return SH.pack_next_fit(
+        docs, tc, budget=256, group_cols=("lang",), n_buckets=4
+    ).orderBy("lang", "bucket", "doc_id")
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
