@@ -9311,6 +9311,23 @@ def train_pack_nextfit(spark, sf_dir):
     ).orderBy("lang", "bucket", "doc_id")
 
 
+from .operators import bpe as BPE  # noqa: E402
+
+
+@register("train_bpe_merges", BPE.bpe_oracle_sql(6))
+def train_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): 6 merge
+    rounds learned from the word-frequency table — pair counting is one
+    combinable aggregation over the vocabulary (not the corpus), the
+    merge itself a row-local greedy fold, and the driver holds exactly
+    one argmax row per round. The oracle unrolls the identical loop as a
+    6-stage CTE chain with one-row argmax CTEs, so the differential pins
+    the tie-break (count desc, lexicographic) and the left-to-right merge
+    discipline exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return BPE.bpe_merge_rounds(spark, BPE.word_frequencies(docs), 6)
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
