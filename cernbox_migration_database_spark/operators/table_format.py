@@ -613,14 +613,18 @@ def read_table(
     root: str,
     version: int | None = None,
     timestamp: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
-    """Read a snapshot (the committed version, a pinned one, or — with
-    ``timestamp`` — the version that was current at that unix time: the
-    ``AS OF TIMESTAMP`` form). The returned plan reads an immutable
-    directory: concurrent merges never change what this DataFrame sees."""
-    if timestamp is not None:
-        if version is not None:
-            raise ValueError("pass version OR timestamp, not both")
+    """Read a snapshot (the committed version, a pinned one, a named
+    ``tag``, or — with ``timestamp`` — the version that was current at
+    that unix time: the ``AS OF TIMESTAMP`` form). The returned plan reads
+    an immutable directory: concurrent merges never change what this
+    DataFrame sees."""
+    if sum(x is not None for x in (version, timestamp, tag)) > 1:
+        raise ValueError("pass at most one of version, timestamp, tag")
+    if tag is not None:
+        version = resolve_tag(root, tag)
+    elif timestamp is not None:
         version = version_at(root, timestamp)
     v = current_version(root) if version is None else version
     vdir = _vdir(root, v)
@@ -3190,6 +3194,77 @@ def stream_merge_into(
     return writer.start()
 
 
+_TAGS = "_tags"
+_TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def create_tag(
+    root: str, name: str, version: int | None = None, replace: bool = False
+) -> dict:
+    """Pin a committed snapshot under a stable name (``release-2026-08``,
+    ``training-run-17``): the Iceberg/Delta named-ref idea reduced to its
+    durable core. A tag is a tiny JSON ref file — creating one moves no
+    data and reads no manifests — but it changes RETENTION semantics:
+    :func:`vacuum` never removes a tagged version's directory, so
+    ``read_table(tag=...)`` stays reproducible for as long as the tag
+    lives, which is exactly the guarantee a training run needs to name
+    its input corpus. Tags are immutable by default (``replace=True`` to
+    re-point); deleting the tag releases the pin and the next vacuum
+    reclaims the space. Refs resolve strictly to COMMITTED versions —
+    tagging a staged or vacuumed version fails fast."""
+    if not _TAG_RE.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    v = current_version(root) if version is None else version
+    committed = {e["version"] for e in history(root)}
+    if v not in committed:
+        raise ValueError(f"version {v} is not a committed version of {root}")
+    tdir = os.path.join(root, _TAGS)
+    os.makedirs(tdir, exist_ok=True)
+    path = os.path.join(tdir, f"{name}.json")
+    if os.path.exists(path) and not replace:
+        raise FileExistsError(f"tag {name!r} already exists on {root}")
+    entry = {"name": name, "version": v, "created_at": time.time()}
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, path)
+    return entry
+
+
+def delete_tag(root: str, name: str) -> None:
+    path = os.path.join(root, _TAGS, f"{name}.json")
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        raise KeyError(f"no tag {name!r} on {root}")
+
+
+def list_tags(root: str) -> list[dict]:
+    """All tags, name-sorted. Each ref is one small file: listing cost is
+    O(#tags), independent of table size or history length."""
+    tdir = os.path.join(root, _TAGS)
+    out = []
+    try:
+        names = sorted(os.listdir(tdir))
+    except FileNotFoundError:
+        return []
+    for n in names:
+        if not n.endswith(".json") or n.endswith(".tmp"):
+            continue
+        with open(os.path.join(tdir, n), encoding="utf-8") as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def resolve_tag(root: str, name: str) -> int:
+    path = os.path.join(root, _TAGS, f"{name}.json")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise KeyError(f"no tag {name!r} on {root}")
+
+
 def vacuum(
     root: str,
     keep_last: int = 2,
@@ -3256,6 +3331,9 @@ def vacuum(
                 shutil.rmtree(full, ignore_errors=True)
     committed_dirs = [v for v in versions if v in committed]
     keep = set(committed_dirs[-keep_last:]) | {cur}
+    # tagged snapshots are pinned: a named ref promises read_table(tag=...)
+    # reproducibility, so retention never reclaims a tagged directory
+    keep |= {t["version"] for t in list_tags(root)}
     removed = []
     for v in committed_dirs:
         if v in keep:

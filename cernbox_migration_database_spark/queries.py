@@ -9328,6 +9328,58 @@ def train_bpe_merges(spark, sf_dir):
     return BPE.bpe_merge_rounds(spark, BPE.word_frequencies(docs), 6)
 
 
+@register(
+    "table_tag_read",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_tag_read(spark, sf_dir):
+    """Named refs (tags) + retention pinning: commit three versions,
+    tag v2 as ``release``, vacuum down to the newest version — the tag
+    PINS v2's directory, so ``read_table(tag='release')`` still
+    reproduces the tagged snapshot bit-for-bit after retention ran (and
+    after a later commit changed the same rows). This is the guarantee a
+    training run needs when it names its input corpus: the ref is one
+    tiny JSON file, but vacuum treats it as a root. The oracle is the
+    relational state at v2 (deletes applied, later update absent)."""
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("tagread", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")       # v1
+    TF.merge_into(
+        spark, root, base.where(F.col("o_orderstatus") == "F"),
+        on="o_orderkey", when_matched="delete", when_not_matched=None,
+    )                                                                  # v2
+    TF.create_tag(root, "release")  # pins v2 (current)
+    TF.merge_into(
+        spark, root,
+        base.where(F.col("o_orderstatus") != "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        on="o_orderkey",
+    )                                                                  # v3
+    TF.vacuum(root, keep_last=1)  # v1 goes; v2 survives via the tag
+    return (
+        TF.read_table(spark, root, tag="release")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
