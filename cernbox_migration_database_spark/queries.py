@@ -9155,6 +9155,31 @@ def _pii_aug_sql() -> str:
     )
 
 
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) with the deterministic planted PII — shared by
+    the batch and streaming scrub queries; mirrors ``_pii_aug_sql``."""
+    ccn = F.lpad(
+        ((F.col("doc_id").cast("bigint") * 1234567 + 11) % F.lit(10**16))
+        .cast("string"),
+        16,
+        "0",
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit(" ssn 078-05-1120")
+        ),
+        F.lit(" card "),
+        ccn,
+    )
+    return docs.select("doc_id", "lang", aug.alias("text"))
+
+
 @register(
     "text_pii_scrub",
     f"""
@@ -9191,27 +9216,7 @@ def text_pii_scrub(spark, sf_dir):
     checksum fold, and the redaction order. Pure map — no shuffle; at
     100 TB this runs at scan speed inside whole-stage codegen."""
     docs = _t(spark, sf_dir, "documents")
-    ccn = F.lpad(
-        ((F.col("doc_id").cast("bigint") * 1234567 + 11) % F.lit(10**16))
-        .cast("string"),
-        16,
-        "0",
-    )
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" contact u"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com from 10."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0.1"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit(" call 555-867-5309")).otherwise(
-            F.lit(" ssn 078-05-1120")
-        ),
-        F.lit(" card "),
-        ccn,
-    )
-    base = docs.select("doc_id", aug.alias("text"))
-    scrubbed = PII.scrub(base)
+    scrubbed = PII.scrub(_pii_augmented(docs))
     return scrubbed.select(
         "doc_id",
         "n_email",
@@ -9222,6 +9227,85 @@ def text_pii_scrub(spark, sf_dir):
         "n_ccn_valid",
         F.md5("redacted").alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "streaming_pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, lang, {_pii_aug_sql()} AS t FROM documents
+    )
+    SELECT
+        lang,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(t, '{PII.PII_PATTERNS["email"]}')))
+             AS BIGINT) AS n_email,
+        CAST(SUM(len(list_filter(
+            regexp_extract_all(t, '{PII.PII_PATTERNS["ccn"]}'),
+            cc -> {PII.luhn_valid_sql("cc")}))) AS BIGINT) AS n_ccn_valid,
+        CAST(SUM(CAST('0x' || substring(md5(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(t,
+            '{PII.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+            '{PII.PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+            '{PII.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+            '{PII.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+            '{PII.PII_PATTERNS["ccn"]}', '<CCN>', 'g')), 1, 13) AS BIGINT))
+            AS BIGINT) AS redact_sum
+    FROM aug
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def streaming_pii_scrub(spark, sf_dir):
+    """The PII scrub as a STREAMING pipeline: the same stateless column
+    expressions (regex suite + Luhn fold) applied on a readStream over
+    the corpus, landed exactly-once into a versioned table through the
+    txn-marked sink, then the final table aggregated per language — and
+    the result must equal the batch oracle bit-for-bit (the commutative
+    md5-prefix checksum over redacted text pins every byte of every
+    redaction, not just the counts). This is the operational claim of
+    operators/pii.py made checkable: a stateless compliance pass needs NO
+    batch/stream fork — one expression tree serves both, and the
+    streaming path adds only the sink's exactly-once machinery."""
+    from .operators import table_format as TF
+    from .streaming.table_sink import stream_write_table
+
+    scratch = _versioned_scratch("piistream", sf_dir)
+    dst, ckpt = scratch + "/dst", scratch + "/ckpt"
+    schema = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
+        sf_dir
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scrubbed = PII.scrub(_pii_augmented(stream)).select(
+        "doc_id", "lang", "n_email", "n_ccn_valid", "redacted"
+    )
+    q = stream_write_table(
+        scrubbed, dst, ckpt, app_id="streaming_pii_scrub",
+        key="doc_id", partition_by="lang",
+    )
+    q.awaitTermination(600)
+    return (
+        TF.read_table(spark, dst)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_email"),
+            F.sum("n_ccn_valid").cast("bigint").alias("n_ccn_valid"),
+            F.sum(
+                F.conv(F.substring(F.md5("redacted"), 1, 13), 16, 10).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("redact_sum"),
+        )
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9422,6 +9506,7 @@ _PRIORITY = [
     "train_pack_nextfit",
     "train_bpe_merges",
     "table_tag_read",
+    "streaming_pii_scrub",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
