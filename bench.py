@@ -60,6 +60,27 @@ HEADLINE = [
 WARM_PASSES = 2
 
 
+def _warm_datasource(spark) -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import table_format as TF
+    from cernbox_migration_database_spark.sources import cbx_datasource as DS
+
+    tmp = tempfile.mkdtemp(prefix="bench_ds_warm_")
+    try:
+        root = os.path.join(tmp, "t")
+        TF.create_table(
+            spark.range(8).select(F.col("id").cast("int").alias("id")), root
+        )
+        DS.register(spark)
+        spark.read.format("cbxtable").load(root).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def single() -> None:
     from cernbox_migration_database_spark import queries as Q
     from cernbox_migration_database_spark import util as U
@@ -71,6 +92,13 @@ def single() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     Q.QUERIES["scan_filter_project_sort"](spark, sf_dir).count()
+    # warmup: the Python DataSource machinery. The FIRST Python-datasource
+    # operation in a session pays ~6-7 s of one-time cost (planner/exec
+    # worker spawn + Arrow path init — measured identical for a trivial
+    # no-op source, i.e. API fixed cost, not connector cost). Steady-state
+    # cbxtable plans run in well under a second; pre-paying the session
+    # constant here keeps the headline numbers measuring the engine.
+    _warm_datasource(spark)
     load_start = os.getloadavg()[0]
 
     def run_pass() -> dict[str, float]:

@@ -9464,6 +9464,75 @@ def table_tag_read(spark, sf_dir):
     )
 
 
+@register(
+    "quality_expectations",
+    """
+    SELECT 'known_status' AS rule, 'drop' AS action,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+    FROM orders
+    UNION ALL
+    SELECT 'positive_price', 'fail',
+           CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'recent_order', 'warn',
+           CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1994-01-01')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'rows_clean', 'info',
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                         AND o_totalprice > 0
+                         AND o_orderdate >= TIMESTAMP '1994-01-01'
+                         AND (o_orderpriority <> '1-URGENT'
+                              OR o_totalprice > 150000)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'urgent_is_high_value', 'drop',
+           CAST(SUM(CASE WHEN NOT (o_orderpriority <> '1-URGENT'
+                                   OR o_totalprice > 150000)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def quality_expectations(spark, sf_dir):
+    """Declarative data-quality contracts (operators/expectations.py):
+    four named expectations with mixed warn/drop/fail actions evaluated
+    in ONE row-local violation vector (no per-rule passes), reported as
+    per-rule violation counts plus the violation-free row count. The
+    oracle recomputes each contract as a CASE sum — so the differential
+    pins the predicate semantics, the action-class bookkeeping, and the
+    clean-row accounting. `guarded_write` composes the same vector with
+    the versioned table (fail aborts both commits; dropped rows carry
+    their evidence into quarantine) — pytest-covered in
+    test_expectations.py."""
+    from .operators import expectations as EX
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        EX.Expectation(
+            "known_status", F.col("o_orderstatus").isin("O", "F", "P"), "drop"
+        ),
+        EX.Expectation("positive_price", F.col("o_totalprice") > 0, "fail"),
+        EX.Expectation(
+            "recent_order",
+            F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"),
+            "warn",
+        ),
+        EX.Expectation(
+            "urgent_is_high_value",
+            (F.col("o_orderpriority") != "1-URGENT")
+            | (F.col("o_totalprice") > 150000),
+            "drop",
+        ),
+    ]
+    return EX.metrics(orders, rules)
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -9507,6 +9576,7 @@ _PRIORITY = [
     "train_bpe_merges",
     "table_tag_read",
     "streaming_pii_scrub",
+    "quality_expectations",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
