@@ -153,12 +153,12 @@ def pack_next_fit(
     )
 
     def step(acc, x):
-        opens = (acc["fill"] == 0) | (acc["fill"] + x["_tc"] > budget)
-        nbin = F.when(acc["fill"] == 0, F.lit(1)).otherwise(
-            F.when(acc["fill"] + x["_tc"] > budget, acc["bin"] + 1).otherwise(
-                acc["bin"]
-            )
-        )
+        # empty-accumulator detection keys on bin == 0, NOT fill == 0: a
+        # zero-token document legitimately leaves fill at 0, and a
+        # fill-based sentinel would reset the bin counter after it
+        # (caught by the hypothesis replay in test_pack_properties.py)
+        opens = (acc["bin"] == 0) | (acc["fill"] + x["_tc"] > budget)
+        nbin = F.when(opens, acc["bin"] + 1).otherwise(acc["bin"])
         nfill = F.when(opens, x["_tc"]).otherwise(acc["fill"] + x["_tc"])
         return F.struct(
             F.concat(
