@@ -40,6 +40,8 @@ def exactly_once_batch_writer(
     write_mode: str = "cow",
     order_by: str | None = None,
     drop_order_col: bool = True,
+    expectations: list | None = None,
+    quarantine_root: str | None = None,
 ):
     """The foreachBatch function: apply a microbatch to the versioned
     table at ``root`` exactly once per ``(app_id, batch_id)``.
@@ -59,7 +61,17 @@ def exactly_once_batch_writer(
     precisely to supply this column; ``drop_order_col`` (default) removes
     it before the merge so it never becomes a table column. Without
     ``order_by``, in-batch duplicates collapse ARBITRARILY (documented:
-    only safe when a batch cannot carry two images of a key)."""
+    only safe when a batch cannot carry two images of a key).
+
+    ``expectations`` gates every microbatch through the data-quality
+    contracts of :mod:`..operators.expectations`: a ``fail`` rule raises
+    and FAILS the streaming query before anything commits (restart
+    replays the batch — nothing was recorded, so nothing is lost);
+    ``drop``-rule violations divert to ``quarantine_root`` — a sibling
+    versioned table carrying the ``_violations`` evidence — under the
+    SAME (app_id, batch_id) txn discipline, so a crash between the
+    quarantine commit and the main commit replays into two independent
+    no-op checks and each table still applies the batch exactly once."""
 
     keys = [key] if isinstance(key, str) else list(key or [])
 
@@ -81,30 +93,69 @@ def exactly_once_batch_writer(
         )
         return reduced.drop(order_by) if drop_order_col else reduced
 
+    def quarantine(bad: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ..operators.expectations import VIOLATIONS_COL
+
+        if bad.isEmpty():
+            return
+        spark = bad.sparkSession
+        flat = bad.withColumn(
+            VIOLATIONS_COL, F.array_join(VIOLATIONS_COL, ",")
+        )
+        if not os.path.exists(os.path.join(quarantine_root, "_latest")):
+            TF.create_table(flat, quarantine_root, txn=(app_id, batch_id))
+            return
+        last = TF.last_txn_version(quarantine_root, app_id)
+        if last is not None and batch_id <= last:
+            return
+        TF.insert_into(spark, quarantine_root, flat, txn=(app_id, batch_id))
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        if key is not None:
-            batch_df = reduce_last_wins(batch_df)
-        if not os.path.exists(os.path.join(root, "_latest")):
-            TF.create_table(
-                batch_df, root, partition_by=partition_by,
-                txn=(app_id, batch_id),
-            )
-            return
-        last = TF.last_txn_version(root, app_id)
-        if last is not None and batch_id <= last:
-            return  # replayed microbatch: already committed, skip
-        if key is not None:
-            TF.merge_into(
-                spark, root, batch_df, on=key,
-                write_mode=write_mode, txn=(app_id, batch_id),
-            )
-        else:
-            TF.insert_into(spark, root, batch_df, txn=(app_id, batch_id))
+        pinned = None
+        try:
+            if expectations:
+                from ..operators import expectations as EX
+
+                pinned = batch_df.persist()
+                EX.enforce(pinned, expectations)  # fail rules abort pre-commit
+                clean, bad = EX.split(pinned, expectations)
+                if quarantine_root is not None:
+                    quarantine(bad, batch_id)
+                batch_df = clean.drop(EX.VIOLATIONS_COL)
+                if batch_df.isEmpty():
+                    return
+            if key is not None:
+                batch_df = reduce_last_wins(batch_df)
+            if not os.path.exists(os.path.join(root, "_latest")):
+                TF.create_table(
+                    batch_df, root, partition_by=partition_by,
+                    txn=(app_id, batch_id),
+                )
+                return
+            last = TF.last_txn_version(root, app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed microbatch: already committed, skip
+            if key is not None:
+                TF.merge_into(
+                    spark, root, batch_df, on=key,
+                    write_mode=write_mode, txn=(app_id, batch_id),
+                )
+            else:
+                TF.insert_into(
+                    spark, root, batch_df, txn=(app_id, batch_id)
+                )
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
 
     return apply
 
@@ -119,9 +170,13 @@ def stream_write_table(
     write_mode: str = "cow",
     available_now: bool = True,
     order_by: str | None = None,
+    expectations: list | None = None,
+    quarantine_root: str | None = None,
 ):
     """``stream.writeStream`` into the versioned table with exactly-once
-    commits. Returns the started StreamingQuery (caller awaits it)."""
+    commits. Returns the started StreamingQuery (caller awaits it).
+    ``expectations``/``quarantine_root`` gate every microbatch through the
+    data-quality contracts (see :func:`exactly_once_batch_writer`)."""
     writer = (
         stream.writeStream.outputMode("update" if key else "append")
         .option("checkpointLocation", checkpoint)
@@ -129,7 +184,8 @@ def stream_write_table(
             exactly_once_batch_writer(
                 root, app_id, key=key,
                 partition_by=partition_by, write_mode=write_mode,
-                order_by=order_by,
+                order_by=order_by, expectations=expectations,
+                quarantine_root=quarantine_root,
             )
         )
     )
