@@ -169,3 +169,103 @@ def bpe_oracle_sql(k: int, table: str = "documents") -> str:
     return (
         "WITH " + ",\n    ".join(parts) + "\n    " + union + "\n    ORDER BY round"
     )
+
+
+# ---------------------------------------------------------------------------
+# Encode: apply a learned merge table to the corpus
+# ---------------------------------------------------------------------------
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Tokenize the *vocabulary* with a learned merge table: each merge is
+    applied in learned order as the same greedy left-to-right fold used
+    during training (Sennrich's apply discipline — later merges see the
+    symbols earlier merges produced, so ``(s,t)`` then ``(st,re)`` builds
+    hierarchically). Adds a ``tokens array<string>`` column.
+
+    The scale story is the same inversion as training: encoding runs over
+    the DISTINCT-WORD table (vocabulary-sized, ~10^5-10^6 rows for a
+    100 TB corpus), never the corpus, and each merge is a row-local JVM
+    ``aggregate`` fold — no Python on the row path, no shuffle. Corpus
+    token statistics then come from re-weighting by word frequency
+    (:func:`token_stats`) or a broadcast join back to documents.
+    """
+    syms = _chars(F.col(word_col))
+    for left, right in merges:
+        syms = _merge_fold(syms, left, right)
+    return words.withColumn("tokens", syms)
+
+
+def token_stats(encoded: DataFrame) -> DataFrame:
+    """Corpus-level token statistics from an encoded vocabulary:
+    ``(token, n_words, occurrences)`` where ``occurrences`` counts token
+    multiplicity weighted by word frequency. One explode + one
+    map-side-combinable aggregation over the vocabulary table."""
+    return (
+        encoded.select("word", "freq", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("occurrences"),
+        )
+    )
+
+
+def _fold_sql(prev: str, left: str, right: str) -> str:
+    """One greedy left-to-right merge fold as DuckDB SQL (literal pair) —
+    the same singleton-lift ``list_reduce`` idiom as
+    :func:`bpe_oracle_sql`, without the argmax CTE (the merge is given,
+    not learned)."""
+    la, ra, ma = left.replace("'", "''"), right.replace("'", "''"), (
+        left + right
+    ).replace("'", "''")
+    return f"""
+        SELECT word, freq,
+               list_reduce(
+                   list_transform(syms, c -> [c]),
+                   (a, b) -> CASE
+                       WHEN a[len(a)] = '{la}' AND b[1] = '{ra}'
+                       THEN list_append(list_slice(a, 1, len(a) - 1), '{ma}')
+                       ELSE list_append(a, b[1]) END) AS syms
+        FROM {prev}"""
+
+
+def bpe_encode_oracle_sql(
+    merges: list[tuple[str, str]], top_n: int, table: str = "documents"
+) -> str:
+    """DuckDB replay of encode + :func:`token_stats`: the merge chain
+    unrolled into one fold CTE per merge, then unnest + aggregate."""
+    parts = [
+        f"""w AS (
+        SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM {table},
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+             AS u(t)
+        GROUP BY t
+    ),
+    s0 AS (
+        SELECT word, freq,
+               list_transform(generate_series(1, length(word)),
+                              j -> substring(word, j, 1)) AS syms
+        FROM w
+    )"""
+    ]
+    for i, (left, right) in enumerate(merges, start=1):
+        parts.append(f"s{i} AS ({_fold_sql(f's{i - 1}', left, right)}\n    )")
+    last = f"s{len(merges)}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    tok AS (
+        SELECT word, freq, u.t AS token
+        FROM {last}, unnest(syms) AS u(t)
+    )
+    SELECT token, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS occurrences
+    FROM tok
+    GROUP BY token
+    ORDER BY occurrences DESC, token
+    LIMIT {top_n}"""
+    )

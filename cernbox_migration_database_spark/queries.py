@@ -9412,6 +9412,42 @@ def train_bpe_merges(spark, sf_dir):
     return BPE.bpe_merge_rounds(spark, BPE.word_frequencies(docs), 6)
 
 
+# Fixed merge table for the encode query: hierarchical on purpose —
+# later merges consume symbols earlier merges produced ((s,t)+(r,e)
+# feed (st,re), which feeds (stre,a) then (strea,m)), so the
+# differential pins the in-order apply discipline, not just single
+# folds.
+_ENCODE_MERGES = [
+    ("s", "t"), ("r", "e"), ("a", "n"), ("i", "n"), ("o", "r"),
+    ("e", "r"), ("st", "re"), ("a", "t"), ("b", "at"), ("w", "in"),
+    ("stre", "a"), ("strea", "m"),
+]
+
+
+@register(
+    "train_bpe_encode",
+    BPE.bpe_encode_oracle_sql(_ENCODE_MERGES, top_n=60),
+)
+def train_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION (operators/bpe.py:bpe_encode_words) — the
+    step after train_bpe_merges learns the merge table: every vocabulary
+    word is split to characters and each merge applied in learned order
+    as a greedy left-to-right JVM fold, then corpus token statistics are
+    re-weighted by word frequency. Encoding cost is proportional to the
+    VOCABULARY (10^5-ish rows at 100 TB), not the corpus — the corpus
+    pays exactly one word-count shuffle; no Python touches the row path.
+    The oracle unrolls the 12-merge chain into one fold CTE per merge,
+    so hierarchical merges ((st,re) consuming earlier merges' output)
+    are differentialed exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = BPE.bpe_encode_words(BPE.word_frequencies(docs), _ENCODE_MERGES)
+    return (
+        BPE.token_stats(enc)
+        .orderBy(F.desc("occurrences"), "token")
+        .limit(60)
+    )
+
+
 @register(
     "table_tag_read",
     """
@@ -9577,6 +9613,7 @@ _PRIORITY = [
     "table_tag_read",
     "streaming_pii_scrub",
     "quality_expectations",
+    "train_bpe_encode",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
