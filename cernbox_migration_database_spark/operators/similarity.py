@@ -705,3 +705,100 @@ def ivf_pq_topk(
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR — Maximal Marginal Relevance diversified re-ranking
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id,
+    k: int = 8,
+    lam: float = 0.7,
+    pen_weight: float = 0.3,
+    pool_size: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98) re-rank:
+    greedily pick ``k`` results maximizing
+    ``lam * rel(c) - pen_weight * max_{s in selected} cos(c, s)`` —
+    relevance traded against redundancy with what is already selected,
+    the standard diversification pass after a dense retrieval stage.
+
+    Scale split: the two corpus-sized parts are distributed — the
+    relevance pass is one broadcast-query scan over the corpus (the same
+    shape as :func:`knn_bruteforce`; swap in the IVF/LSH candidate path
+    for a 100 TB corpus), and the pool's pairwise cosines are a
+    pool x pool product of the top-``pool_size`` survivors only. The
+    greedy selection itself is inherently sequential and touches only
+    O(pool^2) scalars, so it runs on the driver (the same discipline as
+    the k-means centroid and BPE argmax loops); ``pool_size`` is a knob
+    independent of corpus size. All cosines use the exact fixed-point
+    dot (scaled-long) so selection order is engine-stable; ``lam`` and
+    ``pen_weight`` are passed separately rather than derived (1-0.7 is
+    not 0.3 in binary floating point).
+    """
+    nv = with_norm(corpus, vec_col)
+    q = nv.filter(F.col(id_col) == query_id).select(
+        F.col("svec").alias("qs"), F.col("norm").alias("qn")
+    )
+    scored = (
+        nv.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("svec"),
+            F.col("norm"),
+            cosine_scaled(
+                F.col("qs"), F.col("svec"), F.col("qn"), F.col("norm")
+            ).alias("rel"),
+        )
+    )
+    pool = tracked_persist(
+        scored.orderBy(F.desc("rel"), "vec_id").limit(pool_size)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("ia"), F.col("svec").alias("sa"), F.col("norm").alias("na")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("ib"), F.col("svec").alias("sb"), F.col("norm").alias("nb")
+    )
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            cosine_scaled(F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")).alias("cos"),
+        )
+        .collect()
+    )
+    cand = [(r.vec_id, r.rel) for r in pool.select("vec_id", "rel").collect()]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    pair = {(r.ia, r.ib): r.cos for r in pair_rows}
+    picked: list[tuple[int, int, float, float]] = []  # rank, id, rel, score
+    sel: list = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for cid, rel in cand:
+            if any(cid == s for s in sel):
+                continue
+            pen = max((pair[(cid, s)] for s in sel), default=0.0)
+            score = lam * rel - pen_weight * pen
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, score)
+        _, cid, rel, score = best
+        sel.append(cid)
+        picked.append((rank, cid, rel, score))
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        picked, "rank int, vec_id long, relevance double, mmr_score double"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("relevance", 9).alias("relevance"),
+        F.round("mmr_score", 9).alias("mmr_score"),
+    ).orderBy("rank")

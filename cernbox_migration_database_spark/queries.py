@@ -1537,6 +1537,78 @@ def similarity_knn(spark, sf_dir):
     return S.knn_bruteforce(emb, emb.where(F.col("vec_id") < 20), top_k=5)
 
 
+def _mmr_oracle_sql(query_id: int, k: int, pool: int) -> str:
+    """Unrolled-CTE replay of operators/similarity.py:mmr_rerank — one
+    argmax CTE per greedy step (the established loop-unroll idiom, cf.
+    bpe_oracle_sql). Constants are CAST to DOUBLE so DuckDB's decimal
+    literals can't perturb the score arithmetic."""
+    lam, pw = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+    parts = [
+        f"""nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    qv AS (SELECT embedding, nrm FROM nv WHERE vec_id = {query_id}),
+    relv AS (
+      SELECT c.vec_id,
+             {_dot_sql('c.embedding', 'qv.embedding')} / (c.nrm * qv.nrm)
+               AS rel,
+             c.embedding, c.nrm
+      FROM nv c, qv WHERE c.vec_id <> {query_id}),
+    pool AS MATERIALIZED (
+      SELECT * FROM relv ORDER BY rel DESC, vec_id LIMIT {pool}),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+               AS cs
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    s1 AS (
+      SELECT vec_id, rel, {lam} * rel - {pw} * CAST(0.0 AS DOUBLE) AS score
+      FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.rel, {lam} * p.rel - {pw} * pen.mx AS score
+      FROM pool p
+      JOIN (SELECT ia, MAX(cs) AS mx FROM pairs
+            WHERE ib IN (SELECT vec_id FROM sel{i - 1}) GROUP BY ia) pen
+        ON pen.ia = p.vec_id
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ORDER BY score DESC, p.vec_id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT rank, vec_id, round(rel, 9) AS relevance,
+           round(score, 9) AS mmr_score
+    FROM ({union})
+    ORDER BY rank"""
+    )
+
+
+@register("search_mmr_rerank", _mmr_oracle_sql(query_id=0, k=8, pool=32))
+def search_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-rank (operators/similarity.py:mmr_rerank): the
+    top-32 cosine pool for query vector 0 greedily re-ranked with
+    0.7*relevance - 0.3*max-similarity-to-selected. The corpus-sized
+    relevance pass and the pool's pairwise cosines are distributed; the
+    sequential greedy selection touches only O(pool^2) scalars on the
+    driver. The oracle unrolls all 8 greedy steps into one-row argmax
+    CTEs, pinning selection order, the (score desc, vec_id) tie-break,
+    and the exact fixed-point cosine arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, query_id=0, k=8, pool_size=32)
+
+
 @register(
     "dedup_embedding_cosine",
     f"""

@@ -813,3 +813,26 @@ def test_repeated_spans_matches_sequential_reference(spark, sf_dir):
     }
     assert got == expected
     assert any(d for _, d, _ in got.values())  # the fixture has real repeats
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    from cernbox_migration_database_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0]),       # the query
+        (1, [0.9, 0.1]),       # most relevant
+        (2, [0.89, 0.11]),     # near-duplicate of 1 (cosine ~0.9998)
+        (3, [0.5, -0.5]),      # diverse, lower relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.mmr_rerank(
+        df, query_id=0, k=3, pool_size=8, lam=0.5, pen_weight=0.5
+    ).collect()
+    order = [r.vec_id for r in out]
+    # pure relevance would give [1, 2, 3]; MMR penalizes 2 for its
+    # near-1.0 similarity to the already-picked 1 (score goes negative)
+    # and promotes the diverse 3
+    assert order == [1, 3, 2]
+    assert [r.rank for r in out] == [1, 2, 3]
+    # rank-1 score is pure lam*relevance (no selected set yet)
+    assert abs(out[0].mmr_score - 0.5 * out[0].relevance) < 1e-9

@@ -582,7 +582,7 @@ def test_check_constraints_and_version_at(spark, tmp_path):
         TF.version_at(root, 0.0)
     # read_table(timestamp=) is the composed AS OF TIMESTAMP read
     assert TF.read_table(spark, root, timestamp=t_v1).count() == 4
-    with pytest.raises(ValueError, match="version OR timestamp"):
+    with pytest.raises(ValueError, match="at most one of version, timestamp, tag"):
         TF.read_table(spark, root, version=1, timestamp=t_v1)
 
 
