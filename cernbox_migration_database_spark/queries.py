@@ -9686,6 +9686,7 @@ _PRIORITY = [
     "streaming_pii_scrub",
     "quality_expectations",
     "train_bpe_encode",
+    "search_mmr_rerank",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
