@@ -2686,6 +2686,88 @@ def migration_upsert_versioned(spark, sf_dir):
     )
 
 
+@register(
+    "txn_multi_table",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 IN (0, 1))
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_from_facts,
+           CAST(SUM(cents) AS BIGINT) AS sum_from_facts
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def txn_multi_table(spark, sf_dir):
+    """Multi-table atomic commit (operators/txn.py): a facts table and
+    its summary table move together — the delta batch is MERGEd into
+    facts (COW, partition-pruned) and ADDITIVELY into the summary, both
+    staged with write-audit-publish, then committed through the intent
+    log + one atomic catalog swap. The query reads BOTH tables back
+    through the catalog and emits the summary beside a fresh
+    recomputation from facts — the differential therefore proves the
+    transaction's cross-table invariant (summary == agg(facts)) AND the
+    final values against the relational oracle."""
+    import os
+
+    from .operators import table_format as TF
+    from .operators import txn as TX
+
+    base = _versioned_scratch("txnmulti", sf_dir)
+    os.makedirs(base, exist_ok=True)
+    froot, sroot = os.path.join(base, "facts"), os.path.join(base, "summary")
+    cat = os.path.join(base, "catalog.json")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long").alias("cents")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), cents
+    )
+    facts0 = orders.where(F.col("o_orderkey") % 3 == 0)
+    summarize = lambda df: df.groupBy("priority").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    TF.create_table(facts0, froot, partition_by="priority")
+    TF.create_table(summarize(facts0), sroot)
+    TX.create_catalog(cat, {"facts": froot, "summary": sroot})
+
+    delta = orders.where(F.col("o_orderkey") % 3 == 1)
+    txn = TX.MultiTableTxn(cat)
+    txn.stage(
+        "facts",
+        lambda root: TF.merge_into(
+            spark, root, delta, on="o_orderkey", publish=False
+        ),
+    )
+    txn.stage(
+        "summary",
+        lambda root: TF.merge_into(
+            spark,
+            root,
+            summarize(delta),
+            on="priority",
+            update_set={
+                "n_orders": lambda t, s: t["n_orders"] + s["n_orders"],
+                "sum_cents": lambda t, s: t["sum_cents"] + s["sum_cents"],
+            },
+            publish=False,
+        ),
+    )
+    txn.commit()
+
+    summ = TX.catalog_table(spark, cat, "summary")
+    refacts = summarize(TX.catalog_table(spark, cat, "facts")).select(
+        "priority",
+        F.col("n_orders").alias("n_from_facts"),
+        F.col("sum_cents").alias("sum_from_facts"),
+    )
+    return summ.join(refacts, "priority").orderBy("priority")
+
+
 # ---------------------------------------------------------------------------
 # Remaining analytic surface: lag/lead/rank family, range frames, explode,
 # grouping sets, union-all, string functions
@@ -9687,6 +9769,7 @@ _PRIORITY = [
     "quality_expectations",
     "train_bpe_encode",
     "search_mmr_rerank",
+    "txn_multi_table",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",

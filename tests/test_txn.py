@@ -1,0 +1,147 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from cernbox_migration_database_spark.operators import table_format as TF
+from cernbox_migration_database_spark.operators import txn as TX
+
+
+def _mk_tables(spark, tmp_path):
+    """Two tables whose contents must move together: facts + a summary."""
+    facts = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, g string, v long"
+    )
+    summ = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 30)], "g string, n long, sv long"
+    )
+    froot, sroot = str(tmp_path / "facts"), str(tmp_path / "summary")
+    TF.create_table(facts, froot)
+    TF.create_table(summ, sroot)
+    cat = str(tmp_path / "catalog.json")
+    TX.create_catalog(cat, {"facts": froot, "summary": sroot})
+    return cat, froot, sroot
+
+
+def _stage_both(spark, txn, delta_id=4):
+    new_fact = spark.createDataFrame(
+        [(delta_id, "b", 40)], "id long, g string, v long"
+    )
+    new_summ = spark.createDataFrame([("b", 1, 40)], "g string, n long, sv long")
+    txn.stage(
+        "facts",
+        lambda root: TF.merge_into(spark, root, new_fact, on="id", publish=False),
+    )
+    txn.stage(
+        "summary",
+        lambda root: TF.merge_into(
+            spark,
+            root,
+            new_summ,
+            on="g",
+            update_set={
+                "n": lambda t, s: t["n"] + s["n"],
+                "sv": lambda t, s: t["sv"] + s["sv"],
+            },
+            publish=False,
+        ),
+    )
+
+
+def test_txn_commit_is_atomic_for_catalog_readers(spark, tmp_path):
+    cat, froot, sroot = _mk_tables(spark, tmp_path)
+    before = TX.read_catalog(cat)
+    txn = TX.MultiTableTxn(cat)
+    _stage_both(spark, txn)
+    # staged but uncommitted: catalog AND per-table pointers unchanged
+    assert TX.read_catalog(cat) == before
+    assert TF.current_version(froot) == 1 and TF.current_version(sroot) == 1
+    versions = txn.commit()
+    assert versions == {"facts": 2, "summary": 2}
+    after = TX.read_catalog(cat)
+    assert after["seq"] == before["seq"] + 1
+    rows = {r.g: r for r in TX.catalog_table(spark, cat, "summary").collect()}
+    assert (rows["b"].n, rows["b"].sv) == (2, 70)
+    assert TX.catalog_table(spark, cat, "facts").count() == 4
+    # double-commit refused
+    with pytest.raises(ValueError, match="committed"):
+        txn.commit()
+
+
+def test_crash_mid_commit_rolls_forward(spark, tmp_path):
+    cat, froot, sroot = _mk_tables(spark, tmp_path)
+    txn = TX.MultiTableTxn(cat)
+    _stage_both(spark, txn)
+    # simulate the crash window: intent says committing, only the first
+    # table (sorted order: facts) was published, catalog not swapped
+    txn._state = "committing"
+    txn._write_intent()
+    TF.publish_staged(froot, 2)
+    assert TF.current_version(froot) == 2
+    assert TF.current_version(sroot) == 1
+    assert TX.read_catalog(cat)["tables"]["facts"]["version"] == 1
+    # catalog readers still see the consistent OLD view
+    assert TX.catalog_table(spark, cat, "facts").count() == 3
+
+    actions = TX.recover(cat)
+    assert list(actions.values()) == ["rolled_forward"]
+    assert TF.current_version(sroot) == 2
+    assert TX.read_catalog(cat)["tables"]["facts"]["version"] == 2
+    rows = {r.g: r for r in TX.catalog_table(spark, cat, "summary").collect()}
+    assert (rows["b"].n, rows["b"].sv) == (2, 70)
+    # recover is idempotent
+    assert TX.recover(cat) == {}
+
+
+def test_crash_while_staging_rolls_back(spark, tmp_path):
+    cat, froot, sroot = _mk_tables(spark, tmp_path)
+    txn = TX.MultiTableTxn(cat)
+    new_fact = spark.createDataFrame([(9, "c", 1)], "id long, g string, v long")
+    txn.stage(
+        "facts",
+        lambda root: TF.merge_into(spark, root, new_fact, on="id", publish=False),
+    )
+    del txn  # crash: claim v2 of facts held, nothing visible
+    actions = TX.recover(cat)
+    assert list(actions.values()) == ["rolled_back"]
+    assert TF.current_version(froot) == 1
+    # the claim is released: a fresh writer can commit v2 normally
+    v = TF.merge_into(spark, froot, new_fact, on="id")
+    assert v == 2 and TF.read_table(spark, froot).count() == 4
+
+
+def test_abort_releases_claims(spark, tmp_path):
+    cat, froot, sroot = _mk_tables(spark, tmp_path)
+    txn = TX.MultiTableTxn(cat)
+    _stage_both(spark, txn)
+    txn.abort()
+    assert TF.current_version(froot) == 1 and TF.current_version(sroot) == 1
+    with pytest.raises(ValueError, match="aborted"):
+        txn.commit()
+    # claims released on both tables
+    f2 = TF.merge_into(
+        spark,
+        froot,
+        spark.createDataFrame([(7, "a", 5)], "id long, g string, v long"),
+        on="id",
+    )
+    assert f2 == 2
+
+
+def test_stage_validations(spark, tmp_path):
+    cat, froot, sroot = _mk_tables(spark, tmp_path)
+    txn = TX.MultiTableTxn(cat)
+    with pytest.raises(KeyError):
+        txn.stage("nope", lambda root: 2)
+    with pytest.raises(TypeError, match="publish=True"):
+        txn.stage("facts", lambda root: None)
+    new_fact = spark.createDataFrame([(9, "c", 1)], "id long, g string, v long")
+    txn.stage(
+        "facts",
+        lambda root: TF.merge_into(spark, root, new_fact, on="id", publish=False),
+    )
+    with pytest.raises(ValueError, match="already staged"):
+        txn.stage("facts", lambda root: 3)
+    txn.abort()
