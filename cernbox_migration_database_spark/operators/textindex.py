@@ -1,0 +1,206 @@
+"""Inverted text index over the versioned-table format — the lexical
+retrieval analogue of the key/bloom/zone-map index family.
+
+The full-scan BM25 (queries.py:bm25_search) re-tokenizes the corpus per
+query; at 100 TB that is the whole corpus through a shuffle for every
+search. The classic answer is the inverted index: materialize the
+token-level statistics ONCE as posting lists, then a query touches only
+the postings of its own terms.
+
+Layout (three versioned tables under one base dir — committed together,
+so snapshot isolation covers the whole index):
+
+* ``postings`` — (tok, doc_id, tfc), hash-bucketed on ``tok`` via the
+  Iceberg ``bucket(n, key)`` transform and partitioned by the bucket. A
+  probe for q query terms maps each term to its bucket row-locally and
+  reads AT MOST q buckets through the manifest-planned pruned scan
+  (:func:`table_format.scan_partitions`) — zero directory listings, and
+  the corpus-sized relation is never touched at query time.
+* ``doclen`` — (doc_id, dlen): per-document token counts for the BM25
+  length normalization.
+* ``meta.json`` — n_buckets + corpus stats (n_docs, total token count):
+  two scalars a probe needs; reading them must not cost a table scan.
+
+Query evaluation joins the pruned postings (|terms| x |matching docs|
+rows) against ``doclen`` on doc_id — AQE broadcasts the postings side at
+any realistic term selectivity — and reuses bit-for-bit the scaled-long
+score quantization of the full-scan path, so indexed and scan BM25 are
+value-identical (pinned by the shared oracle in the catalog).
+
+Maintenance: postings/doclen are ordinary versioned tables — new
+documents merge ADDITIVELY (tfc and dlen are sums; the merge rewrites
+only the buckets the new tokens hash into), deletions subtract via the
+same ``update_set`` arithmetic the incremental matview
+(operators/matview.py) uses off the change feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import table_format as TF
+from . import text as TXT
+from ..util import ensure_parallelism, global_rank
+
+_META = "meta.json"
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    base: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Tokenize once, commit postings + doclen + corpus stats."""
+    os.makedirs(base, exist_ok=True)
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.tokens(text_col)).alias("tok"),
+    )
+    postings = TF.with_bucket(
+        toks.groupBy("tok", "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("tfc")
+        ),
+        key="tok",
+        n_buckets=n_buckets,
+    )
+    TF.create_table(
+        postings, os.path.join(base, "postings"), partition_by="bucket"
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dlen")
+    )
+    TF.create_table(dl, os.path.join(base, "doclen"))
+    n_docs, total = dl.agg(
+        F.count(F.lit(1)), F.sum("dlen")
+    ).first()
+    with open(os.path.join(base, _META), "w", encoding="utf-8") as fh:
+        json.dump(
+            {"n_buckets": n_buckets, "n_docs": int(n_docs),
+             "total_tokens": int(total)},
+            fh,
+        )
+    return base
+
+
+def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """Map query terms to their postings buckets with the SAME xxhash64
+    expression the writer used (hash parity by construction — one tiny
+    local job, never a corpus read)."""
+    t = spark.createDataFrame([(x,) for x in terms], "tok string")
+    rows = TF.with_bucket(t, key="tok", n_buckets=n_buckets).collect()
+    return sorted({r.bucket for r in rows})
+
+
+def bm25_probe(
+    spark: SparkSession,
+    base: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25 top-k via the index: manifest-planned read of the probed
+    buckets only, then the standard scoring join. Value-identical to the
+    full-scan formulation (same scaled-long quantization)."""
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    buckets = _term_buckets(spark, terms, meta["n_buckets"])
+    # a term may hash to a bucket no corpus token ever claimed: intersect
+    # with the manifest's partitions (driver-side metadata, no listing)
+    have = {
+        e["path"].split("/", 1)[0]
+        for e in TF.manifest(os.path.join(base, "postings"))
+        if "/" in e["path"]
+    }
+    rels = [f"bucket={bk}" for bk in buckets if f"bucket={bk}" in have]
+    if not rels:
+        empty = "doc_id bigint, score double, rank int"
+        return spark.createDataFrame([], empty)
+    tf_scan = (
+        TF.scan_partitions(spark, os.path.join(base, "postings"), rels)
+        .where(F.col("tok").isin(*terms))
+        .select("doc_id", "tok", "tfc")
+    )
+    dl = TF.read_table(spark, os.path.join(base, "doclen"))
+    n_docs = F.lit(meta["n_docs"])
+    avgdl = F.lit(float(meta["total_tokens"]) / meta["n_docs"])
+    dfreq = tf_scan.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    s = (
+        F.log(1.0 + (n_docs - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5))
+        * (F.col("tfc") * F.lit(k1 + 1.0))
+        / (
+            F.col("tfc")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlen") / avgdl)
+        )
+    )
+    term_scores = (
+        tf_scan.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .select("doc_id", s.alias("s"))
+    )
+    scored = term_scores.groupBy("doc_id").agg(
+        (
+            F.sum(
+                (F.col("s").cast("decimal(18,12)") * F.lit(10**12)).cast("long")
+            ).cast("double")
+            / F.lit(float(10**12))
+        ).alias("score")
+    )
+    ranked = global_rank(scored, [F.col("score").desc(), F.col("doc_id")])
+    return ranked.where(F.col("rank") <= top_k)
+
+
+def refresh_text_index(
+    spark: SparkSession, base: str, new_docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Fold NEW documents into the index additively: postings tfc and
+    doclen merge with ``+`` update_set (only the buckets the new tokens
+    hash into rewrite — the bucket transform bounds the blast radius),
+    and the meta scalars advance. Deletions follow the same arithmetic
+    with negative contributions off the change feed (the
+    operators/matview.py discipline); new-doc ingest is the hot path."""
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.tokens(text_col)).alias("tok"),
+    )
+    postings = TF.with_bucket(
+        toks.groupBy("tok", "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("tfc")
+        ),
+        key="tok",
+        n_buckets=meta["n_buckets"],
+    )
+    TF.merge_into(
+        spark,
+        os.path.join(base, "postings"),
+        postings,
+        on=["tok", "doc_id"],
+        update_set={"tfc": lambda t, s: t["tfc"] + s["tfc"]},
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dlen")
+    )
+    TF.merge_into(
+        spark,
+        os.path.join(base, "doclen"),
+        dl,
+        on="doc_id",
+        update_set={"dlen": lambda t, s: t["dlen"] + s["dlen"]},
+    )
+    add_docs, add_tok = dl.agg(F.count(F.lit(1)), F.sum("dlen")).first()
+    meta["n_docs"] += int(add_docs)
+    meta["total_tokens"] += int(add_tok or 0)
+    tmp = os.path.join(base, _META + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(base, _META))

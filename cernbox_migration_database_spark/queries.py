@@ -2714,7 +2714,7 @@ def txn_multi_table(spark, sf_dir):
     import os
 
     from .operators import table_format as TF
-    from .operators import txn as TX
+    from .operators import txn as TXN
 
     base = _versioned_scratch("txnmulti", sf_dir)
     os.makedirs(base, exist_ok=True)
@@ -2733,10 +2733,10 @@ def txn_multi_table(spark, sf_dir):
     )
     TF.create_table(facts0, froot, partition_by="priority")
     TF.create_table(summarize(facts0), sroot)
-    TX.create_catalog(cat, {"facts": froot, "summary": sroot})
+    TXN.create_catalog(cat, {"facts": froot, "summary": sroot})
 
     delta = orders.where(F.col("o_orderkey") % 3 == 1)
-    txn = TX.MultiTableTxn(cat)
+    txn = TXN.MultiTableTxn(cat)
     txn.stage(
         "facts",
         lambda root: TF.merge_into(
@@ -2759,8 +2759,8 @@ def txn_multi_table(spark, sf_dir):
     )
     txn.commit()
 
-    summ = TX.catalog_table(spark, cat, "summary")
-    refacts = summarize(TX.catalog_table(spark, cat, "facts")).select(
+    summ = TXN.catalog_table(spark, cat, "summary")
+    refacts = summarize(TXN.catalog_table(spark, cat, "facts")).select(
         "priority",
         F.col("n_orders").alias("n_from_facts"),
         F.col("sum_cents").alias("sum_from_facts"),
@@ -7638,6 +7638,29 @@ def bm25_search(spark, sf_dir):
     return ranked.where(F.col("rank") <= 50)
 
 
+@register("search_bm25_indexed", None)
+def search_bm25_indexed(spark, sf_dir):
+    """BM25 through the INVERTED INDEX (operators/textindex.py): the
+    corpus is tokenized once into a bucket-partitioned postings table +
+    doclen + stats sidecar; the probe maps the query terms to their
+    buckets row-locally and reads only those partitions via the
+    manifest-planned scan — at 100 TB a query touches |terms| buckets of
+    the postings table instead of shuffling the corpus. Scoring reuses
+    the scan path's scaled-long quantization bit-for-bit, so this query
+    shares bm25_search's oracle verbatim: indexed == scan is exactly the
+    contract an index must keep."""
+    from .operators import textindex as TI
+
+    base = _versioned_scratch("textidx", sf_dir)
+    TI.build_text_index(spark, _t(spark, sf_dir, "documents"), base)
+    return TI.bm25_probe(
+        spark, base, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, top_k=50
+    )
+
+
+ORACLE["search_bm25_indexed"] = ORACLE["bm25_search"]
+
+
 # ---------------------------------------------------------------------------
 # Round-5 additions: exact-fixed-point distributed k-means, cosine range
 # search, shingle containment, blocking-key entity resolution
@@ -9770,6 +9793,7 @@ _PRIORITY = [
     "train_bpe_encode",
     "search_mmr_rerank",
     "txn_multi_table",
+    "search_bm25_indexed",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",

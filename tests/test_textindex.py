@@ -1,0 +1,84 @@
+"""Inverted text index: bucket-pruned probes, additive refresh."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark.operators import textindex as TI
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+
+
+def test_probe_reads_only_probed_buckets(spark, tmp_path):
+    docs = _docs(
+        spark,
+        [(i, f"alpha beta w{i} w{i} gamma") for i in range(20)]
+        + [(100, "alpha alpha alpha"), (101, "delta")],
+    )
+    base = str(tmp_path / "idx")
+    TI.build_text_index(spark, docs, base, n_buckets=8)
+    out = TI.bm25_probe(spark, base, ["alpha"], top_k=5)
+    rows = out.collect()
+    # doc 100 is pure 'alpha' and shortest -> best score
+    assert rows[0].doc_id == 100 and rows[0].rank == 1
+    # pruning evidence: the postings scan opened only alpha's bucket
+    probed = TI._term_buckets(spark, ["alpha"], 8)
+    tf_files = (
+        TI.TF.scan_partitions(
+            spark, os.path.join(base, "postings"),
+            [f"bucket={b}" for b in probed],
+        )
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    )
+    dirs = {os.path.basename(os.path.dirname(r[0])) for r in tf_files}
+    assert dirs == {f"bucket={b}" for b in probed}
+    assert len(dirs) < 8  # genuinely pruned
+
+
+def test_refresh_matches_rebuild(spark, tmp_path):
+    first = _docs(spark, [(1, "a b a"), (2, "b c"), (3, "c c d")])
+    extra = _docs(spark, [(4, "a d d"), (5, "e")])
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    TI.build_text_index(spark, first, inc, n_buckets=4)
+    TI.refresh_text_index(spark, inc, extra)
+    TI.build_text_index(spark, first.unionByName(extra), full, n_buckets=4)
+    for terms in (["a"], ["c", "d"], ["e"], ["a", "b", "c", "d", "e"]):
+        got = sorted(
+            (r.doc_id, r.rank, r.score)
+            for r in TI.bm25_probe(spark, inc, terms, top_k=10).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.rank, r.score)
+            for r in TI.bm25_probe(spark, full, terms, top_k=10).collect()
+        )
+        assert got == want, terms
+
+
+def test_probe_unknown_term_is_empty_without_scanning(spark, tmp_path):
+    docs = _docs(spark, [(1, "only these words")])
+    base = str(tmp_path / "idx")
+    TI.build_text_index(spark, docs, base, n_buckets=4)
+    # with 1 doc the postings occupy few buckets; a term hashing to an
+    # empty bucket returns an empty frame straight from the manifest
+    for t in ("zz1", "zz2", "zz3", "zz4", "zz5", "zz6", "zz7", "zz8"):
+        have = {
+            e["path"].split("/", 1)[0]
+            for e in TI.TF.manifest(os.path.join(base, "postings"))
+        }
+        bk = TI._term_buckets(spark, [t], 4)[0]
+        if f"bucket={bk}" not in have:
+            out = TI.bm25_probe(spark, base, [t])
+            assert out.count() == 0
+            assert out.columns == ["doc_id", "score", "rank"]
+            break
+    else:  # pragma: no cover - astronomically unlikely with 8 probes
+        raise AssertionError("no empty bucket found to exercise the path")
