@@ -55,6 +55,9 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_knn",
     "embedding_lsh_buckets",
+    # round-6 session 3: the inverted-index build+probe path (index cost
+    # is the corpus tokenization; probe reads only the probed buckets)
+    "search_bm25_indexed",
 ]
 
 WARM_PASSES = 2

@@ -81,11 +81,25 @@ def read_catalog(catalog_path: str) -> dict:
 def catalog_table(
     spark: SparkSession, catalog_path: str, name: str
 ) -> DataFrame:
-    """Read one table AT ITS CATALOG VERSION — the cross-table-consistent
-    read path. Two catalog_table reads against one read_catalog snapshot
-    can never observe half a transaction."""
+    """Read one table AT ITS CATALOG VERSION. For a consistent view of
+    SEVERAL tables use :func:`catalog_snapshot` — two separate
+    catalog_table calls each re-read the catalog and can straddle a
+    commit."""
     ent = read_catalog(catalog_path)["tables"][name]
     return TF.read_table(spark, ent["root"], version=ent["version"])
+
+
+def catalog_snapshot(
+    spark: SparkSession, catalog_path: str
+) -> dict[str, DataFrame]:
+    """Pin EVERY enrolled table at the versions of ONE catalog read — the
+    cross-table-consistent view; version-pinned reads stay valid however
+    many commits land afterwards (snapshot isolation per table)."""
+    cat = read_catalog(catalog_path)
+    return {
+        name: TF.read_table(spark, ent["root"], version=ent["version"])
+        for name, ent in cat["tables"].items()
+    }
 
 
 class MultiTableTxn:
@@ -181,19 +195,60 @@ def _publish_idempotent(root: str, version: int) -> None:
             raise
 
 
+class _CatalogLock:
+    """mkdir-claim mutex for the catalog's read-modify-write: two txns on
+    DISJOINT table sets never conflict on claims, so without this their
+    concurrent catalog swaps would be a lost update. Held for the few ms
+    of one JSON rewrite; a holder that died is broken after a grace
+    period (the swap is atomic, so breaking a dead lock is safe)."""
+
+    def __init__(self, catalog_path: str, timeout: float = 30.0,
+                 stale_after: float = 60.0):
+        self.path = catalog_path + ".lock"
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self):
+        import time as _time
+
+        deadline = _time.monotonic() + self.timeout
+        while True:
+            try:
+                os.mkdir(self.path)
+                return self
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.stat(self.path).st_mtime
+                    if age > self.stale_after:
+                        os.rmdir(self.path)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(f"catalog lock {self.path} held too long")
+                _time.sleep(0.02)
+
+    def __exit__(self, *exc):
+        try:
+            os.rmdir(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def _roll_forward(catalog_path: str, intent: dict) -> None:
     for name in sorted(intent["staged"]):
         ent = intent["staged"][name]
         _publish_idempotent(ent["root"], ent["version"])
-    cat = read_catalog(catalog_path)
-    changed = False
-    for name, ent in intent["staged"].items():
-        if cat["tables"][name]["version"] < ent["version"]:
-            cat["tables"][name]["version"] = ent["version"]
-            changed = True
-    if changed:
-        cat["seq"] += 1
-        _atomic_write_json(catalog_path, cat)
+    with _CatalogLock(catalog_path):
+        cat = read_catalog(catalog_path)
+        changed = False
+        for name, ent in intent["staged"].items():
+            if cat["tables"][name]["version"] < ent["version"]:
+                cat["tables"][name]["version"] = ent["version"]
+                changed = True
+        if changed:
+            cat["seq"] += 1
+            _atomic_write_json(catalog_path, cat)
 
 
 def _roll_back(intent: dict) -> None:

@@ -2759,8 +2759,9 @@ def txn_multi_table(spark, sf_dir):
     )
     txn.commit()
 
-    summ = TXN.catalog_table(spark, cat, "summary")
-    refacts = summarize(TXN.catalog_table(spark, cat, "facts")).select(
+    snap = TXN.catalog_snapshot(spark, cat)
+    summ = snap["summary"]
+    refacts = summarize(snap["facts"]).select(
         "priority",
         F.col("n_orders").alias("n_from_facts"),
         F.col("sum_cents").alias("sum_from_facts"),

@@ -145,3 +145,57 @@ def test_stage_validations(spark, tmp_path):
     with pytest.raises(ValueError, match="already staged"):
         txn.stage("facts", lambda root: 3)
     txn.abort()
+
+
+def test_catalog_lock_mutual_exclusion_and_stale_break(tmp_path):
+    import threading
+    import time as _time
+
+    cat = str(tmp_path / "c.json")
+    TX._atomic_write_json(cat, {"seq": 1, "tables": {}})
+    order = []
+    lk = TX._CatalogLock(cat)
+    lk.__enter__()
+
+    def second():
+        with TX._CatalogLock(cat, timeout=5.0):
+            order.append("second")
+
+    t = threading.Thread(target=second)
+    t.start()
+    _time.sleep(0.15)
+    order.append("first-release")
+    lk.__exit__()
+    t.join(timeout=5)
+    assert order == ["first-release", "second"]
+
+    # a dead holder's lock is broken after the grace period
+    os.mkdir(cat + ".lock")
+    old = _time.time() - 120
+    os.utime(cat + ".lock", (old, old))
+    with TX._CatalogLock(cat, timeout=2.0, stale_after=60.0):
+        order.append("broke-stale")
+    assert order[-1] == "broke-stale"
+
+
+def test_disjoint_txns_preserve_both_catalog_updates(spark, tmp_path):
+    cat, froot, sroot = _mk_tables(spark, tmp_path)
+    new_fact = spark.createDataFrame([(8, "a", 1)], "id long, g string, v long")
+    new_summ = spark.createDataFrame([("a", 0, 1)], "g string, n long, sv long")
+    t1, t2 = TX.MultiTableTxn(cat), TX.MultiTableTxn(cat)
+    t1.stage(
+        "facts",
+        lambda root: TF.merge_into(spark, root, new_fact, on="id", publish=False),
+    )
+    t2.stage(
+        "summary",
+        lambda root: TF.merge_into(spark, root, new_summ, on="g", publish=False),
+    )
+    t1.commit()
+    t2.commit()
+    tables = TX.read_catalog(cat)["tables"]
+    assert tables["facts"]["version"] == 2
+    assert tables["summary"]["version"] == 2
+    snap = TX.catalog_snapshot(spark, cat)
+    assert set(snap) == {"facts", "summary"}
+    assert snap["facts"].count() == 4
