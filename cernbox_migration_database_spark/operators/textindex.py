@@ -16,22 +16,27 @@ so snapshot isolation covers the whole index):
   reads AT MOST q buckets through the manifest-planned pruned scan
   (:func:`table_format.scan_partitions`) — zero directory listings, and
   the corpus-sized relation is never touched at query time.
-* ``doclen`` — (doc_id, dlen): per-document token counts for the BM25
-  length normalization.
 * ``meta.json`` — n_buckets + corpus stats (n_docs, total token count):
   two scalars a probe needs; reading them must not cost a table scan.
 
-Query evaluation joins the pruned postings (|terms| x |matching docs|
-rows) against ``doclen`` on doc_id — AQE broadcasts the postings side at
-any realistic term selectivity — and reuses bit-for-bit the scaled-long
-score quantization of the full-scan path, so indexed and scan BM25 are
-value-identical (pinned by the shared oracle in the catalog).
+``dlen`` (the document's total token count, for BM25 length
+normalization) is DENORMALIZED into every posting row — the same move
+Lucene makes by storing the per-doc norm in the postings: a probe that
+had to join a corpus-sized doclen table would scan O(#docs) rows however
+few terms it carries, which is exactly the cost the index exists to
+avoid. With dlen in the posting, query evaluation touches ONLY the
+probed buckets and reuses bit-for-bit the scaled-long score quantization
+of the full-scan path, so indexed and scan BM25 are value-identical
+(pinned by the shared oracle in the catalog).
 
-Maintenance: postings/doclen are ordinary versioned tables — new
-documents merge ADDITIVELY (tfc and dlen are sums; the merge rewrites
-only the buckets the new tokens hash into), deletions subtract via the
-same ``update_set`` arithmetic the incremental matview
-(operators/matview.py) uses off the change feed.
+Maintenance: postings is an ordinary versioned table — NEW documents
+merge in (their posting rows carry their own tfc/dlen; only the buckets
+the new tokens hash into rewrite) and the meta scalars advance.
+Denormalized dlen makes documents immutable index units (the Lucene
+segment discipline): re-ingesting or editing an EXISTING doc_id must
+delete its postings and re-add, not merge additively — replay
+protection belongs to the ingest path (the exactly-once streaming sink's
+txn markers), not the index.
 """
 
 from __future__ import annotations
@@ -63,23 +68,15 @@ def build_text_index(
         F.col(id_col).alias("doc_id"),
         F.explode(TXT.tokens(text_col)).alias("tok"),
     )
-    postings = TF.with_bucket(
-        toks.groupBy("tok", "doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("tfc")
-        ),
-        key="tok",
-        n_buckets=n_buckets,
-    )
+    postings = TF.with_bucket(_postings(toks), key="tok", n_buckets=n_buckets)
     TF.create_table(
         postings, os.path.join(base, "postings"), partition_by="bucket"
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dlen")
+    n_docs, total = (
+        TF.read_table(spark, os.path.join(base, "postings"))
+        .agg(F.countDistinct("doc_id"), F.sum("tfc"))
+        .first()
     )
-    TF.create_table(dl, os.path.join(base, "doclen"))
-    n_docs, total = dl.agg(
-        F.count(F.lit(1)), F.sum("dlen")
-    ).first()
     with open(os.path.join(base, _META), "w", encoding="utf-8") as fh:
         json.dump(
             {"n_buckets": n_buckets, "n_docs": int(n_docs),
@@ -87,6 +84,20 @@ def build_text_index(
             fh,
         )
     return base
+
+
+def _postings(toks: DataFrame) -> DataFrame:
+    """(tok, doc_id, tfc, dlen): term frequency with the document length
+    denormalized in — one aggregation plus a per-doc window-free sum via
+    a second groupBy joined back doc-locally (both shuffles are on the
+    SAME doc_id key, so AQE coalesces them into one exchange lineage)."""
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tfc")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dlen")
+    )
+    return tf.join(dl, "doc_id")
 
 
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
@@ -126,9 +137,8 @@ def bm25_probe(
     tf_scan = (
         TF.scan_partitions(spark, os.path.join(base, "postings"), rels)
         .where(F.col("tok").isin(*terms))
-        .select("doc_id", "tok", "tfc")
+        .select("doc_id", "tok", "tfc", "dlen")
     )
-    dl = TF.read_table(spark, os.path.join(base, "doclen"))
     n_docs = F.lit(meta["n_docs"])
     avgdl = F.lit(float(meta["total_tokens"]) / meta["n_docs"])
     dfreq = tf_scan.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
@@ -140,10 +150,8 @@ def bm25_probe(
             + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dlen") / avgdl)
         )
     )
-    term_scores = (
-        tf_scan.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
-        .select("doc_id", s.alias("s"))
+    term_scores = tf_scan.join(F.broadcast(dfreq), "tok").select(
+        "doc_id", s.alias("s")
     )
     scored = term_scores.groupBy("doc_id").agg(
         (
@@ -161,12 +169,13 @@ def refresh_text_index(
     spark: SparkSession, base: str, new_docs: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> None:
-    """Fold NEW documents into the index additively: postings tfc and
-    doclen merge with ``+`` update_set (only the buckets the new tokens
-    hash into rewrite — the bucket transform bounds the blast radius),
-    and the meta scalars advance. Deletions follow the same arithmetic
-    with negative contributions off the change feed (the
-    operators/matview.py discipline); new-doc ingest is the hot path."""
+    """Fold NEW documents into the index: their posting rows (carrying
+    their own tfc/dlen) merge into the buckets their tokens hash into —
+    the bucket transform bounds the blast radius — and the meta scalars
+    advance. New doc_ids ONLY (documents are immutable index units, see
+    module docstring); a re-delivered (tok, doc_id) key would indicate a
+    replayed ingest and trips the merge's cardinality discipline rather
+    than silently double-counting."""
     with open(os.path.join(base, _META), encoding="utf-8") as fh:
         meta = json.load(fh)
     toks = new_docs.select(
@@ -174,30 +183,18 @@ def refresh_text_index(
         F.explode(TXT.tokens(text_col)).alias("tok"),
     )
     postings = TF.with_bucket(
-        toks.groupBy("tok", "doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("tfc")
-        ),
-        key="tok",
-        n_buckets=meta["n_buckets"],
+        _postings(toks), key="tok", n_buckets=meta["n_buckets"]
     )
     TF.merge_into(
         spark,
         os.path.join(base, "postings"),
         postings,
         on=["tok", "doc_id"],
-        update_set={"tfc": lambda t, s: t["tfc"] + s["tfc"]},
+        when_matched=None,
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dlen")
-    )
-    TF.merge_into(
-        spark,
-        os.path.join(base, "doclen"),
-        dl,
-        on="doc_id",
-        update_set={"dlen": lambda t, s: t["dlen"] + s["dlen"]},
-    )
-    add_docs, add_tok = dl.agg(F.count(F.lit(1)), F.sum("dlen")).first()
+    add_docs, add_tok = postings.agg(
+        F.countDistinct("doc_id"), F.sum("tfc")
+    ).first()
     meta["n_docs"] += int(add_docs)
     meta["total_tokens"] += int(add_tok or 0)
     tmp = os.path.join(base, _META + ".tmp")

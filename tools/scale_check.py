@@ -29,6 +29,7 @@ probe count stays fixed while the scanned corpus scales.
 Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --dedup [k] [sf_dir] [runs]
        python tools/scale_check.py --table [k] [sf_dir]
+       python tools/scale_check.py --textindex [k] [sf_dir] [runs]
 Prints one JSON line.
 """
 
@@ -351,12 +352,83 @@ def table_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def textindex_mode_main(argv: list[str]) -> int:
+    """--textindex: does the inverted index keep probe cost flat while the
+    corpus grows? Builds the index at 1x and kx (replication-safe dedup
+    replica — probe terms live in shard 0, so probe SELECTIVITY is fixed
+    while the corpus scales, the regime an index exists for), then times
+    (a) the bucket-pruned probe and (b) the full-scan bm25_search at both
+    scales. Grades: probe ratio kx/1x (how much of corpus growth the probe
+    pays — buckets grow ~k, so well under k means planning overheads
+    dominate and the data read is trivial) and probe vs scan at kx (what
+    the index saves end-to-end)."""
+    import tempfile
+
+    from cernbox_migration_database_spark.operators import textindex as TI
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    runs = int(argv[2]) if len(argv) > 2 else 3
+    spark = get_spark(app_name="scale-check-textindex")
+    replica = build_dedup_replica(spark, sf_dir, k)
+    terms = list(Q._BM25_TERMS)
+    out = {}
+    for tag, d in (("1x", sf_dir), (f"{k}x", replica)):
+        base = tempfile.mkdtemp(prefix=f"cbx_textidx_{tag}_")
+        shutil.rmtree(base)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        t0 = time.monotonic()
+        TI.build_text_index(spark, docs, base)
+        build = time.monotonic() - t0
+        probes = []
+        for _ in range(runs + 1):
+            t0 = time.monotonic()
+            TI.bm25_probe(spark, base, terms, top_k=50).collect()
+            probes.append(time.monotonic() - t0)
+        scan = time_query(spark, "bm25_search", d, runs)
+        out[tag] = {
+            "build_sec": round(build, 3),
+            "probe_sec": round(statistics.median(probes[1:]), 3),
+            "scan_sec": round(scan, 3),
+        }
+        shutil.rmtree(base, ignore_errors=True)
+        U.release_persisted()
+    kx = f"{k}x"
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_textindex",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "scales": out,
+                "probe_ratio": round(
+                    out[kx]["probe_sec"] / out["1x"]["probe_sec"], 2
+                ),
+                "build_ratio": round(
+                    out[kx]["build_sec"] / out["1x"]["build_sec"], 2
+                ),
+                "probe_vs_scan_kx": round(
+                    out[kx]["probe_sec"] / out[kx]["scan_sec"], 2
+                ),
+            }
+        )
+    )
+    shutil.rmtree(replica, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     dedup_mode = "--dedup" in argv
     if "--table" in argv:
         argv.remove("--table")
         return table_mode_main(argv)
+    if "--textindex" in argv:
+        argv.remove("--textindex")
+        return textindex_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
