@@ -354,9 +354,22 @@ def _file_stats(path: str) -> dict:
                 b[0], b[1] = min(b[0], lo), max(b[1], hi)
             else:
                 bounds[name] = [lo, hi]
-    # a column missing stats in ANY row group has unknown file bounds
+    # a column missing stats in ANY row group has unknown file bounds.
+    # String bounds need one more guard: parquet writers OMIT a min/max
+    # value larger than their stats size cap (4096 bytes in both arrow
+    # and parquet-java), and pyarrow surfaces the omitted side as ''.
+    # An '' MAX is then not an upper bound at all — keeping it would let
+    # scan_files_where skip a file whose real values sort above the
+    # query range (wrong results, not just a missed read). '' as a MIN
+    # is harmless: nothing sorts below the empty string, so it stays a
+    # valid (if slack) lower bound. hi < lo is impossible in honest
+    # stats and marks the same corruption for any type.
     stats = {
-        n: v for n, v in bounds.items() if groups_with[n] == md.num_row_groups
+        n: v
+        for n, v in bounds.items()
+        if groups_with[n] == md.num_row_groups
+        and not v[1] < v[0]
+        and not (isinstance(v[1], str) and v[1] == "")
     }
     return {"rows": md.num_rows, "stats": stats}
 

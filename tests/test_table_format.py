@@ -1710,6 +1710,35 @@ def test_pooled_stat_gather_identical_to_serial(spark, tmp_path):
         assert e["rows"] > 0 and "id" in e["stats"]
 
 
+def test_oversize_string_stats_never_recorded_as_bounds(spark, tmp_path):
+    """Parquet writers OMIT a min/max value over their stats size cap
+    (4096 bytes) and pyarrow surfaces the omitted side as ''. An ''-max
+    recorded as a bound would let scan_files_where skip a file whose real
+    values sort ABOVE the query range — wrong results. _file_stats must
+    drop such bounds; '' stays acceptable as a min (valid lower bound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # poisoned footer: max omitted ('' surfaced), min kept
+    f = str(tmp_path / "poison.parquet")
+    pq.write_table(pa.table({"s": ["b" * 10, "z" * 5000], "id": [1, 2]}), f)
+    st = pq.ParquetFile(f).metadata.row_group(0).column(0).statistics
+    assert st.has_min_max and st.max == ""  # the hazard this test pins
+    stats = TF._file_stats(f)["stats"]
+    assert "s" not in stats and stats["id"] == [1, 2]
+    # genuine empty-string min survives as a (slack but safe) lower bound
+    f2 = str(tmp_path / "ok.parquet")
+    pq.write_table(pa.table({"s": ["", "b"]}), f2)
+    assert TF._file_stats(f2)["stats"]["s"] == ["", "b"]
+    # end-to-end: a table holding >4 KiB strings still range-scans exactly
+    root = str(tmp_path / "t")
+    rows = [Row(id=i, s=chr(97 + i % 26) * 5000) for i in range(20)]
+    TF.create_table(spark.createDataFrame(rows).repartition(4), root)
+    got = TF.scan_files_where(spark, root, "s", lo="y")
+    want = TF.read_table(spark, root).where(F.col("s") >= "y")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_manifest_stats_reused_across_hardlink_carry(spark, sf_dir, tmp_path):
     """Carried files keep identical manifest entries (stats copied from the
     parent manifest, no footer re-read); rewritten partitions get fresh
