@@ -335,19 +335,26 @@ def _file_stats(path: str) -> dict:
     md = pq.ParquetFile(path).metadata
     bounds: dict = {}  # name -> [min, max]
     groups_with: dict = {}  # name -> #row groups carrying usable stats
+    nulls: dict = {}  # name -> null count
+    null_groups: dict = {}  # name -> #row groups carrying a null count
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
         for c in range(rg.num_columns):
             col = rg.column(c)
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            name = col.path_in_schema
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                null_groups[name] = null_groups.get(name, 0) + 1
+            if not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
             if not isinstance(lo, (int, float, str, bool)) or not isinstance(
                 hi, (int, float, str, bool)
             ):
                 continue
-            name = col.path_in_schema
             groups_with[name] = groups_with.get(name, 0) + 1
             if name in bounds:
                 b = bounds[name]
@@ -371,7 +378,13 @@ def _file_stats(path: str) -> dict:
         and not v[1] < v[0]
         and not (isinstance(v[1], str) and v[1] == "")
     }
-    return {"rows": md.num_rows, "stats": stats}
+    # null counts answer count(col) and prove a bounds-less column
+    # all-null (operators/aggpush.py); a column must report in EVERY
+    # row group or its total is unknown
+    known_nulls = {
+        n: v for n, v in nulls.items() if null_groups[n] == md.num_row_groups
+    }
+    return {"rows": md.num_rows, "stats": stats, "nulls": known_nulls}
 
 
 # Below this many fresh files the stat pool's startup cost exceeds its win
