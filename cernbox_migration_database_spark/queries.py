@@ -9747,6 +9747,148 @@ def quality_expectations(spark, sf_dir):
     return EX.metrics(orders, rules)
 
 
+@register(
+    "table_agg_pushdown",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_quantity) AS min_l_quantity,
+           MAX(l_quantity) AS max_l_quantity,
+           MIN(l_orderkey) AS min_l_orderkey,
+           MAX(l_orderkey) AS max_l_orderkey,
+           CAST(COUNT(l_tax) AS BIGINT) AS cnt_l_tax
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'R' AND l_quantity < 10)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def table_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown into table metadata (operators/aggpush.py): a
+    per-partition COUNT/MIN/MAX/COUNT(col) over a versioned table where
+    the tombstone-free partitions are answered from the manifest sidecar
+    with ZERO data IO and only the merge-on-read-dirtied partition takes
+    the manifest-planned pruned scan — asserted in-query via the planning
+    report, so a silent regression to scanning fails the differential,
+    not just a benchmark. The Iceberg/Delta answer-from-snapshot-metadata
+    planning move applied to the reference's scan+aggregate surface
+    (main.go:86-119). The oracle recomputes the post-DELETE state
+    relationally; metadata answers and scan answers must be
+    bit-identical to it."""
+    from .operators import aggpush as AP
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("aggpush", sf_dir) + "/t"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_tax", "l_returnflag"
+    )
+    TF.create_table(li, root, partition_by="l_returnflag")
+    TF.delete_where(
+        spark,
+        root,
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10),
+        mode="mor",
+    )
+    report: dict = {}
+    out = AP.partition_agg(
+        spark,
+        root,
+        cols=("l_quantity", "l_orderkey"),
+        count_cols=("l_tax",),
+        report=report,
+    )
+    # the clean partitions MUST have been served metadata-only
+    assert report["scanned"] == ["l_returnflag=R"], report
+    return out.orderBy("l_returnflag")
+
+
+@register(
+    "mv_join_refresh",
+    """
+    WITH a AS (
+        SELECT o_custkey AS custkey, o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_custkey, o_orderkey + 100000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 = 3
+    ),
+    b AS (
+        SELECT c_custkey AS custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM a JOIN b USING (custkey)
+    GROUP BY c_mktsegment, o_orderstatus
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def mv_join_refresh(spark, sf_dir):
+    """Incrementally-maintained JOIN view (operators/joinview.py): a
+    denormalized orders⋈customer view kept fresh through deletes, a
+    conditional price update, key-shifted inserts on the fact side AND a
+    dim-side delete — all folded by the counting algorithm
+    (Δ(A⋈B) = ΔA⋈B₁ + A₀⋈ΔB, signed multiplicities) without ever
+    re-running the full join. The oracle recomputes the post-change join
+    relationally, so the differential pins that a view refreshed through
+    an arbitrary change sequence is bit-identical to a from-scratch
+    recompute — the invariant that makes an incremental view trustworthy
+    at 100 TB, where re-joining is not an option."""
+    from .operators import joinview as JV
+    from .operators import table_format as TF
+
+    base = _versioned_scratch("joinview", sf_dir)
+    a_root, b_root, mv = f"{base}/a", f"{base}/b", f"{base}/mv"
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    TF.create_table(orders, a_root)
+    TF.create_table(cust, b_root)
+    JV.create_join_view(
+        spark, a_root, b_root, mv,
+        on="custkey", a_key="o_orderkey", b_key="custkey",
+        a_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        b_cols=["c_mktsegment"],
+    )
+    # fact-side churn: delete, conditional update, key-shifted inserts
+    TF.delete_where(spark, a_root, F.col("o_orderkey") % 7 == 0)
+    upd = (
+        TF.read_table(spark, a_root)
+        .where(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    TF.merge_into(spark, a_root, upd, on="o_orderkey", when_not_matched=None)
+    ins = orders.where(F.col("o_orderkey") % 11 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    TF.merge_into(spark, a_root, ins, on="o_orderkey", when_matched=None)
+    # dim-side churn: customers leave; their orders drop out of the view
+    TF.delete_where(spark, b_root, F.col("custkey") % 13 == 0)
+    JV.refresh_join_view(spark, mv)
+    view = JV.read_join_view(spark, mv)  # bag form: weight by n_dup
+    q = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        view.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum("n_dup").alias("n_rows"),
+            (
+                (F.sum(q * F.col("n_dup"))).cast("double") / F.lit(100.0)
+            ).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -9795,6 +9937,8 @@ _PRIORITY = [
     "search_mmr_rerank",
     "txn_multi_table",
     "search_bm25_indexed",
+    "table_agg_pushdown",
+    "mv_join_refresh",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
