@@ -9889,6 +9889,103 @@ def mv_join_refresh(spark, sf_dir):
     )
 
 
+@register(
+    "profile_drift_psi",
+    """
+    WITH ref AS (
+      SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1995-06-17'
+    ),
+    cur AS (
+      SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-06-17'
+    ),
+    bounds AS (
+      SELECT 'l_quantity' AS colname,
+             CAST(MIN(l_quantity) AS DOUBLE) AS lo,
+             CAST(MAX(l_quantity) AS DOUBLE) AS hi FROM ref
+      UNION ALL
+      SELECT 'l_extendedprice', MIN(l_extendedprice), MAX(l_extendedprice) FROM ref
+      UNION ALL
+      SELECT 'l_discount', MIN(l_discount), MAX(l_discount) FROM ref
+    ),
+    melt_ref AS (
+      SELECT 'l_quantity' AS colname, CAST(l_quantity AS DOUBLE) AS x FROM ref
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM ref
+      UNION ALL SELECT 'l_discount', l_discount FROM ref
+    ),
+    melt_cur AS (
+      SELECT 'l_quantity' AS colname, CAST(l_quantity AS DOUBLE) AS x FROM cur
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM cur
+      UNION ALL SELECT 'l_discount', l_discount FROM cur
+    ),
+    rr AS (
+      SELECT m.colname,
+             LEAST(GREATEST(CAST(FLOOR((m.x - b.lo) /
+               (CASE WHEN b.hi > b.lo THEN (b.hi - b.lo) / 10.0 ELSE 1.0 END))
+               AS INTEGER), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM melt_ref m JOIN bounds b USING (colname)
+      WHERE m.x IS NOT NULL GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT m.colname,
+             LEAST(GREATEST(CAST(FLOOR((m.x - b.lo) /
+               (CASE WHEN b.hi > b.lo THEN (b.hi - b.lo) / 10.0 ELSE 1.0 END))
+               AS INTEGER), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM melt_cur m JOIN bounds b USING (colname)
+      WHERE m.x IS NOT NULL GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT b.colname, g.bin
+      FROM bounds b, (SELECT UNNEST(generate_series(0, 9)) AS bin) g
+    ),
+    joined AS (
+      SELECT g.colname, CAST(g.bin AS INTEGER) AS bin,
+             CAST(COALESCE(rr.n, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_cur
+      FROM grid g
+      LEFT JOIN rr ON rr.colname = g.colname AND rr.bin = g.bin
+      LEFT JOIN cc ON cc.colname = g.colname AND cc.bin = g.bin
+    ),
+    tot AS (
+      SELECT colname, SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur
+      FROM joined GROUP BY colname
+    )
+    SELECT j.colname, j.bin, j.n_ref, j.n_cur,
+           ROUND(((j.n_cur + 0.5) / (t.tot_cur + 5.0)
+                  - (j.n_ref + 0.5) / (t.tot_ref + 5.0))
+                 * LN(((j.n_cur + 0.5) / (t.tot_cur + 5.0))
+                      / ((j.n_ref + 0.5) / (t.tot_ref + 5.0))), 6) AS psi_term
+    FROM joined j JOIN tot t USING (colname)
+    ORDER BY j.colname, j.bin
+    """,
+)
+def profile_drift_psi(spark, sf_dir):
+    """Population Stability Index drift profile (operators/drift.py):
+    three lineitem measures, early-shipment reference vs late-shipment
+    comparison, ten fixed-width bins over the reference min/max. One
+    melt-scan per population regardless of column count (row-local
+    explode generator, single groupBy(colname, bin)); the only driver
+    values are the six grid scalars. The oracle rebuilds the identical
+    grid, counts, Laplace smoothing and log terms in SQL, so the
+    differential pins binning boundaries, clamping of new extremes, and
+    empty-bin smoothing — the parts of a drift monitor that silently rot.
+    PSI per column = SUM(psi_term) over its bins."""
+    from .operators import drift as DR
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    cutoff = F.lit("1995-06-17").cast("timestamp")
+    ref = li.where(F.col("l_shipdate") < cutoff)
+    cur = li.where(F.col("l_shipdate") >= cutoff)
+    return DR.psi_profile(
+        spark, ref, cur, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("colname", "bin")
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -9939,6 +10036,7 @@ _PRIORITY = [
     "search_bm25_indexed",
     "table_agg_pushdown",
     "mv_join_refresh",
+    "profile_drift_psi",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
