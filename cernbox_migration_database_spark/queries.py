@@ -9986,6 +9986,68 @@ def profile_drift_psi(spark, sf_dir):
     ).orderBy("colname", "bin")
 
 
+@register(
+    "train_split_no_leakage",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, source, fp,
+             CASE
+               WHEN (ASCII(SUBSTR(fp, 1, 1)) * 256
+                     + ASCII(SUBSTR(fp, 2, 1))) % 10 < 8 THEN 'train'
+               WHEN (ASCII(SUBSTR(fp, 1, 1)) * 256
+                     + ASCII(SUBSTR(fp, 2, 1))) % 10 = 8 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM fp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def train_split_no_leakage(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the split key is a
+    fingerprint of the NORMALIZED text (lowercase, whitespace-collapsed),
+    not the row id — so exact and near-exact (formatting-level) duplicate
+    documents land in the SAME split by construction and can never leak
+    eval content into training. Assignment is a pure row-local hash
+    (md5 prefix -> 80/10/10), no shuffle until the final stats. This is
+    the split discipline the dedup family (dedup_exact, text_fingerprint)
+    feeds: dedup finds duplicates, this makes splits immune to the ones
+    dedup missed. Oracle recomputes fingerprint, bucket arithmetic and
+    the per-split profile in SQL, pinning the assignment function
+    bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    bucket = (
+        F.ascii(F.substring(fp, 1, 1)) * 256 + F.ascii(F.substring(fp, 2, 1))
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), fp.alias("fp"), "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -10037,6 +10099,7 @@ _PRIORITY = [
     "table_agg_pushdown",
     "mv_join_refresh",
     "profile_drift_psi",
+    "train_split_no_leakage",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
