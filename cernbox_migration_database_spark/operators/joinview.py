@@ -170,15 +170,20 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
     touched = read_table(spark, mv_root).join(
         delta.select("__row"), "__row", "left_semi"
     )
-    bad = touched.where(F.col("n_dup") < 0)
-    if not bad.isEmpty():
+    # one action answers both post-conditions (refresh is a many-job
+    # pipeline already; don't add two more for two boolean checks)
+    flags = touched.agg(
+        F.sum((F.col("n_dup") < 0).cast("int")).alias("neg"),
+        F.sum((F.col("n_dup") == 0).cast("int")).alias("zero"),
+    ).first()
+    if (flags["neg"] or 0) > 0:
         raise ValueError(
             "negative multiplicity after refresh — the view was refreshed "
             "twice over the same window or a base table was rewritten "
             "outside its change feed"
         )
-    dead = touched.where(F.col("n_dup") == 0)
-    if not dead.isEmpty():
+    if (flags["zero"] or 0) > 0:
+        dead = touched.where(F.col("n_dup") == 0)
         merge_into(
             spark,
             mv_root,

@@ -609,6 +609,100 @@ def create_table(
     return 1
 
 
+def convert_to_table(
+    spark: SparkSession,
+    src: str,
+    root: str,
+    checks: dict[str, str] | None = None,
+) -> int:
+    """CONVERT an existing parquet dataset (one file, a flat directory,
+    or a hive-partitioned tree) into version 1 of a versioned table
+    WITHOUT rewriting a byte — the Iceberg ``add_files`` / Delta
+    ``CONVERT TO DELTA`` onboarding move. Data files are hardlinked into
+    the version directory (copy where linking is impossible, e.g. across
+    devices), so converting a 100 TB directory costs O(#files) metadata:
+    the links, one footer-stats pass for the manifest (the same
+    fork-pooled gather every commit runs), and one commit-log write.
+    From that moment the dataset has snapshot isolation, MERGE/DELETE,
+    time travel, CDF, stats skipping and the rest of the stack — and the
+    SOURCE directory keeps working for legacy readers (links share
+    inodes; the versioned table's own commits never mutate them, COW
+    rewrites allocate fresh files).
+
+    Partition columns are inferred from the hive layout (``k=v`` path
+    segments) and must be consistent across the tree. ``checks`` are
+    enforced with one scan before anything is linked."""
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(os.path.join(root, _POINTER)):
+        raise FileExistsError(f"versioned table already exists at {root}")
+    src = os.path.abspath(src)
+    files: list[tuple[str, str]] = []  # (rel, abs)
+    pcols: list[str] | None = None
+    if os.path.isfile(src):
+        files.append((os.path.basename(src), src))
+        pcols = []
+    else:
+        for dirpath, dirnames, filenames in os.walk(src):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            rel_dir = os.path.relpath(dirpath, src)
+            segs = [] if rel_dir == "." else rel_dir.split("/")
+            for fn in sorted(filenames):
+                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                    continue
+                keys = []
+                for seg in segs:
+                    k, eq, _v = seg.partition("=")
+                    if not eq:
+                        raise ValueError(
+                            f"non-hive directory segment {seg!r} under {src}"
+                        )
+                    keys.append(k)
+                if pcols is None:
+                    pcols = keys
+                elif keys != pcols:
+                    raise ValueError(
+                        f"inconsistent partition layout: {keys} vs {pcols}"
+                    )
+                rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
+                files.append((rel, os.path.join(dirpath, fn)))
+        pcols = pcols or []
+    if not files:
+        raise ValueError(f"no parquet data files under {src}")
+    reader = spark.read
+    if pcols:
+        reader = reader.option("basePath", src)
+    df = reader.parquet(src)
+    _enforce_checks(df, checks or {}, "convert")
+    vdir = _claim_version(root, 1)
+    staging = vdir + ".staging"
+    try:
+        for rel, ab in files:
+            dst = os.path.join(staging, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(ab, dst)
+            except OSError:
+                shutil.copy2(ab, dst)
+        os.rename(staging, vdir)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        _unclaim(vdir)
+        raise
+    _commit(
+        root,
+        1,
+        {
+            "action": "convert",
+            "source": src,
+            "schema_json": df.schema.json(),
+            "partition_by": pcols[0] if len(pcols) == 1 else (pcols or None),
+            "columns": df.columns,
+            "checks": checks or {},
+        },
+    )
+    return 1
+
+
 def _txn_meta(txn: tuple[str, int] | None) -> dict:
     """The commit-log form of an idempotent-writer marker — the Delta
     ``txn`` action: ``(app_id, monotonically increasing version)``."""

@@ -30,6 +30,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --dedup [k] [sf_dir] [runs]
        python tools/scale_check.py --table [k] [sf_dir]
        python tools/scale_check.py --textindex [k] [sf_dir] [runs]
+       python tools/scale_check.py --joinview [k] [sf_dir]
 Prints one JSON line.
 """
 
@@ -420,6 +421,141 @@ def textindex_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def joinview_mode_main(argv: list[str]) -> int:
+    """--joinview: does incremental join-view refresh stay delta-bound
+    while the fact table scales? A = orders replicated k-fold into
+    disjoint key SHARDS, partitioned BY shard — the years-deep-table
+    shape where growth adds partitions and churn stays in the recent one.
+    B = customer (dims don't scale). At 1x and kx, three wall-times:
+    (a) ``full_rebuild_sec`` — what a non-incremental pipeline pays: the
+    whole A⋈B re-joined, bag-aggregated and re-written (grows ~k);
+    (b) ``fact_refresh_sec`` — a fixed-size churn confined to shard 0,
+    refreshed through the counting algorithm: the change feed prunes the
+    diff to the touched shard, so cost is k-INDEPENDENT;
+    (c) ``dim_refresh_sec`` — a fixed dim churn, whose A₀⋈ΔB half
+    honestly scans A once (grows with k, but skips the full rebuild's
+    view-sized shuffle+write). Grades: fact-refresh kx/1x (~flat is the
+    claim) and each refresh vs the full rebuild at kx."""
+    import functools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import joinview as JV
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-joinview")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    # untimed warm-up absorbs codegen/JIT so timed runs measure data cost
+    orders.join(cust, "custkey").count()
+
+    def run(mult: int) -> dict:
+        a = functools.reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                orders.select(
+                    "custkey",
+                    (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
+                    "o_totalprice",
+                    F.lit(i).alias("shard"),
+                )
+                for i in range(mult)
+            ],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            a_root, b_root, mv, rb = (
+                os.path.join(d, "a"), os.path.join(d, "b"),
+                os.path.join(d, "mv"), os.path.join(d, "rebuild"),
+            )
+            TF.create_table(a, a_root, partition_by="shard")
+            TF.create_table(cust, b_root)
+            JV.create_join_view(
+                spark, a_root, b_root, mv,
+                on="custkey", a_key="o_orderkey", b_key="custkey",
+                a_cols=["o_orderkey", "o_totalprice", "shard"],
+                b_cols=["c_mktsegment"],
+            )
+            # fixed-size fact churn confined to shard 0
+            delta = (
+                orders.where(F.col("o_orderkey") % 83 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+                .withColumn("shard", F.lit(0))
+            )
+            TF.merge_into(
+                spark, a_root, delta, on="o_orderkey", when_not_matched=None
+            )
+            t0 = time.monotonic()
+            JV.refresh_join_view(spark, mv)
+            fact_s = time.monotonic() - t0
+            # fixed-size dim churn: its delta half scans A0 once
+            dim_delta = cust.where(F.col("custkey") % 10 == 0).withColumn(
+                "c_mktsegment", F.lit("MOVED")
+            )
+            TF.merge_into(
+                spark, b_root, dim_delta, on="custkey", when_not_matched=None
+            )
+            t0 = time.monotonic()
+            JV.refresh_join_view(spark, mv)
+            dim_s = time.monotonic() - t0
+            # the non-incremental alternative: full re-join + re-write
+            t0 = time.monotonic()
+            TF.create_table(
+                JV._bag(
+                    TF.read_table(spark, a_root)
+                    .select("custkey", "o_orderkey", "o_totalprice", "shard")
+                    .join(
+                        TF.read_table(spark, b_root).select(
+                            "custkey", "c_mktsegment"
+                        ),
+                        "custkey",
+                    ),
+                    ["custkey", "o_orderkey", "o_totalprice", "shard",
+                     "c_mktsegment"],
+                ),
+                rb,
+            )
+            full_s = time.monotonic() - t0
+            U.release_persisted()
+            return {
+                "full_rebuild_sec": round(full_s, 2),
+                "fact_refresh_sec": round(fact_s, 2),
+                "dim_refresh_sec": round(dim_s, 2),
+            }
+
+    r1, rk = run(1), run(k)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_joinview",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "at_1x": r1,
+                f"at_{k}x": rk,
+                "fact_refresh_ratio": round(
+                    rk["fact_refresh_sec"] / max(r1["fact_refresh_sec"], 1e-9), 2
+                ),
+                "fact_refresh_vs_full_at_k": round(
+                    rk["fact_refresh_sec"] / max(rk["full_rebuild_sec"], 1e-9), 2
+                ),
+                "dim_refresh_vs_full_at_k": round(
+                    rk["dim_refresh_sec"] / max(rk["full_rebuild_sec"], 1e-9), 2
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     dedup_mode = "--dedup" in argv
@@ -429,6 +565,9 @@ def main() -> int:
     if "--textindex" in argv:
         argv.remove("--textindex")
         return textindex_mode_main(argv)
+    if "--joinview" in argv:
+        argv.remove("--joinview")
+        return joinview_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
