@@ -10097,6 +10097,61 @@ def table_convert_in_place(spark, sf_dir):
     )
 
 
+@register(
+    "query_result_cache",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def query_result_cache(spark, sf_dir):
+    """Snapshot-keyed query result cache (operators/resultcache.py): the
+    cache key is (query, exact version of every input table), so
+    freshness is an O(1) pointer read — no TTLs, no stale serving. The
+    query runs the same aggregate three times across a commit: miss →
+    hit (zero cluster work, asserted via the planning report) → a DELETE
+    moves the pointer → miss with the fresh result, which the oracle pins
+    relationally. Hit and miss serve the same materialized parquet, so
+    the differential also covers the write→read roundtrip of the cache
+    slot."""
+    from .operators import resultcache as RC
+    from .operators import table_format as TF
+
+    base = _versioned_scratch("rescache", sf_dir)
+    root, cache = f"{base}/t", f"{base}/cache"
+    TF.create_table(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        root,
+    )
+
+    def build(s, dfs):
+        return (
+            dfs["orders"]
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+        )
+
+    rep: dict = {}
+    RC.cached(spark, cache, "agg", {"orders": root}, build, report=rep)
+    assert rep["hit"] is False, rep
+    RC.cached(spark, cache, "agg", {"orders": root}, build, report=rep)
+    assert rep["hit"] is True, rep
+    TF.delete_where(spark, root, F.col("o_orderkey") % 3 == 0)
+    out = RC.cached(spark, cache, "agg", {"orders": root}, build, report=rep)
+    assert rep["hit"] is False, rep
+    return out.orderBy("o_orderpriority")
+
+
 # Round-5 rotation (VERDICT r4 item 1): the r4 window went 50/50 green,
 # which leaves exactly 18 oracle-paired queries without a driver row: the
 # 17 added late in round 4 (the lakehouse/table-format family plus the
@@ -10150,6 +10205,7 @@ _PRIORITY = [
     "profile_drift_psi",
     "train_split_no_leakage",
     "table_convert_in_place",
+    "query_result_cache",
     # --- backstop: driver-green queries from earlier rounds fill the
     # remaining window slots, broadest families first ---
     "merge_into_versioned",
