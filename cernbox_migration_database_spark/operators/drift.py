@@ -61,6 +61,18 @@ def psi_profile(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
     ).first()
+    # an empty reference or an all-null column has no min/max — fail with
+    # the column's name, not a NoneType comparison deep in the grid math
+    dead = [
+        c for c in cols
+        if bounds[f"lo_{c}"] is None or bounds[f"hi_{c}"] is None
+    ]
+    if dead:
+        raise ValueError(
+            f"psi_profile: reference population has no non-null values for "
+            f"column(s) {dead} — no bin grid can be derived (drop them or "
+            f"monitor their null rate separately)"
+        )
 
     def binned(df: DataFrame, name: str) -> DataFrame:
         m = _melt(df, cols).where(F.col("x").isNotNull())

@@ -32,7 +32,11 @@ are pruned; a NEGATIVE multiplicity is impossible under single-
 maintainer discipline and raises instead of silently corrupting.
 
 Single-maintainer assumption as matview.py: the state file records the
-folded base versions without a lock — one owner per view.
+folded base versions without a lock — one owner per view. Within that
+discipline refresh is crash-safe: every fold commit carries an
+idempotent-writer marker + the folded window, and refresh reconciles
+the state file against the view's commit log before folding, so a
+replayed window is recovered, never double-applied.
 """
 
 from __future__ import annotations
@@ -46,12 +50,14 @@ from pyspark.sql import functions as F
 from .table_format import (
     create_table,
     current_version,
+    last_txn_entry,
     merge_into,
     read_changes,
     read_table,
 )
 
 _STATE = "_jv_state.json"
+_TXN_APP = "jv"
 
 
 def _row_key(cols: list[str]):
@@ -119,6 +125,7 @@ def create_join_view(
                 "b_cols": list(b_cols),
                 "a_version": a_v,
                 "b_version": b_v,
+                "fold_seq": 0,
             },
             fh,
         )
@@ -133,12 +140,35 @@ def _state(mv_root: str) -> dict:
 def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
     """Advance the view to both base tables' current versions by the
     counting algorithm — cost O(changes ⋈ matching slice), never a full
-    join. No-op when neither base moved."""
+    join. No-op when neither base moved.
+
+    Replay-safe: each fold commit carries an idempotent-writer marker
+    ``txn=(jv, fold_seq)`` plus the folded window in ``commit_meta``, so
+    a crash between the additive merge commit and the state-file write is
+    recovered by re-adopting the committed window from the view's own
+    commit log — the replayed refresh folds only changes AFTER the
+    committed window instead of double-applying it (which would silently
+    double n_dup on insert-only windows)."""
     st = _state(mv_root)
     a_root, b_root, on = st["a_root"], st["b_root"], st["on"]
+    # Crash recovery: the commit log is the source of truth for what has
+    # been folded. If the latest jv marker outruns the state file, the
+    # previous refresh committed its fold but died before recording it.
+    committed = last_txn_entry(mv_root, _TXN_APP)
+    seq0 = int(st.get("fold_seq", 0))
+    recovered = committed is not None and committed["txn_ver"] > seq0
+    if recovered:
+        win = committed["jv_window"]  # [a_from, b_from, a_to, b_to]
+        st["a_version"], st["b_version"] = int(win[2]), int(win[3])
+        st["fold_seq"] = seq0 = int(committed["txn_ver"])
+        with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
+            json.dump(st, fh)
     a0, b0 = st["a_version"], st["b_version"]
     a1, b1 = current_version(a_root), current_version(b_root)
     if (a0, b0) == (a1, b1):
+        if recovered:
+            # the crashed run may have died before its zero-prune too
+            _check_and_prune(spark, mv_root)
         return a1, b1
     out = on + st["a_cols"] + st["b_cols"]
     halves = []
@@ -159,6 +189,7 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
     delta = halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
     delta = _bag(delta, out, sign=F.col("__sign")).where(F.col("n_dup") != 0)
 
+    seq = seq0 + 1
     merge_into(
         spark,
         mv_root,
@@ -166,24 +197,36 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
         on="__row",
         update_set={"n_dup": lambda t, s: t["n_dup"] + s["n_dup"]},
         check_cardinality=False,  # one row per tuple by construction
+        txn=(_TXN_APP, seq),
+        commit_meta={"jv_window": [a0, b0, a1, b1]},
     )
-    touched = read_table(spark, mv_root).join(
-        delta.select("__row"), "__row", "left_semi"
-    )
+    _check_and_prune(spark, mv_root)
+    st["a_version"], st["b_version"] = a1, b1
+    st["fold_seq"] = seq
+    with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return a1, b1
+
+
+def _check_and_prune(spark: SparkSession, mv_root: str) -> None:
+    """Post-fold invariants in one view pass: no multiplicity may be
+    negative (impossible under single-maintainer + replay-safe folding —
+    raise rather than serve a corrupt view), and zero-multiplicity rows
+    are physically pruned."""
+    mv = read_table(spark, mv_root)
     # one action answers both post-conditions (refresh is a many-job
     # pipeline already; don't add two more for two boolean checks)
-    flags = touched.agg(
+    flags = mv.agg(
         F.sum((F.col("n_dup") < 0).cast("int")).alias("neg"),
         F.sum((F.col("n_dup") == 0).cast("int")).alias("zero"),
     ).first()
     if (flags["neg"] or 0) > 0:
         raise ValueError(
-            "negative multiplicity after refresh — the view was refreshed "
-            "twice over the same window or a base table was rewritten "
-            "outside its change feed"
+            "negative multiplicity after refresh — a base table was "
+            "rewritten outside its change feed"
         )
     if (flags["zero"] or 0) > 0:
-        dead = touched.where(F.col("n_dup") == 0)
+        dead = mv.where(F.col("n_dup") == 0)
         merge_into(
             spark,
             mv_root,
@@ -193,10 +236,6 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
             when_not_matched=None,
             check_cardinality=False,
         )
-    st["a_version"], st["b_version"] = a1, b1
-    with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
-        json.dump(st, fh)
-    return a1, b1
 
 
 def read_join_view(

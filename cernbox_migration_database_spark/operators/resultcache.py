@@ -97,7 +97,11 @@ def prune(cache_root: str, inputs_by_name: dict[str, dict[str, str]]) -> int:
         versions = {a: current_version(r) for a, r in sorted(inputs.items())}
         keep = os.path.basename(_slot(cache_root, name, versions))
         for entry in os.listdir(qdir):
-            if entry != keep:
-                shutil.rmtree(os.path.join(qdir, entry), ignore_errors=True)
-                removed += 1
+            # '<key>.tmp-<pid>' is a concurrent builder's live staging dir
+            # — deleting it would make the racer's publish rename fail and
+            # leave it serving a slot that was never published
+            if entry == keep or ".tmp-" in entry:
+                continue
+            shutil.rmtree(os.path.join(qdir, entry), ignore_errors=True)
+            removed += 1
     return removed

@@ -728,6 +728,23 @@ def last_txn_version(root: str, app_id: str) -> int | None:
     return max(vs) if vs else None
 
 
+def last_txn_entry(root: str, app_id: str) -> dict | None:
+    """The full commit-log entry carrying ``app_id``'s HIGHEST ``txn``
+    marker (None when the writer has never committed). Lets a writer that
+    stores recovery state alongside its marker (via ``merge_into``'s
+    ``commit_meta``) reconstruct what its last committed application
+    covered — e.g. :func:`joinview.refresh_join_view` records the folded
+    base-version window in the view commit and re-adopts it after a crash
+    between the fold commit and its state-file write, making a replayed
+    refresh a no-op instead of a double-apply."""
+    best: dict | None = None
+    for e in history(root):
+        if e.get("txn_app") == app_id and "txn_ver" in e:
+            if best is None or e["txn_ver"] > best["txn_ver"]:
+                best = e
+    return best
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -1272,6 +1289,7 @@ def merge_into(
     write_mode: str = "cow",
     publish: bool = True,
     txn: tuple[str, int] | None = None,
+    commit_meta: dict | None = None,
 ) -> int:
     """MERGE ``source`` into the versioned table on key column(s) ``on``
     (a composite key is passed as a list).
@@ -1579,6 +1597,7 @@ def merge_into(
                 "columns": tcols,
                 "evolved": bool(new_fields),
                 **_txn_meta(txn),
+                **(commit_meta or {}),
             },
             publish=publish,
         )
@@ -1601,6 +1620,7 @@ def merge_into(
             "columns": tcols,
             "evolved": bool(new_fields),
             **_txn_meta(txn),
+            **(commit_meta or {}),
         },
         publish=publish,
     )

@@ -173,9 +173,13 @@ def refresh_text_index(
     their own tfc/dlen) merge into the buckets their tokens hash into —
     the bucket transform bounds the blast radius — and the meta scalars
     advance. New doc_ids ONLY (documents are immutable index units, see
-    module docstring); a re-delivered (tok, doc_id) key would indicate a
-    replayed ingest and trips the merge's cardinality discipline rather
-    than silently double-counting."""
+    module docstring): the batch's doc_ids are anti-join-checked against
+    the existing postings BEFORE merging and a replayed/edited doc_id
+    raises — the merge's own cardinality check only covers source-side
+    uniqueness, and a silent ``when_matched=None`` drop would still bump
+    the meta scalars, drifting idf/avgdl off the indexed==scan contract.
+    The guard is one broadcast-semi pass over the postings (the batch's
+    doc list is batch-sized) — refresh-time cost, never probe-time."""
     with open(os.path.join(base, _META), encoding="utf-8") as fh:
         meta = json.load(fh)
     toks = new_docs.select(
@@ -185,6 +189,23 @@ def refresh_text_index(
     postings = TF.with_bucket(
         _postings(toks), key="tok", n_buckets=meta["n_buckets"]
     )
+    batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    replayed = (
+        TF.read_table(spark, os.path.join(base, "postings"))
+        .select("doc_id")
+        .join(batch_ids, "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .limit(5)
+        .collect()
+    )
+    if replayed:
+        raise ValueError(
+            "refresh_text_index: batch re-delivers doc_id(s) already in "
+            f"the index (first few: {sorted(r.doc_id for r in replayed)}) "
+            "— documents are immutable index units; delete their postings "
+            "and rebuild, or dedupe the ingest (replayed microbatch?)"
+        )
     TF.merge_into(
         spark,
         os.path.join(base, "postings"),

@@ -219,14 +219,42 @@ class _CatalogLock:
             except FileExistsError:
                 try:
                     age = _time.time() - os.stat(self.path).st_mtime
-                    if age > self.stale_after:
-                        os.rmdir(self.path)
-                        continue
                 except FileNotFoundError:
+                    continue
+                if age > self.stale_after:
+                    self._break_stale()
                     continue
                 if _time.monotonic() > deadline:
                     raise TimeoutError(f"catalog lock {self.path} held too long")
                 _time.sleep(0.02)
+
+    def _break_stale(self) -> None:
+        """Break an apparently-stale lock WITHOUT the stat→rmdir TOCTOU:
+        claim it with one atomic rename to a unique tombstone (only one
+        breaker can win the rename — two concurrent breakers can't both
+        'free' it and delete a fresh holder's claim), then re-verify the
+        captured dir really is stale. If the holder released and a FRESH
+        holder re-claimed between our stat and the rename, the tombstone's
+        mtime is young — hand the claim straight back."""
+        import shutil
+        import time as _time
+
+        tomb = f"{self.path}.tomb-{os.getpid()}-{_time.monotonic_ns()}"
+        try:
+            os.rename(self.path, tomb)
+        except OSError:
+            return  # holder released, or another breaker won the rename
+        try:
+            stale = _time.time() - os.stat(tomb).st_mtime > self.stale_after
+        except FileNotFoundError:
+            return
+        if not stale:
+            try:
+                os.rename(tomb, self.path)
+                return
+            except OSError:
+                pass  # a third claimant took the path; drop our capture
+        shutil.rmtree(tomb, ignore_errors=True)
 
     def __exit__(self, *exc):
         try:

@@ -3222,6 +3222,73 @@ def kmv_distinct_estimate(spark, sf_dir):
     return SK.kmv_distinct(_t(spark, sf_dir, "documents"))
 
 
+def _kmv_scope_sql(name: str, pred: str) -> str:
+    """One KMV-estimate branch of the approx_distinct_store oracle: the
+    k=128 smallest DISTINCT 52-bit hashes within the scope's partitions,
+    folded through the same pure-integer estimator sketchstore.estimate
+    serves — (k-1) * 2^52 div kth_min."""
+    return f"""
+      SELECT '{name}' AS scope, CAST(kk AS BIGINT) AS k,
+             CAST(m AS BIGINT) AS kth_hash,
+             CAST((kk - 1) * 4503599627370496 // m AS BIGINT) AS est_distinct
+      FROM (SELECT COUNT(*) AS kk, MAX(v) AS m
+            FROM (SELECT DISTINCT v FROM hv WHERE {pred}
+                  ORDER BY v LIMIT 128))
+    """
+
+
+@register(
+    "approx_distinct_store",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT lang, unnest({_TOKS}) AS token FROM documents
+    ),
+    hv AS (
+      SELECT lang,
+             CAST('0x' || substring(md5(token), 1, 13) AS BIGINT) AS v
+      FROM tok
+    )
+    {_kmv_scope_sql('all', 'TRUE')}
+    UNION ALL {_kmv_scope_sql('en', "lang = 'en'")}
+    UNION ALL {_kmv_scope_sql('romance', "lang IN ('es','fr')")}
+    ORDER BY scope
+    """,
+)
+def approx_distinct_store(spark, sf_dir):
+    """Mergeable per-partition KMV sketch store (operators/sketchstore.py)
+    — the Druid/DataSketches rollup: one k-minima state per ``lang``
+    partition, committed as a versioned table, refreshed through the base
+    table's change feed, and every distinct-token estimate over ANY
+    partition subset is served from the KiB-sized states with ZERO base
+    IO. The store is built from 4/5 of the corpus, the remaining docs
+    arrive as an insert window folded by ``refresh_kmv_store`` (CDF →
+    merge → re-trim), and the served estimates are then differentialed
+    against DuckDB computing the SAME pure-integer KMV estimator from
+    scratch over the full corpus — the mergeability theorem (union minima
+    == minima of per-partition minima) checked end-to-end, which
+    engine-internal HLL registers can never offer. Scale: estimate cost
+    is O(k · |selected partitions|) rows regardless of corpus size."""
+    from .operators import sketchstore as KS
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("kmvstore", sf_dir)
+    base, store = root + "/docs", root + "/kmv"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    TF.create_table(docs.where(F.col("doc_id") % 5 != 0), base)
+    KS.build_kmv_store(spark, base, store, part_col="lang", k=128)
+    TF.merge_into(
+        spark, base, docs.where(F.col("doc_id") % 5 == 0),
+        on="doc_id", when_matched=None,
+    )
+    KS.refresh_kmv_store(spark, store)
+    return KS.estimate(
+        spark, store,
+        {"all": None, "en": ["en"], "romance": ["es", "fr"]},
+    ).orderBy("scope")
+
+
 # ---------------------------------------------------------------------------
 # SCD2 / CDC apply (merge-sink generalization) — emulated relationally since
 # no transactional table format ships in this environment

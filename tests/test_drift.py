@@ -54,3 +54,22 @@ def test_nulls_excluded_and_constant_column_stable(spark):
     }
     assert sums["x"] == (2, 1)  # nulls carried no bin
     assert sums["c"] == (3, 1)  # hi == lo grid width guard: no div-by-zero
+
+
+def test_empty_or_all_null_reference_raises_named_error(spark):
+    """ADVICE r6: an empty reference population (or an all-null column)
+    used to surface as an opaque NoneType '>' TypeError from the grid
+    math; it now raises a ValueError naming the dead column(s)."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    empty = spark.createDataFrame([], "x double, y double")
+    cur = spark.createDataFrame([Row(x=1.0, y=2.0)])
+    with pytest.raises(ValueError, match=r"psi_profile.*\['x', 'y'\]"):
+        DR.psi_profile(spark, empty, cur, ["x", "y"])
+    allnull = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x double, y double"
+    )
+    with pytest.raises(ValueError, match=r"\['y'\]"):
+        DR.psi_profile(spark, allnull, cur, ["x", "y"])
+    assert StructType  # silence unused-import if fixtures change

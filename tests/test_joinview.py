@@ -130,3 +130,59 @@ def test_double_apply_raises_instead_of_corrupting(spark, roots):
     json.dump(st, open(sp, "w"))
     with pytest.raises(ValueError, match="negative multiplicity"):
         JV.refresh_join_view(spark, mv)
+
+
+def test_crash_between_fold_commit_and_state_write_is_recovered(spark, roots):
+    """ADVICE r6 (medium): an insert-only window replayed after a crash
+    between the additive merge commit and the state-file write used to
+    silently double n_dup (no negative to trip). The fold commit's txn
+    marker + recorded window now make the replay a recovered no-op."""
+    a_root, b_root, mv = roots
+    sp = os.path.join(mv, JV._STATE)
+    before = open(sp).read()
+    # insert-only change: one more base row behind the (k=1, amt=50.0)
+    # tuple -> its multiplicity becomes 3; a double-apply would make it 4
+    TF.merge_into(
+        spark, a_root,
+        spark.createDataFrame([Row(oid=200, k=1, amt=50.0)]),
+        on="oid", when_matched=None,
+    )
+    JV.refresh_join_view(spark, mv)
+    # simulate the crash: the fold commit landed, the state write did not
+    open(sp, "w").write(before)
+    JV.refresh_join_view(spark, mv)  # replayed window -> recovery, no fold
+    dup = (
+        JV.read_join_view(spark, mv)
+        .where((F.col("k") == 1) & (F.col("amt") == 50.0))
+        .collect()
+    )
+    assert len(dup) == 1 and dup[0]["n_dup"] == 3  # not 4
+    assert _rows(JV.read_join_view(spark, mv, expand=True)) == _rows(
+        _recompute(spark, a_root, b_root)
+    )
+    assert json.load(open(sp))["fold_seq"] == 1
+    # and the view keeps advancing normally after recovery
+    TF.delete_where(spark, a_root, F.col("oid") == 200)
+    JV.refresh_join_view(spark, mv)
+    assert _rows(JV.read_join_view(spark, mv, expand=True)) == _rows(
+        _recompute(spark, a_root, b_root)
+    )
+    assert json.load(open(sp))["fold_seq"] == 2
+
+
+def test_crash_recovery_with_delete_window_does_not_false_positive(
+    spark, roots
+):
+    """A replayed DELETE window must not trip the negative-multiplicity
+    check after recovery (pre-fix it raised; the correct outcome is a
+    no-op)."""
+    a_root, b_root, mv = roots
+    sp = os.path.join(mv, JV._STATE)
+    before = open(sp).read()
+    TF.delete_where(spark, a_root, F.col("oid") == 3)
+    JV.refresh_join_view(spark, mv)
+    open(sp, "w").write(before)
+    JV.refresh_join_view(spark, mv)  # must NOT raise
+    assert _rows(JV.read_join_view(spark, mv, expand=True)) == _rows(
+        _recompute(spark, a_root, b_root)
+    )

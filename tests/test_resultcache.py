@@ -96,3 +96,25 @@ def test_losing_a_publish_race_serves_the_winner(spark, tmp_path):
     # our staging temp was cleaned up
     qdir = os.path.join(cache, "q")
     assert all(".tmp-" not in e for e in os.listdir(qdir))
+
+
+def test_prune_spares_live_staging_dirs(spark, tmp_path):
+    """ADVICE r6: prune used to rmtree a concurrent builder's live
+    '<key>.tmp-<pid>' staging dir (and count it as a removed slot),
+    making the racer's publish rename fail."""
+    root, cache = str(tmp_path / "t"), str(tmp_path / "cache")
+    TF.create_table(
+        spark.createDataFrame([Row(id=1, grp="a", val=1.0)]), root
+    )
+    RC.cached(spark, cache, "agg", {"t": root}, _build)
+    qdir = os.path.join(cache, "agg")
+    staging = os.path.join(qdir, "deadbeef00000000.tmp-12345")
+    os.makedirs(staging)
+    # a stale published slot that SHOULD be pruned
+    stale = os.path.join(qdir, "0123456789abcdef")
+    os.makedirs(stale)
+    assert RC.prune(cache, {"agg": {"t": root}}) == 1
+    assert os.path.isdir(staging) and not os.path.isdir(stale)
+    rep: dict = {}
+    RC.cached(spark, cache, "agg", {"t": root}, _build, report=rep)
+    assert rep["hit"] is True

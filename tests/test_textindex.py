@@ -82,3 +82,31 @@ def test_probe_unknown_term_is_empty_without_scanning(spark, tmp_path):
             break
     else:  # pragma: no cover - astronomically unlikely with 8 probes
         raise AssertionError("no empty bucket found to exercise the path")
+
+
+def test_refresh_rejects_replayed_doc_ids_and_leaves_meta_intact(
+    spark, tmp_path
+):
+    """ADVICE r6: a re-delivered doc_id used to have its postings
+    silently dropped by when_matched=None while meta n_docs/total_tokens
+    still incremented, drifting idf/avgdl. Refresh now anti-joins the
+    batch's doc_ids against existing postings and raises on overlap."""
+    import json as _json
+
+    import pytest
+
+    base = str(tmp_path / "idx")
+    TI.build_text_index(
+        spark, _docs(spark, [(1, "a b a"), (2, "b c")]), base, n_buckets=4
+    )
+    meta_before = _json.load(open(os.path.join(base, TI._META)))
+    replay = _docs(spark, [(2, "b c"), (3, "new doc")])
+    with pytest.raises(ValueError, match=r"doc_id.*\[2\]"):
+        TI.refresh_text_index(spark, base, replay)
+    # nothing moved: meta intact, postings table still at version 1
+    assert _json.load(open(os.path.join(base, TI._META))) == meta_before
+    assert TI.TF.current_version(os.path.join(base, "postings")) == 1
+    # a clean batch still folds in
+    TI.refresh_text_index(spark, base, _docs(spark, [(3, "new doc")]))
+    meta_after = _json.load(open(os.path.join(base, TI._META)))
+    assert meta_after["n_docs"] == meta_before["n_docs"] + 1

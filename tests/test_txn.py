@@ -199,3 +199,37 @@ def test_disjoint_txns_preserve_both_catalog_updates(spark, tmp_path):
     snap = TX.catalog_snapshot(spark, cat)
     assert set(snap) == {"facts", "summary"}
     assert snap["facts"].count() == 4
+
+
+def test_stale_break_is_single_winner_and_spares_fresh_locks(tmp_path):
+    """ADVICE r6: the stale-lock break was a stat->rmdir TOCTOU — a
+    breaker could delete a FRESH holder's re-acquired lock. Breaking now
+    claims the dir with one atomic rename (single winner) and re-verifies
+    staleness on the captured dir, handing fresh claims straight back."""
+    import time as _time
+
+    cat = str(tmp_path / "c.json")
+    TX._atomic_write_json(cat, {"seq": 1, "tables": {}})
+    lockdir = cat + ".lock"
+
+    # 1) genuinely stale lock: broken, path freed
+    os.mkdir(lockdir)
+    old = _time.time() - 120
+    os.utime(lockdir, (old, old))
+    lk = TX._CatalogLock(cat, stale_after=60.0)
+    lk._break_stale()
+    assert not os.path.exists(lockdir)
+
+    # 2) FRESH lock captured by a breaker that stat'ed before the holder
+    # re-acquired: must be handed back intact, not deleted
+    os.mkdir(lockdir)
+    lk._break_stale()
+    assert os.path.isdir(lockdir)
+
+    # 3) two breakers racing a stale lock: the rename loser is a no-op
+    # (simulated by the winner having already captured the dir)
+    os.utime(lockdir, (old, old))
+    lk._break_stale()          # winner breaks it
+    assert not os.path.exists(lockdir)
+    lk._break_stale()          # loser: rename fails, returns quietly
+    assert not os.path.exists(lockdir)
