@@ -104,23 +104,54 @@ def single() -> None:
     _warm_datasource(spark)
     load_start = os.getloadavg()[0]
 
-    def run_pass() -> dict[str, float]:
+    def run_pass() -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+        """Per-query wall time; fixture-building queries (Q.PHASED) are
+        additionally timed as separate (build, read) phases — the query
+        total stays build+read for round-over-round comparability, while
+        the phases expose the operator's own latency (a regression in a
+        sub-second probe is invisible inside a multi-second build)."""
         out: dict[str, float] = {}
+        phases: dict[str, dict[str, float]] = {}
         for name in HEADLINE:
-            fn = Q.QUERIES[name]
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # Force full execution of every operator in the plan.
-            df.write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
+            if name in Q.PHASED:
+                build, probe = Q.PHASED[name]
+                t0 = time.time()
+                ctx = build(spark, sf_dir)
+                t1 = time.time()
+                probe(spark, ctx).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t2 = time.time()
+                phases[name] = {
+                    "build": round(t1 - t0, 3),
+                    "read": round(t2 - t1, 3),
+                }
+                out[name] = round(t2 - t0, 3)
+            else:
+                fn = Q.QUERIES[name]
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # Force full execution of every operator in the plan.
+                df.write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t0, 3)
             U.release_persisted()
-        return out
+        return out, phases
 
-    timings = run_pass()  # cold
-    warm_passes = [run_pass() for _ in range(WARM_PASSES)]
+    timings, phase_cold = run_pass()  # cold
+    warm_runs = [run_pass() for _ in range(WARM_PASSES)]
+    warm_passes = [r[0] for r in warm_runs]
     warm = {
         name: round(statistics.median(p[name] for p in warm_passes), 3)
         for name in HEADLINE
+    }
+    phase_warm = {
+        name: {
+            ph: round(
+                statistics.median(r[1][name][ph] for r in warm_runs), 3
+            )
+            for ph in ("build", "read")
+        }
+        for name in phase_cold
     }
     load_end = os.getloadavg()[0]
 
@@ -133,6 +164,8 @@ def single() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "phases": phase_cold,
+                "phases_warm": phase_warm,
                 "load_avg": {
                     "start": round(load_start, 2),
                     "end": round(load_end, 2),
@@ -181,6 +214,18 @@ def protocol() -> None:
         n: round(statistics.median(r["queries_warm"][n] for r in results), 3)
         for n in names
     }
+    med_ph = {
+        key: {
+            n: {
+                p: round(
+                    statistics.median(r[key][n][p] for r in results), 3
+                )
+                for p in ("build", "read")
+            }
+            for n in results[0].get(key, {})
+        }
+        for key in ("phases", "phases_warm")
+    }
     colds = [r["value"] for r in results]
     warms = [r["warm_total"] for r in results]
     print(
@@ -193,6 +238,8 @@ def protocol() -> None:
                 "warm_total": round(statistics.median(warms), 3),
                 "warm_median": round(statistics.median(warms), 3),
                 "queries_warm": med_w,
+                "phases": med_ph["phases"],
+                "phases_warm": med_ph["phases_warm"],
                 "runs": len(results),
                 "per_run_cold": colds,
                 "per_run_warm": warms,

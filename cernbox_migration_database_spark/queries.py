@@ -30,6 +30,11 @@ from .sources.catalog import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+# Queries that construct their fixture (a versioned table / index) inside
+# the query, split as (build, probe) so the bench can time the phases
+# separately: build(spark, sf_dir) -> ctx, probe(spark, ctx) -> DataFrame.
+# The registered query stays probe(build(...)) — one source of truth.
+PHASED: dict[str, tuple[Callable, Callable]] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -6357,6 +6362,14 @@ def merge_into_versioned(spark, sf_dir):
     log records which (differentialed end-to-end against the oracle's pure
     relational MERGE expression). Doubling a binary double is exact, so the
     updated prices stay 2-decimal and the dsum accumulator is lossless."""
+    return _merge_versioned_probe(
+        spark, _merge_versioned_build(spark, sf_dir)
+    )
+
+
+def _merge_versioned_build(spark, sf_dir):
+    """Build phase (bench-timed separately): create the versioned table and
+    run the COW MERGE — the write-side operator under measurement."""
     from .operators import table_format as TF
 
     root = _versioned_scratch("merge", sf_dir)
@@ -6373,6 +6386,13 @@ def merge_into_versioned(spark, sf_dir):
         F.lit(777.0).alias("o_totalprice"),
     )
     TF.merge_into(spark, root, updates.unionByName(inserts), on="o_orderkey")
+    return root
+
+
+def _merge_versioned_probe(spark, root):
+    """Read phase: aggregate the committed snapshot."""
+    from .operators import table_format as TF
+
     return (
         TF.read_table(spark, root)
         .groupBy("o_orderpriority")
@@ -6382,6 +6402,9 @@ def merge_into_versioned(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+PHASED["merge_into_versioned"] = (_merge_versioned_build, _merge_versioned_probe)
 
 
 @register(
@@ -7717,15 +7740,31 @@ def search_bm25_indexed(spark, sf_dir):
     the scan path's scaled-long quantization bit-for-bit, so this query
     shares bm25_search's oracle verbatim: indexed == scan is exactly the
     contract an index must keep."""
+    return _bm25_indexed_probe(spark, _bm25_indexed_build(spark, sf_dir))
+
+
+def _bm25_indexed_build(spark, sf_dir):
+    """Build phase (bench-timed separately): one corpus tokenization into
+    the bucket-partitioned postings table — amortized over every future
+    probe, and the reason the cold headline number was dominated by
+    fixture construction rather than the search operator."""
     from .operators import textindex as TI
 
     base = _versioned_scratch("textidx", sf_dir)
     TI.build_text_index(spark, _t(spark, sf_dir, "documents"), base)
+    return base
+
+
+def _bm25_indexed_probe(spark, base):
+    """Read phase: manifest-planned probe of |terms| postings buckets."""
+    from .operators import textindex as TI
+
     return TI.bm25_probe(
         spark, base, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, top_k=50
     )
 
 
+PHASED["search_bm25_indexed"] = (_bm25_indexed_build, _bm25_indexed_probe)
 ORACLE["search_bm25_indexed"] = ORACLE["bm25_search"]
 
 
@@ -9266,6 +9305,12 @@ def datasource_scan_pruned(spark, sf_dir):
     The oracle recomputes the aggregate relationally over the raw
     parquet — a full differential of connector read + pruning + Arrow
     batch assembly."""
+    return _dsscan_probe(spark, _dsscan_build(spark, sf_dir))
+
+
+def _dsscan_build(spark, sf_dir):
+    """Build phase (bench-timed separately): materialize the versioned
+    table and register the connector — fixture cost, not scan cost."""
     from .operators import table_format as TF
     from .sources import cbx_datasource as DS
 
@@ -9278,6 +9323,11 @@ def datasource_scan_pruned(spark, sf_dir):
         partition_by="o_orderpriority",
     )
     DS.register(spark)
+    return root
+
+
+def _dsscan_probe(spark, root):
+    """Read phase: the twice-pruned connector scan + aggregate."""
     return (
         spark.read.format("cbxtable")
         .load(root)
@@ -9292,6 +9342,9 @@ def datasource_scan_pruned(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+PHASED["datasource_scan_pruned"] = (_dsscan_build, _dsscan_probe)
 
 
 @register(
