@@ -337,8 +337,13 @@ def _file_stats(path: str) -> dict:
     groups_with: dict = {}  # name -> #row groups carrying usable stats
     nulls: dict = {}  # name -> null count
     null_groups: dict = {}  # name -> #row groups carrying a null count
+    rgs: list[list[int]] = []  # per row group: [rows, compressed bytes]
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
+        rg_bytes = 0
+        for c in range(rg.num_columns):
+            rg_bytes += rg.column(c).total_compressed_size or 0
+        rgs.append([rg.num_rows, rg_bytes])
         for c in range(rg.num_columns):
             col = rg.column(c)
             st = col.statistics
@@ -384,7 +389,15 @@ def _file_stats(path: str) -> dict:
     known_nulls = {
         n: v for n, v in nulls.items() if null_groups[n] == md.num_row_groups
     }
-    return {"rows": md.num_rows, "stats": stats, "nulls": known_nulls}
+    # row-group geometry ([rows, compressed bytes] per group) lets scan
+    # planners split one compacted multi-GB file into row-group-aligned
+    # tasks WITHOUT re-reading the footer at plan time (the 100 TB
+    # straggler fix for one-task-per-file readers); recorded only when
+    # there is something to split
+    out = {"rows": md.num_rows, "stats": stats, "nulls": known_nulls}
+    if len(rgs) > 1:
+        out["rgs"] = rgs
+    return out
 
 
 # Below this many fresh files the stat pool's startup cost exceeds its win

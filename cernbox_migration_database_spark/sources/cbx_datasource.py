@@ -361,14 +361,22 @@ def _bounds_match(f: Filter, lo, hi) -> bool:
 
 
 class _FilePart(InputPartition):
-    """One data file = one Spark task. Carries everything the executor
-    needs so read() never touches the commit log."""
+    """One data file — or one row-group RANGE of a file — = one Spark
+    task. Carries everything the executor needs so read() never touches
+    the commit log. ``rgs``/``row_start`` implement row-group splitting:
+    a compacted 1-file partition at 100 TB must not become one multi-GB
+    straggler task, so planning chunks the manifest's recorded row-group
+    geometry into ~target-byte tasks; ``row_start`` re-bases the file's
+    deletion-vector positions (file-relative row indices) onto the range
+    this task actually reads."""
 
-    def __init__(self, file, rel, part_vals, dv_files):
+    def __init__(self, file, rel, part_vals, dv_files, rgs=None, row_start=0):
         self.file = file
         self.rel = rel
         self.part_vals = part_vals  # {pcol: raw string | None}
         self.dv_files = dv_files  # tombstone parquet files for its dir
+        self.rgs = rgs  # row-group indices to read, or None = whole file
+        self.row_start = row_start  # first file-relative row of the range
 
 
 def _read_file_batches(part: _FilePart, arrow_schema, renames, pcols):
@@ -383,12 +391,19 @@ def _read_file_batches(part: _FilePart, arrow_schema, renames, pcols):
 
     from pyspark.sql.pandas.types import from_arrow_type
 
-    tbl = pq.read_table(part.file)
+    if part.rgs is None:
+        tbl = pq.read_table(part.file)
+    else:
+        tbl = pq.ParquetFile(part.file).read_row_groups(list(part.rgs))
     if part.dv_files:
         dv = pa.concat_tables(
             [pq.read_table(f, columns=["file", "pos"]) for f in part.dv_files]
         )
         pos = dv.filter(pc.equal(dv["file"], part.rel)).column("pos").to_pylist()
+        # DV positions are file-relative; keep only those landing inside
+        # this task's row-group range, re-based to range-relative indices
+        lo, hi = part.row_start, part.row_start + tbl.num_rows
+        pos = [p - lo for p in pos if lo <= p < hi]
         if pos:
             import numpy as np
 
@@ -436,6 +451,13 @@ class CbxTableReader(DataSourceReader):
         self._pcols = pcols
         self._renames = [list(r) for r in renames]
         self._filters: list[Filter] = []
+        # row-group task splitting: on by default; splitRowGroups=false
+        # disables, targetSplitBytes tunes the per-task byte target
+        self._split_bytes: int | None = int(
+            options.get("targetsplitbytes", _DEFAULT_SPLIT_BYTES)
+        )
+        if not _opt_bool_default(options, "splitrowgroups", True):
+            self._split_bytes = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         # keep every filter for pruning, hand every filter BACK to Spark
@@ -447,7 +469,11 @@ class CbxTableReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         parts, _skipped = _plan_files(
-            self._root, self._v, self._filters, self._schema
+            self._root,
+            self._v,
+            self._filters,
+            self._schema,
+            split_bytes=self._split_bytes,
         )
         # Spark requires >= 1 partition; an everything-pruned scan reads
         # nothing through one no-op task
@@ -473,13 +499,53 @@ def _resolve_version(root: str, options) -> int:
     return int(ver) if ver is not None else TF.current_version(root)
 
 
+def _split_rgs(rgs: list[list[int]], target_bytes: int) -> list[tuple[list[int], int]]:
+    """Chunk a file's row groups ([rows, bytes] each, in file order) into
+    consecutive runs of <= target_bytes (always at least one group per
+    chunk). Returns [(rg index list, first file-relative row), ...]."""
+    chunks: list[tuple[list[int], int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    row = 0
+    cur_row = 0
+    for i, (n_rows, n_bytes) in enumerate(rgs):
+        if cur and cur_bytes + n_bytes > target_bytes:
+            chunks.append((cur, cur_row))
+            cur, cur_bytes, cur_row = [], 0, row
+        cur.append(i)
+        cur_bytes += n_bytes
+        row += n_rows
+    if cur:
+        chunks.append((cur, cur_row))
+    return chunks
+
+
+# One task should read about what Spark's own parquet scan defaults to per
+# split (spark.sql.files.maxPartitionBytes = 128m) — compressed bytes here,
+# so tasks skew slightly larger after decode, which is the right side to
+# err on for Python-worker startup amortization.
+_DEFAULT_SPLIT_BYTES = 128 << 20
+
+
 def _plan_files(
-    root: str, v: int, filters: list[Filter], schema: StructType
+    root: str,
+    v: int,
+    filters: list[Filter],
+    schema: StructType,
+    split_bytes: int | None = _DEFAULT_SPLIT_BYTES,
 ) -> tuple[list[_FilePart], int]:
     """Manifest-planned file list for snapshot ``v`` with two-level
     pruning (partition values, then per-file min/max bounds). Returns
     (kept partitions, #files skipped) — the count is the pruning
-    evidence the tests pin."""
+    evidence the tests pin.
+
+    Kept files LARGER than ``split_bytes`` are split into row-group-
+    aligned ranges using the geometry the manifest already carries
+    (recorded from the footer at commit time — zero extra plan IO), so a
+    compacted one-file-per-partition table parallelizes instead of
+    handing one executor a multi-GB task. ``split_bytes=None`` disables
+    splitting; files whose manifest entry predates the geometry field
+    degrade to one task (correct, just coarser)."""
     from ..operators import table_format as TF
 
     vdir = TF._vdir(root, v)
@@ -530,14 +596,21 @@ def _plan_files(
             dv_by_dir[pdir] = tuple(
                 TF._dv_files(vdir, [pdir] if pdir else None)
             )
-        parts.append(
-            _FilePart(
-                os.path.join(vdir, rel),
-                rel,
-                raw_vals,
-                dv_by_dir.get(pdir, ()),
-            )
-        )
+        full = os.path.join(vdir, rel)
+        dvs = dv_by_dir.get(pdir, ())
+        rgs = e.get("rgs")
+        if (
+            split_bytes is not None
+            and rgs
+            and len(rgs) > 1
+            and sum(b for _, b in rgs) > split_bytes
+        ):
+            for idxs, row_start in _split_rgs(rgs, split_bytes):
+                parts.append(
+                    _FilePart(full, rel, raw_vals, dvs, idxs, row_start)
+                )
+        else:
+            parts.append(_FilePart(full, rel, raw_vals, dvs))
     return parts, skipped
 
 
@@ -651,6 +724,10 @@ class CbxTableStreamReader(DataSourceStreamReader):
 
 def _opt_bool(options, key: str) -> bool:
     return str(options.get(key, "false")).lower() == "true"
+
+
+def _opt_bool_default(options, key: str, default: bool) -> bool:
+    return str(options.get(key, str(default))).lower() == "true"
 
 
 # ---------------------------------------------------------------------------

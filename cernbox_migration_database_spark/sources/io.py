@@ -65,6 +65,7 @@ def dbapi_parallel_scan(
     schema: str,
     columns: list[str] | None = None,
     num_partitions: int = 8,
+    placeholder: str = "?",
 ) -> DataFrame:
     """Partitioned parallel read from a live DBAPI database — the executable
     twin of `catalog.jdbc_scan` (which needs a JDBC driver jar): split
@@ -84,9 +85,11 @@ def dbapi_parallel_scan(
     import pandas as pd  # noqa: F401 (executor-side import kept explicit)
 
     cols = ", ".join(columns) if columns else "*"
+    # placeholder follows the driver's paramstyle: '?' (qmark — sqlite3),
+    # '%s' (format — pymysql / mysql-connector / psycopg2)
     sql = (
         f"SELECT {cols} FROM {table} "  # noqa: S608 — caller-owned identifiers
-        f"WHERE {partition_column} BETWEEN ? AND ?"
+        f"WHERE {partition_column} BETWEEN {placeholder} AND {placeholder}"
     )
     span = upper_bound - lower_bound + 1
     step = max(1, (span + num_partitions - 1) // num_partitions)

@@ -192,3 +192,91 @@ def test_events_ts_unit_memoized_and_empty_dir_error(tmp_path):
 
     with mock.patch("os.path.isdir", side_effect=AssertionError("re-probed")):
         assert C.events_ts_unit(sf) in ("ns", "us")
+
+
+def test_format_paramstyle_dialect_scan_and_sink(spark, tmp):
+    """The MySQL-family drivers (pymysql / mysql-connector / psycopg2)
+    speak paramstyle 'format' ('%s'), not qmark. Drive BOTH the parallel
+    scan and the upsert sink through '%s' against a format-paramstyle
+    DBAPI shim over sqlite — the dialect plumbing test_mysql_live.py
+    exercises against a real server where one is installed."""
+    import os
+    import sqlite3
+
+    from cernbox_migration_database_spark.operators.merge import (
+        dbapi_upsert_writer,
+    )
+    from cernbox_migration_database_spark.sources.io import (
+        dbapi_parallel_scan,
+    )
+
+    db = os.path.join(tmp, "fmt.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE s (id INTEGER PRIMARY KEY, val TEXT, n INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO s VALUES (?, ?, ?)",
+        [(i, f"v{i}", i) for i in range(200)],
+    )
+    con.commit()
+    con.close()
+
+    def connect():
+        # executor-side format-paramstyle shim: every SQL statement the
+        # engine emits must contain ONLY '%s' placeholders (a leftover
+        # '?' makes sqlite bind-count mismatch -> loud failure), translated
+        # here exactly once like a real format-style driver would accept
+        import sqlite3 as sq
+
+        class _Cur:
+            def __init__(self, cur):
+                self._c = cur
+
+            def execute(self, sql, params=()):
+                assert "?" not in sql, f"qmark leaked into '%s' dialect: {sql}"
+                return self._c.execute(sql.replace("%s", "?"), params)
+
+            def executemany(self, sql, seq):
+                assert "?" not in sql, f"qmark leaked into '%s' dialect: {sql}"
+                return self._c.executemany(sql.replace("%s", "?"), seq)
+
+            def __getattr__(self, name):
+                return getattr(self._c, name)
+
+        class _Conn:
+            def __init__(self, conn):
+                self._conn = conn
+
+            def cursor(self):
+                return _Cur(self._conn.cursor())
+
+            def __getattr__(self, name):
+                return getattr(self._conn, name)
+
+        return _Conn(sq.connect(db, timeout=60.0))
+
+    df = dbapi_parallel_scan(
+        spark, connect, "s",
+        partition_column="id", lower_bound=0, upper_bound=199,
+        schema="id long, val string, n long",
+        num_partitions=3, placeholder="%s",
+    )
+    assert df.count() == 200
+    assert df.where("id = 42").collect()[0]["val"] == "v42"
+
+    updates = spark.createDataFrame(
+        [(i, f"upd{i}", i * 10) for i in range(0, 200, 2)],
+        "id long, val string, n long",
+    )
+    updates.foreachPartition(
+        dbapi_upsert_writer(connect, "s", "id", ["val", "n"], placeholder="%s")
+    )
+    back = {r["id"]: (r["val"], r["n"]) for r in
+            dbapi_parallel_scan(
+                spark, connect, "s",
+                partition_column="id", lower_bound=0, upper_bound=199,
+                schema="id long, val string, n long",
+                num_partitions=2, placeholder="%s",
+            ).collect()}
+    assert back[4] == ("upd4", 40) and back[5] == ("v5", 5)

@@ -31,6 +31,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --table [k] [sf_dir]
        python tools/scale_check.py --textindex [k] [sf_dir] [runs]
        python tools/scale_check.py --joinview [k] [sf_dir]
+       python tools/scale_check.py --r6 [k] [sf_dir]
 Prints one JSON line.
 """
 
@@ -556,6 +557,199 @@ def joinview_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def r6_mode_main(argv: list[str]) -> int:
+    """--r6: the round-6 lakehouse components at k-fold fact growth.
+    One versioned orders table, replicated into k disjoint key shards
+    (partition column = shard — growth adds partitions), graded on:
+
+    * ``aggpush``: metadata-only partition_agg vs the same GROUP BY as a
+      full scan. The claim: aggpush answers from the manifest (driver-
+      side, O(#files)), so its wall time stays near-zero and ~flat in k
+      while the scan grows.
+    * ``resultcache``: cached() miss (compute + publish) vs hit (serve
+      the pinned result parquet). The claim: hit cost is result-sized,
+      i.e. flat in k; miss tracks the underlying aggregation.
+    * ``txn``: MultiTableTxn commit latency with TWO writers contending
+      on one catalog (disjoint table pairs, shared catalog lock). The
+      claim: commit() is a metadata pointer swap — flat in k and in the
+      face of contention (lock wait, not data IO).
+    * ``connector``: the same aggregate through the cbxtable Python
+      DataSource vs the native JVM read — the Arrow-boundary overhead
+      ratio, which must stay bounded as data grows.
+    """
+    import functools
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import aggpush as AP
+    from cernbox_migration_database_spark.operators import resultcache as RC
+    from cernbox_migration_database_spark.operators import table_format as TF
+    from cernbox_migration_database_spark.operators import txn as TX
+    from cernbox_migration_database_spark.sources import cbx_datasource as DS
+
+    k = int(argv[0]) if len(argv) > 0 else 10
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-r6")
+    DS.register(spark)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.count()  # warm codegen/footers
+
+    def fact(mult: int):
+        return functools.reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                orders.select(
+                    (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
+                    "o_orderpriority",
+                    "o_totalprice",
+                    F.lit(i).alias("shard"),
+                )
+                for i in range(mult)
+            ],
+        )
+
+    def run(mult: int) -> dict:
+        out: dict = {}
+        with tempfile.TemporaryDirectory() as d:
+            root = os.path.join(d, "t")
+            TF.create_table(fact(mult), root, partition_by="shard")
+
+            # -- connector vs native (same full aggregate) --------------
+            def agg(df):
+                return df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("o_totalprice").alias("s"),
+                ).collect()
+
+            agg(TF.read_table(spark, root))  # warm both paths once
+            agg(spark.read.format("cbxtable").load(root))
+            t0 = time.monotonic()
+            agg(TF.read_table(spark, root))
+            out["native_read_sec"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            agg(spark.read.format("cbxtable").load(root))
+            out["connector_read_sec"] = round(time.monotonic() - t0, 3)
+
+            # -- aggpush vs scan ----------------------------------------
+            t0 = time.monotonic()
+            AP.partition_agg(spark, root, cols=("o_totalprice",)).collect()
+            out["aggpush_sec"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            (
+                TF.read_table(spark, root)
+                .groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.min("o_totalprice"),
+                    F.max("o_totalprice"),
+                )
+                .collect()
+            )
+            out["scan_agg_sec"] = round(time.monotonic() - t0, 3)
+
+            # -- result cache: miss then hit ----------------------------
+            cache = os.path.join(d, "cache")
+
+            def build(sp, pinned):
+                return (
+                    pinned["t"]
+                    .groupBy("o_orderpriority")
+                    .agg(F.sum("o_totalprice").alias("s"))
+                )
+
+            t0 = time.monotonic()
+            RC.cached(spark, cache, "agg", {"t": root}, build).collect()
+            out["cache_miss_sec"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            RC.cached(spark, cache, "agg", {"t": root}, build).collect()
+            out["cache_hit_sec"] = round(time.monotonic() - t0, 3)
+
+            # -- txn commit under 2-writer contention -------------------
+            roots = {}
+            for n in ("a", "b", "c", "d"):
+                roots[n] = os.path.join(d, n)
+                TF.create_table(
+                    fact(mult) if n in ("a", "c") else orders.limit(1000),
+                    roots[n],
+                )
+            cat = os.path.join(d, "catalog.json")
+            TX.create_catalog(cat, {n: r for n, r in roots.items()})
+            delta = orders.limit(500).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            ).withColumn("shard", F.lit(0))
+            commit_times: list[float] = []
+
+            def writer(pair):
+                for _ in range(2):
+                    t = TX.MultiTableTxn(cat)
+                    for n in pair:
+                        src = delta if n in ("a", "c") else delta.drop("shard")
+                        t.stage(
+                            n,
+                            lambda r, s=src: TF.merge_into(
+                                spark, r, s, on="o_orderkey",
+                                when_not_matched=None, publish=False,
+                            ),
+                        )
+                    t0 = time.monotonic()
+                    t.commit()
+                    commit_times.append(time.monotonic() - t0)
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                list(ex.map(writer, [("a", "b"), ("c", "d")]))
+            out["txn_commit_mean_sec"] = round(
+                statistics.mean(commit_times), 3
+            )
+            out["txn_commit_max_sec"] = round(max(commit_times), 3)
+            U.release_persisted()
+        return out
+
+    r1, rk = run(1), run(k)
+    ratio = lambda key: round(rk[key] / max(r1[key], 1e-9), 2)  # noqa: E731
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_r6",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "at_1x": r1,
+                f"at_{k}x": rk,
+                "ratios_kx_over_1x": {
+                    key: ratio(key)
+                    for key in (
+                        "aggpush_sec",
+                        "scan_agg_sec",
+                        "cache_hit_sec",
+                        "cache_miss_sec",
+                        "txn_commit_mean_sec",
+                        "connector_read_sec",
+                        "native_read_sec",
+                    )
+                },
+                "connector_over_native_at_k": round(
+                    rk["connector_read_sec"]
+                    / max(rk["native_read_sec"], 1e-9),
+                    2,
+                ),
+                "aggpush_over_scan_at_k": round(
+                    rk["aggpush_sec"] / max(rk["scan_agg_sec"], 1e-9), 2
+                ),
+                "cache_hit_over_miss_at_k": round(
+                    rk["cache_hit_sec"] / max(rk["cache_miss_sec"], 1e-9), 2
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     dedup_mode = "--dedup" in argv
@@ -568,6 +762,9 @@ def main() -> int:
     if "--joinview" in argv:
         argv.remove("--joinview")
         return joinview_mode_main(argv)
+    if "--r6" in argv:
+        argv.remove("--r6")
+        return r6_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
