@@ -178,9 +178,15 @@ def single() -> None:
 
 def protocol() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # let the previous run's own load decay before sampling the next
+    # start load, so load_avg.start reflects CO-TENANT load (the thing
+    # that invalidates a run), not our own 1-min residue
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45"))
     here = os.path.abspath(__file__)
     results = []
     for i in range(runs):
+        if i and cooldown > 0:
+            time.sleep(cooldown)
         out = subprocess.run(
             [sys.executable, here, "--single"],
             capture_output=True,
