@@ -1413,6 +1413,73 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_probe_index",
+    f"""
+    WITH {_MINHASH_SIGS},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bv FROM sigs"
+        for b in range(4))}
+    ),
+    cands AS (
+      SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS corpus_id
+      FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
+      WHERE q.doc_id % 10 = 0
+        AND c.doc_id % 10 <> 0 AND c.doc_id % 100 <> 11),
+    sets AS (SELECT doc_id, s, len(s) AS n FROM shs),
+    verified AS (
+      SELECT query_id, corpus_id,
+             len(list_intersect(sq.s, sc.s))::DOUBLE /
+             (sq.n + sc.n - len(list_intersect(sq.s, sc.s))) AS jaccard
+      FROM cands JOIN sets sq ON sq.doc_id = query_id
+                 JOIN sets sc ON sc.doc_id = corpus_id)
+    SELECT query_id, corpus_id, jaccard
+    FROM verified WHERE jaccard >= 0.5
+    ORDER BY query_id, corpus_id
+    """,
+)
+def dedup_lsh_probe_index(spark, sf_dir):
+    """Near-dup PROBE through the incremental LSH index
+    (operators/lshindex.py) — the day-2 form of dedup_minhash_lsh, the
+    way dedup_incremental_ingest is dedup_exact's: the corpus's banded
+    MinHash rows live in a bucket-partitioned versioned table kept
+    current through the base change feed (inserts AND deletes — band
+    rows are exactly keyed, so a deleted doc's rows merge-delete from
+    its pre-image), and "is anything in today's batch a near-dup of the
+    corpus?" reads only the buckets the batch's bands hash into, then
+    exact-verifies candidates against only THEIR corpus text. The
+    builder exercises the full lifecycle (build on 8/10 of the corpus →
+    insert-fold the %10==9 slice → delete-fold %100==11) and the oracle
+    recomputes the same md5 bands + exact Jaccard relationally over the
+    final corpus — index maintenance and probe both differentialed.
+    Scale: probe cost is O(batch × bands) bucket reads + candidate
+    verification, independent of corpus size."""
+    from .operators import lshindex as LX
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("lshidx", sf_dir)
+    base, idx = root + "/docs", root + "/idx"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    TF.create_table(
+        docs.where(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 9)
+        ),
+        base,
+    )
+    LX.build_lsh_index(spark, base, idx)
+    TF.merge_into(
+        spark, base, docs.where(F.col("doc_id") % 10 == 9),
+        on="doc_id", when_matched=None,
+    )
+    LX.refresh_lsh_index(spark, idx)
+    TF.delete_where(spark, base, F.col("doc_id") % 100 == 11)
+    LX.refresh_lsh_index(spark, idx)
+    return LX.probe_lsh_index(
+        spark, idx, docs.where(F.col("doc_id") % 10 == 0), threshold=0.5
+    ).orderBy("query_id", "corpus_id")
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH toks AS (
