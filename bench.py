@@ -58,6 +58,9 @@ HEADLINE = [
     # round-6 session 3: the inverted-index build+probe path (index cost
     # is the corpus tokenization; probe reads only the probed buckets)
     "search_bm25_indexed",
+    # round 7: the incremental near-dup index — build+refresh is the
+    # amortized phase, the probe is the per-batch service cost
+    "dedup_lsh_probe_index",
 ]
 
 WARM_PASSES = 2

@@ -241,3 +241,89 @@ def winnow_fingerprints(
         .select(F.col("doc_id"), winnow_select(F.col("_h"), w).alias("_fps"))
     )
     return fps.select(F.col("doc_id"), F.explode("_fps").alias("fp"))
+
+
+def bigram_lm_scores(
+    corpus: DataFrame,
+    score_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add-one bigram language-model cross-entropy per document — the
+    CCNet-style quality filter (score docs by how "ordinary" their word
+    sequences are under a corpus LM; outliers in either direction are
+    boilerplate or garbage) with the external KenLM swapped for a
+    deterministic in-engine model: p(w2|w1) = (c(w1,w2)+1)/(ctx(w1)+V),
+    all counts integers, so the score is reproducible across engines.
+
+    Returns (id_col, n_bigrams, cross_entropy) — mean negative natural
+    log-probability of the document's bigrams, each term quantized to a
+    scaled long BEFORE summing (the bm25 discipline: float addition is
+    order-dependent, quantized-long addition is not).
+
+    Trains on ``corpus``; scores ``score_df`` (defaults to the corpus
+    itself — the self-scoring filter pass). Unseen bigrams/contexts
+    back off to the add-one floor via left joins.
+
+    Scale shape: training is two keyed aggregations over the exploded
+    corpus (one shuffle each); scoring joins the scored docs' bigrams
+    against the count tables on their keys — partitioned shuffle joins,
+    no broadcast of a growing side, no driver-side model object.
+    """
+    if score_df is None:
+        score_df = corpus
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        t = tokens(text_col)
+        return (
+            df.select(F.col(id_col), t.alias("__t"))
+            .where(F.size("__t") >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(__t, 1, size(__t) - 1)").alias("w1"),
+                        F.expr("slice(__t, 2, size(__t) - 1)").alias("w2"),
+                    )
+                ).alias("bg"),
+            )
+            .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+
+    train = bigrams(corpus)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = corpus.select(
+        F.explode(tokens(text_col)).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+
+    scored = (
+        bigrams(score_df)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar
+        .select(
+            id_col,
+            # DECIMAL(18,12)-then-scale quantization (the bm25 pattern):
+            # both engines round the double to 12 decimals identically,
+            # after which the scale-up and BIGINT cast are exact — a bare
+            # double*1e9 -> long cast diverges (truncate vs round-nearest)
+            (
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                ).cast("decimal(18,12)")
+                * F.lit(10**12)
+            )
+            .cast("long")
+            .alias("lpq"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            (-F.sum("lpq")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(10**12))
+        ).alias("cross_entropy"),
+    )

@@ -32,6 +32,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --textindex [k] [sf_dir] [runs]
        python tools/scale_check.py --joinview [k] [sf_dir]
        python tools/scale_check.py --r6 [k] [sf_dir]
+       python tools/scale_check.py --lshindex [k] [sf_dir] [runs]
 Prints one JSON line.
 """
 
@@ -422,6 +423,89 @@ def textindex_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def lshindex_mode_main(argv: list[str]) -> int:
+    """--lshindex: does the near-dup index keep probe cost flat while the
+    corpus grows? Corpus at 1x and kx (replication-safe dedup replica —
+    shard-disjoint vocabularies, probe batch lives in shard 0 so probe
+    SELECTIVITY is fixed while the corpus scales). Times (a) the index
+    build (one corpus signature pass — amortized), (b) the bucket-pruned
+    probe of a fixed batch, and (c) the one-shot alternative a
+    non-indexed pipeline pays: minhash_lsh_dedup over corpus ∪ batch.
+    Grades: probe ratio kx/1x (flat is the claim — the probed buckets
+    hold ~k x the rows but candidates stay shard-local) and probe vs
+    one-shot at kx."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import dedup as D
+    from cernbox_migration_database_spark.operators import lshindex as LX
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    runs = int(argv[2]) if len(argv) > 2 else 3
+    spark = get_spark(app_name="scale-check-lshindex")
+    replica = build_dedup_replica(spark, sf_dir, k)
+    out = {}
+    for tag, d in (("1x", sf_dir), (f"{k}x", replica)):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        # fixed probe batch: shard 0's %10==0 docs at BOTH scales
+        batch = docs.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1_000_000_000)
+        )
+        with tempfile.TemporaryDirectory() as tdir:
+            base, idx = os.path.join(tdir, "docs"), os.path.join(tdir, "idx")
+            TF.create_table(corpus, base)
+            t0 = time.monotonic()
+            LX.build_lsh_index(spark, base, idx)
+            build = time.monotonic() - t0
+            probes = []
+            for _ in range(runs + 1):
+                t0 = time.monotonic()
+                LX.probe_lsh_index(spark, idx, batch, threshold=0.5).collect()
+                probes.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            D.minhash_lsh_dedup(
+                corpus.unionByName(batch), threshold=0.5
+            ).collect()
+            oneshot = time.monotonic() - t0
+        out[tag] = {
+            "build_sec": round(build, 3),
+            "probe_sec": round(statistics.median(probes[1:]), 3),
+            "oneshot_lsh_sec": round(oneshot, 3),
+        }
+        U.release_persisted()
+    kx = f"{k}x"
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_lshindex",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "scales": out,
+                "probe_ratio": round(
+                    out[kx]["probe_sec"] / out["1x"]["probe_sec"], 2
+                ),
+                "build_ratio": round(
+                    out[kx]["build_sec"] / out["1x"]["build_sec"], 2
+                ),
+                "probe_vs_oneshot_kx": round(
+                    out[kx]["probe_sec"] / out[kx]["oneshot_lsh_sec"], 2
+                ),
+            }
+        )
+    )
+    shutil.rmtree(replica, ignore_errors=True)
+    return 0
+
+
 def joinview_mode_main(argv: list[str]) -> int:
     """--joinview: does incremental join-view refresh stay delta-bound
     while the fact table scales? A = orders replicated k-fold into
@@ -765,6 +849,9 @@ def main() -> int:
     if "--r6" in argv:
         argv.remove("--r6")
         return r6_mode_main(argv)
+    if "--lshindex" in argv:
+        argv.remove("--lshindex")
+        return lshindex_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
