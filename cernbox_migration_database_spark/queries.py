@@ -1497,9 +1497,7 @@ def _lsh_probe_phase(spark, ctx):
 PHASED["dedup_lsh_probe_index"] = (_lsh_index_build, _lsh_probe_phase)
 
 
-@register(
-    "text_lm_cross_entropy",
-    f"""
+_LM_SELF_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     bge AS (
       SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -1518,8 +1516,56 @@ PHASED["dedup_lsh_probe_index"] = (_lsh_index_build, _lsh_probe_phase)
            CAST(-SUM(lpq) AS DOUBLE) / COUNT(*) / 1000000000000.0
              AS cross_entropy
     FROM q GROUP BY doc_id ORDER BY doc_id
-    """,
-)
+    """
+
+
+def _lm_heldout_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bge AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    train AS (SELECT * FROM bge WHERE doc_id % 10 <> 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM train GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0)),
+    q AS (
+      SELECT b.doc_id,
+             CAST(CAST(ln((COALESCE(c2.c2, 0) + 1)::DOUBLE
+                          / (COALESCE(c1.c1, 0) + v.v))
+                       AS DECIMAL(18,12)) * 1000000000000 AS BIGINT) AS lpq
+      FROM bge b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      WHERE b.doc_id % 10 = 0)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(-SUM(lpq) AS DOUBLE) / COUNT(*) / 1000000000000.0
+             AS cross_entropy
+    FROM q GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("text_lm_score_heldout", _lm_heldout_oracle())
+def text_lm_score_heldout(spark, sf_dir):
+    """The LM filter's production split: train the bigram model on the
+    corpus (doc_id %10 != 0), score the HELD-OUT batch (%10 == 0) —
+    unseen bigrams and contexts back off to the add-one floor through
+    the left joins, the path self-scoring never exercises. High-entropy
+    outliers in the batch are the docs least like the corpus — exactly
+    what a contamination / quality gate flags at ingest time."""
+    from .operators import text as TX2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX2.bigram_lm_scores(
+        docs.where(F.col("doc_id") % 10 != 0),
+        score_df=docs.where(F.col("doc_id") % 10 == 0),
+    ).orderBy("doc_id")
+
+
+@register("text_lm_cross_entropy", _LM_SELF_ORACLE)
 def text_lm_cross_entropy(spark, sf_dir):
     """CCNet-style LM quality scoring without the external model: an
     add-one bigram LM trained on the corpus itself (two keyed count
@@ -4235,6 +4281,86 @@ def similarity_ann_ivf(spark, sf_dir):
     return S.ann_ivf(
         emb, emb.where(F.col("vec_id") < 20), cents, nprobe=4, top_k=5
     )
+
+
+@register(
+    "similarity_ivf_index_probe",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM ranked_cells
+      WHERE r = 1 AND vec_id % 100 <> 23),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_index_probe(spark, sf_dir):
+    """ANN through the INCREMENTAL IVF index (operators/ivfindex.py) —
+    the vector-store day-2 form of similarity_ann_ivf, completing the
+    index triad with textindex (BM25) and lshindex (near-dup): the
+    cell-assigned corpus lives in a cell-partitioned versioned table
+    (posting lists hold the scaled vectors + norms, so probes never read
+    the base), folded through the change feed across the full
+    insert/delete lifecycle with FIXED build-time centroids, and each
+    query reads only its nprobe closest cell partitions. The oracle
+    recomputes assignment + probe + exact fixed-point cosine over the
+    post-change corpus relationally — maintenance and probe both
+    differentialed. The builder: build on the %10!=7 slice (plus the 16
+    seed vectors), insert-fold the rest, delete-fold %100==23."""
+    from .operators import ivfindex as IX
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("ivfidx", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus0 = emb.where(
+        (F.col("vec_id") % 10 != 7) | (F.col("vec_id") < 16)
+    )
+    TF.create_table(corpus0, base)
+    IX.build_ivf_index(spark, base, idx, S.seed_centroids(corpus0, k=16))
+    TF.merge_into(
+        spark, base,
+        emb.where((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16)),
+        on="vec_id", when_matched=None,
+    )
+    IX.refresh_ivf_index(spark, idx)
+    TF.delete_where(spark, base, F.col("vec_id") % 100 == 23)
+    IX.refresh_ivf_index(spark, idx)
+    return IX.probe_ivf_index(
+        spark, idx, emb.where(F.col("vec_id") < 20), nprobe=4, top_k=5
+    ).orderBy("query_id", "rank")
 
 
 @register(
