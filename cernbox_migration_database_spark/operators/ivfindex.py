@@ -171,9 +171,14 @@ def probe_ivf_index(
     pairs = members.join(F.broadcast(probe), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = pairs.withColumn(
-        "cosine",
-        cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")),
+    # vectors projected away before the ranking shuffle (the
+    # knn_bruteforce shuffle-volume discipline)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_scaled(
+            F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -112,8 +112,17 @@ def knn_bruteforce(
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = pairs.withColumn(
-        "cosine", cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn"))
+    # project the vectors away BEFORE the ranking shuffle: the window
+    # needs only (query_id, neighbor_id, cosine) — ~24 bytes/row — while
+    # carrying qs/cs through it would move the 64-long arrays (~1 KiB/row)
+    # through the exchange, a 40x shuffle-volume tax measured on the knn
+    # headline query
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_scaled(
+            F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -315,8 +324,13 @@ def ann_ivf(
     pairs = c.join(F.broadcast(probe), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = pairs.withColumn(
-        "cosine", cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn"))
+    # vectors projected away before the ranking shuffle (see knn_bruteforce)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_scaled(
+            F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
