@@ -585,16 +585,27 @@ def simhash64(
     corpus scale). Vote sign uses sum(vote_j) = 2*sum(bit_j) - n_tokens, so
     only 0/1 bits and one count are aggregated.
     """
-    toks = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("hex", F.md5("tok"))
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .withColumn("hex", F.md5("tok"))
+        # decode the 64 signature bits as TWO 32-bit integers up front
+        # (conv is one string pass each); per-bit extraction is then a
+        # shift+mod on a long — vs the earlier per-bit instr+substring,
+        # 64 string scans per token, which dominated the eval cost
+        .withColumn("h1", F.conv(F.substring("hex", 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("hex", 9, 8), 16, 10).cast("long"))
+    )
 
     def _bit(j: int) -> Column:
-        # hex digit j//4 decoded via instr (portable), bit (3 - j%4) of it
-        digit = F.expr(
-            f"instr('0123456789abcdef', substring(hex, {j // 4 + 1}, 1)) - 1"
-        )
-        return F.shiftright(digit, 3 - (j % 4)) % 2
+        # bit (3 - j%4) of hex digit j//4 == bit (31 - j) of the big-endian
+        # 32-bit word holding digits 0-7 (word h1 for j<32, h2 shifted)
+        if j < 32:
+            return F.shiftright(F.col("h1"), 31 - j) % 2
+        return F.shiftright(F.col("h2"), 63 - j) % 2
 
     aggs = [F.sum(_bit(j)).alias(f"s{j}") for j in range(64)]
     aggs.append(F.count(F.lit(1)).alias("n_tok"))
