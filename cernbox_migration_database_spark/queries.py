@@ -1497,6 +1497,80 @@ def _lsh_probe_phase(spark, ctx):
 PHASED["dedup_lsh_probe_index"] = (_lsh_index_build, _lsh_probe_phase)
 
 
+@register(
+    "streaming_lsh_ingest_probe",
+    f"""
+    WITH {_MINHASH_SIGS},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bv FROM sigs"
+        for b in range(4))}
+    ),
+    cands AS (
+      SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS corpus_id
+      FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
+      WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+    sets AS (SELECT doc_id, s, len(s) AS n FROM shs),
+    verified AS (
+      SELECT query_id, corpus_id,
+             len(list_intersect(sq.s, sc.s))::DOUBLE /
+             (sq.n + sc.n - len(list_intersect(sq.s, sc.s))) AS jaccard
+      FROM cands JOIN sets sq ON sq.doc_id = query_id
+                 JOIN sets sc ON sc.doc_id = corpus_id)
+    SELECT query_id, corpus_id, jaccard
+    FROM verified WHERE jaccard >= 0.5
+    ORDER BY query_id, corpus_id
+    """,
+)
+def streaming_lsh_ingest_probe(spark, sf_dir):
+    """STREAMING ingest with standing index maintenance — the composition
+    the index exists for: today's crawl arrives as a Structured Streaming
+    feed (a source table's commit log via ``readStream.format("cbxtable")``),
+    lands in the corpus through the exactly-once txn-marked sink, and the
+    sink's ``post_batch`` hook folds each microbatch's change window into
+    the LSH index (``refresh_lsh_index`` is idempotent — driven by the
+    corpus VERSION, so a replayed batch whose merge no-ops also refreshes
+    to a no-op, and a crash between commit and refresh is healed by the
+    next batch's refresh). The probe then answers near-dup questions
+    against the fully-ingested corpus; the oracle recomputes bands +
+    exact Jaccard relationally over the same final state."""
+    from .operators import lshindex as LX
+    from .operators import table_format as TF
+    from .sources import cbx_datasource as DS
+    from .streaming.table_sink import stream_write_table
+
+    scratch = _versioned_scratch("lshstream", sf_dir)
+    src, dst, idx, ckpt = (
+        scratch + "/src", scratch + "/docs",
+        scratch + "/idx", scratch + "/ckpt",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    TF.create_table(
+        docs.where(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 9)
+        ),
+        dst,
+    )
+    LX.build_lsh_index(spark, dst, idx)
+    newdocs = docs.where(F.col("doc_id") % 10 == 9)
+    TF.create_table(newdocs.where(F.col("doc_id") % 20 == 9), src)
+    TF.insert_into(spark, src, newdocs.where(F.col("doc_id") % 20 == 19))
+    DS.register(spark)
+    stream = (
+        spark.readStream.format("cbxtable")
+        .option("startingVersion", "earliest")
+        .load(src)
+    )
+    q = stream_write_table(
+        stream, dst, ckpt, app_id="lsh_ingest", key="doc_id",
+        post_batch=lambda sp: LX.refresh_lsh_index(sp, idx),
+    )
+    q.awaitTermination(600)
+    return LX.probe_lsh_index(
+        spark, idx, docs.where(F.col("doc_id") % 10 == 0), threshold=0.5
+    ).orderBy("query_id", "corpus_id")
+
+
 _LM_SELF_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     bge AS (

@@ -42,9 +42,19 @@ def exactly_once_batch_writer(
     drop_order_col: bool = True,
     expectations: list | None = None,
     quarantine_root: str | None = None,
+    post_batch=None,
 ):
     """The foreachBatch function: apply a microbatch to the versioned
     table at ``root`` exactly once per ``(app_id, batch_id)``.
+
+    ``post_batch(spark)`` — when given — runs after EVERY applied batch
+    (including replay-skipped ones): the hook for derived-state
+    maintenance such as ``lshindex.refresh_lsh_index`` /
+    ``ivfindex.refresh_ivf_index``, whose refreshes are idempotent by
+    construction (driven by the table's version, not the batch id). The
+    replay-inclusive contract closes the crash window between "batch
+    committed" and "index refreshed": the replayed batch's merge is a
+    txn-marked no-op, but its post_batch still folds the missed window.
 
     ``key`` set → keyed MERGE (upsert) per batch, so a stream of row
     VERSIONS converges to last-write-wins state; ``key`` None → append
@@ -121,6 +131,7 @@ def exactly_once_batch_writer(
         if batch_df.isEmpty():
             return
         pinned = None
+        applied = False
         try:
             if expectations:
                 from ..operators import expectations as EX
@@ -140,22 +151,28 @@ def exactly_once_batch_writer(
                     batch_df, root, partition_by=partition_by,
                     txn=(app_id, batch_id),
                 )
-                return
-            last = TF.last_txn_version(root, app_id)
-            if last is not None and batch_id <= last:
-                return  # replayed microbatch: already committed, skip
-            if key is not None:
-                TF.merge_into(
-                    spark, root, batch_df, on=key,
-                    write_mode=write_mode, txn=(app_id, batch_id),
-                )
             else:
-                TF.insert_into(
-                    spark, root, batch_df, txn=(app_id, batch_id)
-                )
+                last = TF.last_txn_version(root, app_id)
+                if last is not None and batch_id <= last:
+                    pass  # replayed microbatch: already committed, skip
+                elif key is not None:
+                    TF.merge_into(
+                        spark, root, batch_df, on=key,
+                        write_mode=write_mode, txn=(app_id, batch_id),
+                    )
+                else:
+                    TF.insert_into(
+                        spark, root, batch_df, txn=(app_id, batch_id)
+                    )
+            applied = True
         finally:
             if pinned is not None:
                 pinned.unpersist()
+        # outside the expectation-abort path: a failed batch never
+        # refreshes derived state (nothing committed, replay will retry);
+        # a replay-skipped batch DOES (see docstring)
+        if applied and post_batch is not None:
+            post_batch(spark)
 
     return apply
 
@@ -172,11 +189,14 @@ def stream_write_table(
     order_by: str | None = None,
     expectations: list | None = None,
     quarantine_root: str | None = None,
+    post_batch=None,
 ):
     """``stream.writeStream`` into the versioned table with exactly-once
     commits. Returns the started StreamingQuery (caller awaits it).
     ``expectations``/``quarantine_root`` gate every microbatch through the
-    data-quality contracts (see :func:`exactly_once_batch_writer`)."""
+    data-quality contracts, ``post_batch`` maintains derived state (an
+    index refresh) after each batch (see
+    :func:`exactly_once_batch_writer`)."""
     writer = (
         stream.writeStream.outputMode("update" if key else "append")
         .option("checkpointLocation", checkpoint)
@@ -185,7 +205,7 @@ def stream_write_table(
                 root, app_id, key=key,
                 partition_by=partition_by, write_mode=write_mode,
                 order_by=order_by, expectations=expectations,
-                quarantine_root=quarantine_root,
+                quarantine_root=quarantine_root, post_batch=post_batch,
             )
         )
     )

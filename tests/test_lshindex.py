@@ -175,3 +175,49 @@ def test_probe_edge_cases(spark, tmp_path):
     hi = _probe_set(spark, idx, _batch(spark), threshold=0.95)
     assert {(q, c) for q, c, _ in hi} <= {(q, c) for q, c, _ in lo}
     assert all(j >= 0.95 for _, _, j in hi)
+
+
+def test_streaming_sink_post_batch_refresh_survives_replay(spark, tmp_path):
+    """The exactly-once sink's post_batch hook: a replayed microbatch's
+    merge is a txn-marked no-op but post_batch still runs (healing a
+    crash between commit and refresh), and because refresh is driven by
+    the table VERSION the index never double-folds."""
+    from cernbox_migration_database_spark.streaming.table_sink import (
+        exactly_once_batch_writer,
+    )
+
+    base, idx = _mk(spark, tmp_path)
+    calls = []
+
+    def refresh(sp):
+        calls.append(LX.refresh_lsh_index(sp, idx))
+
+    apply = exactly_once_batch_writer(
+        base, app_id="t", key="doc_id", post_batch=refresh
+    )
+    batch = _batch(spark, [(50, _BASE + " streamed in"), (51, "other words")])
+    apply(batch, 7)
+    # crash-replay: same batch id — merge must no-op, refresh must run
+    v_bands = TF.current_version(os.path.join(idx, "bands"))
+    apply(batch, 7)
+    assert len(calls) == 2
+    assert TF.current_version(os.path.join(idx, "bands")) == v_bands
+    # index equals a from-scratch rebuild on the final corpus
+    idx2 = str(tmp_path / "idx_rebuild")
+    LX.build_lsh_index(spark, base, idx2, n_buckets=4)
+
+    def rows(root):
+        return sorted(
+            tuple(r)
+            for r in TF.read_table(
+                spark, os.path.join(root, "bands")
+            ).collect()
+        )
+
+    assert rows(idx) == rows(idx2)
+    # the streamed-in near-dup is immediately probeable
+    found = {
+        (r["query_id"], r["corpus_id"])
+        for r in LX.probe_lsh_index(spark, idx, _batch(spark)).collect()
+    }
+    assert (100, 50) in found
