@@ -36,8 +36,11 @@ _META = "_ivf_meta.json"
 
 
 def _assigned(docs: DataFrame, st: dict) -> DataFrame:
-    """(id, cell, svec, norm) rows — assignment is row-local arithmetic
-    against the centroid literals; no shuffle before the table write."""
+    """(id, cell, svec, norm [, attrs...]) rows — assignment is row-local
+    arithmetic against the centroid literals; no shuffle before the table
+    write. ``attr_cols`` metadata rides along denormalized so FILTERED
+    probes evaluate their predicate inside the cell scan instead of
+    joining back to the base table."""
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
     nv = with_norm(docs, st["vec_col"])
     return nv.select(
@@ -45,6 +48,7 @@ def _assigned(docs: DataFrame, st: dict) -> DataFrame:
         cell_of(F.col("svec"), F.col("norm"), cents).alias("cell"),
         "svec",
         "norm",
+        *[F.col(c) for c in st.get("attr_cols", [])],
     )
 
 
@@ -55,17 +59,21 @@ def build_ivf_index(
     centroids: list[tuple[list[int], float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attr_cols: list[str] | None = None,
 ) -> int:
     """Materialize the cell-assigned corpus at ``base_root`` as a
     cell-partitioned versioned table. ``centroids`` are (scaled-long
     vector, norm) literals — from similarity.seed_centroids (oracle-
     nameable) or kmeans_train + centroid_literals (data-adaptive).
-    Returns the base version the index reflects."""
+    ``attr_cols`` names base metadata columns to denormalize into the
+    index for FILTERED search (probe ``where=...``). Returns the base
+    version the index reflects."""
     st = {
         "base_root": base_root,
         "base_version": TF.current_version(base_root),
         "id_col": id_col,
         "vec_col": vec_col,
+        "attr_cols": list(attr_cols or []),
         "centroids": [[list(c), float(n)] for c, n in centroids],
     }
     docs = TF.read_table(spark, base_root, st["base_version"])
@@ -130,13 +138,23 @@ def probe_ivf_index(
     queries: DataFrame,
     nprobe: int = 4,
     top_k: int = 5,
+    where: str | None = None,
 ) -> DataFrame:
     """ANN top-k through the index: each query's nprobe closest cells are
     named row-locally against the centroid literals, the UNION of probed
     cells is read through the manifest-planned pruned scan (at 100 TB:
     nprobe/n_cells of the index, never the corpus), and candidates rank
     by exact fixed-point cosine — the same output contract as
-    similarity.ann_ivf (total tie-break, 9 dp rounding)."""
+    similarity.ann_ivf (total tie-break, 9 dp rounding).
+
+    ``where`` is a FILTERED-search predicate over the index's
+    ``attr_cols`` (SQL expression string): top-k among the vectors
+    satisfying it — evaluated inside the cell scan, the filtered-ANN
+    semantics dedicated vector stores struggle with, expressed here as a
+    plain pushed filter. NOTE the recall caveat filtered ANN inherits
+    everywhere: cells are probed by QUERY proximity, so a highly
+    selective predicate can empty the probed cells while matches exist in
+    unprobed ones — raise nprobe for selective filters."""
     st = _state(index_root)
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
     cells_root = os.path.join(index_root, "cells")
@@ -164,7 +182,10 @@ def probe_ivf_index(
         return spark.createDataFrame(
             [], f"query_id {t}, neighbor_id {t}, rank int, cosine double"
         )
-    members = TF.scan_partitions(spark, cells_root, rels).select(
+    members = TF.scan_partitions(spark, cells_root, rels)
+    if where is not None:
+        members = members.where(where)
+    members = members.select(
         F.col(id_col).alias("neighbor_id"), "cell",
         F.col("svec").alias("cs"), F.col("norm").alias("cn"),
     )

@@ -4438,6 +4438,77 @@ def similarity_ivf_index_probe(spark, sf_dir):
 
 
 @register(
+    "similarity_ivf_filtered",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 8),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      JOIN nv nm ON nm.vec_id = m.vec_id
+      WHERE m.vec_id <> p.query_id AND nm.label % 3 = 1),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_filtered(spark, sf_dir):
+    """FILTERED vector search through the incremental IVF index: top-k
+    among only the vectors satisfying a metadata predicate (here
+    ``label % 3 = 1``), the feature dedicated vector stores bolt on with
+    pre-/post-filtering heuristics. Here the ``attr_cols`` metadata rides
+    denormalized in the cell posting lists, so the predicate evaluates
+    INSIDE the pruned cell scan — no join back to the base table, no
+    post-hoc top-k re-ranking. nprobe is raised to 8 (the standard
+    filtered-ANN recall lever: a selective predicate thins each probed
+    cell, so you probe more cells for the same candidate mass)."""
+    from .operators import ivfindex as IX
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("ivfflt", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    TF.create_table(emb, base)
+    IX.build_ivf_index(
+        spark, base, idx, S.seed_centroids(emb, k=16),
+        attr_cols=["label"],
+    )
+    return IX.probe_ivf_index(
+        spark, idx, emb.where(F.col("vec_id") < 20),
+        nprobe=8, top_k=5, where="label % 3 = 1",
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "histogram_totalprice",
     """
     WITH b AS (

@@ -121,3 +121,41 @@ def test_probe_reads_only_probed_cells(spark, tmp_path):
     out = IX.probe_ivf_index(spark, idx, queries, nprobe=1, top_k=5)
     neighbors = {r["neighbor_id"] for r in out.collect()}
     assert neighbors and neighbors <= members - {0}
+
+
+def test_filtered_probe_restricts_to_predicate(spark, tmp_path):
+    """Filtered search: top-k among only predicate-satisfying vectors,
+    with attrs riding in the index (no base-table join) and surviving
+    a change-feed refresh."""
+    base, idx = str(tmp_path / "emb"), str(tmp_path / "idx")
+    df = _emb(spark, range(20)).withColumn(
+        "grp", (F.col("vec_id") % 2).cast("int")
+    )
+    TF.create_table(df, base)
+    cents = S.seed_centroids(df, k=3)
+    IX.build_ivf_index(spark, base, idx, cents, attr_cols=["grp"])
+    queries = _emb(spark, [0, 1])
+    out = IX.probe_ivf_index(
+        spark, idx, queries, nprobe=3, top_k=4, where="grp = 1"
+    )
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] % 2 == 1 for r in rows)
+    # unfiltered equals ann_ivf; filtered equals ann_ivf restricted
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf(
+            df.where("vec_id % 2 = 1"), queries, cents, nprobe=3, top_k=4
+        ).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == want
+    # attrs survive refresh: insert an odd vector near query 1's cluster
+    TF.merge_into(
+        spark, base,
+        _emb(spark, [33]).withColumn("grp", F.lit(1).cast("int")),
+        on="vec_id", when_matched=None,
+    )
+    IX.refresh_ivf_index(spark, idx)
+    rows2 = IX.probe_ivf_index(
+        spark, idx, queries, nprobe=3, top_k=20, where="grp = 1"
+    ).collect()
+    assert 33 in {r["neighbor_id"] for r in rows2}
