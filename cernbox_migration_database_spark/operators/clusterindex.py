@@ -1,0 +1,186 @@
+"""Incremental near-duplicate CLUSTER maintenance over a growing corpus.
+
+`dedup_clusters_star` re-clusters the whole corpus per run; the
+production need is standing DUPLICATE GROUPS that absorb each ingest
+batch without touching the settled majority. This module keeps a
+(doc_id, cluster) map as a versioned table next to an
+:mod:`lshindex` — cluster = the component's minimum doc_id under the
+deterministic edge relation "LSH band candidates verified at exact
+Jaccard >= threshold" (the same md5-derived relation the one-shot
+pipeline and the DuckDB oracle compute, so incremental == from-scratch
+is an EXACT equality, not an approximation).
+
+Why the increment is exact: the edge predicate depends only on the two
+documents, so corpus-internal edges never appear retroactively — a new
+batch can only add edges INCIDENT to its own docs, which the index
+probe (batch ↔ corpus) and a batch-local LSH pass (batch ↔ batch) find
+completely. Ingest therefore touches: the batch, plus members of the
+existing clusters the batch bridges — never the rest of the corpus.
+
+Relabeling is MONOTONE (a cluster label only ever decreases, to the
+minimum of its merged component), which makes ingest idempotent: a
+replayed window re-derives the same labels and the merges no-op — the
+same crash posture as the index refreshes, without extra machinery.
+
+Deletes are add-only-loud (sketchstore's posture): removing a node can
+SPLIT a component, which cannot be recomputed from the surviving
+cluster map alone — refresh raises and the caller rebuilds. (Storing
+the edge relation would make splits incremental too; edges are
+O(duplicates) rows and this module keeps only the map by design.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import lshindex as LX
+from . import table_format as TF
+from .dedup import connected_components_star, minhash_lsh_dedup
+
+_STATE = "_cluster_state.json"
+
+
+def _with_singletons(docs: DataFrame, cc: DataFrame, id_col: str) -> DataFrame:
+    """Every doc gets a cluster: component label where edged, its own id
+    where isolated."""
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
+
+
+def build_cluster_index(
+    spark: SparkSession,
+    index_root: str,
+    cluster_root: str,
+    threshold: float = 0.5,
+) -> int:
+    """Cluster the corpus behind the LSH index at ``index_root`` from
+    scratch (one full LSH pass + O(log d) component rounds) and commit
+    the (doc_id, cluster) map. Returns the base version clustered."""
+    st_idx = LX._state(index_root)
+    base_root, id_col = st_idx["base_root"], st_idx["id_col"]
+    base_v = TF.current_version(base_root)
+    if base_v != st_idx["base_version"]:
+        raise ValueError(
+            "lsh index lags its base table — refresh_lsh_index first"
+        )
+    docs = TF.read_table(spark, base_root, base_v)
+    pairs = minhash_lsh_dedup(
+        docs,
+        text_col=st_idx["text_col"],
+        id_col=id_col,
+        k=st_idx["k"],
+        threshold=threshold,
+    )
+    cc = connected_components_star(pairs)
+    TF.create_table(_with_singletons(docs, cc, id_col), cluster_root)
+    with open(os.path.join(cluster_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "index_root": index_root,
+                "base_version": base_v,
+                "threshold": threshold,
+            },
+            fh,
+        )
+    return base_v
+
+
+def ingest_clusters(spark: SparkSession, cluster_root: str) -> int:
+    """Fold the base table's insert window into the cluster map AND the
+    LSH index, in the only order that is complete: probe the batch
+    against the PRE-batch index (batch↔corpus edges), LSH the batch
+    against itself (batch↔batch edges), then refresh the index so future
+    ingests see these docs.
+
+    Cost shape: O(batch) signatures + |batch bands| bucket reads +
+    components over (batch ∪ bridged clusters) — the corpus outside the
+    bridged clusters is never read or written. Raises on deletes/updates
+    in the window (see module doc)."""
+    with open(os.path.join(cluster_root, _STATE), encoding="utf-8") as fh:
+        st = json.load(fh)
+    idx = st["index_root"]
+    st_idx = LX._state(idx)
+    base_root, id_col = st_idx["base_root"], st_idx["id_col"]
+    cur = TF.current_version(base_root)
+    if cur == st["base_version"]:
+        return cur
+    ch = TF.read_changes(
+        spark, base_root, key=id_col,
+        from_version=st["base_version"], to_version=cur,
+    )
+    if not ch.where(F.col("_change_type") != "insert").isEmpty():
+        raise ValueError(
+            "change window contains deletes/updates — removing a node can "
+            "split a component, which the cluster map alone cannot "
+            "recompute; rebuild with build_cluster_index()"
+        )
+    batch = ch.drop("_change_type")
+    # edges incident to the batch: against the settled corpus via the
+    # index (pre-refresh, so no self-matches), within the batch via a
+    # batch-local LSH pass
+    e1 = LX.probe_lsh_index(
+        spark, idx, batch, threshold=st["threshold"]
+    ).select(
+        F.col("query_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+    )
+    e2 = minhash_lsh_dedup(
+        batch,
+        text_col=st_idx["text_col"],
+        id_col=id_col,
+        k=st_idx["k"],
+        threshold=st["threshold"],
+    ).select("doc_a", "doc_b")
+    LX.refresh_lsh_index(spark, idx)
+
+    clusters = TF.read_table(spark, cluster_root)
+    # corpus endpoints collapse to their CLUSTER LABEL: components over
+    # (batch doc ids ∪ touched labels) — each existing cluster is one
+    # super-node, so the subgraph is batch-sized + bridged-label-sized
+    lbl = clusters.withColumnRenamed(id_col, "doc_b")
+    e1c = e1.join(lbl, "doc_b").select(
+        "doc_a", F.col("cluster").alias("doc_b")
+    )
+    edges = e1c.unionByName(e2)
+    if edges.isEmpty():
+        merged = batch.select(
+            F.col(id_col), F.col(id_col).alias("cluster")
+        )
+    else:
+        cc = connected_components_star(edges)
+        comp = _with_singletons(batch, cc, id_col)
+        # an existing cluster whose LABEL landed in a component with a
+        # smaller minimum relabels ALL its members (monotone decrease)
+        relabel = (
+            cc.where(F.col("cluster") < F.col("doc_id"))
+            .withColumnRenamed("doc_id", "old_label")
+            .withColumnRenamed("cluster", "new_label")
+        )
+        moved = (
+            clusters.join(
+                relabel,
+                clusters["cluster"] == relabel["old_label"],
+            )
+            .select(F.col(id_col), F.col("new_label").alias("cluster"))
+        )
+        merged = comp.unionByName(moved)
+    TF.merge_into(
+        spark, cluster_root, merged, on=id_col, check_cardinality=False
+    )
+    st["base_version"] = cur
+    with open(os.path.join(cluster_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return cur
+
+
+def read_clusters(spark: SparkSession, cluster_root: str) -> DataFrame:
+    return TF.read_table(spark, cluster_root)

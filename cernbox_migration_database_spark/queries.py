@@ -1498,6 +1498,74 @@ PHASED["dedup_lsh_probe_index"] = (_lsh_index_build, _lsh_probe_phase)
 
 
 @register(
+    "dedup_cluster_ingest",
+    f"""
+    WITH RECURSIVE {_MINHASH_SIGS},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bv FROM sigs"
+        for b in range(4))}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, s, len(s) AS n FROM shs),
+    pairs AS (
+      SELECT ia, ib FROM (
+        SELECT ia, ib,
+               len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (sa.n + sb.n - len(list_intersect(sa.s, sb.s))) AS jaccard
+        FROM cands JOIN sets sa ON sa.doc_id = ia
+                   JOIN sets sb ON sb.doc_id = ib)
+      WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+    SELECT d.doc_id,
+           COALESCE(r.cluster, d.doc_id) AS cluster
+    FROM documents d
+    LEFT JOIN (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) r
+      ON r.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_cluster_ingest(spark, sf_dir):
+    """INCREMENTAL duplicate-cluster maintenance
+    (operators/clusterindex.py): standing (doc_id, cluster) groups that
+    absorb an ingest batch by touching only the batch and the clusters
+    it bridges — never re-clustering the settled corpus. The edge
+    relation is deterministic (LSH band candidates verified at exact
+    Jaccard >= 0.5), so incremental == from-scratch is an exact equality
+    the oracle checks: it re-derives the same bands, verifies the same
+    pairs, and closes the components with a recursive CTE over the FULL
+    final corpus, singletons included. The builder clusters the %10!=9
+    slice, then ingests the %10==9 batch (index probe finds batch↔corpus
+    edges, a batch-local LSH pass finds batch↔batch, monotone relabeling
+    merges bridged clusters)."""
+    from .operators import clusterindex as CI
+    from .operators import lshindex as LX
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("clustidx", sf_dir)
+    base, idx, cl = root + "/docs", root + "/idx", root + "/clusters"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    TF.create_table(docs.where(F.col("doc_id") % 10 != 9), base)
+    LX.build_lsh_index(spark, base, idx)
+    CI.build_cluster_index(spark, idx, cl, threshold=0.5)
+    TF.merge_into(
+        spark, base, docs.where(F.col("doc_id") % 10 == 9),
+        on="doc_id", when_matched=None,
+    )
+    CI.ingest_clusters(spark, cl)
+    return CI.read_clusters(spark, cl).orderBy("doc_id")
+
+
+@register(
     "streaming_lsh_ingest_probe",
     f"""
     WITH {_MINHASH_SIGS},
