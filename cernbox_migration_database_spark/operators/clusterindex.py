@@ -125,6 +125,16 @@ def ingest_clusters(spark: SparkSession, cluster_root: str) -> int:
             "recompute; rebuild with build_cluster_index()"
         )
     batch = ch.drop("_change_type")
+    if batch.isEmpty():
+        # layout-only window (compaction/Z-order commits): nothing to
+        # cluster, but the index + state still advance to the new version
+        LX.refresh_lsh_index(spark, idx)
+        st["base_version"] = cur
+        with open(
+            os.path.join(cluster_root, _STATE), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(st, fh)
+        return cur
     # edges incident to the batch: against the settled corpus via the
     # index (pre-refresh, so no self-matches), within the batch via a
     # batch-local LSH pass

@@ -155,3 +155,37 @@ def test_delete_window_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="split a component"):
         CI.ingest_clusters(spark, cl)
+
+
+def test_compaction_window_is_layout_only_noop(spark, tmp_path):
+    """OPTIMIZE on the base table between ingests must not perturb the
+    cluster map or the index contents — compaction commits are
+    layout-only and the change feed ignores them."""
+    base, idx, cl = _mk(spark, tmp_path)
+    before = _cmap(spark, cl)
+    bands_before = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "bands")).collect()
+    )
+    TF.compact(spark, base)
+    assert CI.ingest_clusters(spark, cl) == TF.current_version(base)
+    assert _cmap(spark, cl) == before
+    assert (
+        sorted(
+            tuple(r)
+            for r in TF.read_table(
+                spark, os.path.join(idx, "bands")
+            ).collect()
+        )
+        == bands_before
+    )
+    # and a real batch after the compaction still folds correctly
+    TF.merge_into(
+        spark, base,
+        spark.createDataFrame(
+            [(40, _T1 + " iota kappa lambda")], "doc_id long, text string"
+        ),
+        on="doc_id", when_matched=None,
+    )
+    CI.ingest_clusters(spark, cl)
+    assert _cmap(spark, cl)[40] == 1

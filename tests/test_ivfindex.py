@@ -159,3 +159,18 @@ def test_filtered_probe_restricts_to_predicate(spark, tmp_path):
         spark, idx, queries, nprobe=3, top_k=20, where="grp = 1"
     ).collect()
     assert 33 in {r["neighbor_id"] for r in rows2}
+
+
+def test_base_compaction_is_a_content_noop_for_refresh(spark, tmp_path):
+    base, idx, cents = _mk(spark, tmp_path)
+    before = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "cells")).collect()
+    )
+    TF.compact(spark, base)
+    assert IX.refresh_ivf_index(spark, idx) == TF.current_version(base)
+    after = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "cells")).collect()
+    )
+    assert after == before

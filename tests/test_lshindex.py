@@ -221,3 +221,22 @@ def test_streaming_sink_post_batch_refresh_survives_replay(spark, tmp_path):
         for r in LX.probe_lsh_index(spark, idx, _batch(spark)).collect()
     }
     assert (100, 50) in found
+
+
+def test_base_compaction_is_a_content_noop_for_refresh(spark, tmp_path):
+    """OPTIMIZE on the base table bumps its version with a layout-only
+    commit; refresh must advance the index's recorded version without
+    changing a single band row."""
+    base, idx = _mk(spark, tmp_path)
+    before = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "bands")).collect()
+    )
+    TF.compact(spark, base)
+    assert LX.refresh_lsh_index(spark, idx) == TF.current_version(base)
+    after = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "bands")).collect()
+    )
+    assert after == before
+    assert LX._state(idx)["base_version"] == TF.current_version(base)
