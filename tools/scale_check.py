@@ -33,6 +33,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --joinview [k] [sf_dir]
        python tools/scale_check.py --r6 [k] [sf_dir]
        python tools/scale_check.py --lshindex [k] [sf_dir] [runs]
+       python tools/scale_check.py --clusterindex [k] [sf_dir]
 Prints one JSON line.
 """
 
@@ -506,6 +507,88 @@ def lshindex_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def clusterindex_mode_main(argv: list[str]) -> int:
+    """--clusterindex: does duplicate-cluster INGEST stay batch-bound
+    while the settled corpus grows? Corpus at 1x and kx (dedup replica —
+    disjoint shard vocabularies), a FIXED batch (shard-0 %10==0 docs,
+    re-tagged with fresh ids) ingested into the standing cluster map vs
+    the non-incremental alternative: re-clustering the whole corpus from
+    scratch. Grades: ingest ratio kx/1x (flat is the claim) and ingest
+    vs full re-cluster at kx."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import clusterindex as CI
+    from cernbox_migration_database_spark.operators import lshindex as LX
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-clusterindex")
+    replica = build_dedup_replica(spark, sf_dir, k)
+    out = {}
+    for tag, d in (("1x", sf_dir), (f"{k}x", replica)):
+        docs = spark.read.parquet(
+            os.path.join(d, "documents.parquet")
+        ).select("doc_id", "text")
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        batch = docs.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1_000_000_000)
+        ).select((F.col("doc_id") + 5_000_000_000).alias("doc_id"), "text")
+        with tempfile.TemporaryDirectory() as tdir:
+            base, idx, cl = (
+                os.path.join(tdir, "docs"),
+                os.path.join(tdir, "idx"),
+                os.path.join(tdir, "cl"),
+            )
+            TF.create_table(corpus, base)
+            LX.build_lsh_index(spark, base, idx)
+            t0 = time.monotonic()
+            CI.build_cluster_index(spark, idx, cl, threshold=0.5)
+            build = time.monotonic() - t0
+            TF.merge_into(
+                spark, base, batch, on="doc_id", when_matched=None
+            )
+            t0 = time.monotonic()
+            CI.ingest_clusters(spark, cl)
+            ingest = time.monotonic() - t0
+            # the non-incremental alternative on the grown corpus
+            idx2, cl2 = os.path.join(tdir, "idx2"), os.path.join(tdir, "cl2")
+            LX.build_lsh_index(spark, base, idx2)
+            t0 = time.monotonic()
+            CI.build_cluster_index(spark, idx2, cl2, threshold=0.5)
+            recluster = time.monotonic() - t0
+        out[tag] = {
+            "initial_cluster_sec": round(build, 3),
+            "ingest_sec": round(ingest, 3),
+            "full_recluster_sec": round(recluster, 3),
+        }
+        U.release_persisted()
+    kx = f"{k}x"
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_clusterindex",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "scales": out,
+                "ingest_ratio": round(
+                    out[kx]["ingest_sec"] / out["1x"]["ingest_sec"], 2
+                ),
+                "ingest_vs_recluster_kx": round(
+                    out[kx]["ingest_sec"] / out[kx]["full_recluster_sec"], 2
+                ),
+            }
+        )
+    )
+    shutil.rmtree(replica, ignore_errors=True)
+    return 0
+
+
 def joinview_mode_main(argv: list[str]) -> int:
     """--joinview: does incremental join-view refresh stay delta-bound
     while the fact table scales? A = orders replicated k-fold into
@@ -852,6 +935,9 @@ def main() -> int:
     if "--lshindex" in argv:
         argv.remove("--lshindex")
         return lshindex_mode_main(argv)
+    if "--clusterindex" in argv:
+        argv.remove("--clusterindex")
+        return clusterindex_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
