@@ -150,7 +150,16 @@ def ingest_clusters(spark: SparkSession, cluster_root: str) -> int:
         k=st_idx["k"],
         threshold=st["threshold"],
     ).select("doc_a", "doc_b")
-    LX.refresh_lsh_index(spark, idx)
+    # hand the already-diffed window to the index refresh — the window is
+    # insert-only (checked above), so it equals the preimage-inclusive
+    # feed the refresh would re-derive with two more snapshot scans.
+    # Only valid when the index starts from the SAME version we diffed
+    # from (on replay the index may already be ahead — its own early
+    # return handles that, but a half-advanced index must re-derive)
+    if st_idx["base_version"] == st["base_version"]:
+        LX.refresh_lsh_index(spark, idx, _changes=ch)
+    else:
+        LX.refresh_lsh_index(spark, idx)
 
     clusters = TF.read_table(spark, cluster_root)
     # corpus endpoints collapse to their CLUSTER LABEL: components over

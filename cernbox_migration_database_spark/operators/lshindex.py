@@ -125,19 +125,26 @@ def _state(index_root: str) -> dict:
         return json.load(fh)
 
 
-def refresh_lsh_index(spark: SparkSession, index_root: str) -> int:
+def refresh_lsh_index(
+    spark: SparkSession, index_root: str, _changes: DataFrame | None = None
+) -> int:
     """Fold the base change feed: inserted/updated docs' band rows merge
     in, deleted/updated docs' OLD rows are reconstructed from the
     change-feed pre-images and merge-deleted — signature cost is
     O(changed docs), write cost is bounded by the buckets their band
     values hash into (the with_bucket COW discipline). The index is a
-    pure function of the corpus snapshot again afterwards."""
+    pure function of the corpus snapshot again afterwards.
+
+    ``_changes`` lets a caller that already diffed the SAME
+    (state-version → current) window (clusterindex ingest) hand it over
+    instead of paying the two snapshot scans again; it must carry
+    ``_change_type`` with pre-images included."""
     st = _state(index_root)
     cur = TF.current_version(st["base_root"])
     if cur == st["base_version"]:
         return cur
     bands_root = os.path.join(index_root, "bands")
-    ch = TF.read_changes(
+    ch = _changes if _changes is not None else TF.read_changes(
         spark,
         st["base_root"],
         key=st["id_col"],

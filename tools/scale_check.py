@@ -555,10 +555,12 @@ def clusterindex_mode_main(argv: list[str]) -> int:
             t0 = time.monotonic()
             CI.ingest_clusters(spark, cl)
             ingest = time.monotonic() - t0
-            # the non-incremental alternative on the grown corpus
+            # the non-incremental alternative on the grown corpus: a
+            # from-scratch pass must rebuild BOTH artifacts the
+            # incremental path maintains (index + map)
             idx2, cl2 = os.path.join(tdir, "idx2"), os.path.join(tdir, "cl2")
-            LX.build_lsh_index(spark, base, idx2)
             t0 = time.monotonic()
+            LX.build_lsh_index(spark, base, idx2)
             CI.build_cluster_index(spark, idx2, cl2, threshold=0.5)
             recluster = time.monotonic() - t0
         out[tag] = {
