@@ -116,10 +116,17 @@ def bm25_probe(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 50,
+    require_all: bool = False,
 ) -> DataFrame:
     """BM25 top-k via the index: manifest-planned read of the probed
     buckets only, then the standard scoring join. Value-identical to the
-    full-scan formulation (same scaled-long quantization)."""
+    full-scan formulation (same scaled-long quantization).
+
+    ``require_all=True`` is the conjunctive (AND) mode: only documents
+    containing EVERY distinct query term are ranked. The qualifier is one
+    count-distinct over the already-pruned postings slice — probe cost is
+    unchanged — and document frequencies stay corpus-wide (standard BM25
+    idf is a term property, not a result-set property)."""
     with open(os.path.join(base, _META), encoding="utf-8") as fh:
         meta = json.load(fh)
     buckets = _term_buckets(spark, terms, meta["n_buckets"])
@@ -142,6 +149,14 @@ def bm25_probe(
     n_docs = F.lit(meta["n_docs"])
     avgdl = F.lit(float(meta["total_tokens"]) / meta["n_docs"])
     dfreq = tf_scan.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    if require_all:
+        qualifying = (
+            tf_scan.groupBy("doc_id")
+            .agg(F.count_distinct("tok").alias("__nt"))
+            .where(F.col("__nt") == len(set(terms)))
+            .select("doc_id")
+        )
+        tf_scan = tf_scan.join(qualifying, "doc_id", "left_semi")
     s = (
         F.log(1.0 + (n_docs - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5))
         * (F.col("tfc") * F.lit(k1 + 1.0))

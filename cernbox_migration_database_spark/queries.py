@@ -8235,6 +8235,62 @@ PHASED["search_bm25_indexed"] = (_bm25_indexed_build, _bm25_indexed_probe)
 ORACLE["search_bm25_indexed"] = ORACLE["bm25_search"]
 
 
+@register(
+    "search_bm25_conjunctive",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tfc FROM toks
+      WHERE tok IN {repr(tuple(_BM25_TERMS))} GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+    qual AS (
+      SELECT doc_id FROM tf
+      GROUP BY doc_id HAVING COUNT(DISTINCT tok) = {len(set(_BM25_TERMS))}),
+    term_scores AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.dfc + 0.5) / (df.dfc + 0.5))
+             * (tf.tfc * ({_BM25_K1!r} + 1.0))
+             / (tf.tfc + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                + {_BM25_B!r} * dl.dlen / stats.avgdl)) AS s
+      FROM tf JOIN qual USING (doc_id)
+              JOIN dl USING (doc_id) JOIN df USING (tok), stats),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(s AS DECIMAL(18,12)) * 1000000000000
+                  AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS score
+      FROM term_scores GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def search_bm25_conjunctive(spark, sf_dir):
+    """Conjunctive (AND) retrieval through the inverted index: only
+    documents containing EVERY query term are ranked (BM25 scores,
+    corpus-wide idf). The qualifier is one count-distinct over the
+    already-pruned postings slice, so the probe still reads |terms|
+    buckets — boolean search costs nothing extra at 100 TB. The oracle
+    reruns the scan-path BM25 with a HAVING-all-terms gate."""
+    from .operators import textindex as TI
+
+    base = _versioned_scratch("textidx_and", sf_dir)
+    TI.build_text_index(spark, _t(spark, sf_dir, "documents"), base)
+    return TI.bm25_probe(
+        spark, base, list(_BM25_TERMS),
+        k1=_BM25_K1, b=_BM25_B, top_k=50, require_all=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-5 additions: exact-fixed-point distributed k-means, cosine range
 # search, shingle containment, blocking-key entity resolution
