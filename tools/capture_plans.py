@@ -28,6 +28,12 @@ SHOW = {
     "text_winnowing": "winnowing fingerprints: shifted-slice zip_with hash pipeline, persisted pre-explode (inferred-filter barrier); zero exchanges",
     "similarity_pq_adc": "PQ search: broadcast per-query LUT joined to the compact code index — corpus vectors never load",
     "graph_pagerank": "3 integer PageRank rounds: per round one edge equi-join + map-side-combinable SUM, edges/degrees persisted once",
+    # round 7 additions
+    "dedup_lsh_probe_index": "LSH index probe: batch signatures -> pruned bucket scan (manifest-planned, no listing) -> candidate equi-join -> exact verify on candidates only",
+    "similarity_ivf_index_probe": "IVF index probe: row-local centroid ranking, nprobe cell partitions scanned, vectors projected away before the ranking exchange",
+    "search_bm25_conjunctive": "boolean AND retrieval: count-distinct qualifier over the pruned postings slice, corpus-wide idf, scaled-long score quantization",
+    "text_lm_cross_entropy": "bigram LM: two keyed count aggregations train; scoring joins doc bigrams to counts on their keys; 1-row vocab scalar is the only broadcast",
+    "approx_distinct_store": "KMV store estimates: k-minima states only (KiB-scale), zero base-table IO in the plan",
     "profile_orders": "N exact COUNT(DISTINCT) via one Expand feeding a single partial+final aggregation; stack-unpivot on the 1-row agg",
     "bloom_decontaminate": "bloom prefilter: corpus probe is row-local codegen arithmetic against ONE binary literal (zero joins); only bloom survivors reach the broadcast exact-verify join",
     "similarity_ivf_pq": "IVF-PQ: row-local cell assignment + per-query LUT, broadcast probe join restricts ADC to nprobe/n_cells of the code table, map-side-combinable SUM",
@@ -829,6 +835,21 @@ def main() -> None:
         out.append("")
     out.append(EPILOGUE.strip())
     out.append("")
+    # preserve the per-round narrative: everything at/after the marker in
+    # the existing file survives regeneration (the plan dumps above are
+    # the only regenerated part)
+    marker = (
+        "<!-- NARRATIVE (per-round, appended by builders) — "
+        "capture_plans.py preserves everything below this line -->"
+    )
+    try:
+        existing = open("/root/repo/PLANS.md").read()
+        i = existing.find(marker)
+        if i >= 0:
+            out.append(existing[i:].rstrip())
+            out.append("")
+    except OSError:
+        pass
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written ({len(out)} lines)")
