@@ -58,9 +58,12 @@ HEADLINE = [
     # round-6 session 3: the inverted-index build+probe path (index cost
     # is the corpus tokenization; probe reads only the probed buckets)
     "search_bm25_indexed",
-    # round 7: the incremental near-dup index — build+refresh is the
-    # amortized phase, the probe is the per-batch service cost
-    "dedup_lsh_probe_index",
+    # NOT headlined: dedup_lsh_probe_index — its registered form runs the
+    # full build→insert-fold→delete-fold lifecycle (~14 s at sf0.1, high
+    # variance from many small jobs), which would swamp the like-for-like
+    # round comparison; the operator's latency story is tracked by
+    # `scale_check --lshindex` (probe flat in corpus size; 0.18x of the
+    # one-shot LSH at 20x) and its correctness by the driver differential.
 ]
 
 WARM_PASSES = 2
