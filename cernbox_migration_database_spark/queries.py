@@ -4506,6 +4506,50 @@ def similarity_ivf_index_probe(spark, sf_dir):
 
 
 @register(
+    "similarity_ivfpq_index_probe",
+    None,  # oracle assigned below (the parameterized IVF-PQ oracle)
+)
+def similarity_ivfpq_index_probe(spark, sf_dir):
+    """ANN through the INCREMENTAL IVF-PQ index (operators/ivfpqindex.py)
+    — the memory-optimal member of the index family: cell-partitioned
+    posting lists hold m=8 sub-quantizer CODES per vector (an index ~100x
+    smaller than the vectors), maintained through the change feed across
+    the full insert/delete/update lifecycle with centroids AND codebooks
+    fixed at build. Probes name nprobe cell partitions row-locally, read
+    only those, and rank by exact-integer asymmetric distance through a
+    broadcast per-query LUT. The oracle replays the full composite over
+    the post-change corpus. Builder: build on the %10!=7 slice (plus
+    seeds), insert-fold the rest, delete-fold %100==23 — same lifecycle
+    as the plain-IVF twin, so the two indexes stay directly comparable."""
+    from .operators import ivfpqindex as PQX
+    from .operators import table_format as TF
+
+    root = _versioned_scratch("ivfpqidx", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus0 = emb.where(
+        (F.col("vec_id") % 10 != 7) | (F.col("vec_id") < 16)
+    )
+    TF.create_table(corpus0, base)
+    PQX.build_ivfpq_index(
+        spark, base, idx,
+        S.seed_centroids(corpus0, k=16),
+        S.pq_codebooks(corpus0),
+    )
+    TF.merge_into(
+        spark, base,
+        emb.where((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16)),
+        on="vec_id", when_matched=None,
+    )
+    PQX.refresh_ivfpq_index(spark, idx)
+    TF.delete_where(spark, base, F.col("vec_id") % 100 == 23)
+    PQX.refresh_ivfpq_index(spark, idx)
+    return PQX.probe_ivfpq_index(
+        spark, idx, emb.where(F.col("vec_id") < 20), nprobe=4, top_k=5
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "similarity_ivf_filtered",
     f"""
     WITH nv AS (
@@ -4781,7 +4825,10 @@ def similarity_pq_adc(spark, sf_dir):
     )
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(member: str = "TRUE") -> str:
+    """``member`` restricts corpus MEMBERSHIP (which vectors live in the
+    index) without touching the seed rows — the incremental-index twin
+    passes the post-lifecycle predicate."""
     el = _SCALED_EL.format(v="v")
     sq = "(x[1]-x[2])*(x[1]-x[2])"
     return f"""
@@ -4801,7 +4848,8 @@ def _ivf_pq_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY ccos DESC, cent_id) AS r
       FROM ac),
-    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells
+              WHERE r = 1 AND ({member})),
     probe AS (SELECT vec_id AS query_id, cent_id AS cell
               FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
     cand AS (
@@ -4866,6 +4914,11 @@ def similarity_ivf_pq(spark, sf_dir):
     return S.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 20), cents, books, nprobe=4, top_k=5
     )
+
+
+ORACLE["similarity_ivfpq_index_probe"] = _ivf_pq_oracle(
+    member="vec_id % 100 <> 23"
+) + "\n    ORDER BY query_id, rank"
 
 
 @register("similarity_pq_encode", _pq_oracle())

@@ -1,0 +1,111 @@
+"""Incremental IVF-PQ index (operators/ivfpqindex.py): probes must match
+the one-shot ivf_pq_topk, and refresh must leave the code table identical
+to a from-scratch rebuild across the insert/delete/update lifecycle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark.operators import ivfpqindex as PQ
+from cernbox_migration_database_spark.operators import similarity as S
+from cernbox_migration_database_spark.operators import table_format as TF
+
+
+def _vec(i: int) -> list[float]:
+    axis = i % 2
+    v = [
+        0.05 * ((i * 7) % 5), 0.05 * ((i * 11) % 5),
+        0.05 * ((i * 13) % 5), 0.05 * ((i * 3) % 5),
+    ]
+    v[axis * 2] += 2.0 + 0.01 * i
+    return v
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _mk(spark, tmp_path, ids=range(24)):
+    base, idx = str(tmp_path / "emb"), str(tmp_path / "idx")
+    df = _emb(spark, ids)
+    TF.create_table(df, base)
+    cents = S.seed_centroids(df, k=2)
+    books = S.pq_codebooks(df, m=2, k=4)  # dim 4 -> 2 subspaces of 2
+    PQ.build_ivfpq_index(spark, base, idx, cents, books)
+    return base, idx, cents, books
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc"])
+        for r in df.collect()
+    )
+
+
+def test_probe_matches_one_shot_ivf_pq(spark, tmp_path):
+    base, idx, cents, books = _mk(spark, tmp_path)
+    corpus = TF.read_table(spark, base)
+    queries = _emb(spark, [0, 1, 3])
+    got = _rows(PQ.probe_ivfpq_index(spark, idx, queries, nprobe=1, top_k=3))
+    want = _rows(
+        S.ivf_pq_topk(corpus, queries, cents, books, nprobe=1, top_k=3)
+    )
+    assert got == want and len(got) > 0
+    # nprobe = n_cells degenerates to full-corpus ADC (both paths)
+    got2 = _rows(PQ.probe_ivfpq_index(spark, idx, queries, nprobe=2, top_k=3))
+    codes = S.pq_encode(corpus, books)
+    want2 = _rows(S.pq_adc_topk(codes, queries, books, top_k=3))
+    assert got2 == want2
+
+
+def test_refresh_equals_rebuild_across_lifecycle(spark, tmp_path):
+    base, idx, cents, books = _mk(spark, tmp_path)
+    TF.merge_into(
+        spark, base, _emb(spark, [40, 41]), on="vec_id", when_matched=None
+    )
+    TF.delete_where(spark, base, F.col("vec_id") == 6)
+    moved = spark.createDataFrame(
+        [(7, [9.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    TF.merge_into(spark, base, moved, on="vec_id")  # cross-cell move
+    assert PQ.refresh_ivfpq_index(spark, idx) == TF.current_version(base)
+
+    idx2 = str(tmp_path / "idx2")
+    PQ.build_ivfpq_index(spark, base, idx2, cents, books)
+
+    def rows(root):
+        return sorted(
+            tuple(r)
+            for r in TF.read_table(
+                spark, os.path.join(root, "codes")
+            ).collect()
+        )
+
+    assert rows(idx) == rows(idx2)
+    by_id = {}
+    for r in TF.read_table(spark, os.path.join(idx, "codes")).collect():
+        by_id.setdefault(r["vec_id"], set()).add(r["cell"])
+    assert 6 not in by_id
+    assert by_id[7] == {0}  # moved onto the x-axis cell
+    # probes through the refreshed index match one-shot on final corpus
+    queries = _emb(spark, [1, 3])
+    got = _rows(PQ.probe_ivfpq_index(spark, idx, queries, nprobe=2, top_k=3))
+    want = _rows(
+        S.ivf_pq_topk(
+            TF.read_table(spark, base), queries, cents, books,
+            nprobe=2, top_k=3,
+        )
+    )
+    assert got == want
+    # no-op refresh + compaction no-op
+    v = TF.current_version(os.path.join(idx, "codes"))
+    assert PQ.refresh_ivfpq_index(spark, idx) == TF.current_version(base)
+    assert TF.current_version(os.path.join(idx, "codes")) == v
+    TF.compact(spark, base)
+    assert PQ.refresh_ivfpq_index(spark, idx) == TF.current_version(base)
+    assert rows(idx) == rows(idx2)
