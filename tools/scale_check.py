@@ -78,6 +78,10 @@ DEDUP_QUERIES = (
     "bloom_decontaminate",
     "similarity_ivf_pq",
     "dedup_repeated_spans",
+    # round 7: the incremental IVF-PQ index probe — queries live in shard
+    # 0 (vec_id < 20), the code table holds k x the rows; probe cost
+    # should stay bounded by nprobe cells
+    "similarity_ivfpq_index_probe",
 )
 
 
