@@ -27,7 +27,7 @@ rows (vec_id < 20 queries, codebook seeds) live only in shard 0, so ANN
 probe count stays fixed while the scanned corpus scales.
 
 Usage: python tools/scale_check.py [k] [sf_dir] [runs]
-       python tools/scale_check.py --dedup [k] [sf_dir] [runs]
+       python tools/scale_check.py --dedup [k] [sf_dir] [runs]   (add --isolate for per-query fresh-JVM timing)
        python tools/scale_check.py --table [k] [sf_dir]
        python tools/scale_check.py --textindex [k] [sf_dir] [runs]
        python tools/scale_check.py --joinview [k] [sf_dir]
@@ -176,6 +176,30 @@ def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
         ts.append(time.monotonic() - t0)
         U.release_persisted()
     return statistics.median(ts)
+
+
+def time_query_isolated(name: str, sf_dir: str, runs: int) -> float:
+    """time_query in a FRESH subprocess/JVM: the r7 prefix-filter episode
+    showed in-session sequential timing mis-grades heavy queries by up to
+    ~8x (accumulated heap/GC from earlier queries in the batch); a fresh
+    process per (query, scale) is the bench protocol's proven fix."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--_time-one", name, sf_dir, str(runs),
+        ],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("T=")]
+    if not lines:
+        raise RuntimeError(
+            f"isolated timing of {name} produced no result: "
+            f"{out.stderr[-500:]}"
+        )
+    return float(lines[-1][2:])
 
 
 def table_mode_main(argv: list[str]) -> int:
@@ -925,6 +949,15 @@ def r6_mode_main(argv: list[str]) -> int:
 
 def main() -> int:
     argv = list(sys.argv[1:])
+    if "--_time-one" in argv:  # internal: one (query, dir) in this process
+        i = argv.index("--_time-one")
+        name, d, runs = argv[i + 1], argv[i + 2], int(argv[i + 3])
+        spark = get_spark(app_name=f"scale-one-{name}")
+        print(f"T={time_query(spark, name, d, runs)}")
+        return 0
+    isolate = "--isolate" in argv
+    if isolate:
+        argv.remove("--isolate")
     dedup_mode = "--dedup" in argv
     if "--table" in argv:
         argv.remove("--table")
@@ -959,9 +992,14 @@ def main() -> int:
         replica = build_replica(sf_dir, k)
         names = QUERIES
     results = {}
+    timer = (
+        (lambda n, d: time_query_isolated(n, d, runs))
+        if isolate
+        else (lambda n, d: time_query(spark, n, d, runs))
+    )
     for name in names:
-        t1 = time_query(spark, name, sf_dir, runs)
-        tk = time_query(spark, name, replica, runs)
+        t1 = timer(name, sf_dir)
+        tk = timer(name, replica)
         results[name] = {
             "t_1x_sec": round(t1, 3),
             f"t_{k}x_sec": round(tk, 3),
