@@ -167,8 +167,9 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
     a1, b1 = current_version(a_root), current_version(b_root)
     if (a0, b0) == (a1, b1):
         if recovered:
-            # the crashed run may have died before its zero-prune too
-            _check_and_prune(spark, mv_root)
+            # the crashed run may have died before its zero-prune; its
+            # delta is gone, so this branch alone pays a full-view pass
+            _check_and_prune(spark, mv_root, touched=None)
         return a1, b1
     out = on + st["a_cols"] + st["b_cols"]
     halves = []
@@ -200,7 +201,7 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
         txn=(_TXN_APP, seq),
         commit_meta={"jv_window": [a0, b0, a1, b1]},
     )
-    _check_and_prune(spark, mv_root)
+    _check_and_prune(spark, mv_root, touched=delta.select("__row"))
     st["a_version"], st["b_version"] = a1, b1
     st["fold_seq"] = seq
     with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
@@ -208,12 +209,24 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
     return a1, b1
 
 
-def _check_and_prune(spark: SparkSession, mv_root: str) -> None:
-    """Post-fold invariants in one view pass: no multiplicity may be
-    negative (impossible under single-maintainer + replay-safe folding —
-    raise rather than serve a corrupt view), and zero-multiplicity rows
-    are physically pruned."""
+def _check_and_prune(
+    spark: SparkSession, mv_root: str, touched: DataFrame | None
+) -> None:
+    """Post-fold invariants: no multiplicity may be negative (impossible
+    under single-maintainer + replay-safe folding — raise rather than
+    serve a corrupt view), and zero-multiplicity rows are physically
+    pruned.
+
+    On the normal fold path ``touched`` is the delta's ``__row`` key set
+    — only rows the fold could have changed are checked and pruned, so
+    the pass is a broadcast semi-join against a change-sized key set, not
+    a full-view aggregate, keeping the documented 'cost O(changes), never
+    a full join' contract. Only the crash-recovery branch (the crashed
+    run's delta is unrecoverable) passes ``touched=None`` and pays one
+    full-view pass."""
     mv = read_table(spark, mv_root)
+    if touched is not None:
+        mv = mv.join(touched.distinct(), "__row", "left_semi")
     # one action answers both post-conditions (refresh is a many-job
     # pipeline already; don't add two more for two boolean checks)
     flags = mv.agg(

@@ -212,10 +212,16 @@ def probe_lsh_index(
         return spark.createDataFrame(
             [], f"query_id {t}, corpus_id {t}, jaccard double"
         )
+    # query_id != corpus_id: probing a document already present in the
+    # indexed corpus must not return its trivial self-pair at jaccard 1.0
+    # — the same contract as probe_ivf_index/probe_ivfpq_index (and it
+    # removes clusterindex replay's hidden reliance on its label
+    # inner-join to drop them)
     cands = (
         TF.scan_partitions(spark, bands_root, rels)
         .join(qb.drop("bucket"), ["band", "bv"])
         .select("query_id", F.col("doc_id").alias("corpus_id"))
+        .where(F.col("query_id") != F.col("corpus_id"))
         .distinct()
     )
     corpus = TF.read_table(spark, st["base_root"], st["base_version"]).join(

@@ -86,9 +86,23 @@ def cached(
     return spark.read.parquet(data)
 
 
-def prune(cache_root: str, inputs_by_name: dict[str, dict[str, str]]) -> int:
+def prune(
+    cache_root: str,
+    inputs_by_name: dict[str, dict[str, str]],
+    tmp_grace_seconds: float = 900.0,
+) -> int:
     """Remove every cache slot whose key does not match its query's
-    inputs at their CURRENT versions. Returns slots removed."""
+    inputs at their CURRENT versions. Returns slots removed.
+
+    '<key>.tmp-<pid>' staging dirs get the same stale-after discipline as
+    the lock module: a YOUNG one is a concurrent builder mid-publish
+    (deleting it would make the racer's rename fail and leave it serving
+    a slot that was never published), but one older than
+    ``tmp_grace_seconds`` is an orphan from a crashed builder whose
+    rename never happened — sparing those unconditionally would leak disk
+    without bound."""
+    import time
+
     removed = 0
     for name, inputs in inputs_by_name.items():
         qdir = os.path.join(cache_root, name)
@@ -97,11 +111,16 @@ def prune(cache_root: str, inputs_by_name: dict[str, dict[str, str]]) -> int:
         versions = {a: current_version(r) for a, r in sorted(inputs.items())}
         keep = os.path.basename(_slot(cache_root, name, versions))
         for entry in os.listdir(qdir):
-            # '<key>.tmp-<pid>' is a concurrent builder's live staging dir
-            # — deleting it would make the racer's publish rename fail and
-            # leave it serving a slot that was never published
-            if entry == keep or ".tmp-" in entry:
+            path = os.path.join(qdir, entry)
+            if ".tmp-" in entry:
+                try:
+                    age = time.time() - os.stat(path).st_mtime
+                except OSError:
+                    continue  # published or cleaned up under us
+                if age <= tmp_grace_seconds:
+                    continue
+            elif entry == keep:
                 continue
-            shutil.rmtree(os.path.join(qdir, entry), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
             removed += 1
     return removed

@@ -200,13 +200,36 @@ class _CatalogLock:
     DISJOINT table sets never conflict on claims, so without this their
     concurrent catalog swaps would be a lost update. Held for the few ms
     of one JSON rewrite; a holder that died is broken after a grace
-    period (the swap is atomic, so breaking a dead lock is safe)."""
+    period (the swap is atomic, so breaking a dead lock is safe).
+
+    Every claim carries an **owner token** (pid+nonce file written right
+    after the mkdir). The token is what makes breaking safe: a breaker
+    only deletes a capture whose token IS the one it verified stale, so a
+    fresh holder that re-claimed between the breaker's read and its
+    capture is recognized by token mismatch and handed straight back; and
+    ``__exit__`` only releases a claim whose token matches its own, so a
+    displaced holder can never rmdir a new claimant's lock dir."""
 
     def __init__(self, catalog_path: str, timeout: float = 30.0,
                  stale_after: float = 60.0):
         self.path = catalog_path + ".lock"
         self.timeout = timeout
         self.stale_after = stale_after
+        self._token: str | None = None
+
+    def _read_claim(self, dirpath: str) -> tuple[str | None, float]:
+        """(owner token, age seconds) of the claim at ``dirpath``; falls
+        back to the dir's own mtime for the instant between a claimant's
+        mkdir and its token write."""
+        import time as _time
+
+        tp = os.path.join(dirpath, "owner")
+        try:
+            with open(tp, encoding="utf-8") as fh:
+                tok = fh.read()
+            return tok, _time.time() - os.stat(tp).st_mtime
+        except OSError:
+            return None, _time.time() - os.stat(dirpath).st_mtime
 
     def __enter__(self):
         import time as _time
@@ -215,27 +238,34 @@ class _CatalogLock:
         while True:
             try:
                 os.mkdir(self.path)
-                return self
             except FileExistsError:
                 try:
-                    age = _time.time() - os.stat(self.path).st_mtime
-                except FileNotFoundError:
-                    continue
+                    tok, age = self._read_claim(self.path)
+                except OSError:
+                    continue  # holder released under us; retry the mkdir
                 if age > self.stale_after:
-                    self._break_stale()
+                    self._break_stale(tok)
                     continue
                 if _time.monotonic() > deadline:
                     raise TimeoutError(f"catalog lock {self.path} held too long")
                 _time.sleep(0.02)
+            else:
+                self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
+                with open(
+                    os.path.join(self.path, "owner"), "w", encoding="utf-8"
+                ) as fh:
+                    fh.write(self._token)
+                return self
 
-    def _break_stale(self) -> None:
-        """Break an apparently-stale lock WITHOUT the stat→rmdir TOCTOU:
-        claim it with one atomic rename to a unique tombstone (only one
-        breaker can win the rename — two concurrent breakers can't both
-        'free' it and delete a fresh holder's claim), then re-verify the
-        captured dir really is stale. If the holder released and a FRESH
-        holder re-claimed between our stat and the rename, the tombstone's
-        mtime is young — hand the claim straight back."""
+    def _break_stale(self, seen_token: str | None) -> None:
+        """Break the claim whose token we just verified stale, WITHOUT the
+        stat→rmdir TOCTOU: capture it with one atomic rename to a unique
+        tombstone (only one breaker can win the rename), then check the
+        captured claim's token against ``seen_token``. Identity match +
+        still-stale ⇒ it really is the dead claim — delete it. Any
+        mismatch ⇒ the holder released and a FRESH claimant re-claimed
+        between our read and the rename — hand the capture straight back
+        untouched."""
         import shutil
         import time as _time
 
@@ -245,21 +275,44 @@ class _CatalogLock:
         except OSError:
             return  # holder released, or another breaker won the rename
         try:
-            stale = _time.time() - os.stat(tomb).st_mtime > self.stale_after
-        except FileNotFoundError:
-            return
-        if not stale:
+            tok, age = self._read_claim(tomb)
+        except OSError:
+            tok, age = None, 0.0
+        if tok != seen_token or age <= self.stale_after:
             try:
                 os.rename(tomb, self.path)
-                return
             except OSError:
-                pass  # a third claimant took the path; drop our capture
+                # a waiter mkdir'd the freed path before the hand-back: the
+                # displaced fresh holder keeps running, but its token-guarded
+                # __exit__ will leave the new claimant's dir alone. Surface
+                # the breach instead of hiding it.
+                shutil.rmtree(tomb, ignore_errors=True)
+                import warnings
+
+                warnings.warn(
+                    f"catalog lock {self.path}: displaced a fresh holder "
+                    "during stale-break hand-back (token "
+                    f"{tok!r}); its exit is token-guarded",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            return
         shutil.rmtree(tomb, ignore_errors=True)
 
     def __exit__(self, *exc):
         try:
+            with open(
+                os.path.join(self.path, "owner"), encoding="utf-8"
+            ) as fh:
+                tok = fh.read()
+        except OSError:
+            return  # our claim was broken away — nothing of ours to release
+        if tok != self._token:
+            return  # someone else's claim now holds the path — leave it
+        try:
+            os.remove(os.path.join(self.path, "owner"))
             os.rmdir(self.path)
-        except FileNotFoundError:
+        except OSError:
             pass
 
 

@@ -186,3 +186,32 @@ def test_crash_recovery_with_delete_window_does_not_false_positive(
     assert _rows(JV.read_join_view(spark, mv, expand=True)) == _rows(
         _recompute(spark, a_root, b_root)
     )
+
+
+def test_check_and_prune_is_delta_scoped(spark, roots):
+    """ADVICE r7: the post-fold invariant check regressed to a full-view
+    aggregate per refresh. It must be scoped to the fold's touched rows —
+    pinned here by planting an (invalid) negative multiplicity on an
+    UNTOUCHED tuple: a refresh whose delta doesn't touch it must not see
+    it (delta-scoped => no raise), while the crash-recovery full pass
+    (touched=None) still does."""
+    a_root, b_root, mv = roots
+    # corrupt one settled row directly in the view's storage
+    victim = TF.read_table(spark, mv).where(
+        (F.col("k") == 2) & (F.col("amt") == 20.0)
+    ).withColumn("n_dup", F.lit(-5).cast("long"))
+    TF.merge_into(
+        spark, mv, victim, on="__row",
+        update_set={"n_dup": lambda t, s: s["n_dup"]},
+        when_not_matched=None, check_cardinality=False,
+    )
+    # a fold touching only k=3 tuples must not scan the corrupt k=2 row
+    TF.merge_into(
+        spark, a_root,
+        spark.createDataFrame([Row(oid=100, k=3, amt=999.0)]),
+        on="oid",
+    )
+    JV.refresh_join_view(spark, mv)  # delta-scoped: no raise
+    # the recovery-branch full pass still surfaces the corruption
+    with pytest.raises(ValueError, match="negative multiplicity"):
+        JV._check_and_prune(spark, mv, touched=None)

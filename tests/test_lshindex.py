@@ -240,3 +240,26 @@ def test_base_compaction_is_a_content_noop_for_refresh(spark, tmp_path):
     )
     assert after == before
     assert LX._state(idx)["base_version"] == TF.current_version(base)
+
+
+def test_probe_filters_self_pairs_of_already_indexed_docs(spark, tmp_path):
+    """ADVICE r7: probing documents already present in the indexed corpus
+    (the clusterindex replay shape) used to return trivial self-pairs at
+    jaccard 1.0, silently relying on downstream joins to drop them. The
+    probe contract now matches probe_ivf_index/probe_ivfpq_index:
+    query_id != corpus_id — while cross pairs (same content under a
+    DIFFERENT id) still surface."""
+    base, idx = _mk(spark, tmp_path)
+    # doc 4 verbatim (same id + text) plus a fresh near-dup of it
+    batch = _batch(
+        spark,
+        [
+            (4, "pack my box with five dozen liquor jugs for the long journey home"),
+            (300, "pack my box with five dozen liquor jugs for the long journey away"),
+        ],
+    )
+    got = _probe_set(spark, idx, batch)
+    found = {(q, c) for q, c, _ in got}
+    assert (4, 4) not in found          # no self-pair
+    assert (4, 5) in found              # its genuine corpus near-dup
+    assert (300, 4) in found            # same content, different id: kept

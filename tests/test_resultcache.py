@@ -118,3 +118,31 @@ def test_prune_spares_live_staging_dirs(spark, tmp_path):
     rep: dict = {}
     RC.cached(spark, cache, "agg", {"t": root}, _build, report=rep)
     assert rep["hit"] is True
+
+
+def test_prune_reaps_orphaned_staging_dirs_after_grace(spark, tmp_path):
+    """ADVICE r7: sparing every '.tmp-' entry unconditionally turned
+    crashed builders' orphaned staging dirs into an unbounded disk leak.
+    Prune now mirrors the lock module's stale-after discipline: young
+    staging dirs (live builders mid-publish) are spared, old ones are
+    reaped."""
+    import time
+
+    root, cache = str(tmp_path / "t"), str(tmp_path / "cache")
+    TF.create_table(
+        spark.createDataFrame([Row(id=1, grp="a", val=1.0)]), root
+    )
+    RC.cached(spark, cache, "agg", {"t": root}, _build)
+    qdir = os.path.join(cache, "agg")
+    young = os.path.join(qdir, "deadbeef00000000.tmp-12345")
+    os.makedirs(young)
+    orphan = os.path.join(qdir, "cafebabe00000000.tmp-99999")
+    os.makedirs(orphan)
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    assert RC.prune(cache, {"agg": {"t": root}}, tmp_grace_seconds=900) == 1
+    assert os.path.isdir(young) and not os.path.exists(orphan)
+    # the published current slot is untouched
+    rep: dict = {}
+    RC.cached(spark, cache, "agg", {"t": root}, _build, report=rep)
+    assert rep["hit"] is True

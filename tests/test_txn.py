@@ -217,19 +217,81 @@ def test_stale_break_is_single_winner_and_spares_fresh_locks(tmp_path):
     old = _time.time() - 120
     os.utime(lockdir, (old, old))
     lk = TX._CatalogLock(cat, stale_after=60.0)
-    lk._break_stale()
+    lk._break_stale(None)
     assert not os.path.exists(lockdir)
 
     # 2) FRESH lock captured by a breaker that stat'ed before the holder
     # re-acquired: must be handed back intact, not deleted
     os.mkdir(lockdir)
-    lk._break_stale()
+    lk._break_stale(None)
     assert os.path.isdir(lockdir)
+    os.rmdir(lockdir)
 
     # 3) two breakers racing a stale lock: the rename loser is a no-op
     # (simulated by the winner having already captured the dir)
+    os.mkdir(lockdir)
     os.utime(lockdir, (old, old))
-    lk._break_stale()          # winner breaks it
+    lk._break_stale(None)      # winner breaks it
     assert not os.path.exists(lockdir)
-    lk._break_stale()          # loser: rename fails, returns quietly
+    lk._break_stale(None)      # loser: rename fails, returns quietly
+
+
+def test_stale_break_owner_token_guards(tmp_path):
+    """ADVICE r7: even the rename-capture break could free a FRESH
+    holder's re-claim for the capture's duration and then rmtree it on a
+    failed hand-back, and a displaced holder's __exit__ rmdir'd the NEW
+    claimant's lock dir. Claims now carry an owner token (pid+nonce):
+    the breaker deletes only a capture whose token matches the one it
+    verified stale, and __exit__ releases only its own token."""
+    import time as _time
+
+    cat = str(tmp_path / "c.json")
+    TX._atomic_write_json(cat, {"seq": 1, "tables": {}})
+    lockdir = cat + ".lock"
+    old = _time.time() - 120
+
+    # 1) token mismatch: breaker verified claim A stale, but holder B
+    # re-claimed before the capture — B's claim is handed back intact
+    lk = TX._CatalogLock(cat, stale_after=60.0)
+    os.mkdir(lockdir)
+    with open(os.path.join(lockdir, "owner"), "w") as fh:
+        fh.write("fresh-holder-token")
+    os.utime(os.path.join(lockdir, "owner"), (old, old))  # looks old...
+    lk._break_stale("the-token-that-was-seen-stale")      # ...but wrong claim
+    # handed back because tokens differ AND... wait, age IS stale here
+    # — identity mismatch alone must spare it
+    assert os.path.isdir(lockdir)
+    with open(os.path.join(lockdir, "owner")) as fh:
+        assert fh.read() == "fresh-holder-token"
+    import shutil
+
+    shutil.rmtree(lockdir)
+
+    # 2) token match + stale age: really dead — broken
+    os.mkdir(lockdir)
+    with open(os.path.join(lockdir, "owner"), "w") as fh:
+        fh.write("dead-token")
+    os.utime(os.path.join(lockdir, "owner"), (old, old))
+    lk._break_stale("dead-token")
+    assert not os.path.exists(lockdir)
+
+    # 3) displaced holder's __exit__ must NOT remove a new claimant's dir
+    holder = TX._CatalogLock(cat, stale_after=60.0)
+    holder.__enter__()
+    # simulate displacement: a breaker captured+deleted our claim and a
+    # new claimant took the path with its own token
+    shutil.rmtree(lockdir)
+    os.mkdir(lockdir)
+    with open(os.path.join(lockdir, "owner"), "w") as fh:
+        fh.write("new-claimant-token")
+    holder.__exit__()
+    assert os.path.isdir(lockdir)
+    with open(os.path.join(lockdir, "owner")) as fh:
+        assert fh.read() == "new-claimant-token"
+    shutil.rmtree(lockdir)
+
+    # 4) normal acquire/release still leaves no residue
+    with TX._CatalogLock(cat):
+        assert os.path.isfile(os.path.join(lockdir, "owner"))
+    assert not os.path.exists(lockdir)
     assert not os.path.exists(lockdir)
