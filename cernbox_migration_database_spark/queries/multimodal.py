@@ -1,0 +1,146 @@
+"""Multimodal binary-column plumbing: bytes, decode, frame sampling, perceptual-hash dedup.
+
+Split out of the monolithic queries.py (round 8); registration behavior
+is identical — every ``@register`` feeds the shared registry in
+``._registry`` and the public names re-export through the package root.
+"""
+
+from __future__ import annotations
+
+from ..operators import multimodal as M
+from pyspark.sql import functions as F
+from ._registry import ORACLE, _t, register
+
+
+@register(
+    "multimodal_bytes",
+    """
+    SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp,
+           (octet_length(text::BLOB) % 640 + 1) AS fake_width
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Opaque-binary column handling: encode to bytes, hash and measure them
+    JVM-side (the metadata half of the multimodal plumbing)."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("fp"),
+        (F.octet_length(blob) % 640 + 1).alias("fake_width"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id, 'text/fake' AS media_type,
+           octet_length(text::BLOB) AS n_bytes,
+           sha256(text) AS sha,
+           (octet_length(text::BLOB) % 640 + 1) AS width,
+           (octet_length(text::BLOB) % 480 + 1) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched pandas-UDF decode over binary media blobs
+    (operators/multimodal.py) — deterministic fake features standing in for
+    the codec; plumbing (schema/batching/partitioning) is the real thing.
+    The fake features are pure functions of the bytes, so the deterministic
+    subset (length / sha256 / derived dims) has a full DuckDB oracle;
+    mean_luma (byte arithmetic, awkward in SQL) stays pytest-verified."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    decoded = M.decode_media(media, fake=True)
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "sha",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, octet_length(text::BLOB) % 5000, 1000))
+             AS sample_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.py
+    frame_sample_plan): expand (media_id, duration_ms) into one row per
+    sample timestamp with sequence/explode — pure Catalyst, no decode
+    involved. Durations are a deterministic function of the blob bytes so
+    the expansion is oracle-checkable end-to-end."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents")).withColumn(
+        "duration_ms", (F.octet_length("blob") % 5000).cast("long")
+    )
+    return M.frame_sample_plan(media, every_ms=1000)
+
+
+@register(
+    "multimodal_phash_dedup",
+    """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), j ->
+               CASE WHEN n = 0 THEN 0 ELSE
+                 list_sum(list_transform(
+                   range(0, CAST(ceil(n / 72.0) AS INT)), t ->
+                   CASE WHEN t * 72 + j + 1 <= n
+                        THEN bs[CAST(t * 72 + j + 1 AS INT)] ELSE 0 END))
+               END) AS fold
+      FROM b),
+    h AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(range(0, 64), k ->
+               CASE WHEN fold[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                         < fold[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+                    THEN '1' ELSE '0' END), 'string_agg', '') AS phash
+      FROM f)
+    SELECT a.doc_id AS ia, b2.doc_id AS ib,
+           CAST(len(list_filter(range(1, 65), k ->
+             substr(a.phash, CAST(k AS INT), 1)
+             <> substr(b2.phash, CAST(k AS INT), 1))) AS BIGINT) AS hamming
+    FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+    WHERE CAST(len(list_filter(range(1, 65), k ->
+          substr(a.phash, CAST(k AS INT), 1)
+          <> substr(b2.phash, CAST(k AS INT), 1))) AS BIGINT) <= 4
+    ORDER BY ia, ib
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup END-TO-END on the media plumbing:
+    document bytes ride as opaque blobs (documents_as_media), the
+    Arrow-batched mapInPandas dHash folds EVERY byte into a 9x8 grid and
+    emits 64-bit signatures, and the exact pigeonhole banding
+    (multimodal.phash_near_dup_pairs — the simhash machinery applied to
+    media) returns all pairs within Hamming 4. The fixture's template
+    corpus produces a clean margin (nearest non-dup pair sits at
+    distance 13). The ORACLE recomputes the identical whole pipeline —
+    byte extraction, tile-fold, grid compare, brute-force Hamming — in
+    pure SQL (ASCII corpus ⇒ ascii(substr(...)) IS the byte), so the
+    differential proves the banded candidate generation loses nothing vs
+    brute force AND that the Python fold is bit-reproducible. The one
+    Python stage is the justified Arrow boundary (codec work); candidate
+    pairing stays JVM-side and scales as the simhash path does."""
+    from ..operators import multimodal as MM
+
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    hashes = MM.perceptual_hash(media, fake=True)
+    return (
+        MM.phash_near_dup_pairs(hashes, max_hamming=4)
+        .orderBy("ia", "ib")
+    )
+

@@ -1,0 +1,1233 @@
+"""Vector similarity over `embeddings`: KNN, LSH/IVF/PQ ANN (one-shot + incremental indexes), k-means, re-ranking.
+
+Split out of the monolithic queries.py (round 8); registration behavior
+is identical — every ``@register`` feeds the shared registry in
+``._registry`` and the public names re-export through the package root.
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..util import ensure_parallelism, global_rank, tracked_persist
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from ._registry import ORACLE, PHASED, _t, _versioned_scratch, register
+
+
+_SCALED_EL = (
+    "CAST(CAST(CAST({v} AS DOUBLE) AS DECIMAL(12,7)) * 10000000 AS BIGINT)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Engine-exact dot product, mirroring operators/similarity.py: each
+    float element -> DOUBLE -> DECIMAL(12,7) -> x10^7 as BIGINT; exact
+    integer sum; one double division by 10^14. The integer sum stays under
+    2^53, so the BIGINT->DOUBLE conversion is exact on both engines."""
+    ea = _SCALED_EL.format(v="x[1]")
+    eb = _SCALED_EL.format(v="x[2]")
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> {ea} * {eb})) AS DOUBLE) / 100000000000000.0)"
+    )
+
+
+@register(
+    "similarity_knn",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_knn(spark, sf_dir):
+    """Brute-force cosine top-5 for 20 query vectors: broadcast queries x
+    full corpus scan, window-ranked with a total tie-break. Exact-decimal
+    dots make ranks/ties engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, emb.where(F.col("vec_id") < 20), top_k=5)
+
+
+def _mmr_oracle_sql(query_id: int, k: int, pool: int) -> str:
+    """Unrolled-CTE replay of operators/similarity.py:mmr_rerank — one
+    argmax CTE per greedy step (the established loop-unroll idiom, cf.
+    bpe_oracle_sql). Constants are CAST to DOUBLE so DuckDB's decimal
+    literals can't perturb the score arithmetic."""
+    lam, pw = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+    parts = [
+        f"""nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    qv AS (SELECT embedding, nrm FROM nv WHERE vec_id = {query_id}),
+    relv AS (
+      SELECT c.vec_id,
+             {_dot_sql('c.embedding', 'qv.embedding')} / (c.nrm * qv.nrm)
+               AS rel,
+             c.embedding, c.nrm
+      FROM nv c, qv WHERE c.vec_id <> {query_id}),
+    pool AS MATERIALIZED (
+      SELECT * FROM relv ORDER BY rel DESC, vec_id LIMIT {pool}),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+               AS cs
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    s1 AS (
+      SELECT vec_id, rel, {lam} * rel - {pw} * CAST(0.0 AS DOUBLE) AS score
+      FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.rel, {lam} * p.rel - {pw} * pen.mx AS score
+      FROM pool p
+      JOIN (SELECT ia, MAX(cs) AS mx FROM pairs
+            WHERE ib IN (SELECT vec_id FROM sel{i - 1}) GROUP BY ia) pen
+        ON pen.ia = p.vec_id
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ORDER BY score DESC, p.vec_id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT rank, vec_id, round(rel, 9) AS relevance,
+           round(score, 9) AS mmr_score
+    FROM ({union})
+    ORDER BY rank"""
+    )
+
+
+@register("search_mmr_rerank", _mmr_oracle_sql(query_id=0, k=8, pool=32))
+def search_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-rank (operators/similarity.py:mmr_rerank): the
+    top-32 cosine pool for query vector 0 greedily re-ranked with
+    0.7*relevance - 0.3*max-similarity-to-selected. The corpus-sized
+    relevance pass and the pool's pairwise cosines are distributed; the
+    sequential greedy selection touches only O(pool^2) scalars on the
+    driver. The oracle unrolls all 8 greedy steps into one-row argmax
+    CTEs, pinning selection order, the (score desc, vec_id) tie-break,
+    and the exact fixed-point cosine arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, query_id=0, k=8, pool_size=32)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9)
+             AS cosine
+    FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs, label-blocked self-join (at scale the block
+    key is an LSH bucket — embedding_lsh_buckets below)."""
+    return S.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
+    )
+
+
+@register(
+    "dedup_semantic_keep",
+    f"""
+    WITH RECURSIVE
+    nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS r
+        FROM ac) WHERE r = 1),
+    bk AS (SELECT n.vec_id, n.embedding, n.nrm, c.cell
+           FROM nv n JOIN cells c USING (vec_id)),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM bk a JOIN bk b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.4),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM prs
+      UNION SELECT vb, va FROM prs),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.cluster, e.vec_id) AS cluster,
+           COALESCE(c.cluster, e.vec_id) = e.vec_id AS kept
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic_keep(spark, sf_dir):
+    """Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.
+    2023): cluster the corpus by a coarse quantizer, find within-cluster
+    pairs above a cosine threshold, and keep ONE representative per
+    connected group — pruning semantically redundant documents the n-gram
+    dedups can't see. Clustering here is the IVF cell assignment against
+    deterministic literal seed centroids (row-local, no shuffle, and —
+    unlike float k-means — oracle-expressible; kmeans_train is the
+    data-adaptive drop-in); pair generation is the cell-blocked exact
+    cosine self-join (never an unblocked cross join); grouping is the
+    iterative min-label connected components vs the oracle's recursive
+    CTE. Output is the full corpus assignment (vec_id, cluster, kept) —
+    the pruned training corpus is ``WHERE kept``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(emb, k=16)
+    d = S.with_norm(emb).withColumn(
+        "cell", S.cell_of(F.col("svec"), F.col("norm"), cents)
+    )
+    pairs = S.cosine_near_dup_pairs(d, block_col="cell", threshold=0.4)
+    comp = D.connected_components(pairs, "vec_a", "vec_b").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("cluster"),
+            (F.coalesce(F.col("cluster"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "kept"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+    SELECT label, COUNT(*) AS n,
+           round(CAST(SUM(CAST(sqrt({_dot_sql('embedding', 'embedding')})
+                         AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 9) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    emb = S.with_norm(_t(spark, sf_dir, "embeddings"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        # round 9dp: double->decimal quantization of irrational norms can
+        # disagree across engines by 1e-12 (different rounding algorithms)
+        F.round(
+            F.sum(F.col("norm").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_norm"),
+    )
+
+
+_LSH_BIT_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+    f"i -> (CASE WHEN strpos('89abcdef', substring(md5('{p}:' || (i-1)), 1, 1)) > 0 "
+    "THEN 1 ELSE -1 END) * "
+    + _SCALED_EL.format(v="embedding[i]")
+    + ")) >= 0 THEN '1' ELSE '0' END)"
+    for p in range(8)
+)
+
+
+@register(
+    "embedding_lsh_buckets",
+    f"SELECT vec_id, {_LSH_BIT_SQL} AS bucket FROM embeddings",
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket per vector (8 md5-derived planes) — the
+    blocking key that makes ANN candidate generation an equi-join at scale."""
+    return S.with_lsh_bucket(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "bucket"
+    )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH sc AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,7)) * 10000000
+                         AS BIGINT)) AS s
+      FROM embeddings),
+    m AS (SELECT vec_id, s,
+                 list_max(list_transform(s, x -> abs(x))) AS mx
+          FROM sc)
+    SELECT vec_id, i - 1 AS dim,
+           CASE WHEN mx = 0 THEN 0 ELSE (s[i] * 127) // mx END AS q
+    FROM m, generate_series(1, 64) AS g(i)
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization per vector — the embedding-compression
+    step of a training-data pipeline. All arithmetic is scaled-long integer
+    (q_i = s_i * 127 div max|s|), so quantized values are bit-identical
+    across engines and partitionings; exploded to (vec_id, dim, q) rows
+    (the driver's canonicalizer cannot hash array columns). NB Spark's
+    `div` and DuckDB's `//` both truncate toward zero on BIGINT."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s = S.scaled_vector(F.col("embedding"))
+    d = emb.select(F.col("vec_id"), s.alias("s")).withColumn(
+        "mx", F.array_max(F.transform(F.col("s"), lambda x: F.abs(x)))
+    )
+    ex = d.select("vec_id", "mx", F.posexplode("s").alias("dim", "sv"))
+    q = F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+        F.expr("sv * 127 div mx")
+    )
+    return ex.select("vec_id", "dim", q.alias("q"))
+
+
+@register(
+    "similarity_ann_lsh",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+             {_LSH_BIT_SQL} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM nv q JOIN nv c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (an equi-join, not a corpus cross-join) — the shape that scales to 10^9
+    vectors. Deterministic buckets make even the *approximation* exactly
+    reproducible cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = S.with_norm(emb).withColumn("bucket", S.lsh_bucket_scaled(F.col("svec")))
+    q = d.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"), F.col("bucket").alias("qb"),
+    )
+    c = d.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("svec").alias("cs"),
+        F.col("norm").alias("cn"), F.col("bucket").alias("cb"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("cb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine", S.cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT i - 1 AS dim, COUNT(*) AS n,
+           (CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,7))
+                          * 10000000 AS BIGINT)) AS DOUBLE) / 10000000.0)
+             / COUNT(*) AS mean,
+           MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY i
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Positional array analytics: posexplode the embedding and aggregate
+    per dimension (mean via exact fixed-point sum; min/max are order-free).
+    The unnest-with-position shape every feature-store health check uses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    q = (F.col("x").cast("double").cast("decimal(12,7)") * 10_000_000).cast("long")
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(q).cast("double") / F.lit(1e7) / F.count(F.lit(1))).alias("mean"),
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"),
+    )
+
+
+@register(
+    "similarity_ann_ivf",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.py): corpus partitioned into 16
+    centroid cells (deterministic seed centroids = vectors with id < 16, so
+    the oracle names the same rows), each query searched in its 4 closest
+    cells only. Cell assignment is row-local arithmetic against literal
+    centroids — no shuffle; candidates come from a broadcast equi-join on
+    the cell id. The kmeans-trained variant (data-adaptive centroids via
+    applyInPandas Lloyd iterations) is recall-tested in pytest — training is
+    float-mean based and not cross-engine exact by design."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(emb, k=16)
+    return S.ann_ivf(
+        emb, emb.where(F.col("vec_id") < 20), cents, nprobe=4, top_k=5
+    )
+
+
+@register(
+    "similarity_ivf_index_probe",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM ranked_cells
+      WHERE r = 1 AND vec_id % 100 <> 23),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_index_probe(spark, sf_dir):
+    """ANN through the INCREMENTAL IVF index (operators/ivfindex.py) —
+    the vector-store day-2 form of similarity_ann_ivf, completing the
+    index triad with textindex (BM25) and lshindex (near-dup): the
+    cell-assigned corpus lives in a cell-partitioned versioned table
+    (posting lists hold the scaled vectors + norms, so probes never read
+    the base), folded through the change feed across the full
+    insert/delete lifecycle with FIXED build-time centroids, and each
+    query reads only its nprobe closest cell partitions. The oracle
+    recomputes assignment + probe + exact fixed-point cosine over the
+    post-change corpus relationally — maintenance and probe both
+    differentialed. The builder: build on the %10!=7 slice (plus the 16
+    seed vectors), insert-fold the rest, delete-fold %100==23."""
+    return _ivf_index_probe_phase(spark, _ivf_index_build(spark, sf_dir))
+
+
+def _ivf_index_build(spark, sf_dir):
+    """Build phase (bench-timed separately): corpus table + index build +
+    insert-fold + delete-fold — the amortized maintenance cost."""
+    from ..operators import ivfindex as IX
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("ivfidx", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus0 = emb.where(
+        (F.col("vec_id") % 10 != 7) | (F.col("vec_id") < 16)
+    )
+    TF.create_table(corpus0, base)
+    IX.build_ivf_index(spark, base, idx, S.seed_centroids(corpus0, k=16))
+    TF.merge_into(
+        spark, base,
+        emb.where((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16)),
+        on="vec_id", when_matched=None,
+    )
+    IX.refresh_ivf_index(spark, idx)
+    TF.delete_where(spark, base, F.col("vec_id") % 100 == 23)
+    IX.refresh_ivf_index(spark, idx)
+    return (sf_dir, idx)
+
+
+def _ivf_index_probe_phase(spark, ctx):
+    """Read phase: nprobe cell-partition reads + candidate-only ranking."""
+    from ..operators import ivfindex as IX
+
+    sf_dir, idx = ctx
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return IX.probe_ivf_index(
+        spark, idx, emb.where(F.col("vec_id") < 20), nprobe=4, top_k=5
+    ).orderBy("query_id", "rank")
+
+
+PHASED["similarity_ivf_index_probe"] = (
+    _ivf_index_build, _ivf_index_probe_phase
+)
+
+
+@register(
+    "similarity_ivfpq_index_probe",
+    None,  # oracle assigned below (the parameterized IVF-PQ oracle)
+)
+def similarity_ivfpq_index_probe(spark, sf_dir):
+    """ANN through the INCREMENTAL IVF-PQ index (operators/ivfpqindex.py)
+    — the memory-optimal member of the index family: cell-partitioned
+    posting lists hold m=8 sub-quantizer CODES per vector (an index ~100x
+    smaller than the vectors), maintained through the change feed across
+    the full insert/delete/update lifecycle with centroids AND codebooks
+    fixed at build. Probes name nprobe cell partitions row-locally, read
+    only those, and rank by exact-integer asymmetric distance through a
+    broadcast per-query LUT. The oracle replays the full composite over
+    the post-change corpus. Builder: build on the %10!=7 slice (plus
+    seeds), insert-fold the rest, delete-fold %100==23 — same lifecycle
+    as the plain-IVF twin, so the two indexes stay directly comparable."""
+    return _ivfpq_index_probe_phase(
+        spark, _ivfpq_index_build(spark, sf_dir)
+    )
+
+
+def _ivfpq_index_build(spark, sf_dir):
+    """Build phase (bench-timed separately): corpus table + index build +
+    insert-fold + delete-fold — the amortized maintenance cost."""
+    from ..operators import ivfpqindex as PQX
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("ivfpqidx", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus0 = emb.where(
+        (F.col("vec_id") % 10 != 7) | (F.col("vec_id") < 16)
+    )
+    TF.create_table(corpus0, base)
+    PQX.build_ivfpq_index(
+        spark, base, idx,
+        S.seed_centroids(corpus0, k=16),
+        S.pq_codebooks(corpus0),
+    )
+    TF.merge_into(
+        spark, base,
+        emb.where((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16)),
+        on="vec_id", when_matched=None,
+    )
+    PQX.refresh_ivfpq_index(spark, idx)
+    TF.delete_where(spark, base, F.col("vec_id") % 100 == 23)
+    PQX.refresh_ivfpq_index(spark, idx)
+    return (sf_dir, idx)
+
+
+def _ivfpq_index_probe_phase(spark, ctx):
+    """Read phase: nprobe cell reads + broadcast-LUT integer ADC ranking."""
+    from ..operators import ivfpqindex as PQX
+
+    sf_dir, idx = ctx
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return PQX.probe_ivfpq_index(
+        spark, idx, emb.where(F.col("vec_id") < 20), nprobe=4, top_k=5
+    ).orderBy("query_id", "rank")
+
+
+PHASED["similarity_ivfpq_index_probe"] = (
+    _ivfpq_index_build, _ivfpq_index_probe_phase
+)
+
+
+@register(
+    "similarity_ivf_filtered",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 8),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      JOIN nv nm ON nm.vec_id = m.vec_id
+      WHERE m.vec_id <> p.query_id AND nm.label % 3 = 1),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_filtered(spark, sf_dir):
+    """FILTERED vector search through the incremental IVF index: top-k
+    among only the vectors satisfying a metadata predicate (here
+    ``label % 3 = 1``), the feature dedicated vector stores bolt on with
+    pre-/post-filtering heuristics. Here the ``attr_cols`` metadata rides
+    denormalized in the cell posting lists, so the predicate evaluates
+    INSIDE the pruned cell scan — no join back to the base table, no
+    post-hoc top-k re-ranking. nprobe is raised to 8 (the standard
+    filtered-ANN recall lever: a selective predicate thins each probed
+    cell, so you probe more cells for the same candidate mass)."""
+    from ..operators import ivfindex as IX
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("ivfflt", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    TF.create_table(emb, base)
+    IX.build_ivf_index(
+        spark, base, idx, S.seed_centroids(emb, k=16),
+        attr_cols=["label"],
+    )
+    return IX.probe_ivf_index(
+        spark, idx, emb.where(F.col("vec_id") < 20),
+        nprobe=8, top_k=5, where="label % 3 = 1",
+    ).orderBy("query_id", "rank")
+
+
+def _pq_oracle() -> str:
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id, list_slice(s, j*8 + 1, j*8 + 8) AS sub
+      FROM sv, (SELECT unnest(generate_series(0, 7)) AS j)),
+    cb AS (SELECT sub_id, vec_id AS code, sub AS cvec
+           FROM subs WHERE vec_id < 16),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    r AS (SELECT vec_id, sub_id, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                    ORDER BY dist, code) AS rn
+          FROM d)
+    SELECT vec_id, CAST(sub_id AS INTEGER) AS sub_id,
+           CAST(code AS INTEGER) AS code
+    FROM r WHERE rn = 1
+    """
+
+
+def _pq_adc_oracle() -> str:
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id, list_slice(s, j*8 + 1, j*8 + 8) AS sub
+      FROM sv, (SELECT unnest(generate_series(0, 7)) AS j)),
+    cb AS (SELECT sub_id, vec_id AS code, cvec FROM (
+             SELECT sub_id, vec_id, sub AS cvec FROM subs WHERE vec_id < 16)),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, sub_id, code, dist AS dd
+      FROM d WHERE vec_id < 20),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.dd) AS BIGINT) AS adc
+      FROM codes e JOIN qlut l
+        ON l.sub_id = e.sub_id AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("similarity_pq_adc", _pq_adc_oracle())
+def similarity_pq_adc(spark, sf_dir):
+    """The search half of PQ (operators/similarity.py:pq_adc_topk): each
+    query precomputes an exact integer m x k distance lookup table against
+    the literal codebooks, the PQ-encoded corpus joins the broadcast LUT on
+    (sub_id, code), and per-pair sums of the m looked-up terms rank
+    ascending — the corpus is touched only through its compact code index,
+    never its full vectors, which is the point at 10^9 vectors. Exact long
+    arithmetic end-to-end makes even the approximate search differential-
+    testable (the oracle reuses the encode CTEs, then replays the same
+    LUT join). Recall vs exact L2 is measured in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    codes = S.pq_encode(emb, books)
+    return S.pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 20), books, top_k=5
+    )
+
+
+def _pq_adc_trained_oracle() -> str:
+    """ADC replay against the FROZEN TRAINED codebooks: the codebook CTE
+    is the literal entry table from operators/pq_trained.py (cast to
+    BIGINT so squared differences can't overflow DuckDB's inferred INT32),
+    everything else is the seed oracle's encode→LUT→sum pipeline with the
+    trained m=32 x k=16 x 2-dim geometry."""
+    from ..operators.pq_trained import (
+        TRAINED_PQ_CODEBOOKS,
+        TRAINED_PQ_K,
+        TRAINED_PQ_M,
+    )
+
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    sub = len(TRAINED_PQ_CODEBOOKS[0][0])
+    rows = ",\n        ".join(
+        f"({s}, {c}, [{', '.join(str(v) for v in TRAINED_PQ_CODEBOOKS[s][c])}])"
+        for s in range(TRAINED_PQ_M)
+        for c in range(TRAINED_PQ_K)
+    )
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id,
+             list_slice(s, j*{sub} + 1, j*{sub} + {sub}) AS sub
+      FROM sv,
+           (SELECT unnest(generate_series(0, {TRAINED_PQ_M - 1})) AS j)),
+    cb AS (
+      SELECT sub_id, code,
+             list_transform(cvec, v -> CAST(v AS BIGINT)) AS cvec
+      FROM (VALUES
+        {rows}) AS t(sub_id, code, cvec)),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, sub_id, code, dist AS dd
+      FROM d WHERE vec_id < 20),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.dd) AS BIGINT) AS adc
+      FROM codes e JOIN qlut l
+        ON l.sub_id = e.sub_id AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("similarity_pq_adc_trained", _pq_adc_trained_oracle())
+def similarity_pq_adc_trained(spark, sf_dir):
+    """PQ ADC search through the TRAINED frozen codebooks
+    (operators/pq_trained.py — per-subspace Lloyd k-means via
+    pq_train_codebooks, frozen as scaled-long literals). Same plan family
+    as similarity_pq_adc, but the quantizer is the production-quality one:
+    recall@10 0.62 vs the seeds' 0.245 (pinned in pytest). Because the
+    trained entries are frozen integers, the exact-integer ADC contract
+    survives training — the oracle replays encode→LUT→sum against the
+    identical literal table, so even the TRAINED approximate search is
+    hash-differentialed."""
+    from ..operators.pq_trained import TRAINED_PQ_CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, TRAINED_PQ_CODEBOOKS)
+    return S.pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 20),
+        TRAINED_PQ_CODEBOOKS, top_k=5,
+    )
+
+
+def _ivf_pq_oracle(member: str = "TRUE") -> str:
+    """``member`` restricts corpus MEMBERSHIP (which vectors live in the
+    index) without touching the seed rows — the incremental-index twin
+    passes the post-lifecycle predicate."""
+    el = _SCALED_EL.format(v="v")
+    sq = "(x[1]-x[2])*(x[1]-x[2])"
+    return f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < 16),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells
+              WHERE r = 1 AND ({member})),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    sv AS (
+      SELECT vec_id, list_transform(embedding, v -> {el}) AS s
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, j AS sub_id, list_slice(s, j*8 + 1, j*8 + 8) AS sub
+      FROM sv, (SELECT unnest(generate_series(0, 7)) AS j)),
+    cb AS (SELECT sub_id, vec_id AS code, cvec FROM (
+             SELECT sub_id, vec_id, sub AS cvec FROM subs WHERE vec_id < 16)),
+    d AS (
+      SELECT v.vec_id, v.sub_id, c.code,
+             list_sum(list_transform(list_zip(v.sub, c.cvec),
+                                     x -> {sq})) AS dist
+      FROM subs v JOIN cb c ON c.sub_id = v.sub_id),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, sub_id, code, dist AS dd
+      FROM d WHERE vec_id < 20),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(l.dd) AS BIGINT) AS adc
+      FROM cand c
+      JOIN codes e ON e.vec_id = c.neighbor_id
+      JOIN qlut l ON l.query_id = c.query_id
+               AND l.sub_id = e.sub_id AND l.code = e.code
+      GROUP BY c.query_id, c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("similarity_ivf_pq", _ivf_pq_oracle())
+def similarity_ivf_pq(spark, sf_dir):
+    """IVF-PQ composite ANN (operators/similarity.py:ivf_pq_topk) — the
+    two-stage index production vector stores run at 10^9 vectors: the IVF
+    coarse quantizer (16 literal seed centroids, nprobe=4) restricts the
+    search to a quarter of the corpus, and within the probed cells
+    distance is PQ asymmetric distance computation over the compact code
+    table — corpus touched only through (cell, 8 codes) index rows, full
+    vectors never load at search time. Both stages are exact scaled-long
+    arithmetic, so the oracle replays the ENTIRE composite (cell ranking,
+    codebook encoding, LUT join, ADC ranking) and the result hash-matches
+    — a full differential over a composed approximate index. nprobe=16
+    degenerates to full-corpus ADC; pytest pins that equivalence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(emb, k=16)
+    books = S.pq_codebooks(emb)
+    return S.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 20), cents, books, nprobe=4, top_k=5
+    )
+
+
+ORACLE["similarity_ivfpq_index_probe"] = _ivf_pq_oracle(
+    member="vec_id % 100 <> 23"
+) + "\n    ORDER BY query_id, rank"
+
+
+@register("similarity_pq_encode", _pq_oracle())
+def similarity_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py:pq_encode,
+    after Jégou et al. TPAMI'11) — the third ANN family beside LSH buckets
+    and IVF cells: each 64-dim vector splits into 8 subvectors, each
+    quantized to the nearest of 16 codebook entries by exact scaled-long
+    squared-L2, compressing a vector to 8 nibble codes (the compact index a
+    billion-vector corpus stores). Codebook entries are the subvectors of
+    corpus ids < 16 (the seed_centroids convention, so the oracle names the
+    same rows); encoding is row-local arithmetic against literal codebooks
+    — no shuffle, no join, same plan family as IVF cell assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    return S.pq_encode(emb, books)
+
+
+_RP_WEIGHTS = S.projection_weights(8)
+
+
+def _rp_sql(row: list[int]) -> str:
+    lst = "[" + ", ".join(str(w) for w in row) + "]"
+    el = _SCALED_EL.format(v="x[1]")
+    return (
+        f"CAST(list_sum(list_transform(list_zip(embedding, {lst}), "
+        f"x -> {el} * x[2])) AS BIGINT)"
+    )
+
+
+@register(
+    "embedding_random_projection",
+    "SELECT vec_id,\n"
+    + ",\n".join(
+        f"       {_rp_sql(row)} AS proj_{p}" for p, row in enumerate(_RP_WEIGHTS)
+    )
+    + "\nFROM embeddings",
+)
+def embedding_random_projection(spark, sf_dir):
+    """Sparse random projection (Achlioptas +-1, density ~1/8) of the
+    64-dim embeddings down to 8 dims (operators/similarity.py
+    random_projection): the Johnson-Lindenstrauss reduction used in front
+    of clustering or coarse ANN. The projection matrix is md5-derived
+    driver-side and folded into literal arrays, so the whole operator is
+    row-local integer arithmetic — no shuffle, no UDF, no broadcast state;
+    outputs stay in the exact x10^7 fixed-point domain."""
+    return S.random_projection(_t(spark, sf_dir, "embeddings"), out_dims=8)
+
+
+@register(
+    "embedding_kmeans",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,4)) * 10000
+                    AS BIGINT)) AS sv
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, sv AS cv FROM v WHERE vec_id < 8),
+    d1 AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(list_zip(v.sv, c.cv),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM v CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS r
+        FROM d1) WHERE r = 1),
+    sums AS (
+      SELECT a1.cell, idx.i, SUM(v.sv[idx.i]) AS s, COUNT(*) AS n
+      FROM a1 JOIN v USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY a1.cell, idx.i),
+    c1 AS (
+      SELECT cell,
+             list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                  ORDER BY i) AS cv
+      FROM sums GROUP BY cell),
+    d2 AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(list_zip(v.sv, c.cv),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM v CROSS JOIN c1 c)
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS r
+      FROM d2) WHERE r = 1
+    """,
+)
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 iterations) in EXACT fixed-point
+    arithmetic — the cross-engine-verifiable twin of the float
+    applyInPandas trainer (operators/similarity.py kmeans_train, whose
+    means are order-sensitive in the last ulp by design). Vectors quantize
+    to scale-4 longs; assignment is a row-local argmin over literal
+    centroids (exact integer squared distances, first-min tie-break =
+    smallest cell); the centroid update aggregates per-(cell, dimension)
+    integer sums — map-side combinable, one shuffle on the k-valued cell
+    key — and quantizes the mean as floor(sum/count), which is exact for
+    any count (the quotient can never sit within one ulp of a wrong
+    floor). Driver traffic is k x dim integers per iteration — the same
+    metadata class as a broadcast. Scale: each iteration is one scan +
+    one tiny shuffle; literals keep assignment shuffle-free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k, dim = 8, 64
+    sv = F.transform(
+        F.col("embedding"),
+        lambda x: (x.cast("double").cast("decimal(12,4)") * F.lit(10**4)).cast(
+            "long"
+        ),
+    )
+    v = tracked_persist(
+        ensure_parallelism(emb).select("vec_id", sv.alias("sv"))
+    )
+
+    def assign(cent_vecs: list, cell_ids: list):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cv in cent_vecs
+        ]
+        arr = F.array(*dists)
+        idx = F.array_position(arr, F.array_min(arr)).cast("int")
+        cid = F.array(*[F.lit(int(c)) for c in cell_ids])
+        return F.element_at(cid, idx)
+
+    seed = v.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    a1 = v.withColumn(
+        "cell", assign([list(r["sv"]) for r in seed], [r["vec_id"] for r in seed])
+    )
+    comp = (
+        a1.select("cell", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math as _math
+
+    byc: dict = {}
+    for r in comp:
+        # floor(exact-int-sum / count) in double: sums stay < 2^53, the
+        # division is correctly rounded, and a true quotient is never
+        # within one ulp of the wrong side of an integer
+        byc.setdefault(r["cell"], {})[r["pos"]] = _math.floor(r["s"] / r["n"])
+    cell_ids = sorted(byc)
+    cents2 = [[byc[c][p] for p in range(dim)] for c in cell_ids]
+    a2 = v.withColumn("cell", assign(cents2, cell_ids))
+    return a2.select("vec_id", "cell")
+
+
+@register(
+    "similarity_range_search",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+          FROM nv WHERE vec_id < 100),
+    pairs AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             {_dot_sql('q.qe', 'n.embedding')} / (q.qn * n.nrm) AS cosine
+      FROM nv n CROSS JOIN q
+      WHERE n.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(cosine, 9) AS cosine
+    FROM pairs WHERE cosine >= 0.3
+    """,
+)
+def similarity_range_search(spark, sf_dir):
+    """Cosine RANGE search (radius query): every corpus neighbor within
+    cosine >= 0.3 of each query — the fixed-radius companion to top-k KNN
+    (dedup wants "everything closer than tau", not "the 5 closest"). Like
+    similarity_knn this is the documented exact baseline: the 100-query
+    side broadcasts and the corpus streams once, all arithmetic in the
+    shared fixed-point form; the bucketed scale path for radius queries is
+    the LSH/IVF family (cell-blocked candidates, identical verify
+    expression)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = S.with_norm(emb)
+    q = d.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"),
+    )
+    c = d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("svec").alias("cs"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cosine",
+        S.cosine_scaled(F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")),
+    )
+    return pairs.where(F.col("cosine") >= 0.3).select(
+        "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
+    )
+
+
+@register(
+    "similarity_maxsim",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM nv WHERE vec_id < 8),
+    best AS (
+      SELECT q.qid, n.label,
+             MAX({_dot_sql('q.qe', 'n.embedding')} / (q.qn * n.nrm))
+               AS best_cos
+      FROM nv n CROSS JOIN q
+      GROUP BY q.qid, n.label)
+    SELECT label,
+           CAST(SUM(CAST(CAST(best_cos AS DECIMAL(18,12)) * 1000000000000
+                AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS maxsim
+    FROM best GROUP BY label
+    """,
+)
+def similarity_maxsim(spark, sf_dir):
+    """Multi-vector MaxSim scoring (the ColBERT late-interaction shape):
+    a query of 8 token vectors against documents modeled as vector SETS
+    (one per label); score = Σ over query tokens of the best cosine in
+    the document's set. The per-(token, doc) max is an aggregate over the
+    candidate join — here the documented exact baseline with the 8-vector
+    query broadcast; at scale candidates come from the same IVF/LSH
+    blocking the ANN family uses, with this identical scoring expression
+    as the verify step. Per-token maxima quantize to scaled longs before
+    the sum so the score is bit-deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = S.with_norm(emb)
+    q = d.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("svec").alias("qs"),
+        F.col("norm").alias("qn"),
+    )
+    c = d.select(
+        "label", F.col("svec").alias("cs"), F.col("norm").alias("cn")
+    )
+    best = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos",
+            S.cosine_scaled(
+                F.col("qs"), F.col("cs"), F.col("qn"), F.col("cn")
+            ),
+        )
+        .groupBy("qid", "label")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    return best.groupBy("label").agg(
+        (
+            F.sum(
+                (
+                    F.col("best_cos").cast("decimal(18,12)") * F.lit(10**12)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(float(10**12))
+        ).alias("maxsim")
+    )
+

@@ -1,0 +1,1584 @@
+"""The versioned lakehouse surface: MERGE INTO, time travel, CDC, MOR, OPTIMIZE, the DataSource connector, views and caches.
+
+Split out of the monolithic queries.py (round 8); registration behavior
+is identical — every ``@register`` feeds the shared registry in
+``._registry`` and the public names re-export through the package root.
+"""
+
+from __future__ import annotations
+
+from ..functions.numeric import davg, dsum, dsum_decimal, dsum_expr
+from pyspark.sql import functions as F
+from ._registry import PHASED, _t, _versioned_scratch, register
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import z_value_sql
+
+    expr = z_value_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({expr} AS BIGINT) AS z
+    FROM lineitem
+    """
+
+
+@register("zorder_lineitem", _zorder_oracle())
+def zorder_lineitem(spark, sf_dir):
+    """Morton (Z-order) clustering value over (l_partkey, l_suppkey) —
+    operators/layout.py. The layout path (write_z_ordered) range-partitions
+    and sorts on this value so every output file covers a small rectangle
+    of the two-key space and parquet min/max footers prune scans filtered
+    on EITHER key; this query oracle-pairs the bit-interleave itself (an
+    unrolled shift/mask sum, generated from the same constants for both
+    engines). `test_zorder_layout_prunes_both_dims` demonstrates the
+    pruning effect on real written files."""
+    from ..operators.layout import z_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = z_value(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+    return li.select("l_orderkey", "l_linenumber", z.alias("z"))
+
+
+@register(
+    "merge_into_versioned",
+    """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, '9-INSERTED', 777.0
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def merge_into_versioned(spark, sf_dir):
+    """MERGE INTO a versioned parquet table (matched → update, not-matched →
+    insert), then aggregate the committed snapshot. Copy-on-write: only the
+    partitions holding a matched key or an insert are rewritten; the commit
+    log records which (differentialed end-to-end against the oracle's pure
+    relational MERGE expression). Doubling a binary double is exact, so the
+    updated prices stay 2-decimal and the dsum accumulator is lossless."""
+    return _merge_versioned_probe(
+        spark, _merge_versioned_build(spark, sf_dir)
+    )
+
+
+def _merge_versioned_build(spark, sf_dir):
+    """Build phase (bench-timed separately): create the versioned table and
+    run the COW MERGE — the write-side operator under measurement."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("merge", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = base.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("9-INSERTED").alias("o_orderpriority"),
+        F.lit(777.0).alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, updates.unionByName(inserts), on="o_orderkey")
+    return root
+
+
+def _merge_versioned_probe(spark, root):
+    """Read phase: aggregate the committed snapshot."""
+    from ..operators import table_format as TF
+
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PHASED["merge_into_versioned"] = (_merge_versioned_build, _merge_versioned_probe)
+
+
+@register(
+    "table_time_travel",
+    """
+    SELECT 1 AS version, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 2, o_orderpriority, COUNT(*)
+    FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
+    ORDER BY version, o_orderpriority
+    """,
+)
+def table_time_travel(spark, sf_dir):
+    """Snapshot isolation + time travel: delete-merge every finished ('F')
+    order into version 2, then read BOTH snapshots — version 1 must still
+    show the pre-delete counts (immutable version dirs; the atomic pointer
+    swap never mutates committed data)."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("travel", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    doomed = base.where(F.col("o_orderstatus") == "F")
+    TF.merge_into(
+        spark, root, doomed, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+
+    def counts(version):
+        return (
+            TF.read_table(spark, root, version=version)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("version", F.lit(version))
+        )
+
+    return (
+        counts(1)
+        .unionByName(counts(2))
+        .select("version", "o_orderpriority", "n_orders")
+        .orderBy("version", "o_orderpriority")
+    )
+
+
+@register(
+    "table_changes",
+    """
+    WITH chg AS (
+      SELECT 'delete' AS change_type, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'update', o_totalprice * 2
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'insert', 777.0
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT change_type, COUNT(*) AS n_rows,
+           (CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM chg
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def table_changes(spark, sf_dir):
+    """Change data feed over the versioned table: an update+insert merge then
+    a delete merge, diffed snapshot-to-snapshot with
+    table_format.read_changes (commit-log partition pruning; post-image
+    values for insert/update, pre-image for delete). The oracle recomputes
+    the expected change set relationally — deleted keys report their v1
+    (pre-update) price even though v2 doubled some of them, which pins the
+    pre-image-from-from_version semantics."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("changes", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = base.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("9-INSERTED").alias("o_orderpriority"),
+        F.lit(777.0).alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, updates.unionByName(inserts), on="o_orderkey")
+    doomed = base.where(F.col("o_orderkey") % 5 == 0)
+    TF.merge_into(
+        spark, root, doomed, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+    return (
+        TF.read_changes(spark, root, key="o_orderkey", from_version=1)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "mv_incremental_refresh",
+    """
+    WITH merged AS (
+      SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT '9-NEW', 777.0 FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           (CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_o_totalprice
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incrementally-maintained aggregate view (operators/matview.py): a
+    per-status count+sum view over a versioned orders table is refreshed
+    purely from the change feed across three merges — value updates,
+    GROUP-MOVING updates (status flips, which also move rows across the
+    table's status partitions), inserts, and deletes — never rescanning
+    the base. The oracle recomputes the final aggregate from scratch, so a
+    hash match proves delta maintenance ≡ recomputation, exactly (the
+    fixed-point integer sums make the addition order irrelevant)."""
+    from ..operators import matview as MVX
+    from ..operators import table_format as TF
+
+    scratch = _versioned_scratch("mv", sf_dir)
+    root = scratch + "/base"
+    mv_root = scratch + "/view"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderstatus")
+    MVX.create_aggregate_view(
+        spark, root, mv_root,
+        key="o_orderkey", group_cols=["o_orderstatus"], sum_cols=["o_totalprice"],
+    )
+    upd = base.where((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0)).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, upd, on="o_orderkey", when_not_matched=None)
+    ins = base.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("9-NEW").alias("o_orderstatus"),
+        F.lit(777.0).alias("o_totalprice"),
+    )
+    TF.merge_into(spark, root, ins, on="o_orderkey", when_matched=None)
+    doomed = base.where(F.col("o_orderkey") % 5 == 0)
+    TF.merge_into(
+        spark, root, doomed, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+    MVX.refresh_aggregate_view(spark, mv_root)
+    return MVX.read_aggregate_view(spark, mv_root).orderBy("o_orderstatus")
+
+
+@register(
+    "point_lookup_indexed",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def point_lookup_indexed(spark, sf_dir):
+    """Record-level point lookup through the CDF-maintained key index
+    (operators/keyindex.py): the orders table is committed as a versioned
+    table partitioned by priority, a (key, partition) index is built, a
+    merge MOVES some probed keys across partitions and the index is
+    refreshed from the change feed, then the probes read the base with
+    index-resolved partition + key filters — the scan touches only the
+    partitions holding the probes. The oracle is the plain full-scan
+    filter, so a hash match proves index-pruned == unpruned, including
+    for the moved keys (stale index entries would lose them)."""
+    from ..operators import keyindex as KIX
+    from ..operators import table_format as TF
+
+    scratch = _versioned_scratch("ptidx", sf_dir)
+    root, idx = scratch + "/base", scratch + "/idx"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    KIX.create_key_index(spark, root, idx, key="o_orderkey")
+    # move every 3rd probed key into a new partition, then re-point the
+    # index incrementally — lookups must follow the move
+    moved = base.where((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 3 == 0)).withColumn(
+        "o_orderpriority", F.lit("6-MOVED")
+    )
+    TF.merge_into(spark, root, moved, on="o_orderkey", when_not_matched=None)
+    KIX.refresh_key_index(spark, idx)
+    probes = [
+        r[0]
+        for r in base.where(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    return (
+        KIX.point_lookup(spark, idx, probes)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "merge_into_nested_partitions",
+    """
+    WITH merged AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+                       AND o_orderkey % 3 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def merge_into_nested_partitions(spark, sf_dir):
+    """Hierarchical-partition COW merge: orders committed under a TWO-level
+    (status, priority) scheme, then a merge that touches exactly ONE leaf
+    (status O / 1-URGENT) — every other leaf carries forward as hardlinks
+    and the commit log records the single relative path. The post-merge
+    per-leaf aggregate is differentialed against the oracle's relational
+    recomputation, so a duplicated or dropped leaf (the failure modes of
+    nested COW bookkeeping) flips the hash."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("nested", sf_dir) + "/base"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by=["o_orderstatus", "o_orderpriority"])
+    upd = base.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") % 3 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    TF.merge_into(spark, root, upd, on="o_orderkey", when_not_matched=None)
+    touched = TF.history(root)[-1]["touched_partitions"]
+    assert touched == ["o_orderstatus=O/o_orderpriority=1-URGENT"], touched
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "table_delete_where",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_delete_where(spark, sf_dir):
+    """``DELETE FROM`` a versioned table (table_format.delete_where): a
+    predicate delete commits a copy-on-write version that rewrites ONLY the
+    partitions containing a matching row — the retention/RTBF purge shape
+    (reference sink analogue: the destructive half of main.go:217-240's
+    UPDATE loop). The oracle is the pure relational complement; the
+    differential covers predicate semantics AND the write→commit→read
+    path, including the hardlink carry of untouched partitions."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("delete", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.delete_where(spark, root, "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_delete_vectors",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 50 = 7)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_delete_vectors(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (table_format.delete_where
+    mode='mor'): a SPARSE predicate (2 % of rows, scattered across every
+    partition) is committed as (file, row-position) tombstones under
+    ``_dv/`` — the query ASSERTS the new version's data-file set is
+    byte-identical to the base (zero rewrite amplification; a COW commit
+    here would rewrite every partition), then aggregates the DV-applied
+    read. This is the Delta deletion-vector / Iceberg position-delete
+    design: sparse RTBF-style purges cost O(deleted rows), and the
+    deferred rewrite happens at the next OPTIMIZE of the touched
+    partitions. The oracle is the pure relational complement, so the
+    tombstone write → carry → anti-join read path is differentialed
+    end-to-end."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("mordel", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.delete_where(spark, root, "o_orderkey % 50 = 7", mode="mor")
+    # the MOR contract: no data file was rewritten or dropped
+    assert {e["path"] for e in TF.manifest(root, 2)} == {
+        e["path"] for e in TF.manifest(root, 1)
+    }
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_merge_mor",
+    """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 200000000, '9-MOR-INSERT', 555.0
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_merge_mor(spark, sf_dir):
+    """MERGE INTO with write_mode='mor': matched target rows are tombstoned
+    via ``_dv/`` position deletes and the merge output (updated images +
+    inserts) lands in freshly APPENDED files — no base file is rewritten
+    (asserted: the base file set is a subset of the new version's), so a
+    small-source merge into huge partitions costs O(source rows) instead
+    of O(rows of every touched partition). Same oracle shape as the COW
+    ``merge_into_versioned`` twin, so the two protocols are differentialed
+    against the same relational MERGE semantics."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("mormerge", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = base.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        F.lit("9-MOR-INSERT").alias("o_orderpriority"),
+        F.lit(555.0).alias("o_totalprice"),
+    )
+    TF.merge_into(
+        spark, root, updates.unionByName(inserts), on="o_orderkey",
+        write_mode="mor",
+    )
+    # every base data file carried untouched; the merge only APPENDED
+    base_files = {e["path"] for e in TF.manifest(root, 1)}
+    assert base_files <= {e["path"] for e in TF.manifest(root, 2)}
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_cdc_replication",
+    """
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderkey % 23 = 7)
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_cdc_replication(spark, sf_dir):
+    """End-to-end CDC replication (table_format.replicate_changes): a
+    REPLICA versioned table is bootstrapped from the upstream snapshot,
+    the upstream then takes a COW update and a merge-on-read delete, and
+    one incremental replication step applies the change feed (cursor-
+    gated, partition-pruned via the upstream commit log) to the replica.
+    The query aggregates the REPLICA — so the oracle differential covers
+    change capture, the delete/upsert apply merges, and cursor
+    bookkeeping in one pass. The replica is deliberately partitioned
+    DIFFERENTLY (unpartitioned) than the source: a replica owes its
+    layout to its own readers, not its source's."""
+    from ..operators import table_format as TF
+
+    scratch = _versioned_scratch("cdcrep", sf_dir)
+    src, dst, cursor = scratch + "/src", scratch + "/dst", scratch + "/cur"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, src, partition_by="o_orderpriority")
+    TF.replicate_changes(spark, src, dst, "o_orderkey", cursor)  # bootstrap
+    TF.update_where(
+        spark, src, "o_orderkey % 19 = 0", {"o_totalprice": "o_totalprice * 2"}
+    )
+    TF.delete_where(spark, src, "o_orderkey % 23 = 7", mode="mor")
+    TF.replicate_changes(spark, src, dst, "o_orderkey", cursor)
+    return (
+        TF.read_table(spark, dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_update_where",
+    """
+    WITH updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN '9-REPRICED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + CAST(o_orderkey % 100 AS BIGINT) AS DOUBLE) / 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM updated
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_update_where(spark, sf_dir):
+    """``UPDATE ... SET ... WHERE`` on a versioned table
+    (table_format.update_where) — the transactional form of the
+    reference's per-row UPDATE sink (main.go:217-240). The SET moves every
+    matched row into a NEW partition value ('9-REPRICED') while adjusting
+    its price from pre-update values, so the differential exercises the
+    cross-partition row move: source partitions AND the destination
+    partition are rewritten, everything else hardlinks forward. Price
+    arithmetic runs on cent-scaled longs in both engines, so the update is
+    binary-exact cross-engine."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("update", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.update_where(
+        spark,
+        root,
+        "o_orderstatus = 'P'",
+        {
+            "o_orderpriority": "'9-REPRICED'",
+            "o_totalprice": (
+                "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " + CAST(o_orderkey % 100 AS BIGINT) AS DOUBLE) / 100.0"
+            ),
+        },
+    )
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_restore",
+    """
+    SELECT 2 AS version, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 3, o_orderpriority, COUNT(*)
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY version, o_orderpriority
+    """,
+)
+def table_restore(spark, sf_dir):
+    """``RESTORE TABLE TO VERSION AS OF``: delete all 'F' orders (v2), then
+    roll back to v1 as a NEW commit v3 whose data is hardlinked from the v1
+    snapshot — O(#files) metadata, zero data IO, history preserved. The
+    query reads BOTH the bad version (still readable for forensics) and
+    the restored head; the oracle differentials that v3 is byte-equivalent
+    to the original table while v2 keeps the deleted state."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("restore", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.delete_where(spark, root, "o_orderstatus = 'F'")
+    TF.restore(root, 1)
+
+    def counts(version):
+        return (
+            TF.read_table(spark, root, version=version)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("version", F.lit(version))
+        )
+
+    return (
+        counts(2)
+        .unionByName(counts(3))
+        .select("version", "o_orderpriority", "n_orders")
+        .orderBy("version", "o_orderpriority")
+    )
+
+
+@register(
+    "table_manifest_scan",
+    """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM merged
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_manifest_scan(spark, sf_dir):
+    """Manifest-planned pruned scan over a churned versioned table: MERGE
+    doubles every 7th order's price (partition-scoped COW), OPTIMIZE ...
+    WHERE repairs the small files of exactly the two partitions the query
+    targets (targets planned from the manifest sidecar alone via
+    small_file_partitions — zero directory listings), and the final read is
+    scan_partitions: the file list comes from the committed manifest, not a
+    recursive listing. The oracle differentials the whole
+    merge→optimize→manifest-scan path — compaction must be layout-only and
+    the manifest must name exactly the surviving files. Doubling a binary
+    double is exact, so the dsum accumulator stays 2-decimal lossless."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("manifest", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    TF.merge_into(spark, root, updates, on="o_orderkey", when_not_matched=None)
+    targets = ["o_orderpriority=1-URGENT", "o_orderpriority=2-HIGH"]
+    # OPTIMIZE the scanned partitions when the manifest says they need it
+    # (after the merge's multi-task rewrite they always do at sf>=0.01).
+    worst = set(TF.small_file_partitions(root, max_files=1))
+    todo = [r for r in targets if r in worst]
+    if todo:
+        TF.compact_partitions(spark, root, rels=todo)
+    return (
+        TF.scan_partitions(spark, root, targets)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_stats_skipping",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 10000 AND 20000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_stats_skipping(spark, sf_dir):
+    """File-granularity data skipping on a versioned table: orders are
+    written range-clustered on o_orderkey (repartitionByRange → files with
+    disjoint key bounds in the commit manifest), then a narrow key-range
+    scan is planned from the manifest's per-file [min, max] alone —
+    scan_files_where opens only the intersecting files, zero listings or
+    footer reads at plan time, with the exact predicate as residual
+    filter. The oracle differentials the clustered-write→manifest-stats→
+    pruned-read path against a plain relational range scan."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("skipping", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base.repartitionByRange(8, "o_orderkey"), root)
+    return (
+        TF.scan_files_where(spark, root, "o_orderkey", 10000, 20000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_schema_evolution",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+           CASE WHEN p_partkey % 10 = 0
+                THEN CAST(p_partkey % 7 AS BIGINT) END AS discount_pct
+    FROM part
+    """,
+)
+def table_schema_evolution(spark, sf_dir):
+    """ALTER TABLE ADD COLUMN via evolving MERGE (table_format.merge_into
+    evolve_schema=True): the source carries only (key, new column) — all
+    other columns keep their target values, untouched rows surface the
+    evolved column as typed nulls through footer schema merging, and
+    hardlink-carried partitions never rewrite. The oracle is the
+    relational equivalent (LEFT-JOIN semantics collapsed to a CASE). The
+    differential pins the whole evolve→commit→read path including
+    column-order stability."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("evolve", sf_dir)
+    base = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    TF.create_table(base, root, partition_by="p_brand")
+    delta = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            (F.col("p_partkey") % 7).alias("discount_pct"),
+        )
+    )
+    TF.merge_into(
+        spark, root, delta, on="p_partkey",
+        when_not_matched=None, evolve_schema=True,
+    )
+    return TF.read_table(spark, root).select(
+        "p_partkey", "p_brand", "p_retailprice", "discount_pct"
+    )
+
+
+@register(
+    "table_optimize_compact",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_optimize_compact(spark, sf_dir):
+    """OPTIMIZE (table_format.compact): a deliberately fragmented table
+    (16-way repartition before create, so every partition directory holds
+    many small files) is compacted to one file per partition — data
+    byte-identical, only layout changes — and the result is read back
+    through the post-OPTIMIZE manifest. The oracle is the plain relational
+    aggregate over the same rows: any row lost, duplicated, or mutated by
+    the rewrite flips the hash. In-query evidence the compaction actually
+    ran: the manifest-derived file count per partition must be 1 (asserted
+    here, not just in pytest)."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("optimize", sf_dir)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(16)
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.compact(spark, root)
+    per_dir: dict = {}
+    for e in TF.manifest(root):
+        d = e["path"].rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_partition_evolution",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def table_partition_evolution(spark, sf_dir):
+    """Partition evolution (table_format.repartition_table): a table
+    created partitioned by o_orderpriority is re-laid-out to partition by
+    o_orderstatus, then a post-evolution merge updates rows THROUGH the
+    new scheme (its COW touched-set logic resolves against the latest
+    commit's partition columns, and only the matched status partitions
+    rewrite). Old snapshots stay readable in their old layout. The oracle
+    is the relational end state; the differential pins
+    evolve→merge→read."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("partevo", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    TF.repartition_table(spark, root, "o_orderstatus")
+    delta = base.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    TF.merge_into(spark, root, delta, on="o_orderkey", when_not_matched=None)
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "table_insert_append",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_insert_append(spark, sf_dir):
+    """``INSERT INTO`` (table_format.insert_into): the table is created
+    from two thirds of orders and the remaining third APPENDS — no join
+    against the target, no partition rewrite (asserted: the base file set
+    is strictly carried), new files land only where inserted rows fall.
+    The bulk-load path: a merge must join source against target to
+    detect matches; a declared append skips that entirely, so commit
+    cost is O(inserted rows) at any table size. The aggregate over the
+    final snapshot differentials the split+append round trip against
+    plain relational orders."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("insert", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(
+        base.where(F.col("o_orderkey") % 3 != 0), root,
+        partition_by="o_orderpriority",
+    )
+    before = {e["path"] for e in TF.manifest(root, 1)}
+    TF.insert_into(spark, root, base.where(F.col("o_orderkey") % 3 == 0))
+    assert before < {e["path"] for e in TF.manifest(root, 2)}
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "datasource_scan_pruned",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def datasource_scan_pruned(spark, sf_dir):
+    """Scan the versioned table through Spark's OWN source contract —
+    ``spark.read.format("cbxtable")`` (the Python DataSource API) — with
+    a filter that our pushdown prunes twice before any task launches:
+    the partition predicate drops 3 of 5 priority directories, and the
+    totalprice range consults the manifest's per-file min/max bounds.
+    Every pushed filter is also re-applied by Spark post-scan, so the
+    result is exact regardless of how aggressively the planner skipped.
+    The oracle recomputes the aggregate relationally over the raw
+    parquet — a full differential of connector read + pruning + Arrow
+    batch assembly."""
+    return _dsscan_probe(spark, _dsscan_build(spark, sf_dir))
+
+
+def _dsscan_build(spark, sf_dir):
+    """Build phase (bench-timed separately): materialize the versioned
+    table and register the connector — fixture cost, not scan cost."""
+    from ..operators import table_format as TF
+    from ..sources import cbx_datasource as DS
+
+    root = _versioned_scratch("dsscan", sf_dir)
+    TF.create_table(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        root,
+        partition_by="o_orderpriority",
+    )
+    DS.register(spark)
+    return root
+
+
+def _dsscan_probe(spark, root):
+    """Read phase: the twice-pruned connector scan + aggregate."""
+    return (
+        spark.read.format("cbxtable")
+        .load(root)
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PHASED["datasource_scan_pruned"] = (_dsscan_build, _dsscan_probe)
+
+
+@register(
+    "table_stream_pipeline",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0 THEN 999.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM src
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_stream_pipeline(spark, sf_dir):
+    """Table→stream→table, exactly-once at both ends: the source table's
+    commit log streams as microbatches (``readStream.format("cbxtable")``
+    — offsets ARE versions, each batch the manifest diff's new files) and
+    lands in the destination through the txn-marked keyed-merge sink, so
+    a replayed microbatch is a no-op. The source history is create +
+    insert + a keyed-merge CORRECTION (every 10th order repriced) — the
+    correction commit removes files, so the stream runs with
+    ignoreChanges and replays that commit's appended files. An
+    availableNow catch-up compresses ALL these commits into one
+    microbatch, so the same key arrives with pre- and post-correction
+    images in one batch: ``withCommitVersion`` stamps each row with its
+    commit, and the sink's struct-max reduce keeps the latest image per
+    key (one combinable aggregation, no window). The oracle computes the
+    source's final state relationally — the pipeline must converge to
+    it."""
+    from ..operators import table_format as TF
+    from ..sources import cbx_datasource as DS
+    from ..streaming.table_sink import stream_write_table
+
+    scratch = _versioned_scratch("dspipe", sf_dir)
+    src, dst, ckpt = (
+        scratch + "/src", scratch + "/dst", scratch + "/ckpt"
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(
+        base.where(F.col("o_orderkey") % 3 != 0),
+        src,
+        partition_by="o_orderpriority",
+    )
+    TF.insert_into(spark, src, base.where(F.col("o_orderkey") % 3 == 0))
+    TF.merge_into(
+        spark, src,
+        base.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.lit(999.0)
+        ),
+        on="o_orderkey",
+    )
+    DS.register(spark)
+    stream = (
+        spark.readStream.format("cbxtable")
+        .option("startingVersion", "earliest")
+        .option("ignoreChanges", "true")
+        .option("withCommitVersion", "true")
+        .load(src)
+    )
+    q = stream_write_table(
+        stream, dst, ckpt, app_id="table_stream_pipeline",
+        key="o_orderkey", partition_by="o_orderpriority",
+        order_by="_commit_version",
+    )
+    q.awaitTermination(600)
+    return (
+        TF.read_table(spark, dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_tag_read",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_tag_read(spark, sf_dir):
+    """Named refs (tags) + retention pinning: commit three versions,
+    tag v2 as ``release``, vacuum down to the newest version — the tag
+    PINS v2's directory, so ``read_table(tag='release')`` still
+    reproduces the tagged snapshot bit-for-bit after retention ran (and
+    after a later commit changed the same rows). This is the guarantee a
+    training run needs when it names its input corpus: the ref is one
+    tiny JSON file, but vacuum treats it as a root. The oracle is the
+    relational state at v2 (deletes applied, later update absent)."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("tagread", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")       # v1
+    TF.merge_into(
+        spark, root, base.where(F.col("o_orderstatus") == "F"),
+        on="o_orderkey", when_matched="delete", when_not_matched=None,
+    )                                                                  # v2
+    TF.create_tag(root, "release")  # pins v2 (current)
+    TF.merge_into(
+        spark, root,
+        base.where(F.col("o_orderstatus") != "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        on="o_orderkey",
+    )                                                                  # v3
+    TF.vacuum(root, keep_last=1)  # v1 goes; v2 survives via the tag
+    return (
+        TF.read_table(spark, root, tag="release")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "quality_expectations",
+    """
+    SELECT 'known_status' AS rule, 'drop' AS action,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+    FROM orders
+    UNION ALL
+    SELECT 'positive_price', 'fail',
+           CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'recent_order', 'warn',
+           CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1994-01-01')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'rows_clean', 'info',
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                         AND o_totalprice > 0
+                         AND o_orderdate >= TIMESTAMP '1994-01-01'
+                         AND (o_orderpriority <> '1-URGENT'
+                              OR o_totalprice > 150000)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'urgent_is_high_value', 'drop',
+           CAST(SUM(CASE WHEN NOT (o_orderpriority <> '1-URGENT'
+                                   OR o_totalprice > 150000)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def quality_expectations(spark, sf_dir):
+    """Declarative data-quality contracts (operators/expectations.py):
+    four named expectations with mixed warn/drop/fail actions evaluated
+    in ONE row-local violation vector (no per-rule passes), reported as
+    per-rule violation counts plus the violation-free row count. The
+    oracle recomputes each contract as a CASE sum — so the differential
+    pins the predicate semantics, the action-class bookkeeping, and the
+    clean-row accounting. `guarded_write` composes the same vector with
+    the versioned table (fail aborts both commits; dropped rows carry
+    their evidence into quarantine) — pytest-covered in
+    test_expectations.py."""
+    from ..operators import expectations as EX
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        EX.Expectation(
+            "known_status", F.col("o_orderstatus").isin("O", "F", "P"), "drop"
+        ),
+        EX.Expectation("positive_price", F.col("o_totalprice") > 0, "fail"),
+        EX.Expectation(
+            "recent_order",
+            F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"),
+            "warn",
+        ),
+        EX.Expectation(
+            "urgent_is_high_value",
+            (F.col("o_orderpriority") != "1-URGENT")
+            | (F.col("o_totalprice") > 150000),
+            "drop",
+        ),
+    ]
+    return EX.metrics(orders, rules)
+
+
+@register(
+    "table_agg_pushdown",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_quantity) AS min_l_quantity,
+           MAX(l_quantity) AS max_l_quantity,
+           MIN(l_orderkey) AS min_l_orderkey,
+           MAX(l_orderkey) AS max_l_orderkey,
+           CAST(COUNT(l_tax) AS BIGINT) AS cnt_l_tax
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'R' AND l_quantity < 10)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def table_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown into table metadata (operators/aggpush.py): a
+    per-partition COUNT/MIN/MAX/COUNT(col) over a versioned table where
+    the tombstone-free partitions are answered from the manifest sidecar
+    with ZERO data IO and only the merge-on-read-dirtied partition takes
+    the manifest-planned pruned scan — asserted in-query via the planning
+    report, so a silent regression to scanning fails the differential,
+    not just a benchmark. The Iceberg/Delta answer-from-snapshot-metadata
+    planning move applied to the reference's scan+aggregate surface
+    (main.go:86-119). The oracle recomputes the post-DELETE state
+    relationally; metadata answers and scan answers must be
+    bit-identical to it."""
+    from ..operators import aggpush as AP
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("aggpush", sf_dir) + "/t"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_tax", "l_returnflag"
+    )
+    TF.create_table(li, root, partition_by="l_returnflag")
+    TF.delete_where(
+        spark,
+        root,
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10),
+        mode="mor",
+    )
+    report: dict = {}
+    out = AP.partition_agg(
+        spark,
+        root,
+        cols=("l_quantity", "l_orderkey"),
+        count_cols=("l_tax",),
+        report=report,
+    )
+    # the clean partitions MUST have been served metadata-only
+    assert report["scanned"] == ["l_returnflag=R"], report
+    return out.orderBy("l_returnflag")
+
+
+@register(
+    "mv_join_refresh",
+    """
+    WITH a AS (
+        SELECT o_custkey AS custkey, o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_custkey, o_orderkey + 100000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 = 3
+    ),
+    b AS (
+        SELECT c_custkey AS custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM a JOIN b USING (custkey)
+    GROUP BY c_mktsegment, o_orderstatus
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def mv_join_refresh(spark, sf_dir):
+    """Incrementally-maintained JOIN view (operators/joinview.py): a
+    denormalized orders⋈customer view kept fresh through deletes, a
+    conditional price update, key-shifted inserts on the fact side AND a
+    dim-side delete — all folded by the counting algorithm
+    (Δ(A⋈B) = ΔA⋈B₁ + A₀⋈ΔB, signed multiplicities) without ever
+    re-running the full join. The oracle recomputes the post-change join
+    relationally, so the differential pins that a view refreshed through
+    an arbitrary change sequence is bit-identical to a from-scratch
+    recompute — the invariant that makes an incremental view trustworthy
+    at 100 TB, where re-joining is not an option."""
+    from ..operators import joinview as JV
+    from ..operators import table_format as TF
+
+    base = _versioned_scratch("joinview", sf_dir)
+    a_root, b_root, mv = f"{base}/a", f"{base}/b", f"{base}/mv"
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    TF.create_table(orders, a_root)
+    TF.create_table(cust, b_root)
+    JV.create_join_view(
+        spark, a_root, b_root, mv,
+        on="custkey", a_key="o_orderkey", b_key="custkey",
+        a_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        b_cols=["c_mktsegment"],
+    )
+    # fact-side churn: delete, conditional update, key-shifted inserts
+    TF.delete_where(spark, a_root, F.col("o_orderkey") % 7 == 0)
+    upd = (
+        TF.read_table(spark, a_root)
+        .where(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    TF.merge_into(spark, a_root, upd, on="o_orderkey", when_not_matched=None)
+    ins = orders.where(F.col("o_orderkey") % 11 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    TF.merge_into(spark, a_root, ins, on="o_orderkey", when_matched=None)
+    # dim-side churn: customers leave; their orders drop out of the view
+    TF.delete_where(spark, b_root, F.col("custkey") % 13 == 0)
+    JV.refresh_join_view(spark, mv)
+    view = JV.read_join_view(spark, mv)  # bag form: weight by n_dup
+    q = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        view.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum("n_dup").alias("n_rows"),
+            (
+                (F.sum(q * F.col("n_dup"))).cast("double") / F.lit(100.0)
+            ).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+@register(
+    "profile_drift_psi",
+    """
+    WITH ref AS (
+      SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1995-06-17'
+    ),
+    cur AS (
+      SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-06-17'
+    ),
+    bounds AS (
+      SELECT 'l_quantity' AS colname,
+             CAST(MIN(l_quantity) AS DOUBLE) AS lo,
+             CAST(MAX(l_quantity) AS DOUBLE) AS hi FROM ref
+      UNION ALL
+      SELECT 'l_extendedprice', MIN(l_extendedprice), MAX(l_extendedprice) FROM ref
+      UNION ALL
+      SELECT 'l_discount', MIN(l_discount), MAX(l_discount) FROM ref
+    ),
+    melt_ref AS (
+      SELECT 'l_quantity' AS colname, CAST(l_quantity AS DOUBLE) AS x FROM ref
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM ref
+      UNION ALL SELECT 'l_discount', l_discount FROM ref
+    ),
+    melt_cur AS (
+      SELECT 'l_quantity' AS colname, CAST(l_quantity AS DOUBLE) AS x FROM cur
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM cur
+      UNION ALL SELECT 'l_discount', l_discount FROM cur
+    ),
+    rr AS (
+      SELECT m.colname,
+             LEAST(GREATEST(CAST(FLOOR((m.x - b.lo) /
+               (CASE WHEN b.hi > b.lo THEN (b.hi - b.lo) / 10.0 ELSE 1.0 END))
+               AS INTEGER), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM melt_ref m JOIN bounds b USING (colname)
+      WHERE m.x IS NOT NULL GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT m.colname,
+             LEAST(GREATEST(CAST(FLOOR((m.x - b.lo) /
+               (CASE WHEN b.hi > b.lo THEN (b.hi - b.lo) / 10.0 ELSE 1.0 END))
+               AS INTEGER), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM melt_cur m JOIN bounds b USING (colname)
+      WHERE m.x IS NOT NULL GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT b.colname, g.bin
+      FROM bounds b, (SELECT UNNEST(generate_series(0, 9)) AS bin) g
+    ),
+    joined AS (
+      SELECT g.colname, CAST(g.bin AS INTEGER) AS bin,
+             CAST(COALESCE(rr.n, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_cur
+      FROM grid g
+      LEFT JOIN rr ON rr.colname = g.colname AND rr.bin = g.bin
+      LEFT JOIN cc ON cc.colname = g.colname AND cc.bin = g.bin
+    ),
+    tot AS (
+      SELECT colname, SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur
+      FROM joined GROUP BY colname
+    )
+    SELECT j.colname, j.bin, j.n_ref, j.n_cur,
+           ROUND(((j.n_cur + 0.5) / (t.tot_cur + 5.0)
+                  - (j.n_ref + 0.5) / (t.tot_ref + 5.0))
+                 * LN(((j.n_cur + 0.5) / (t.tot_cur + 5.0))
+                      / ((j.n_ref + 0.5) / (t.tot_ref + 5.0))), 6) AS psi_term
+    FROM joined j JOIN tot t USING (colname)
+    ORDER BY j.colname, j.bin
+    """,
+)
+def profile_drift_psi(spark, sf_dir):
+    """Population Stability Index drift profile (operators/drift.py):
+    three lineitem measures, early-shipment reference vs late-shipment
+    comparison, ten fixed-width bins over the reference min/max. One
+    melt-scan per population regardless of column count (row-local
+    explode generator, single groupBy(colname, bin)); the only driver
+    values are the six grid scalars. The oracle rebuilds the identical
+    grid, counts, Laplace smoothing and log terms in SQL, so the
+    differential pins binning boundaries, clamping of new extremes, and
+    empty-bin smoothing — the parts of a drift monitor that silently rot.
+    PSI per column = SUM(psi_term) over its bins."""
+    from ..operators import drift as DR
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    cutoff = F.lit("1995-06-17").cast("timestamp")
+    ref = li.where(F.col("l_shipdate") < cutoff)
+    cur = li.where(F.col("l_shipdate") >= cutoff)
+    return DR.psi_profile(
+        spark, ref, cur, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("colname", "bin")
+
+
+@register(
+    "table_convert_in_place",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'R' AND l_orderkey % 5 = 0)
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def table_convert_in_place(spark, sf_dir):
+    """CONVERT an existing parquet dataset into the versioned format
+    without rewriting a byte (table_format.convert_to_table — the
+    Iceberg add_files / Delta CONVERT onboarding move): data files are
+    hardlinked into v1 and the commit writes only the manifest + log, so
+    a 100 TB directory converts in O(#files) metadata. The converted
+    table is immediately a full citizen — this query proves it by
+    running a merge-on-read DELETE against v1 and aggregating the result;
+    the oracle applies the same delete relationally to the raw parquet.
+    The differential therefore covers convert's schema/partition
+    inference, the linked files' readability, manifest stats, and DV
+    interop on files the format never wrote itself."""
+    import os as _os
+
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("convert", sf_dir) + "/t"
+    TF.convert_to_table(
+        spark, _os.path.join(sf_dir, "lineitem.parquet"), root
+    )
+    TF.delete_where(
+        spark,
+        root,
+        (F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 5 == 0),
+        mode="mor",
+    )
+    return (
+        TF.read_table(spark, root)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "query_result_cache",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def query_result_cache(spark, sf_dir):
+    """Snapshot-keyed query result cache (operators/resultcache.py): the
+    cache key is (query, exact version of every input table), so
+    freshness is an O(1) pointer read — no TTLs, no stale serving. The
+    query runs the same aggregate three times across a commit: miss →
+    hit (zero cluster work, asserted via the planning report) → a DELETE
+    moves the pointer → miss with the fresh result, which the oracle pins
+    relationally. Hit and miss serve the same materialized parquet, so
+    the differential also covers the write→read roundtrip of the cache
+    slot."""
+    from ..operators import resultcache as RC
+    from ..operators import table_format as TF
+
+    base = _versioned_scratch("rescache", sf_dir)
+    root, cache = f"{base}/t", f"{base}/cache"
+    TF.create_table(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        root,
+    )
+
+    def build(s, dfs):
+        return (
+            dfs["orders"]
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+        )
+
+    rep: dict = {}
+    RC.cached(spark, cache, "agg", {"orders": root}, build, report=rep)
+    assert rep["hit"] is False, rep
+    RC.cached(spark, cache, "agg", {"orders": root}, build, report=rep)
+    assert rep["hit"] is True, rep
+    TF.delete_where(spark, root, F.col("o_orderkey") % 3 == 0)
+    out = RC.cached(spark, cache, "agg", {"orders": root}, build, report=rep)
+    assert rep["hit"] is False, rep
+    return out.orderBy("o_orderpriority")
+

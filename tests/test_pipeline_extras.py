@@ -106,7 +106,7 @@ def test_funnel_ordering_semantics(spark, tmp_path, monkeypatch):
     from cernbox_migration_database_spark.queries import events_funnel
 
     monkeypatch.setattr(
-        "cernbox_migration_database_spark.queries._t",
+        "cernbox_migration_database_spark.queries.events._t",
         lambda _s, _d, _n: df,
     )
     r = events_funnel(spark, "unused").collect()[0]
@@ -149,7 +149,7 @@ def test_repetition_flags_degenerate_doc(spark):
         "doc_id long, text string",
     )
     from cernbox_migration_database_spark.queries import text_repetition
-    import cernbox_migration_database_spark.queries as QM
+    import cernbox_migration_database_spark.queries.text as QM
 
     orig = QM._t
     QM._t = lambda _s, _d, _n: docs
@@ -273,7 +273,7 @@ def test_deletion_propagation_purges_and_audits(spark, sf_dir):
 
 
 def test_winnowing_pairs_detect_shared_passage(spark, monkeypatch):
-    import cernbox_migration_database_spark.queries as QM
+    import cernbox_migration_database_spark.queries.text as QM
 
     shared = "a very distinctive incriminating passage nobody else has"
     docs = spark.createDataFrame(

@@ -1,5 +1,5 @@
 """Tests for the array-HOF pipeline, stratified hash sampling, and the
-price-band range join (queries.py extended set)."""
+price-band range join (queries package extended set)."""
 
 from __future__ import annotations
 
