@@ -836,3 +836,110 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     assert [r.rank for r in out] == [1, 2, 3]
     # rank-1 score is pure lam*relevance (no selected set yet)
     assert abs(out[0].mmr_score - 0.5 * out[0].relevance) < 1e-9
+
+
+def test_trained_pq_recall_pinned(spark):
+    """R7 verdict item 3: TRAINED codebooks (per-subspace Lloyd,
+    operators/similarity.py:pq_train_codebooks, frozen as literals in
+    operators/pq_trained.py) must lift recall@10 vs exact scaled-L2 to
+    >= 0.6 at sf0.01 — against the ~0.245 the untrained m=8/k=16 seeds
+    deliver. nprobe=16 probes every IVF cell, so the composite equals
+    full-corpus ADC and the number isolates codebook quality. Every
+    quantity here is exact integer arithmetic over frozen inputs, so the
+    measured recall is a constant (0.62 at freeze time), not a sample."""
+    from pyspark.sql import Window as W
+
+    from cernbox_migration_database_spark.operators import similarity as S
+    from cernbox_migration_database_spark.operators.pq_trained import (
+        TRAINED_PQ_CODEBOOKS,
+        TRAINED_PQ_K,
+        TRAINED_PQ_M,
+    )
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    assert len(TRAINED_PQ_CODEBOOKS) == TRAINED_PQ_M
+    assert all(len(b) == TRAINED_PQ_K for b in TRAINED_PQ_CODEBOOKS)
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    cents = S.seed_centroids(emb, k=16)
+    got_df = S.ivf_pq_topk(
+        emb, q, cents, TRAINED_PQ_CODEBOOKS, nprobe=16, top_k=10
+    )
+
+    sv = emb.select(
+        "vec_id", S.scaled_vector(F.col("embedding")).alias("sv")
+    )
+    qs = sv.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("qv")
+    )
+    pairs = sv.crossJoin(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    d = pairs.withColumn(
+        "l2",
+        F.aggregate(
+            F.zip_with("sv", "qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    w = W.partitionBy("qid").orderBy("l2", "vec_id")
+    exact: dict[int, set[int]] = {}
+    for r in (
+        d.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .select("qid", "vec_id")
+        .collect()
+    ):
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def mean_recall(df):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recs = [len(exact[k] & got.get(k, set())) / 10 for k in exact]
+        return sum(recs) / len(recs)
+
+    trained = mean_recall(got_df)
+    assert trained >= 0.6, f"trained recall@10 = {trained}"
+    # and strictly above the untrained seed floor
+    seeds = S.pq_codebooks(emb)
+    seed_recall = mean_recall(
+        S.pq_adc_topk(S.pq_encode(emb, seeds), q, seeds, top_k=10)
+    )
+    assert trained > seed_recall + 0.2, (trained, seed_recall)
+
+
+def test_pq_train_codebooks_shape_and_objective(spark):
+    """The trainer itself: deterministic seed init, scaled-long entries,
+    and Lloyd iterations do not worsen the quantization objective (total
+    min squared distance; <= with a tiny slack for the per-iteration
+    integer rounding of means)."""
+    from cernbox_migration_database_spark.operators import similarity as S
+    from cernbox_migration_database_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = S.pq_codebooks(emb, m=8, k=16)
+    trained = S.pq_train_codebooks(emb, m=8, k=16, iters=3)
+    assert len(trained) == 8 and all(len(b) == 16 for b in trained)
+    assert all(
+        isinstance(v, int)
+        for book in trained for entry in book for v in entry
+    )
+
+    def objective(books):
+        codes = S.pq_encode(emb, books)
+        lut = S.pq_query_lut(emb, books)
+        return (
+            codes.join(
+                lut,
+                (codes["vec_id"] == lut["query_id"])
+                & (codes["sub_id"] == lut["sub_id"])
+                & (codes["code"] == lut["code"]),
+            )
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    assert objective(trained) <= objective(seeds) * 1.001
