@@ -128,12 +128,22 @@ def refresh_kmv_store(spark: SparkSession, store_root: str) -> int:
             "change window contains deletes/updates — KMV minima cannot be "
             "subtracted; rebuild_partitions() the affected partitions"
         )
-    new = _hashes(
+    _fold_inserts(
+        spark, store_root, st,
         ch.where(F.col("_change_type").isin("insert", "update_postimage")),
-        st["part_col"],
-        st["text_col"],
     )
-    # insert-new-pairs, then trim each touched partition back to k minima
+    st["base_version"] = cur
+    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return cur
+
+
+def _fold_inserts(
+    spark: SparkSession, store_root: str, st: dict, docs: DataFrame
+) -> None:
+    """Insert-new-pairs, then trim each touched partition back to its k
+    minima (two small commits over the k·#partitions-row state table)."""
+    new = _hashes(docs, st["part_col"], st["text_col"])
     TF.merge_into(
         spark, store_root, new, on=["part", "v"],
         when_matched=None, check_cardinality=False,
@@ -153,10 +163,52 @@ def refresh_kmv_store(spark: SparkSession, store_root: str) -> int:
             when_matched="delete", when_not_matched=None,
             check_cardinality=False,
         )
-    st["base_version"] = cur
-    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
-        json.dump(st, fh)
-    return cur
+
+
+def refresh_or_repair(
+    spark: SparkSession, store_root: str
+) -> tuple[int, list]:
+    """:func:`refresh_kmv_store` with the delete posture AUTOMATED: a
+    window carrying deletes / update pre-images no longer needs a manual
+    ``rebuild_partitions`` call — the affected partitions are identified
+    from the change feed (metadata-sized collect: distinct partition
+    values of the removed rows) and re-pointed from the current base
+    snapshot, while inserts landing OUTSIDE those partitions still fold
+    through the normal O(changed docs) path. This is the form a streaming
+    sink's post_batch hook wants: RTBF deletes flow through and the
+    estimates converge without intervention, and the repair stays loud in
+    the return value — (new base version, partitions rebuilt)."""
+    st = _state(store_root)
+    cur = TF.current_version(st["base_root"])
+    if cur == st["base_version"]:
+        return cur, []
+    ch = TF.read_changes(
+        spark,
+        st["base_root"],
+        key=st["key"],
+        from_version=st["base_version"],
+        to_version=cur,
+        include_preimage=True,
+    )
+    removed = ch.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    )
+    parts = sorted(
+        r["part"]
+        for r in removed.select(
+            F.col(st["part_col"]).alias("part")
+        ).distinct().collect()
+    )
+    if not parts:
+        return refresh_kmv_store(spark, store_root), []
+    ins = ch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).where(~F.col(st["part_col"]).isin(parts))
+    if not ins.isEmpty():
+        _fold_inserts(spark, store_root, st, ins)
+    # the targeted repair also advances the recorded base version
+    rebuild_partitions(spark, store_root, parts)
+    return cur, parts
 
 
 def rebuild_partitions(
