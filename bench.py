@@ -75,6 +75,7 @@ PROBE_HEADLINE = [
     "similarity_ivfpq_index_probe",
     "approx_distinct_store",
     "search_bm25_indexed",
+    "search_phrase",
 ]
 
 WARM_PASSES = 2

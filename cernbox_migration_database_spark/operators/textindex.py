@@ -66,7 +66,7 @@ def build_text_index(
     os.makedirs(base, exist_ok=True)
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(TXT.tokens(text_col)).alias("tok"),
+        F.posexplode(TXT.tokens(text_col)).alias("pos", "tok"),
     )
     postings = TF.with_bucket(_postings(toks), key="tok", n_buckets=n_buckets)
     TF.create_table(
@@ -87,12 +87,17 @@ def build_text_index(
 
 
 def _postings(toks: DataFrame) -> DataFrame:
-    """(tok, doc_id, tfc, dlen): term frequency with the document length
-    denormalized in — one aggregation plus a per-doc window-free sum via
-    a second groupBy joined back doc-locally (both shuffles are on the
-    SAME doc_id key, so AQE coalesces them into one exchange lineage)."""
+    """(tok, doc_id, tfc, dlen, pos): term frequency with the document
+    length denormalized in — one aggregation plus a per-doc window-free
+    sum via a second groupBy joined back doc-locally (both shuffles are
+    on the SAME doc_id key, so AQE coalesces them into one exchange
+    lineage). ``pos`` carries the token's sorted 0-based positions (the
+    Lucene positional-postings move): ~one int per occurrence, which is
+    what makes phrase queries answerable from the probed buckets alone —
+    without it a phrase means re-reading document text."""
     tf = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tfc")
+        F.count(F.lit(1)).cast("long").alias("tfc"),
+        F.sort_array(F.collect_list("pos")).alias("pos"),
     )
     dl = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("dlen")
@@ -180,6 +185,76 @@ def bm25_probe(
     return ranked.where(F.col("rank") <= top_k)
 
 
+def phrase_probe(
+    spark: SparkSession,
+    base: str,
+    phrase: list[str],
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Exact-phrase search from the positional postings: (doc_id, n_occ)
+    for every document containing the consecutive token sequence
+    ``phrase``, n_occ counting ALL starting positions (overlaps
+    included).
+
+    Plan shape: the SAME manifest-planned bucket reads as bm25_probe (at
+    most |distinct phrase terms| buckets), then a row-local adjacency
+    check — term i's positions shift left by i, and a document matches
+    wherever all shifted sets intersect. No document text is read, no
+    corpus-sized relation is touched; the per-doc state is one small
+    positions array per phrase term, intersected with array HOFs inside
+    codegen."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    terms = sorted(set(phrase))
+    buckets = _term_buckets(spark, terms, meta["n_buckets"])
+    have = {
+        e["path"].split("/", 1)[0]
+        for e in TF.manifest(os.path.join(base, "postings"))
+        if "/" in e["path"]
+    }
+    rels = [f"bucket={bk}" for bk in buckets if f"bucket={bk}" in have]
+    if not rels:
+        return spark.createDataFrame([], f"doc_id {id_type}, n_occ bigint")
+    scan = (
+        TF.scan_partitions(spark, os.path.join(base, "postings"), rels)
+        .where(F.col("tok").isin(*terms))
+        .select("doc_id", "tok", "pos")
+    )
+    # one slice per PHRASE INDEX (a repeated term contributes once per
+    # index), positions shifted by -i so adjacency becomes set equality
+    slices = None
+    for i, t in enumerate(phrase):
+        s = scan.where(F.col("tok") == t).select(
+            "doc_id",
+            F.lit(i).alias("i"),
+            F.transform(F.col("pos"), lambda p: p - F.lit(i)).alias("sp"),
+        )
+        slices = s if slices is None else slices.unionByName(s)
+    per_doc = (
+        slices.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.array_sort(
+                F.collect_list(F.struct("i", "sp"))
+            ).alias("__s"),
+        )
+        .where(F.col("__n") == len(phrase))  # every phrase index present
+    )
+    inter = F.aggregate(
+        F.expr("slice(__s, 2, size(__s) - 1)"),
+        F.element_at(F.col("__s"), 1)["sp"],
+        lambda acc, x: F.array_intersect(acc, x["sp"]),
+    )
+    return (
+        per_doc.select(
+            "doc_id", F.size(inter).cast("long").alias("n_occ")
+        )
+        .where(F.col("n_occ") > 0)
+    )
+
+
 def refresh_text_index(
     spark: SparkSession, base: str, new_docs: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
@@ -199,7 +274,7 @@ def refresh_text_index(
         meta = json.load(fh)
     toks = new_docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(TXT.tokens(text_col)).alias("tok"),
+        F.posexplode(TXT.tokens(text_col)).alias("pos", "tok"),
     )
     postings = TF.with_bucket(
         _postings(toks), key="tok", n_buckets=meta["n_buckets"]

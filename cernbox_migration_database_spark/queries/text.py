@@ -809,6 +809,60 @@ PHASED["search_bm25_indexed"] = (_bm25_indexed_build, _bm25_indexed_probe)
 ORACLE["search_bm25_indexed"] = ORACLE["bm25_search"]
 
 
+_PHRASE = ("table", "hash")
+
+
+@register(
+    "search_phrase",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    occ AS (
+      SELECT doc_id, COUNT(*) AS n_occ
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, len(tk) - {len(_PHRASE)} + 2))
+                    AS p)
+      WHERE list_slice(tk, p, p + {len(_PHRASE) - 1}) =
+            [{", ".join(repr(t) for t in _PHRASE)}]
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+    FROM occ ORDER BY doc_id
+    """,
+)
+def search_phrase(spark, sf_dir):
+    """Exact-PHRASE search through the positional postings
+    (operators/textindex.py:phrase_probe) — the retrieval user's next
+    query after AND. Token positions ride in the posting rows (the
+    Lucene move), so the probe is the SAME manifest-planned bucket reads
+    as BM25 plus a row-local adjacency check: term i's positions shift
+    left by i and a document matches wherever all shifted sets
+    intersect, n_occ = intersection size (overlaps counted). No document
+    text is read at query time. The oracle is the scan path: every
+    starting position's token slice compared against the phrase literal
+    over the same whitespace tokenization."""
+    return _phrase_probe_phase(spark, _phrase_index_build(spark, sf_dir))
+
+
+def _phrase_index_build(spark, sf_dir):
+    """Build phase (bench-timed separately): one corpus tokenization
+    into the positional postings table."""
+    from ..operators import textindex as TI
+
+    base = _versioned_scratch("phraseidx", sf_dir)
+    TI.build_text_index(spark, _t(spark, sf_dir, "documents"), base)
+    return base
+
+
+def _phrase_probe_phase(spark, base):
+    """Read phase: |distinct phrase terms| bucket reads + row-local
+    positional intersection."""
+    from ..operators import textindex as TI
+
+    return TI.phrase_probe(spark, base, list(_PHRASE)).orderBy("doc_id")
+
+
+PHASED["search_phrase"] = (_phrase_index_build, _phrase_probe_phase)
+
+
 @register(
     "search_bm25_conjunctive",
     f"""

@@ -110,3 +110,59 @@ def test_refresh_rejects_replayed_doc_ids_and_leaves_meta_intact(
     TI.refresh_text_index(spark, base, _docs(spark, [(3, "new doc")]))
     meta_after = _json.load(open(os.path.join(base, TI._META)))
     assert meta_after["n_docs"] == meta_before["n_docs"] + 1
+
+
+def test_phrase_probe_adjacency_overlaps_and_edges(spark, tmp_path):
+    """Positional phrase search: exact adjacency (not mere co-occurrence),
+    overlap counting, repeated-term phrases, and the phrase-at-document-
+    end edge (the off-by-one a range-based oracle is prone to)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha table hash beta table hash"),   # 2 occurrences
+            (2, "table beta hash table alpha hash"),   # co-occur, never adjacent
+            (3, "alpha beta gamma table hash"),        # at document end
+            (4, "hash table"),                         # reversed order only
+            (5, "spam spam spam spam"),                # repeated-term phrase
+        ],
+    )
+    base = str(tmp_path / "ti")
+    TI.build_text_index(spark, docs, base, n_buckets=4)
+
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in TI.phrase_probe(spark, base, ["table", "hash"]).collect()
+    }
+    assert got == {1: 2, 3: 1}
+    # overlapping occurrences all count: 'spam spam' starts at 0,1,2
+    rep = {
+        r["doc_id"]: r["n_occ"]
+        for r in TI.phrase_probe(spark, base, ["spam", "spam"]).collect()
+    }
+    assert rep == {5: 3}
+    # three-term phrase crosses more buckets, same contract
+    tri = {
+        r["doc_id"]: r["n_occ"]
+        for r in TI.phrase_probe(
+            spark, base, ["alpha", "table", "hash"]
+        ).collect()
+    }
+    assert tri == {1: 1}
+    # absent phrase: clean empty frame with the contract schema
+    none = TI.phrase_probe(spark, base, ["nosuch", "phrase"])
+    assert none.count() == 0
+    assert none.columns == ["doc_id", "n_occ"]
+
+
+def test_phrase_probe_sees_refreshed_documents(spark, tmp_path):
+    docs = _docs(spark, [(1, "alpha table hash beta")])
+    base = str(tmp_path / "ti")
+    TI.build_text_index(spark, docs, base, n_buckets=4)
+    TI.refresh_text_index(
+        spark, base, _docs(spark, [(9, "gamma table hash table hash")])
+    )
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in TI.phrase_probe(spark, base, ["table", "hash"]).collect()
+    }
+    assert got == {1: 1, 9: 2}
