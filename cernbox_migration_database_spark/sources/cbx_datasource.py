@@ -370,13 +370,58 @@ class _FilePart(InputPartition):
     deletion-vector positions (file-relative row indices) onto the range
     this task actually reads."""
 
-    def __init__(self, file, rel, part_vals, dv_files, rgs=None, row_start=0):
+    def __init__(
+        self, file, rel, part_vals, dv_files, rgs=None, row_start=0, size=0
+    ):
         self.file = file
         self.rel = rel
         self.part_vals = part_vals  # {pcol: raw string | None}
         self.dv_files = dv_files  # tombstone parquet files for its dir
         self.rgs = rgs  # row-group indices to read, or None = whole file
         self.row_start = row_start  # first file-relative row of the range
+        self.size = size  # manifest bytes (whole files; coalescing input)
+
+
+class _MultiPart(InputPartition):
+    """Several SMALL files bundled into one Spark task. The per-task cost
+    of the Python DataSource path (worker round trip, Arrow serializer
+    setup) is paid per task regardless of bytes, so a 100k-small-file
+    table must not launch 100k Python tasks — the same reason Spark's own
+    FileScan packs splits up to maxPartitionBytes. Bundles keep manifest
+    order, so partition locality (and therefore DV dir reuse) is
+    preserved."""
+
+    def __init__(self, parts: tuple):
+        self.parts = parts
+
+
+def _coalesce_parts(parts: list, target_bytes: int) -> list:
+    """Bin-pack consecutive whole-file parts into <= target_bytes
+    bundles. Row-group-split parts are already ~target-sized and pass
+    through unbundled; a bundle of one stays a bare _FilePart."""
+    out: list = []
+    cur: list = []
+    cur_bytes = 0
+
+    def flush():
+        nonlocal cur, cur_bytes
+        if len(cur) == 1:
+            out.append(cur[0])
+        elif cur:
+            out.append(_MultiPart(tuple(cur)))
+        cur, cur_bytes = [], 0
+
+    for p in parts:
+        if p.rgs is not None or not p.size:
+            flush()
+            out.append(p)
+            continue
+        if cur and cur_bytes + p.size > target_bytes:
+            flush()
+        cur.append(p)
+        cur_bytes += p.size
+    flush()
+    return out
 
 
 def _read_file_batches(part: _FilePart, arrow_schema, renames, pcols):
@@ -384,17 +429,45 @@ def _read_file_batches(part: _FilePart, arrow_schema, renames, pcols):
     the scan's arrow schema: tombstoned rows dropped, physical names
     mapped through the rename chain, absent columns (files written before
     a schema-evolving commit) filled with nulls, partition columns
-    attached as typed constants, every column cast to the declared type."""
+    attached as typed constants, every column cast to the declared type.
+
+    Column pruning happens AT the parquet read: only the physical columns
+    the scan schema resolves to are decoded (one footer read names the
+    file's columns first), so renamed-away/dropped physical columns —
+    and, under the ``columns`` read option, every deselected logical
+    column — never pay decode or Arrow-conversion cost."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import from_arrow_type
 
-    if part.rgs is None:
-        tbl = pq.read_table(part.file)
+    pf = pq.ParquetFile(part.file)
+    fcols = set(pf.schema_arrow.names)
+    needed: list[str] = []
+    for field in arrow_schema:
+        if field.name in part.part_vals:
+            continue
+        for phys in _rename_chain_names(field.name, renames):
+            if phys in fcols:
+                needed.append(phys)
+                break
+    if needed:
+        if part.rgs is None:
+            tbl = pf.read(columns=needed)
+        else:
+            tbl = pf.read_row_groups(list(part.rgs), columns=needed)
     else:
-        tbl = pq.ParquetFile(part.file).read_row_groups(list(part.rgs))
+        # nothing physical to decode (all-partition/null projection):
+        # the row count still comes from the footer, for free
+        tbl = None
+        if part.rgs is None:
+            _n_rows = pf.metadata.num_rows
+        else:
+            _n_rows = sum(
+                pf.metadata.row_group(i).num_rows for i in part.rgs
+            )
+    n0 = tbl.num_rows if tbl is not None else _n_rows
     if part.dv_files:
         dv = pa.concat_tables(
             [pq.read_table(f, columns=["file", "pos"]) for f in part.dv_files]
@@ -402,28 +475,33 @@ def _read_file_batches(part: _FilePart, arrow_schema, renames, pcols):
         pos = dv.filter(pc.equal(dv["file"], part.rel)).column("pos").to_pylist()
         # DV positions are file-relative; keep only those landing inside
         # this task's row-group range, re-based to range-relative indices
-        lo, hi = part.row_start, part.row_start + tbl.num_rows
+        lo, hi = part.row_start, part.row_start + n0
         pos = [p - lo for p in pos if lo <= p < hi]
         if pos:
             import numpy as np
 
-            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask = np.ones(n0, dtype=bool)
             mask[np.asarray(pos, dtype=np.int64)] = False
-            tbl = tbl.filter(pa.array(mask))
-    n = tbl.num_rows
+            if tbl is not None:
+                tbl = tbl.filter(pa.array(mask))
+            n0 -= len(pos)
+    n = tbl.num_rows if tbl is not None else n0
     arrays = []
     for field in arrow_schema:
         if field.name in part.part_vals:
             typed = _parse_pv(
                 part.part_vals[field.name], from_arrow_type(field.type)
             )
-            arrays.append(pa.array([typed] * n, type=field.type))
+            # C-level constant column — a [typed] * n Python list costs
+            # per-row Python object churn on every million-row task
+            arrays.append(pa.repeat(pa.scalar(typed, type=field.type), n))
             continue
         col = None
-        for phys in _rename_chain_names(field.name, renames):
-            if phys in tbl.column_names:
-                col = tbl.column(phys)
-                break
+        if tbl is not None:
+            for phys in _rename_chain_names(field.name, renames):
+                if phys in tbl.column_names:
+                    col = tbl.column(phys)
+                    break
         if col is None:
             arrays.append(pa.nulls(n, type=field.type))
         else:
@@ -452,12 +530,16 @@ class CbxTableReader(DataSourceReader):
         self._renames = [list(r) for r in renames]
         self._filters: list[Filter] = []
         # row-group task splitting: on by default; splitRowGroups=false
-        # disables, targetSplitBytes tunes the per-task byte target
-        self._split_bytes: int | None = int(
+        # disables, targetSplitBytes tunes the per-task byte target.
+        # coalesceFiles=false disables small-file task packing (same
+        # byte target).
+        self._target_bytes = int(
             options.get("targetsplitbytes", _DEFAULT_SPLIT_BYTES)
         )
+        self._split_bytes: int | None = self._target_bytes
         if not _opt_bool_default(options, "splitrowgroups", True):
             self._split_bytes = None
+        self._coalesce = _opt_bool_default(options, "coalescefiles", True)
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         # keep every filter for pruning, hand every filter BACK to Spark
@@ -475,14 +557,32 @@ class CbxTableReader(DataSourceReader):
             self._schema,
             split_bytes=self._split_bytes,
         )
+        if self._coalesce:
+            # small-file coalescing (coalesceFiles=false disables): the
+            # Python-task constant is paid per task, so pack small files —
+            # but never below the cluster's parallelism. Same formula as
+            # Spark's FilePartition.maxSplitBytes: the effective target is
+            # min(configured target, max(open-cost, total/parallelism)),
+            # so a small table still fans out while a 100k-file table
+            # packs toward the byte target.
+            whole = sum(p.size for p in parts if p.rgs is None and p.size)
+            para = os.cpu_count() or 8
+            dyn = max(_OPEN_COST_BYTES, whole // para + 1)
+            parts = _coalesce_parts(parts, min(self._target_bytes, dyn))
         # Spark requires >= 1 partition; an everything-pruned scan reads
         # nothing through one no-op task
         return parts or [_FilePart(None, None, {}, ())]
 
-    def read(self, partition: _FilePart) -> Iterator:
+    def read(self, partition) -> Iterator:
+        if isinstance(partition, _MultiPart):
+            for p in partition.parts:
+                yield from _read_file_batches(
+                    p, self._arrow_schema, self._renames, self._pcols
+                )
+            return
         if partition.file is None:
-            return iter(())
-        return _read_file_batches(
+            return
+        yield from _read_file_batches(
             partition, self._arrow_schema, self._renames, self._pcols
         )
 
@@ -525,6 +625,9 @@ def _split_rgs(rgs: list[list[int]], target_bytes: int) -> list[tuple[list[int],
 # so tasks skew slightly larger after decode, which is the right side to
 # err on for Python-worker startup amortization.
 _DEFAULT_SPLIT_BYTES = 128 << 20
+# Floor for the dynamic coalescing target (Spark's files.openCostInBytes):
+# below this, bundling more files into a task costs less than opening them.
+_OPEN_COST_BYTES = 4 << 20
 
 
 def _plan_files(
@@ -610,7 +713,11 @@ def _plan_files(
                     _FilePart(full, rel, raw_vals, dvs, idxs, row_start)
                 )
         else:
-            parts.append(_FilePart(full, rel, raw_vals, dvs))
+            parts.append(
+                _FilePart(
+                    full, rel, raw_vals, dvs, size=int(e.get("size") or 0)
+                )
+            )
     return parts, skipped
 
 
@@ -1025,6 +1132,24 @@ class CbxTableDataSource(DataSource):
 
         root = self._root()
         st = _logical_schema(root, _resolve_version(root, self.options))
+        cols = self.options.get("columns")
+        if cols is not None:
+            # explicit projection: the Python DataSource API has no
+            # column-pruning hook (Spark prunes only AFTER the worker has
+            # shipped every column through Arrow), so a wide-table scan
+            # that needs two columns pays decode + transfer for all of
+            # them unless the user names the projection here. The option
+            # reaches _read_file_batches through the scan schema, so
+            # deselected columns are never decoded at the parquet read.
+            want = [c.strip() for c in cols.split(",") if c.strip()]
+            have = {f.name: f for f in st.fields}
+            unknown = [c for c in want if c not in have]
+            if unknown:
+                raise ValueError(
+                    f"columns option names unknown column(s) {unknown}; "
+                    f"table has {sorted(have)}"
+                )
+            st = StructType([have[c] for c in want])
         if _opt_bool(self.options, "withcommitversion"):
             st = StructType(
                 st.fields + [StructField("_commit_version", LongType(), False)]

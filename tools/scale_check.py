@@ -824,14 +824,36 @@ def r6_mode_main(argv: list[str]) -> int:
                     F.sum("o_totalprice").alias("s"),
                 ).collect()
 
-            agg(TF.read_table(spark, root))  # warm both paths once
-            agg(spark.read.format("cbxtable").load(root))
-            t0 = time.monotonic()
-            agg(TF.read_table(spark, root))
-            out["native_read_sec"] = round(time.monotonic() - t0, 3)
-            t0 = time.monotonic()
-            agg(spark.read.format("cbxtable").load(root))
-            out["connector_read_sec"] = round(time.monotonic() - t0, 3)
+            def timed(df_fn, reps: int = 5) -> float:
+                """Median of reps warm timings — these are sub-second
+                ops on a co-tenant box; a single shot grades the
+                neighbors, not the connector."""
+                import statistics as _st
+
+                agg(df_fn())  # warm
+                ts = []
+                for _ in range(reps):
+                    t0 = time.monotonic()
+                    agg(df_fn())
+                    ts.append(time.monotonic() - t0)
+                return round(_st.median(ts), 3)
+
+            out["native_read_sec"] = timed(
+                lambda: TF.read_table(spark, root)
+            )
+            out["connector_read_sec"] = timed(
+                lambda: spark.read.format("cbxtable").load(root)
+            )
+            # the projection-pruned connector read: the Python DS API has
+            # no column-pruning hook, so the `columns` option is how a
+            # user keeps a wide-table aggregate from shipping every
+            # column through Arrow — native Catalyst prunes automatically,
+            # making THIS the like-for-like comparison
+            out["connector_pruned_read_sec"] = timed(
+                lambda: spark.read.format("cbxtable")
+                .option("columns", "o_totalprice")
+                .load(root)
+            )
 
             # -- aggpush vs scan ----------------------------------------
             t0 = time.monotonic()
@@ -932,6 +954,11 @@ def r6_mode_main(argv: list[str]) -> int:
                 },
                 "connector_over_native_at_k": round(
                     rk["connector_read_sec"]
+                    / max(rk["native_read_sec"], 1e-9),
+                    2,
+                ),
+                "connector_pruned_over_native_at_k": round(
+                    rk["connector_pruned_read_sec"]
                     / max(rk["native_read_sec"], 1e-9),
                     2,
                 ),
