@@ -109,6 +109,10 @@ def single() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # co-tenant load signal: sampled BEFORE this process does any work —
+    # once the 32-thread warmup/fixture builds start, the 1-min average
+    # measures US, not the neighbors
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="bench")
 
     # warmup: JVM + codegen + parquet footer caches
@@ -127,7 +131,6 @@ def single() -> None:
     probe_ctx = {
         name: Q.PHASED[name][0](spark, sf_dir) for name in PROBE_HEADLINE
     }
-    load_start = os.getloadavg()[0]
 
     def run_pass() -> tuple[dict[str, float], dict[str, dict[str, float]]]:
         """Per-query wall time; fixture-building queries (Q.PHASED) are

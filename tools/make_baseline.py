@@ -97,9 +97,15 @@ def main(argv: list[str]) -> int:
         raise SystemExit("make_baseline: every run failed")
 
     def _is_clean(r) -> bool:
+        # clean = the box was co-tenant-idle when the run STARTED (the
+        # gate-release sample and bench's own pre-work sample). Loads
+        # DURING/AFTER a 32-thread bench measure the bench itself, so
+        # they are recorded for transparency but do not gate cleanliness;
+        # mid-run co-tenant arrivals surface as cross-run spread instead.
         la = r.get("load_avg", {})
         return (
-            la.get("start", 99) < max_load and la.get("end", 99) < max_load
+            r.get("gate_load", 99) < max_load
+            and la.get("start", 99) < max_load
         )
 
     clean = [r for r in results if _is_clean(r)]
