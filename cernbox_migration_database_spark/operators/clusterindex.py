@@ -30,8 +30,9 @@ incident edges out). Removing a node can SPLIT a component, which the
 map alone cannot recompute — but the stored edges can: only the touched
 components' survivors are re-closed from their stored edges, so an RTBF
 delete costs O(touched clusters), never a corpus re-cluster. Updates
-still raise (a content change invalidates edges in a way only
-re-probing can fix — delete + re-insert is the documented workaround).
+fold as delete + re-insert of the same node: the pre-image's edges merge
+out with the delete fold, the post-image joins the batch and re-probes —
+so the full insert/delete/update lifecycle is incremental.
 """
 
 from __future__ import annotations
@@ -200,7 +201,10 @@ def ingest_clusters(spark: SparkSession, cluster_root: str) -> int:
     Cost shape: O(batch) signatures + |batch bands| bucket reads +
     components over (batch ∪ bridged clusters ∪ delete-touched
     clusters) — the corpus outside those is never read or written.
-    Raises on updates in the window (delete + re-insert instead)."""
+    Updates decompose into delete (pre-image edges fold out) +
+    re-insert (post-image re-probes with the batch); the decomposition
+    is complete because the edge predicate depends only on final
+    content."""
     with open(os.path.join(cluster_root, _STATE), encoding="utf-8") as fh:
         st = json.load(fh)
     idx = st["index_root"]
@@ -214,22 +218,14 @@ def ingest_clusters(spark: SparkSession, cluster_root: str) -> int:
         from_version=st["base_version"], to_version=cur,
         include_preimage=True,
     )
-    if not ch.where(
-        F.col("_change_type").isin("update_preimage", "update_postimage")
-    ).isEmpty():
-        raise ValueError(
-            "change window contains updates — a content change "
-            "invalidates the stored edges in a way only re-probing can "
-            "fix; delete the old row and re-insert instead"
-        )
     removed = (
-        ch.where(F.col("_change_type") == "delete")
+        ch.where(F.col("_change_type").isin("delete", "update_preimage"))
         .select(id_col)
         .distinct()
     )
-    batch = ch.where(F.col("_change_type") == "insert").drop(
-        "_change_type", "_commit_version"
-    )
+    batch = ch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_commit_version")
     has_removed, has_batch = not removed.isEmpty(), not batch.isEmpty()
     if not has_removed and not has_batch:
         # layout-only window (compaction/Z-order commits): nothing to

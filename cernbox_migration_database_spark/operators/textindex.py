@@ -255,6 +255,65 @@ def phrase_probe(
     )
 
 
+def near_probe(
+    spark: SparkSession,
+    base: str,
+    first: str,
+    second: str,
+    slop: int = 0,
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Ordered PROXIMITY search (Lucene span-near, two terms): documents
+    where ``second`` occurs after ``first`` within ``slop`` intervening
+    tokens. Returns (doc_id, n_pairs) — the count of qualifying
+    (position-of-first, position-of-second) pairs, so ranking by
+    proximity evidence is possible downstream.
+
+    Same plan shape as :func:`phrase_probe`: at most two manifest-planned
+    bucket reads, one doc-keyed equi-join of the two terms' posting rows,
+    then a row-local nested-HOF pair count over the positions arrays
+    (per-doc term frequencies are small; the fold never leaves the
+    row)."""
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    terms = sorted({first, second})
+    buckets = _term_buckets(spark, terms, meta["n_buckets"])
+    have = {
+        e["path"].split("/", 1)[0]
+        for e in TF.manifest(os.path.join(base, "postings"))
+        if "/" in e["path"]
+    }
+    rels = [f"bucket={bk}" for bk in buckets if f"bucket={bk}" in have]
+    if not rels:
+        return spark.createDataFrame([], f"doc_id {id_type}, n_pairs bigint")
+    scan = (
+        TF.scan_partitions(spark, os.path.join(base, "postings"), rels)
+        .where(F.col("tok").isin(*terms))
+        .select("doc_id", "tok", "pos")
+    )
+    a = scan.where(F.col("tok") == first).select("doc_id", F.col("pos").alias("pa"))
+    b = scan.where(F.col("tok") == second).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    window = slop + 1
+    pairs = F.aggregate(
+        F.col("pa"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.size(
+            F.filter(
+                F.col("pb"),
+                lambda q: (q > p) & (q - p <= F.lit(window)),
+            )
+        ).cast("long"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", pairs.alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
+
+
 def refresh_text_index(
     spark: SparkSession, base: str, new_docs: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",

@@ -72,6 +72,13 @@ _PRIORITY = [
     "agg_weighted_median",
     "events_rolling_distinct_users",
     "train_dataset_card",
+    # --- round-8 additions: trained-quantizer ADC, positional phrase /
+    # proximity retrieval, and the delete-window cluster ingest ---
+    "similarity_pq_adc_trained",
+    "search_phrase",
+    "search_near",
+    "datasource_scan_columns",
+    "dedup_cluster_ingest",
     # --- round-6 additions claim the next slots as they are defined ---
     "datasource_scan_pruned",
     "table_stream_pipeline",

@@ -1038,6 +1038,37 @@ PHASED["datasource_scan_pruned"] = (_dsscan_build, _dsscan_probe)
 
 
 @register(
+    "datasource_scan_columns",
+    """
+    SELECT o_orderpriority,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def datasource_scan_columns(spark, sf_dir):
+    """Connector scan under the ``columns`` read option (round 8): the
+    Python DataSource API has no column-pruning hook — Spark prunes only
+    AFTER the worker ships every column through Arrow — so naming the
+    projection at the source is how a wide-table aggregate avoids
+    decoding and transferring untouched columns. The projected source
+    schema (o_orderpriority is a partition column, o_totalprice the only
+    decoded data column; o_orderkey never decodes) must produce the
+    exact aggregate the oracle computes relationally over the full
+    table."""
+    root = _dsscan_build(spark, sf_dir)
+    return (
+        spark.read.format("cbxtable")
+        .option("columns", "o_orderpriority,o_totalprice")
+        .load(root)
+        .groupBy("o_orderpriority")
+        .agg(dsum("o_totalprice").alias("sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "table_stream_pipeline",
     """
     WITH src AS (

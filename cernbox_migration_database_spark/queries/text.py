@@ -863,6 +863,52 @@ def _phrase_probe_phase(spark, base):
 PHASED["search_phrase"] = (_phrase_index_build, _phrase_probe_phase)
 
 
+_NEAR_SLOP = 3
+
+
+@register(
+    "search_near",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p1 AS (SELECT doc_id, p FROM toks,
+           LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS p)
+           WHERE tk[p] = '{_PHRASE[0]}'),
+    p2 AS (SELECT doc_id, p FROM toks,
+           LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS p)
+           WHERE tk[p] = '{_PHRASE[1]}'),
+    pr AS (SELECT p1.doc_id, COUNT(*) AS n_pairs
+           FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+                          AND p2.p > p1.p
+                          AND p2.p - p1.p <= {_NEAR_SLOP + 1}
+           GROUP BY p1.doc_id)
+    SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM pr ORDER BY doc_id
+    """,
+)
+def search_near(spark, sf_dir):
+    """Ordered PROXIMITY search (Lucene span-near) through the positional
+    postings: '{first} ... {second}' with at most slop intervening
+    tokens. Probe = two manifest-planned bucket reads + one doc-keyed
+    join of the two posting rows + a row-local nested-HOF pair count over
+    the positions arrays — no document text, no corpus-sized relation.
+    The oracle joins the two terms' position lists per document under the
+    same ordered-window predicate over the same tokenization."""
+    base = _phrase_index_build(spark, sf_dir)
+    return _near_probe_phase(spark, base)
+
+
+def _near_probe_phase(spark, base):
+    """Read phase: two bucket reads + row-local pair counting."""
+    from ..operators import textindex as TI
+
+    return TI.near_probe(
+        spark, base, _PHRASE[0], _PHRASE[1], slop=_NEAR_SLOP
+    ).orderBy("doc_id")
+
+
+PHASED["search_near"] = (_phrase_index_build, _near_probe_phase)
+
+
 @register(
     "search_bm25_conjunctive",
     f"""

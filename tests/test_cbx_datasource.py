@@ -633,3 +633,70 @@ def test_row_group_splitting_honors_deletion_vectors(spark, tmp_path):
     f_native = native.where("val >= 10000 AND val < 12000")
     f_split = split.where("val >= 10000 AND val < 12000")
     assert _rows(f_split) == _rows(f_native)
+
+
+def test_columns_option_prunes_schema_and_decode(spark, tmp_path):
+    """R8: the Python DS API has no column-pruning hook, so the `columns`
+    read option is how a user keeps a projection from shipping every
+    column through Arrow. The pruned source must equal the native
+    projection (values AND schema), compose with pushed filters and
+    partition columns, and reject unknown names loudly."""
+    root = str(tmp_path / "t")
+    _evolved_table(spark, root)
+    native = TF.read_table(spark, root)
+    keep = [c for c in native.columns if c != native.columns[1]][:2]
+    pruned = (
+        spark.read.format("cbxtable")
+        .option("columns", ",".join(keep))
+        .load(root)
+    )
+    assert pruned.columns == keep
+    assert _rows(pruned) == _rows(native.select(*keep))
+    # unknown column: loud, names the table's real columns
+    with pytest.raises(Exception, match="unknown column"):
+        spark.read.format("cbxtable").option(
+            "columns", "no_such_col"
+        ).load(root).collect()
+
+
+def test_small_file_coalescing_packs_tasks_without_changing_rows(
+    spark, tmp_path
+):
+    """R8: one Python task per file pays the worker round trip per file;
+    partitions() bin-packs consecutive small files toward
+    min(target, max(open-cost, total/parallelism)). Pinned: bundle
+    arithmetic on planned parts, byte-identical results with coalescing
+    on and off, and DV subtraction surviving bundling."""
+    root = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, g int, v long")
+    TF.create_table(
+        mk([(i, i % 4, i * 10) for i in range(400)]).repartition(16),
+        root,
+        partition_by="g",
+    )
+    schema = TF.read_table(spark, root).schema
+    parts, _ = DS._plan_files(root, TF.current_version(root), [], schema)
+    assert len(parts) > 4  # many small files per partition dir
+    assert all(p.size > 0 for p in parts)
+    # a generous target packs everything into <= #dirs-ish bundles
+    packed = DS._coalesce_parts(parts, 1 << 30)
+    assert len(packed) < len(parts)
+    assert any(isinstance(p, DS._MultiPart) for p in packed)
+    n_files = sum(
+        len(p.parts) if isinstance(p, DS._MultiPart) else 1 for p in packed
+    )
+    assert n_files == len(parts)  # nothing dropped or duplicated
+    # a 1-byte target degenerates to one task per file (bundles of one
+    # stay bare _FileParts)
+    assert DS._coalesce_parts(parts, 1) == parts
+    native = TF.read_table(spark, root)
+    assert _rows(spark.read.format("cbxtable").load(root)) == _rows(native)
+    assert _rows(
+        spark.read.format("cbxtable")
+        .option("coalescefiles", "false")
+        .load(root)
+    ) == _rows(native)
+    # deletion vectors still subtract inside bundles
+    TF.delete_where(spark, root, "id % 7 = 0", mode="mor")
+    native2 = TF.read_table(spark, root)
+    assert _rows(spark.read.format("cbxtable").load(root)) == _rows(native2)

@@ -227,20 +227,34 @@ def test_replayed_delete_window_is_idempotent(spark, tmp_path):
     assert json.load(open(sp))["base_version"] == TF.current_version(base)
 
 
-def test_update_window_raises(spark, tmp_path):
+def test_update_window_folds_as_delete_plus_reinsert(spark, tmp_path):
+    """An UPDATE decomposes into delete (pre-image edges out, component
+    possibly split) + re-insert (post-image re-probes). Rewriting
+    cluster-member 2 to text near cluster 4 must move it between
+    clusters, and the final map + edge table must equal a from-scratch
+    build on the final corpus."""
     base, idx, cl = _mk(spark, tmp_path)
+    before = _cmap(spark, cl)
+    assert before[2] == 1  # starts in cluster 1
     TF.merge_into(
         spark, base,
         spark.createDataFrame(
-            [(2, "entirely different replacement text")],
-            "doc_id long, text string",
+            [(2, _T2 + " ten")], "doc_id long, text string"
         ),
         on="doc_id",
     )
-    import pytest
-
-    with pytest.raises(ValueError, match="updates"):
-        CI.ingest_clusters(spark, cl)
+    assert CI.ingest_clusters(spark, cl) == TF.current_version(base)
+    got = _cmap(spark, cl)
+    # doc 2 joined {4, 5}; the merged component's label is its min id, 2
+    assert got[2] == got[4] == got[5] == 2
+    assert got[1] == 1  # the old cluster shrinks to a singleton
+    final = [
+        (r["doc_id"], r["text"])
+        for r in TF.read_table(spark, base).collect()
+    ]
+    _, _, cl2 = _mk(spark, tmp_path, corpus=final, tag="2")
+    assert got == _cmap(spark, cl2)
+    assert _edges(spark, cl) == _edges(spark, cl2)
 
 
 def test_compaction_window_is_layout_only_noop(spark, tmp_path):

@@ -166,3 +166,34 @@ def test_phrase_probe_sees_refreshed_documents(spark, tmp_path):
         for r in TI.phrase_probe(spark, base, ["table", "hash"]).collect()
     }
     assert got == {1: 1, 9: 2}
+
+
+def test_near_probe_ordered_window_semantics(spark, tmp_path):
+    """Span-near: ordered pairs within slop intervening tokens; slop=0
+    degenerates to bigram adjacency; reversed-order occurrences never
+    match; pair counting multiplies evidence."""
+    docs = _docs(
+        spark,
+        [
+            (1, "table alpha beta hash"),        # gap 2: slop>=2 only
+            (2, "table hash"),                   # adjacent
+            (3, "hash alpha table"),             # wrong order only
+            (4, "table hash table gamma hash"),  # multiple pairs
+        ],
+    )
+    base = str(tmp_path / "ti")
+    TI.build_text_index(spark, docs, base, n_buckets=4)
+
+    def near(slop):
+        return {
+            r["doc_id"]: r["n_pairs"]
+            for r in TI.near_probe(
+                spark, base, "table", "hash", slop=slop
+            ).collect()
+        }
+
+    # doc4 positions: table@0, hash@1, table@2, hash@4
+    assert near(0) == {2: 1, 4: 1}          # only adjacent (0,1)
+    assert near(2) == {1: 1, 2: 1, 4: 2}    # + doc1 gap-2, doc4 (2,4)
+    assert near(5) == {1: 1, 2: 1, 4: 3}    # doc4: (0,1),(0,4),(2,4)
+    assert 3 not in near(5)  # order matters
