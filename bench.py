@@ -76,6 +76,7 @@ PROBE_HEADLINE = [
     "approx_distinct_store",
     "search_bm25_indexed",
     "search_phrase",
+    "search_near",
 ]
 
 WARM_PASSES = 2
