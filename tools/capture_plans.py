@@ -32,6 +32,10 @@ SHOW = {
     "dedup_lsh_probe_index": "LSH index probe: batch signatures -> pruned bucket scan (manifest-planned, no listing) -> candidate equi-join -> exact verify on candidates only",
     "similarity_ivf_index_probe": "IVF index probe: row-local centroid ranking, nprobe cell partitions scanned, vectors projected away before the ranking exchange",
     "search_bm25_conjunctive": "boolean AND retrieval: count-distinct qualifier over the pruned postings slice, corpus-wide idf, scaled-long score quantization",
+    "search_phrase": "positional phrase probe: <= |distinct terms| pruned bucket reads, per-doc shifted-position intersection via array HOFs (row-local, no text read)",
+    "search_near": "span-near probe: two pruned bucket reads, one doc-keyed join, nested-HOF ordered-window pair count over the positions arrays",
+    "similarity_pq_adc_trained": "trained-quantizer ADC: encode vs 512 literal entries in one codegen stage, broadcast per-query LUT join, map-side-combinable integer sums",
+    "datasource_scan_columns": "connector scan under the columns option: projected source schema, only the named data column decodes at the parquet read",
     "text_lm_cross_entropy": "bigram LM: two keyed count aggregations train; scoring joins doc bigrams to counts on their keys; 1-row vocab scalar is the only broadcast",
     "approx_distinct_store": "KMV store estimates: k-minima states only (KiB-scale), zero base-table IO in the plan",
     "profile_orders": "N exact COUNT(DISTINCT) via one Expand feeding a single partial+final aggregation; stack-unpivot on the 1-row agg",
