@@ -75,6 +75,7 @@ _PRIORITY = [
     # --- round-8 additions: trained-quantizer ADC, positional phrase /
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",
+    "similarity_ann_ivf_trained",
     "search_phrase",
     "search_near",
     "datasource_scan_columns",

@@ -452,6 +452,79 @@ def similarity_ann_ivf(spark, sf_dir):
     )
 
 
+def _ivf_trained_oracle() -> str:
+    """similarity_ann_ivf's replay with the centroid CTE swapped for the
+    FROZEN TRAINED literals (operators/ivf_trained.py): raw doubles enter
+    the same scaled-element cast the corpus vectors do, so assignment and
+    ranking arithmetic stay bit-identical cross-engine."""
+    from ..operators.ivf_trained import TRAINED_IVF_CENTROIDS
+
+    rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}])"
+        for i, c in enumerate(TRAINED_IVF_CENTROIDS)
+    )
+    return f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT cent_id, cemb,
+             sqrt({_dot_sql('cemb', 'cemb')}) AS cnrm
+      FROM (VALUES
+        {rows}) AS t(cent_id, cemb)),
+    ac AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot_sql('v.embedding', 'c.cemb')} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, cent_id AS cell
+              FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("similarity_ann_ivf_trained", _ivf_trained_oracle())
+def similarity_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN through the TRAINED coarse quantizer
+    (operators/ivf_trained.py — distributed Lloyd via kmeans_train,
+    frozen as double literals): data-adaptive cells give balanced
+    posting lists and better recall per probed cell than the id<16
+    seeds, and because the centroids are frozen constants entering the
+    identical fixed-point pipeline on both engines, even the TRAINED
+    approximate search is hash-differentialed — the freezing discipline
+    that already made the trained PQ quantizer oracle-pairable. Same
+    plan family as similarity_ann_ivf: row-local assignment, broadcast
+    probe equi-join on the cell id, window top-k."""
+    from ..operators.ivf_trained import TRAINED_IVF_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.centroid_literals(spark, TRAINED_IVF_CENTROIDS)
+    return S.ann_ivf(
+        emb, emb.where(F.col("vec_id") < 20), cents, nprobe=4, top_k=5
+    )
+
+
 @register(
     "similarity_ivf_index_probe",
     f"""

@@ -321,6 +321,16 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     trained = centroid_literals(spark, kmeans_train(emb, k=16, iters=2))
     assert mean_recall(ann_ivf(emb, queries, trained, nprobe=4, top_k=10)) >= 0.6
 
+    # the FROZEN trained centroids (operators/ivf_trained.py — what the
+    # similarity_ann_ivf_trained differential serves) hold the same bar,
+    # and deterministically (frozen literals, exact integer ranking)
+    from cernbox_migration_database_spark.operators.ivf_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    frozen = centroid_literals(spark, TRAINED_IVF_CENTROIDS)
+    assert mean_recall(ann_ivf(emb, queries, frozen, nprobe=4, top_k=10)) >= 0.6
+
 
 def test_kmeans_train_shapes_and_determinism(spark):
     """Lloyd training returns k centroids of the input dimension; the
