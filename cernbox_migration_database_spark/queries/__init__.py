@@ -76,6 +76,7 @@ _PRIORITY = [
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",
     "similarity_ann_ivf_trained",
+    "similarity_ivf_pq_trained",
     "search_phrase",
     "search_near",
     "datasource_scan_columns",
