@@ -635,7 +635,10 @@ def similarity_ivfpq_index_probe(spark, sf_dir):
     posting lists hold m=8 sub-quantizer CODES per vector (an index ~100x
     smaller than the vectors), maintained through the change feed across
     the full insert/delete/update lifecycle with centroids AND codebooks
-    fixed at build. Probes name nprobe cell partitions row-locally, read
+    fixed at build — since round 8 the TRAINED frozen quantizers
+    (ivf_trained.py + pq_trained.py), so the standing index carries the
+    production recall, not the seed floor. Probes name nprobe cell
+    partitions row-locally, read
     only those, and rank by exact-integer asymmetric distance through a
     broadcast per-query LUT. The oracle replays the full composite over
     the post-change corpus. Builder: build on the %10!=7 slice (plus
@@ -648,9 +651,15 @@ def similarity_ivfpq_index_probe(spark, sf_dir):
 
 def _ivfpq_index_build(spark, sf_dir):
     """Build phase (bench-timed separately): corpus table + index build +
-    insert-fold + delete-fold — the amortized maintenance cost."""
+    insert-fold + delete-fold — the amortized maintenance cost. Since
+    round 8 the index is built on the TRAINED quantizers (frozen Lloyd
+    centroids + frozen per-subspace codebooks — the production config,
+    ~2x the fully-seeded composite's recall), which the parameterized
+    trained oracle replays over the post-lifecycle corpus."""
     from ..operators import ivfpqindex as PQX
     from ..operators import table_format as TF
+    from ..operators.ivf_trained import TRAINED_IVF_CENTROIDS
+    from ..operators.pq_trained import TRAINED_PQ_CODEBOOKS
 
     root = _versioned_scratch("ivfpqidx", sf_dir)
     base, idx = root + "/emb", root + "/idx"
@@ -661,8 +670,8 @@ def _ivfpq_index_build(spark, sf_dir):
     TF.create_table(corpus0, base)
     PQX.build_ivfpq_index(
         spark, base, idx,
-        S.seed_centroids(corpus0, k=16),
-        S.pq_codebooks(corpus0),
+        S.centroid_literals(spark, TRAINED_IVF_CENTROIDS),
+        TRAINED_PQ_CODEBOOKS,
     )
     TF.merge_into(
         spark, base,
@@ -937,14 +946,16 @@ def similarity_pq_adc_trained(spark, sf_dir):
     )
 
 
-def _ivf_pq_trained_oracle() -> str:
+def _ivf_pq_trained_oracle(member: str = "TRUE") -> str:
     """The fully TRAINED IVF-PQ composite replayed relationally: the
     coarse-quantizer CTE is the frozen centroid literal table
     (ivf_trained.py) and the sub-quantizer CTE the frozen codebook
     literal table (pq_trained.py, m=32 x k=16 x 2-dim geometry,
     BIGINT-cast against INT32 overflow); assignment, probing, encoding,
     and integer ADC all replay over literals, so the production-shaped
-    trained index is hash-differentialed end to end."""
+    trained index is hash-differentialed end to end. ``member``
+    restricts corpus MEMBERSHIP — the incremental-index twin passes its
+    post-lifecycle predicate."""
     from ..operators.ivf_trained import TRAINED_IVF_CENTROIDS
     from ..operators.pq_trained import (
         TRAINED_PQ_CODEBOOKS,
@@ -983,7 +994,8 @@ def _ivf_pq_trained_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY ccos DESC, cent_id) AS r
       FROM ac),
-    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE r = 1),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked_cells
+              WHERE r = 1 AND ({member})),
     probe AS (SELECT vec_id AS query_id, cent_id AS cell
               FROM ranked_cells WHERE vec_id < 20 AND r <= 4),
     cand AS (
@@ -1150,7 +1162,7 @@ def similarity_ivf_pq(spark, sf_dir):
     )
 
 
-ORACLE["similarity_ivfpq_index_probe"] = _ivf_pq_oracle(
+ORACLE["similarity_ivfpq_index_probe"] = _ivf_pq_trained_oracle(
     member="vec_id % 100 <> 23"
 ) + "\n    ORDER BY query_id, rank"
 
