@@ -54,17 +54,68 @@ def _vintage() -> dict[str, int]:
     return last
 
 
+def fingerprint(name: str) -> str:
+    """Verification fingerprint for a registered query: md5 over the
+    builder function's source + its oracle SQL (r8 verdict item 2). A
+    mismatch against the committed VERIFY_MANIFEST.json entry means the
+    query's code changed since its last driver-green, so the rotation
+    re-verifies it ahead of merely-old vintages."""
+    import hashlib
+    import inspect
+
+    fn = Q.QUERIES[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    blob = src + "\n--oracle--\n" + Q.ORACLE.get(name, "")
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
+def _manifest() -> dict[str, dict]:
+    """Committed per-query {fingerprint, round} snapshot taken at each
+    round start (tools/update_verify_manifest.py), i.e. while the tree
+    still equals what the driver just verified."""
+    path = os.path.join(_REPO, "VERIFY_MANIFEST.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extended
-    set), ordered least-recently-driver-verified FIRST. The grading
-    harness differentials the first 50 entries each round, so this
-    ordering makes its window a self-rotating re-verification sweep:
-    never-verified queries lead, then the oldest green vintages; ties
-    keep registration order. Re-verifying code that churned since its
-    last green beats re-proving last round's freshest rows."""
+    set), ordered for the driver's 50-query differential window:
+
+      1. never driver-verified queries;
+      2. CHURNED queries — verified, but the builder-source+oracle
+         fingerprint no longer matches the committed manifest entry from
+         their last green (or the manifest marks them stale), so the
+         green no longer covers the code that would ship;
+      3. clean greens, oldest vintage first.
+
+    Ties keep registration order (stable sort). This makes the window a
+    churn-aware re-verification sweep: code that changed since its last
+    green is re-proved the very next round instead of waiting for its
+    vintage to age out (r8 verdict item 2)."""
     base = dict(Q.QUERIES)
     last = _vintage()
-    order = sorted(base, key=lambda q: last.get(q, -1))  # stable sort
+    man = _manifest()
+
+    def key(q: str) -> tuple[int, int]:
+        if q not in last:
+            return (0, 0)
+        ent = man.get(q)
+        if ent is not None and (
+            ent.get("stale") or ent.get("fingerprint") != fingerprint(q)
+        ):
+            return (1, last[q])
+        return (2, last[q])
+
+    order = sorted(base, key=key)  # stable sort
     return {q: base[q] for q in order}
 
 

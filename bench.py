@@ -328,31 +328,75 @@ def protocol() -> None:
     }
     colds = [r["value"] for r in results]
     warms = [r["warm_total"] for r in results]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(statistics.median(colds), 3),
-                "unit": "sec",
-                "queries": med_q,
-                "warm_total": round(statistics.median(warms), 3),
-                "warm_median": round(statistics.median(warms), 3),
-                "queries_warm": med_w,
-                "probes": med_probe["probes"],
-                "probes_warm": med_probe["probes_warm"],
-                "phases": med_ph["phases"],
-                "phases_warm": med_ph["phases_warm"],
-                "vs_baseline": _vs_baseline(med_w, med_probe["probes_warm"]),
-                "runs": len(results),
-                "per_run_cold": colds,
-                "per_run_warm": warms,
-                "spread_cold": [min(colds), max(colds)],
-                "spread_warm": [min(warms), max(warms)],
-                "load_avg_per_run": [r.get("load_avg") for r in results],
-                "sf": results[0].get("sf"),
-            }
-        )
+    vsb = _vs_baseline(med_w, med_probe["probes_warm"])
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": round(statistics.median(colds), 3),
+        "unit": "sec",
+        "queries": med_q,
+        "warm_total": round(statistics.median(warms), 3),
+        "queries_warm": med_w,
+        "probes": med_probe["probes"],
+        "probes_warm": med_probe["probes_warm"],
+        "phases": med_ph["phases"],
+        "phases_warm": med_ph["phases_warm"],
+        "vs_baseline": vsb,
+        "runs": len(results),
+        "per_run_cold": colds,
+        "per_run_warm": warms,
+        "spread_cold": [min(colds), max(colds)],
+        "spread_warm": [min(warms), max(warms)],
+        "load_avg_per_run": [r.get("load_avg") for r in results],
+        "sf": results[0].get("sf"),
+    }
+    # Full detail goes to a committed sidecar + an EARLY stdout line; the
+    # FINAL stdout line is kept compact because the driver captures only
+    # the last 2,000 chars of stdout and parses the final JSON line —
+    # r8's detail-in-final-line outgrew that window (r8 verdict item 1)
+    # and the round's headline number was lost from the artifact.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(sidecar, "w", encoding="utf-8") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print("# full detail -> BENCH_DETAIL.json (also next line)")
+    print("# DETAIL " + json.dumps(detail))
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": med_q,
+        "warm_total": detail["warm_total"],
+        "runs": len(results),
+        "spread_cold": detail["spread_cold"],
+        "spread_warm": detail["spread_warm"],
+        "max_load": max(
+            (r.get("load_avg") or {}).get("start", 0.0) for r in results
+        ),
+        "sf": results[0].get("sf"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if vsb:
+        qr = vsb.get("queries_warm", {})
+        pr = vsb.get("probes_warm", {})
+        allr = {**qr, **{"probe:" + k: v for k, v in pr.items()}}
+        if allr:
+            worst = max(allr, key=allr.get)
+            summary["vs_baseline"] = {
+                "median": vsb.get("median_ratio"),
+                "worst": {worst: allr[worst]},
+                "n": len(allr),
+            }
+    line = json.dumps(summary)
+    # hard budget: the driver's tail capture is 2,000 chars; stay well
+    # under so a few extra queries never push the line off the cliff.
+    for drop in ("queries",):
+        if len(line) <= 1700:
+            break
+        summary[drop] = "see BENCH_DETAIL.json"
+        line = json.dumps(summary)
+    print(line)
 
 
 def main() -> None:
