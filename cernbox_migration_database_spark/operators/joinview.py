@@ -201,7 +201,15 @@ def refresh_join_view(spark: SparkSession, mv_root: str) -> tuple[int, int]:
         txn=(_TXN_APP, seq),
         commit_meta={"jv_window": [a0, b0, a1, b1]},
     )
-    _check_and_prune(spark, mv_root, touched=delta.select("__row"))
+    # A recovered refresh must pay the full-view pass even when the bases
+    # moved further: the crashed run's delta is unrecoverable, so its
+    # zero-multiplicity rows (its prune never ran) and any negative-
+    # multiplicity corruption in its window are NOT covered by this fold's
+    # touched set — scoping the check to `delta` would let phantom
+    # n_dup=0 rows escape pruning indefinitely.
+    _check_and_prune(
+        spark, mv_root, touched=None if recovered else delta.select("__row")
+    )
     st["a_version"], st["b_version"] = a1, b1
     st["fold_seq"] = seq
     with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:

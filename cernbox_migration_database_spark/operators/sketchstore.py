@@ -206,18 +206,26 @@ def refresh_or_repair(
     ).where(~F.col(st["part_col"]).isin(parts))
     if not ins.isEmpty():
         _fold_inserts(spark, store_root, st, ins)
-    # the targeted repair also advances the recorded base version
-    rebuild_partitions(spark, store_root, parts)
+    # the targeted repair also advances the recorded base version — pinned
+    # to the `cur` this refresh DIFFED, not re-read: a base commit landing
+    # between the diff above and the rebuild must stay in the next window
+    # (re-reading here would record a base_version past the folded inserts
+    # and silently skip that commit's rows outside `parts`)
+    rebuild_partitions(spark, store_root, parts, version=cur)
     return cur, parts
 
 
 def rebuild_partitions(
-    spark: SparkSession, store_root: str, parts: list[str]
+    spark: SparkSession, store_root: str, parts: list[str],
+    version: int | None = None,
 ) -> None:
-    """Re-point the named partitions' states from the current base
-    snapshot — the targeted repair after a delete window."""
+    """Re-point the named partitions' states from the base snapshot at
+    ``version`` (default: current) — the targeted repair after a delete
+    window. Callers that already diffed a change window MUST pass the
+    version they diffed to, so the recorded base_version never outruns
+    the folded inserts."""
     st = _state(store_root)
-    cur = TF.current_version(st["base_root"])
+    cur = TF.current_version(st["base_root"]) if version is None else version
     docs = TF.read_table(spark, st["base_root"], cur).where(
         F.col(st["part_col"]).isin(parts)
     )

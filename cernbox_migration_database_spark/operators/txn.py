@@ -300,20 +300,45 @@ class _CatalogLock:
         shutil.rmtree(tomb, ignore_errors=True)
 
     def __exit__(self, *exc):
+        """Release by the same capture discipline as :meth:`_break_stale`:
+        one atomic rename claims the dir, THEN the captured owner token is
+        inspected. The old read-token-then-remove order had a TOCTOU — if
+        this claim had gone stale, a breaker could capture-and-delete it
+        and a new claimant re-claim the path between the owner read and
+        the rmdir, so the displaced holder deleted the NEW claimant's lock
+        dir. Renaming first makes the verdict and the deletion act on the
+        same capture: a token mismatch hands the capture straight back."""
+        import shutil
+        import time as _time
+
+        tomb = f"{self.path}.rel-{os.getpid()}-{_time.monotonic_ns()}"
         try:
-            with open(
-                os.path.join(self.path, "owner"), encoding="utf-8"
-            ) as fh:
-                tok = fh.read()
+            os.rename(self.path, tomb)
         except OSError:
             return  # our claim was broken away — nothing of ours to release
-        if tok != self._token:
-            return  # someone else's claim now holds the path — leave it
         try:
-            os.remove(os.path.join(self.path, "owner"))
-            os.rmdir(self.path)
+            with open(os.path.join(tomb, "owner"), encoding="utf-8") as fh:
+                tok = fh.read()
         except OSError:
-            pass
+            tok = None
+        if tok == self._token:
+            shutil.rmtree(tomb, ignore_errors=True)
+            return
+        # we captured someone ELSE's live claim (ours was broken and the
+        # path re-claimed) — hand it back untouched
+        try:
+            os.rename(tomb, self.path)
+        except OSError:
+            shutil.rmtree(tomb, ignore_errors=True)
+            import warnings
+
+            warnings.warn(
+                f"catalog lock {self.path}: displaced a fresh holder "
+                f"during release hand-back (token {tok!r}); its exit is "
+                "token-guarded",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def _roll_forward(catalog_path: str, intent: dict) -> None:

@@ -188,6 +188,44 @@ def test_crash_recovery_with_delete_window_does_not_false_positive(
     )
 
 
+def test_crash_recovery_with_further_movement_prunes_crashed_window(
+    spark, roots, monkeypatch
+):
+    """ADVICE r8 (medium): a replayed refresh that adopts a committed
+    window (recovered=True) while the bases have ALSO moved further used
+    to run its prune with touched=this-fold's-delta only — so zero-
+    multiplicity rows from the CRASHED window (whose prune never ran)
+    escaped pruning forever and non-expand reads served phantom n_dup=0
+    tuples. A recovered refresh must pay the full-view pass on the
+    moved-further path too."""
+    a_root, b_root, mv = roots
+    sp = os.path.join(mv, JV._STATE)
+    before = open(sp).read()
+    # window 1: delete every k=1 base row -> its view tuples fold to 0
+    TF.delete_where(spark, a_root, F.col("k") == 1)
+    # simulate dying between the fold commit and BOTH the prune and the
+    # state write: the commit lands, zero rows stay physical
+    monkeypatch.setattr(JV, "_check_and_prune", lambda *a, **k: None)
+    JV.refresh_join_view(spark, mv)
+    monkeypatch.undo()
+    open(sp, "w").write(before)
+    zeros = TF.read_table(spark, mv).where(F.col("n_dup") == 0)
+    assert not zeros.isEmpty()  # the crashed window left phantoms
+    # the bases move FURTHER before the replay (k=3 insert: its delta
+    # cannot touch the k=1 phantoms)
+    TF.merge_into(
+        spark, a_root,
+        spark.createDataFrame([Row(oid=300, k=3, amt=3.25)]),
+        on="oid", when_matched=None,
+    )
+    JV.refresh_join_view(spark, mv)  # recovery + further movement
+    assert TF.read_table(spark, mv).where(F.col("n_dup") == 0).isEmpty()
+    assert JV.read_join_view(spark, mv).where(F.col("n_dup") == 0).isEmpty()
+    assert _rows(JV.read_join_view(spark, mv, expand=True)) == _rows(
+        _recompute(spark, a_root, b_root)
+    )
+
+
 def test_check_and_prune_is_delta_scoped(spark, roots):
     """ADVICE r7: the post-fold invariant check regressed to a full-view
     aggregate per refresh. It must be scoped to the fold's touched rows —

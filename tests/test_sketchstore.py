@@ -223,6 +223,50 @@ def test_refresh_or_repair_mixed_window_converges(spark, tmp_path):
     )
 
 
+def test_concurrent_base_commit_during_repair_is_not_skipped(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: refresh_or_repair folds inserts only up to the ``cur``
+    it diffed, but rebuild_partitions used to re-read current_version and
+    record THAT as base_version — a base commit landing between the two
+    reads had its insert window silently skipped for partitions outside
+    the rebuilt set. The rebuild's recorded version is now pinned to the
+    diffed ``cur``, so the late commit stays in the NEXT window."""
+    base, store = _mk(spark, tmp_path)
+    # a delete window (en) forces the repair path
+    TF.delete_where(spark, base, F.col("doc_id") == 3)
+    real = KS.rebuild_partitions
+
+    def racy(spark_, store_root, parts, version=None):
+        # a concurrent writer commits an fr insert between the refresh's
+        # diff and the rebuild's own version read
+        TF.merge_into(
+            spark_, base,
+            spark_.createDataFrame(
+                [(11, "fr", "jugez que ce texte porte dix mots nets")],
+                "doc_id long, lang string, text string",
+            ),
+            on="doc_id", when_matched=None,
+        )
+        real(spark_, store_root, parts, version=version)
+
+    monkeypatch.setattr(KS, "rebuild_partitions", racy)
+    cur, rebuilt = KS.refresh_or_repair(spark, store)
+    monkeypatch.undo()
+    assert rebuilt == ["en"]
+    # the racy fr commit must remain unfolded: recorded base_version == cur
+    st = KS._state(store)
+    assert st["base_version"] == cur == TF.current_version(base) - 1
+    # ... and the NEXT refresh folds it, converging to from-scratch
+    KS.refresh_or_repair(spark, store)
+    rows = [
+        (r["lang"], r["text"]) for r in TF.read_table(spark, base).collect()
+    ]
+    got = _served(spark, store, {"all": None, "fr": ["fr"]})
+    assert got["all"] == _scratch(rows)
+    assert got["fr"] == _scratch(rows, parts={"fr"})
+
+
 def test_streaming_sink_auto_repairs_through_post_batch(spark, tmp_path):
     """R7 verdict item 5 (wiring): RTBF deletes flow through a streaming
     pipeline whose sink post_batch hook runs refresh_or_repair — the

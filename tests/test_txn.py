@@ -295,3 +295,40 @@ def test_stale_break_owner_token_guards(tmp_path):
         assert os.path.isfile(os.path.join(lockdir, "owner"))
     assert not os.path.exists(lockdir)
     assert not os.path.exists(lockdir)
+
+
+def test_release_rename_capture_spares_instant_reclaim(tmp_path, monkeypatch):
+    """ADVICE r8: __exit__ had a read-token-then-remove TOCTOU — a breaker
+    + new claimant acting between the owner read and the rmdir made the
+    displaced holder delete the NEW claimant's lock dir. Release now
+    captures by atomic rename first, so the deletion can only ever target
+    the capture. Pin it at the most adversarial instant: a claimant
+    re-claims the path IMMEDIATELY after the release's rename."""
+    import shutil
+
+    cat = str(tmp_path / "c.json")
+    TX._atomic_write_json(cat, {"seq": 1, "tables": {}})
+    lockdir = cat + ".lock"
+
+    holder = TX._CatalogLock(cat)
+    holder.__enter__()
+    real_rename = TX.os.rename
+    hits = []
+
+    def racy_rename(src, dst):
+        real_rename(src, dst)
+        if src == lockdir and not hits:  # only the release's capture
+            hits.append(dst)
+            os.mkdir(lockdir)  # instant re-claim by a new holder
+            with open(os.path.join(lockdir, "owner"), "w") as fh:
+                fh.write("instant-reclaimer-token")
+
+    monkeypatch.setattr(TX.os, "rename", racy_rename)
+    holder.__exit__()
+    monkeypatch.undo()
+    assert hits, "release did not capture by rename"
+    assert not os.path.exists(hits[0])  # own capture cleaned up
+    assert os.path.isdir(lockdir)  # the re-claimer's dir survived
+    with open(os.path.join(lockdir, "owner")) as fh:
+        assert fh.read() == "instant-reclaimer-token"
+    shutil.rmtree(lockdir)
