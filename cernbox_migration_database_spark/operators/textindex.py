@@ -33,10 +33,18 @@ Maintenance: postings is an ordinary versioned table — NEW documents
 merge in (their posting rows carry their own tfc/dlen; only the buckets
 the new tokens hash into rewrite) and the meta scalars advance.
 Denormalized dlen makes documents immutable index units (the Lucene
-segment discipline): re-ingesting or editing an EXISTING doc_id must
-delete its postings and re-add, not merge additively — replay
-protection belongs to the ingest path (the exactly-once streaming sink's
-txn markers), not the index.
+segment discipline): re-ingesting or editing an EXISTING doc_id is
+never merged additively — :func:`fold_text_index_changes` implements
+the Lucene delete-and-readd move over a CDF-shaped window: a delete's
+PRE-IMAGE text re-tokenizes to the exact (tok, doc_id) posting keys, so
+the delete rewrites only the buckets those tokens hash into (the same
+bounded blast radius as an insert) and the meta scalars decrement by
+the pre-image's counts; an update folds as delete(pre) + add(post).
+:func:`delete_docs_from_text_index` is the pre-image-less RTBF path
+(doc_ids only): one semi-join pass over the postings finds the victims,
+then the same keyed delete — a full postings read at refresh time,
+never probe time. Replay protection belongs to the ingest path (the
+exactly-once streaming sink's txn markers), not the index.
 """
 
 from __future__ import annotations
@@ -352,8 +360,9 @@ def refresh_text_index(
         raise ValueError(
             "refresh_text_index: batch re-delivers doc_id(s) already in "
             f"the index (first few: {sorted(r.doc_id for r in replayed)}) "
-            "— documents are immutable index units; delete their postings "
-            "and rebuild, or dedupe the ingest (replayed microbatch?)"
+            "— documents are immutable index units; fold edits through "
+            "fold_text_index_changes (delete pre-image + re-add) or "
+            "dedupe the ingest (replayed microbatch?)"
         )
     TF.merge_into(
         spark,
@@ -367,7 +376,139 @@ def refresh_text_index(
     ).first()
     meta["n_docs"] += int(add_docs)
     meta["total_tokens"] += int(add_tok or 0)
+    _write_meta(base, meta)
+
+
+def _write_meta(base: str, meta: dict) -> None:
     tmp = os.path.join(base, _META + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(base, _META))
+
+
+def _delete_posting_keys(
+    spark: SparkSession, base: str, meta: dict, victims: DataFrame
+) -> tuple[int, int]:
+    """Merge the (bucket, tok, doc_id) victim keys OUT of the postings and
+    return (docs removed, tokens removed) for the meta decrement. The
+    stats are computed BEFORE the delete commit from the victim set
+    itself, so they describe exactly what the merge removes."""
+    victims = victims.select("bucket", "tok", "doc_id", "tfc").persist()
+    row = victims.agg(
+        F.countDistinct("doc_id").alias("nd"), F.sum("tfc").alias("nt")
+    ).first()
+    nd, nt = int(row["nd"] or 0), int(row["nt"] or 0)
+    if nd:
+        TF.merge_into(
+            spark,
+            os.path.join(base, "postings"),
+            victims.select("bucket", "tok", "doc_id"),
+            on=["tok", "doc_id"],
+            when_matched="delete",
+            when_not_matched=None,
+            check_cardinality=False,
+        )
+    victims.unpersist()
+    return nd, nt
+
+
+def fold_text_index_changes(
+    spark: SparkSession,
+    base: str,
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    change_col: str = "_change_type",
+) -> dict:
+    """Fold a CDF-shaped window (``_change_type`` ∈ insert / delete /
+    update_preimage / update_postimage, as produced by
+    :func:`table_format.read_changes` over the document table) into the
+    index — the delete-and-readd discipline every other index-family
+    member already follows.
+
+    Deletes keep the insert path's bounded blast radius: the PRE-IMAGE
+    text re-tokenizes to the exact (tok, doc_id) posting keys, so the
+    keyed delete-merge rewrites only the buckets those tokens hash into —
+    no full postings pass, and the meta scalars decrement by the
+    pre-image's own counts (its tfc sum IS its indexed dlen). Updates are
+    delete(pre-image) + re-add(post-image): the delete commits FIRST so
+    the re-add sails through refresh's immutable-unit guard. The window's
+    pre-images are trusted verbatim — they come from the versioned
+    table's change feed, which replays exactly what was indexed.
+
+    Returns {"docs_removed", "tokens_removed", "docs_added",
+    "tokens_added"} so callers can assert window accounting."""
+    meta_path = os.path.join(base, _META)
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    removed = changes.where(
+        F.col(change_col).isin("delete", "update_preimage")
+    ).select(F.col(id_col).alias(id_col), text_col)
+    added = changes.where(
+        F.col(change_col).isin("insert", "update_postimage")
+    ).select(F.col(id_col).alias(id_col), text_col)
+
+    nd = nt = 0
+    if not removed.isEmpty():
+        rtoks = removed.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(TXT.tokens(text_col)).alias("pos", "tok"),
+        )
+        victims = TF.with_bucket(
+            _postings(rtoks), key="tok", n_buckets=meta["n_buckets"]
+        )
+        nd, nt = _delete_posting_keys(spark, base, meta, victims)
+        meta["n_docs"] -= nd
+        meta["total_tokens"] -= nt
+        # the meta decrement lands before the re-add so a crash between
+        # the two commits leaves scalars consistent with the postings
+        _write_meta(base, meta)
+
+    na = ta = 0
+    if not added.isEmpty():
+        pre = added.agg(
+            F.countDistinct(id_col).alias("nd")
+        ).first()
+        na = int(pre["nd"] or 0)
+        before = meta["total_tokens"]
+        refresh_text_index(
+            spark, base, added, text_col=text_col, id_col=id_col
+        )
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        ta = meta["total_tokens"] - before
+    return {
+        "docs_removed": nd,
+        "tokens_removed": nt,
+        "docs_added": na,
+        "tokens_added": ta,
+    }
+
+
+def delete_docs_from_text_index(
+    spark: SparkSession, base: str, doc_ids: DataFrame | list
+) -> int:
+    """RTBF delete WITHOUT a pre-image: only the doc_ids are known, so
+    the victims' posting keys come from one semi-join pass over the
+    postings themselves (a doc's tokens hash into arbitrary buckets — a
+    full read is unavoidable here, which is why the change-feed path of
+    :func:`fold_text_index_changes` is preferred). Refresh-time cost,
+    never probe-time. Returns the number of documents removed."""
+    if isinstance(doc_ids, list):
+        doc_ids = spark.createDataFrame(
+            [(int(x),) for x in doc_ids], "doc_id bigint"
+        )
+    meta_path = os.path.join(base, _META)
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    victims = TF.read_table(spark, os.path.join(base, "postings")).join(
+        F.broadcast(doc_ids.select("doc_id").distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    nd, nt = _delete_posting_keys(spark, base, meta, victims)
+    if nd:
+        meta["n_docs"] -= nd
+        meta["total_tokens"] -= nt
+        _write_meta(base, meta)
+    return nd

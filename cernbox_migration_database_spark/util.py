@@ -65,10 +65,14 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Data
     for row in counts:
         offsets.extend([F.lit(row["_pid"]), F.lit(acc)])
         acc += row["count"]
-    off_map = F.create_map(*offsets) if offsets else F.create_map()
-    return with_id.withColumn(
-        rank_col, (off_map[pid] + local + F.lit(1)).cast("long")
-    ).drop("_gr_mid")
+    if offsets:
+        rank = F.create_map(*offsets)[pid] + local + F.lit(1)
+    else:
+        # empty input: zero rows will evaluate this, but the column must
+        # still type-check (an argless create_map() is map<void,void> and
+        # fails analysis when indexed — found via an empty AND-probe)
+        rank = local + F.lit(1)
+    return with_id.withColumn(rank_col, rank.cast("long")).drop("_gr_mid")
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

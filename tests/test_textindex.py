@@ -197,3 +197,142 @@ def test_near_probe_ordered_window_semantics(spark, tmp_path):
     assert near(2) == {1: 1, 2: 1, 4: 2}    # + doc1 gap-2, doc4 (2,4)
     assert near(5) == {1: 1, 2: 1, 4: 3}    # doc4: (0,1),(0,4),(2,4)
     assert 3 not in near(5)  # order matters
+
+
+def _probe_state(spark, base):
+    """Everything the index serves, for rebuild differentials: bm25 over a
+    broad term set (OR and AND), a phrase, a near, and the meta scalars."""
+    import json
+
+    terms = ["a", "b", "c", "d", "e", "table", "hash"]
+    bm = sorted(
+        (r.doc_id, r.rank, r.score)
+        for r in TI.bm25_probe(spark, base, terms, top_k=50).collect()
+    )
+    bm_and = sorted(
+        (r.doc_id, r.rank, r.score)
+        for r in TI.bm25_probe(
+            spark, base, ["a", "b"], top_k=50, require_all=True
+        ).collect()
+    )
+    ph = sorted(
+        (r.doc_id, r.n_occ)
+        for r in TI.phrase_probe(spark, base, ["a", "b"]).collect()
+    )
+    nr = sorted(
+        (r.doc_id, r.n_pairs)
+        for r in TI.near_probe(spark, base, "a", "c", slop=2).collect()
+    )
+    meta = json.load(open(os.path.join(base, TI._META)))
+    return bm, bm_and, ph, nr, meta
+
+
+def _cdf(spark, rows):
+    """CDF-shaped window: rows of (doc_id, text, _change_type)."""
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, _change_type string"
+    )
+
+
+def test_fold_delete_window_matches_rebuild(spark, tmp_path):
+    """r8 verdict item 5: a delete window folds through the pre-image
+    (bounded blast radius) and the folded index is indistinguishable —
+    probes AND meta scalars — from one rebuilt over the survivors."""
+    corpus = [
+        (1, "a b a c"), (2, "b c b"), (3, "c c d a b"),
+        (4, "a d d"), (5, "e a b"), (6, "b a b a"),
+    ]
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    TI.build_text_index(spark, _docs(spark, corpus), inc, n_buckets=4)
+    gone = {2, 5}
+    win = _cdf(
+        spark, [(i, t, "delete") for i, t in corpus if i in gone]
+    )
+    stats = TI.fold_text_index_changes(spark, inc, win)
+    assert stats["docs_removed"] == 2
+    assert stats["tokens_removed"] == 3 + 3  # dlen(2) + dlen(5)
+    assert stats["docs_added"] == 0
+    TI.build_text_index(
+        spark,
+        _docs(spark, [(i, t) for i, t in corpus if i not in gone]),
+        full,
+        n_buckets=4,
+    )
+    assert _probe_state(spark, inc) == _probe_state(spark, full)
+    # no orphan postings for the deleted ids anywhere in the table
+    left = (
+        TI.TF.read_table(spark, os.path.join(inc, "postings"))
+        .where(F.col("doc_id").isin(*gone))
+        .count()
+    )
+    assert left == 0
+
+
+def test_fold_update_window_is_delete_and_readd(spark, tmp_path):
+    """An update folds as delete(pre-image) + re-add(post-image); mixed
+    windows (insert + delete + update together) ≡ rebuild."""
+    corpus = [(1, "a b a c"), (2, "b c b"), (3, "c c d a b")]
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    TI.build_text_index(spark, _docs(spark, corpus), inc, n_buckets=4)
+    win = _cdf(
+        spark,
+        [
+            (2, "b c b", "update_preimage"),
+            (2, "e e a b", "update_postimage"),   # doc 2 rewritten
+            (3, "c c d a b", "delete"),           # doc 3 gone
+            (7, "a b a b c", "insert"),           # doc 7 new
+        ],
+    )
+    stats = TI.fold_text_index_changes(spark, inc, win)
+    assert stats == {
+        "docs_removed": 2,
+        "tokens_removed": 3 + 5,
+        "docs_added": 2,
+        "tokens_added": 4 + 5,
+    }
+    TI.build_text_index(
+        spark,
+        _docs(spark, [(1, "a b a c"), (2, "e e a b"), (7, "a b a b c")]),
+        full,
+        n_buckets=4,
+    )
+    assert _probe_state(spark, inc) == _probe_state(spark, full)
+    # the folded index keeps accepting ordinary refreshes afterwards
+    TI.refresh_text_index(spark, inc, _docs(spark, [(8, "d e")]))
+    got = {
+        r.doc_id
+        for r in TI.bm25_probe(spark, inc, ["e"], top_k=10).collect()
+    }
+    assert 8 in got and 2 in got
+
+
+def test_fold_delete_then_readd_same_doc_id(spark, tmp_path):
+    """After a delete fold, the same doc_id re-inserts cleanly (the
+    immutable-unit guard sees no leftover postings)."""
+    inc = str(tmp_path / "inc")
+    TI.build_text_index(
+        spark, _docs(spark, [(1, "a b"), (2, "b c")]), inc, n_buckets=4
+    )
+    TI.fold_text_index_changes(spark, inc, _cdf(spark, [(1, "a b", "delete")]))
+    TI.refresh_text_index(spark, inc, _docs(spark, [(1, "c c c")]))
+    full = str(tmp_path / "full")
+    TI.build_text_index(
+        spark, _docs(spark, [(1, "c c c"), (2, "b c")]), full, n_buckets=4
+    )
+    assert _probe_state(spark, inc) == _probe_state(spark, full)
+
+
+def test_delete_docs_without_preimage_matches_rebuild(spark, tmp_path):
+    """The RTBF path: doc_ids only — one semi-join pass finds the victim
+    keys; result ≡ rebuild over survivors; unknown ids are a no-op."""
+    corpus = [(1, "a b a c"), (2, "b c b"), (3, "c c d a b"), (4, "a d")]
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    TI.build_text_index(spark, _docs(spark, corpus), inc, n_buckets=4)
+    assert TI.delete_docs_from_text_index(spark, inc, [2, 4, 999]) == 2
+    TI.build_text_index(
+        spark, _docs(spark, [(1, "a b a c"), (3, "c c d a b")]),
+        full, n_buckets=4,
+    )
+    assert _probe_state(spark, inc) == _probe_state(spark, full)
+    assert TI.delete_docs_from_text_index(spark, inc, [999]) == 0
+    assert _probe_state(spark, inc) == _probe_state(spark, full)
