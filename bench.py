@@ -58,6 +58,9 @@ HEADLINE = [
     # round-6 session 3: the inverted-index build+probe path (index cost
     # is the corpus tokenization; probe reads only the probed buckets)
     "search_bm25_indexed",
+    # round-9: the end-to-end pretraining pipeline (PHASED: build =
+    # clean stages 1-5 to a parquet checkpoint, read = pack + manifest)
+    "pipeline_pretraining_corpus",
     # NOT headlined as full lifecycles: the incremental-index queries run
     # build→fold→fold fixtures (~14 s at sf0.1, high variance from many
     # small jobs), which would swamp the like-for-like round comparison.

@@ -72,6 +72,10 @@ _PRIORITY = [
     "agg_weighted_median",
     "events_rolling_distinct_users",
     "train_dataset_card",
+    # --- round-9 addition: the end-to-end pretraining-corpus pipeline
+    # (every stage composed as one DAG; the highest-signal composition
+    # test in the catalog) ---
+    "pipeline_pretraining_corpus",
     # --- round-8 additions: trained-quantizer ADC, positional phrase /
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",

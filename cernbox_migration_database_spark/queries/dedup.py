@@ -225,8 +225,14 @@ def dedup_clusters_star(spark, sf_dir):
     return D.connected_components_star(prs)
 
 
-_MINHASH_SIGS = f"""
-    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+def _minhash_sigs_sql(src: str = "documents") -> str:
+    """The MinHash(8)-signature CTE chain (toks/shs/ex/sigs), parameterized
+    on the source relation so pipeline compositions can run the SAME
+    signature oracle over an intermediate stage (e.g. the post-exact-dedup
+    survivors) instead of the raw table. ``src='documents'`` reproduces the
+    original fragment byte-for-byte."""
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
     shs AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
     ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle
            FROM shs WHERE len(s) > 0),
@@ -235,6 +241,35 @@ _MINHASH_SIGS = f"""
              {', '.join(f"MIN(substring(md5(shingle), {4*i+1}, 4)) AS h{i}" for i in range(8))}
       FROM ex GROUP BY doc_id)
 """
+
+
+def _minhash_bands_sql() -> str:
+    """The 4-band × 2-row LSH banding + candidate/verify CTEs shared by
+    the one-shot query's oracle and pipeline compositions (expects the
+    ``sigs``/``shs`` CTEs from :func:`_minhash_sigs_sql` in scope)."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bv FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    bands AS (
+      {bands}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, s, len(s) AS n FROM shs),
+    verified AS (
+      SELECT ia, ib,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+             (sa.n + sb.n - len(list_intersect(sa.s, sb.s))) AS jaccard
+      FROM cands JOIN sets sa ON sa.doc_id = ia
+                 JOIN sets sb ON sb.doc_id = ib)
+"""
+
+
+_MINHASH_SIGS = _minhash_sigs_sql()
 
 
 @register(
