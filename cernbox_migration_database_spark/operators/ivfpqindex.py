@@ -5,18 +5,28 @@
 production stores run IVF-PQ: posting lists hold m sub-quantizer CODES
 per vector (nibbles, not floats), and search approximates distance via
 per-query lookup tables (asymmetric distance computation). This module
-materializes `similarity.ivf_pq_topk`'s ephemeral (cell, codes) relation
-as a cell-partitioned versioned table and keeps it current through the
-base change feed — the same maintenance discipline as the other indexes
-(inserts/deletes/updates fold as keyed merges; coarse centroids AND
-codebooks are fixed at build time, retrain = rebuild, loud).
+materializes the (cell, packed codes) relation as a cell-partitioned
+versioned table and keeps it current through the base change feed — the
+same maintenance discipline as the other indexes (inserts/deletes/
+updates fold as keyed merges; coarse centroids AND codebooks are fixed
+at build time, retrain = rebuild, loud).
 
-A probe touches: the per-query m x k LUT (row-local arithmetic against
-codebook literals), the nprobe probed cell PARTITIONS of the code table
-(manifest-planned — nprobe/n_cells of an index that is itself ~100x
-smaller than the corpus), one broadcast LUT join, and a map-side-
-combinable SUM of m terms per candidate. All distances stay exact
-scaled-long integers, so maintenance and probe are oracle-pairable.
+Layout: ONE row per vector — ``(id, codes array<int>, cell)`` — not one
+row per (vector, subspace). The exploded layout scaled index rows and
+the ADC join/shuffle volume by m; at the trained m=32 config
+(pq_trained.py) that made the probe ~3.3x slower than the m=8 seed era
+(tools/ab_ivfpq.py, the round-8 baseline-ratio regression). Packed, the
+index row count equals corpus row count regardless of m, and ADC is a
+row-local aggregate against a broadcast flat LUT — no per-candidate
+groupBy shuffle exists in the probe at all.
+
+A probe touches: the per-query flat m*k LUT (row-local arithmetic
+against codebook literals), the nprobe probed cell PARTITIONS of the
+code table (manifest-planned — nprobe/n_cells of an index that is itself
+~100x smaller than the corpus), one broadcast LUT join on query_id, and
+a row-local m-term aggregate per candidate
+(similarity.pq_adc_packed_expr). All distances stay exact scaled-long
+integers, so maintenance and probe are oracle-pairable.
 """
 
 from __future__ import annotations
@@ -30,8 +40,9 @@ from pyspark.sql import functions as F
 from . import table_format as TF
 from .similarity import (
     cell_of,
-    pq_encode,
-    pq_query_lut,
+    pq_adc_packed_expr,
+    pq_encode_packed,
+    pq_query_lut_flat,
     probe_cells,
     with_norm,
 )
@@ -40,8 +51,8 @@ _META = "_ivfpq_meta.json"
 
 
 def _index_rows(docs: DataFrame, st: dict) -> DataFrame:
-    """(id, sub_id, code, cell): the compact inverted index — PQ codes
-    keyed by their vector's coarse cell. Both assignments are row-local
+    """(id, codes, cell): the compact inverted index — ONE packed-code row
+    per vector, keyed by its coarse cell. Both assignments are row-local
     arithmetic against plan literals; the one join is id-keyed and
     batch-sized on refresh."""
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
@@ -50,7 +61,7 @@ def _index_rows(docs: DataFrame, st: dict) -> DataFrame:
         F.col(id_col),
         cell_of(F.col("svec"), F.col("norm"), cents).alias("cell"),
     )
-    codes = pq_encode(
+    codes = pq_encode_packed(
         docs, st["codebooks"], id_col=id_col, vec_col=st["vec_col"]
     )
     return codes.join(cells, id_col)
@@ -91,15 +102,15 @@ def _state(index_root: str) -> dict:
 
 def refresh_ivfpq_index(spark: SparkSession, index_root: str) -> int:
     """Fold the base change feed: O(changed vectors) encode/assign work,
-    keyed merges on (id, sub_id) — deleted vectors' rows are regenerated
-    from their pre-images and merge-deleted; updates re-encode and
-    re-assign (cross-cell moves included)."""
+    keyed merges on the vector id — deletes merge their single index row
+    out; updates re-encode and re-assign in place (cross-cell moves
+    included, the merge rewrites the row under its new cell partition)."""
     st = _state(index_root)
     cur = TF.current_version(st["base_root"])
     if cur == st["base_version"]:
         return cur
     codes_root = os.path.join(index_root, "codes")
-    key = [st["id_col"], "sub_id"]
+    key = [st["id_col"]]
     ch = TF.read_changes(
         spark, st["base_root"], key=st["id_col"],
         from_version=st["base_version"], to_version=cur,
@@ -156,23 +167,22 @@ def probe_ivfpq_index(
         return spark.createDataFrame(
             [], f"query_id {t}, neighbor_id {t}, rank int, adc bigint"
         )
-    lut = pq_query_lut(
+    lut = pq_query_lut_flat(
         queries, st["codebooks"], id_col=id_col, vec_col=st["vec_col"]
     )
+    k = len(st["codebooks"][0])
     cand = (
         TF.scan_partitions(spark, codes_root, rels)
         .withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(probe), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    agg = (
-        cand.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("adc"))
+    scored = cand.join(F.broadcast(lut), "query_id").withColumn(
+        "adc", pq_adc_packed_expr(k)
     )
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
-        agg.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )

@@ -613,49 +613,77 @@ def _pq_dist_sql(vec_sql: str, offset: int, entry: list[int]) -> str:
     )
 
 
-def pq_encode(
+def pq_encode_packed(
     df: DataFrame,
     codebooks: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, sub_id, code): argmin squared-L2 code per subspace.
+    """(vec_id, codes array<int>): argmin squared-L2 code per subspace,
+    PACKED — one row per vector, codes[s] = the subspace-s code.
 
     Per subspace: slice the scaled vector, one zip_with+aggregate squared
     distance per literal codebook entry, argmin via array_position of the
     array minimum (ties -> smallest code, matching the oracle's ORDER BY
     dist, code). Bounds: |element| <= 3.7e8 scaled, diff^2 <= 5.5e17, the
     8-term sum < 2^62 — exact long arithmetic. All m*k distances are
-    row-local top-level expressions in one codegen stage; output explodes
-    to m rows per vector (the compact-code table)."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    row-local top-level expressions in one codegen stage. The packed form
+    is what the standing IVF-PQ index stores (ivfpqindex.py): m codes ride
+    in ONE array cell, so index row count equals corpus row count and ADC
+    is row-local — at m=32 the exploded layout cost 32x the rows and a
+    per-candidate shuffle (the round-8 probe regression's root cause)."""
     out = ensure_parallelism(df).withColumn(
         "_sv", scaled_vector(F.col(vec_col))
     )
-    # Distance expressions are generated as SQL TEXT and parsed once per
-    # subspace: composing the same m*k aggregate(zip_with(...)) trees
-    # through the Column API costs thousands of py4j round trips —
-    # measured ~5 s of pure driver-side plan build for a 128-entry
-    # codebook; one F.expr parse is milliseconds. Semantics identical.
+    out, code = _packed_codes_column(out, "_sv", codebooks)
+    return out.select(F.col(id_col), code.alias("codes"))
+
+
+def _packed_codes_column(df, sv_col: str, codebooks):
+    """Append the per-subspace distance arrays to ``df`` and return
+    ``(df, codes_column)`` where the column is the packed argmin code
+    array over the ALREADY-SCALED vector column ``sv_col`` — shared by
+    :func:`pq_encode_packed` (scales itself) and :func:`ivf_pq_topk`
+    (fuses codes onto with_norm's ``svec`` projection, so cell assignment
+    and encoding ride one corpus scan with no self-join).
+
+    Distance expressions are generated as SQL TEXT and parsed once per
+    subspace: composing the same m*k aggregate(zip_with(...)) trees
+    through the Column API costs thousands of py4j round trips —
+    measured ~5 s of pure driver-side plan build for a 128-entry
+    codebook; one F.expr parse is milliseconds. Semantics identical."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
     for s in range(m):
         dists = ", ".join(
-            _pq_dist_sql("_sv", s * sub, entry) for entry in codebooks[s]
+            _pq_dist_sql(sv_col, s * sub, entry) for entry in codebooks[s]
         )
-        out = out.withColumn(f"_d{s}", F.expr(f"array({dists})"))
+        df = df.withColumn(f"_d{s}", F.expr(f"array({dists})"))
     code = [
         F.expr(
             f"cast(array_position(_d{s}, array_min(_d{s})) - 1 as int)"
         )
         for s in range(m)
     ]
+    return df, F.array(*code)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub_id, code): the EXPLODED code relation — m rows per
+    vector. The relational form oracle-paired queries expose; the index
+    stores :func:`pq_encode_packed`'s array form."""
     # Persist the per-vector codes ARRAY before exploding: the explode's
     # inferred size()>0 filter otherwise inlines all m*k distance
     # computations and evaluates them interpreted per row (the winnowing
-    # lesson — operators/text.py:winnow_fingerprints); and the encoded
-    # table is the index production stores and re-reads anyway.
+    # lesson — operators/text.py:winnow_fingerprints).
     enc = tracked_persist(
-        out.select(F.col(id_col), F.array(*code).alias("_codes"))
+        pq_encode_packed(df, codebooks, id_col=id_col, vec_col=vec_col)
+        .withColumnRenamed("codes", "_codes")
     )
     return enc.select(
         F.col(id_col),
@@ -694,6 +722,48 @@ def pq_query_lut(
         F.col(id_col).alias("query_id"),
         F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
     ).select("query_id", "e.sub_id", "e.code", "e.d")
+
+
+def pq_query_lut_flat(
+    queries_df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup table, FLAT: (query_id, lut array<long>) with
+    ``lut[s*k + j]`` (0-based) the exact scaled-long squared distance from
+    the query's subvector ``s`` to codebook entry ``j`` — the broadcast
+    row-local counterpart of :func:`pq_query_lut`. One array cell per
+    query replaces m*k relational rows, so ADC against packed codes is a
+    single broadcast join on query_id plus :func:`pq_adc_packed_expr` —
+    no per-candidate shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = ensure_parallelism(queries_df).withColumn(
+        "_sv", scaled_vector(F.col(vec_col))
+    )
+    entries = [
+        _pq_dist_sql("_sv", s * sub, codebooks[s][j])
+        for s in range(m)
+        for j in range(len(codebooks[s]))
+    ]
+    return q.select(
+        F.col(id_col).alias("query_id"),
+        F.expr("array(" + ", ".join(entries) + ")").alias("lut"),
+    )
+
+
+def pq_adc_packed_expr(k: int, codes_col: str = "codes", lut_col: str = "lut"):
+    """Row-local exact-integer ADC between a packed code array and a flat
+    per-query LUT: sum over subspaces of ``lut[s*k + codes[s]]``
+    (element_at is 1-based, hence the +1). Pure Catalyst HOFs — stays in
+    whole-stage codegen; the long accumulator matches the exploded path's
+    SUM(d) bit-for-bit."""
+    return F.expr(
+        f"aggregate(transform({codes_col}, (c, s) -> "
+        f"element_at({lut_col}, s * {k} + c + 1)), "
+        "0L, (acc, x) -> acc + x)"
+    )
 
 
 def pq_adc_topk(
@@ -749,27 +819,34 @@ def ivf_pq_topk(
     corpus is touched ONLY through its (cell, m codes) index rows; full
     vectors never load at search time.
 
-    Scale anatomy: cell assignment and the per-query m x k LUT are
+    Scale anatomy: cell assignment and the per-query flat m*k LUT are
     row-local arithmetic against plan literals (no shuffle); the candidate
     restriction is one broadcast join on the cell id (probe set =
-    |queries| * nprobe rows); ADC is one broadcast LUT join + a map-side-
-    combinable SUM over m rows per surviving (query, neighbor). Versus
-    plain :func:`pq_adc_topk`, the scanned code rows drop by the factor
+    |queries| * nprobe rows); ADC is one broadcast flat-LUT join on
+    query_id + a row-local packed-code aggregate
+    (:func:`pq_adc_packed_expr`) — index rows stay ONE per vector, so no
+    per-candidate shuffle exists anywhere in the search (the exploded
+    m-rows-per-vector layout cost 32x the rows and a groupBy shuffle at
+    the trained m=32 config — the round-8 probe regression). Versus plain
+    :func:`pq_adc_topk`, the scanned code rows drop by the factor
     ``nprobe / n_cells`` — the knob that keeps search latency flat as the
     corpus grows, paid for in recall at cell boundaries. With
     ``nprobe = len(centroids)`` the result equals full-corpus ADC exactly
     (pytest pins this equivalence); all distances stay exact scaled-long
     integers, so the composite is oracle-pairable end-to-end.
     """
-    cells = with_norm(corpus, vec_col).select(
+    # The inverted index: packed code rows keyed by their vector's cell —
+    # what a production store materializes once at build time. Cell
+    # assignment and encoding are fused onto ONE corpus projection (both
+    # are row-local arithmetic over the same scaled vector), so the
+    # ephemeral index build is a single scan with no self-join.
+    withc, code = _packed_codes_column(
+        with_norm(corpus, vec_col), "svec", codebooks
+    )
+    icodes = withc.select(
         F.col(id_col).alias("neighbor_id"),
         cell_of(F.col("svec"), F.col("norm"), centroids).alias("cell"),
-    )
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    # The inverted index: code rows keyed by their vector's cell — what a
-    # production store materializes once at build time.
-    icodes = codes.withColumnRenamed(id_col, "neighbor_id").join(
-        cells, "neighbor_id"
+        code.alias("codes"),
     )
     probe = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -777,14 +854,13 @@ def ivf_pq_topk(
             probe_cells(F.col("svec"), F.col("norm"), centroids, nprobe)
         ).alias("cell"),
     )
-    lut = pq_query_lut(queries, codebooks, id_col, vec_col)
+    lut = pq_query_lut_flat(queries, codebooks, id_col, vec_col)
+    k = len(codebooks[0])
     cand = icodes.join(F.broadcast(probe), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    agg = (
-        cand.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("adc"))
+    agg = cand.join(F.broadcast(lut), "query_id").withColumn(
+        "adc", pq_adc_packed_expr(k)
     )
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (

@@ -632,15 +632,18 @@ PHASED["similarity_ivf_index_probe"] = (
 def similarity_ivfpq_index_probe(spark, sf_dir):
     """ANN through the INCREMENTAL IVF-PQ index (operators/ivfpqindex.py)
     — the memory-optimal member of the index family: cell-partitioned
-    posting lists hold m=8 sub-quantizer CODES per vector (an index ~100x
-    smaller than the vectors), maintained through the change feed across
-    the full insert/delete/update lifecycle with centroids AND codebooks
-    fixed at build — since round 8 the TRAINED frozen quantizers
-    (ivf_trained.py + pq_trained.py), so the standing index carries the
-    production recall, not the seed floor. Probes name nprobe cell
-    partitions row-locally, read
-    only those, and rank by exact-integer asymmetric distance through a
-    broadcast per-query LUT. The oracle replays the full composite over
+    posting lists hold ONE PACKED row of m=32 sub-quantizer codes per
+    vector (an index ~100x smaller than the vectors), maintained through
+    the change feed across the full insert/delete/update lifecycle with
+    centroids AND codebooks fixed at build — since round 8 the TRAINED
+    frozen quantizers (ivf_trained.py + pq_trained.py), so the standing
+    index carries the production recall, not the seed floor; since round
+    9 the packed layout, so index rows and probe cost are independent of
+    m (tools/ab_ivfpq.py: the exploded layout at m=32 cost 3.3x the m=8
+    probe; packed, 1.2x). Probes name nprobe cell partitions row-locally,
+    read only those, and rank by exact-integer asymmetric distance: one
+    broadcast flat-LUT join on query_id + a row-local m-term aggregate —
+    no per-candidate shuffle. The oracle replays the full composite over
     the post-change corpus. Builder: build on the %10!=7 slice (plus
     seeds), insert-fold the rest, delete-fold %100==23 — same lifecycle
     as the plain-IVF twin, so the two indexes stay directly comparable."""
