@@ -2,10 +2,23 @@
 
 Media travel as opaque `binary` columns with typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs via
-mapInPandas. The container has no image/audio libraries, so the actual codec
-step is stubbed (NotImplementedError) or replaced by a deterministic fake —
-but the Spark-side contract (schemas, batch iteration, partition behavior)
-is real and tested, so swapping in PIL/librosa later is a one-function edit.
+mapInPandas.
+
+Two codec tiers (round 9 — before that every non-fake branch was a stub):
+
+* REAL, stdlib-only: grayscale 8-bit PNG (zlib inflate + full five-filter
+  scanline reconstruction per the PNG spec, RFC 2083) and PCM WAV (the
+  stdlib ``wave`` reader/writer). ``decode_media(fake=False)`` and
+  ``perceptual_hash(fake=False)`` dispatch on ``media_type`` and execute
+  these for ``image/png`` / ``audio/wav`` blobs — genuinely decoding real
+  container bytes on executors, tested round-trip and end-to-end
+  (query ``multimodal_decode_real``).
+* STUBBED, loud: formats whose codecs aren't in this environment (JPEG,
+  MP3, video) raise NotImplementedError with the library to install —
+  the swap-in point for PIL/librosa/pyav.
+
+The deterministic ``fake=True`` tier remains for pipeline tests that
+want features as pure functions of the bytes.
 
 At 100 TB the pattern matters more than the codec: binaries stay columnar in
 parquet, Arrow moves whole batches into Python once, and per-file work is
@@ -14,6 +27,8 @@ bounded by `spark.sql.files.maxPartitionBytes` — no driver involvement.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -27,8 +42,140 @@ MEDIA_META_SCHEMA = (
 
 DECODED_SCHEMA = (
     "media_id long, media_type string, n_bytes long, sha string, "
-    "width int, height int, mean_luma double"
+    "width int, height int, mean_luma double, duration_ms long"
 )
+
+_WAV_RATE = 8000  # fixture sample rate: 8 kHz, 8-bit mono PCM
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: grayscale PNG (zlib + PNG spec) and PCM WAV (wave)
+# ---------------------------------------------------------------------------
+
+
+def _png_encode(gray) -> bytes:
+    """Encode a 2-D uint8 array as a real grayscale 8-bit PNG (color type
+    0, filter 0 per scanline, one zlib IDAT). Stdlib-only writer — the
+    output opens in any PNG reader."""
+    import numpy as np
+
+    gray = np.ascontiguousarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(data: bytes):
+    """Decode a grayscale 8-bit non-interlaced PNG: parse chunks, inflate
+    IDAT, reconstruct scanlines through all five PNG filter types (None /
+    Sub / Up / Average / Paeth). Returns (width, height, uint8 HxW array).
+    A real decoder for the subset this engine writes; anything fancier
+    (palette, 16-bit, interlace, color) raises loudly."""
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "PNG subset: 8-bit grayscale non-interlaced only; got "
+                    f"depth={depth} color={ctype} interlace={inter}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("not a PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(f"PNG payload {len(raw)} != {h}x({w}+1)")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (w + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w, offset=r * (w + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-to-right scan
+            cur = np.zeros(w, dtype=np.int32)
+            a = 0  # left neighbor (reconstructed)
+            for x in range(w):
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - 1]) if x else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                a = (int(line[x]) + pred) & 0xFF
+                cur[x] = a
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out
+
+
+def _wav_encode(samples: bytes, rate: int = _WAV_RATE) -> bytes:
+    """Encode raw bytes as a real 8-bit mono PCM WAV via the stdlib
+    ``wave`` writer (each byte = one unsigned 8-bit sample)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(rate)
+        wf.writeframes(samples)
+    return buf.getvalue()
+
+
+def _wav_decode(data: bytes):
+    """Decode a WAV container via the stdlib ``wave`` reader. Returns
+    (framerate, n_frames, frame bytes); multi-byte/multi-channel PCM is
+    accepted (frames come back raw), compressed WAV raises in ``wave``."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        frames = wf.readframes(n)
+    return rate, n, frames
 
 
 def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,23 +191,115 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def synthesize_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL media blobs from document text: even ids become
+    grayscale PNGs (UTF-8 bytes as pixels, width = n % 96 + 8, zero-padded
+    to the last row), odd ids become 8-bit mono 8 kHz WAVs (bytes as PCM
+    samples). Runs as an Arrow-batched mapInPandas — the write half of the
+    codec boundary; dimensions/durations are pure functions of the byte
+    LENGTH, so downstream decode output is SQL-oracle-checkable while the
+    pixel/sample payloads round-trip through real containers."""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, types, ws, hs, durs = [], [], [], [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                ids.append(mid)
+                if mid % 2 == 0:
+                    w = len(raw) % 96 + 8
+                    h = max(1, -(-len(raw) // w))
+                    arr = np.zeros(w * h, dtype=np.uint8)
+                    arr[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                    blobs.append(_png_encode(arr.reshape(h, w)))
+                    types.append("image/png")
+                    ws.append(w)
+                    hs.append(h)
+                    durs.append(None)
+                else:
+                    blobs.append(_wav_encode(raw))
+                    types.append("audio/wav")
+                    ws.append(None)
+                    hs.append(None)
+                    durs.append(len(raw) * 1000 // _WAV_RATE)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "blob": blobs,
+                    "media_type": types,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _synth, schema=MEDIA_META_SCHEMA
+    )
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract media blobs via mapInPandas.
 
     ``fake=True`` derives deterministic pseudo-features from the raw bytes
-    (so tests validate batching/schema); ``fake=False`` is the marked stub
-    where a real codec (PIL / torchaudio / pyav) plugs in.
+    (so tests validate batching/schema). ``fake=False`` REALLY decodes:
+    ``image/png`` through the stdlib zlib/five-filter decoder (width,
+    height, mean_luma from the reconstructed pixels), ``audio/wav``
+    through the stdlib ``wave`` reader (duration from the frame count,
+    mean_luma reused as mean normalized sample level); other types raise
+    NotImplementedError naming the codec to install (PIL / librosa /
+    pyav) — the one genuinely environment-blocked branch.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/pyav on executors; "
-                    "install and replace this branch"
+                rows = []
+                for mid, blob, mtype in zip(
+                    pdf["media_id"], pdf["blob"], pdf["media_type"]
+                ):
+                    raw = bytes(blob)
+                    sha = hashlib.sha256(raw).hexdigest()
+                    if mtype == "image/png":
+                        w, h, px = _png_decode(raw)
+                        rows.append(
+                            (mid, mtype, len(raw), sha, w, h,
+                             float(px.mean()) / 255.0, None)
+                        )
+                    elif mtype == "audio/wav":
+                        rate, n, frames = _wav_decode(raw)
+                        level = (
+                            float(
+                                np.frombuffer(frames, dtype=np.uint8).mean()
+                            ) / 255.0
+                            if n
+                            else 0.0
+                        )
+                        rows.append(
+                            (mid, mtype, len(raw), sha, None, None,
+                             level, n * 1000 // rate)
+                        )
+                    else:
+                        raise NotImplementedError(
+                            f"no codec for {mtype!r} in this environment; "
+                            "install PIL (images) / librosa (audio) / "
+                            "pyav (video) on executors and add a branch"
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "media_type", "n_bytes", "sha",
+                        "width", "height", "mean_luma", "duration_ms",
+                    ],
                 )
+                continue
             blobs = pdf["blob"]
             n_bytes = blobs.map(len)
             sha = blobs.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
@@ -77,6 +316,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                     "width": width,
                     "height": height,
                     "mean_luma": luma,
+                    "duration_ms": pd.array(
+                        [None] * len(pdf), dtype="Int64"
+                    ),
                 }
             )
 
@@ -92,22 +334,58 @@ def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
 
     ``fake=True`` derives the 9x8 grid deterministically from the blob
     bytes (tiled + scaled — stable across runs and engines) so the full
-    pipeline is testable without PIL; ``fake=False`` is the marked stub
-    where a real decoder's grayscale-resize plugs in. The key property
-    the fake preserves: blobs differing in a FEW bytes produce hashes
-    within small Hamming distance, disjoint blobs do not — so the
-    downstream banding is exercised realistically."""
+    pipeline is testable without real containers; ``fake=False`` REALLY
+    decodes ``image/png`` blobs (the stdlib zlib/filter decoder) and
+    block-averages the pixel raster down to the 9x8 grid — the textbook
+    dHash — raising NotImplementedError for formats whose codecs this
+    environment lacks (JPEG et al: install PIL and add a branch). The key
+    property both tiers preserve: blobs differing in a FEW bytes/pixels
+    produce hashes within small Hamming distance, disjoint blobs do not —
+    so the downstream banding is exercised realistically."""
     import numpy as np
+
+    def _grid_9x8(px: "np.ndarray") -> "np.ndarray":
+        """Block-average an HxW raster to 8 rows x 9 cols (the dHash
+        resize): split each axis into near-equal spans; tiny images pad
+        by edge-repeat first so every span is non-empty."""
+        h, w = px.shape
+        if h < 8 or w < 9:
+            px = np.pad(
+                px, ((0, max(0, 8 - h)), (0, max(0, 9 - w))), mode="edge"
+            )
+            h, w = px.shape
+        rb = np.linspace(0, h, 9, dtype=np.int64)
+        cb = np.linspace(0, w, 10, dtype=np.int64)
+        return np.array(
+            [
+                [
+                    px[rb[r]:rb[r + 1], cb[c]:cb[c + 1]].mean()
+                    for c in range(9)
+                ]
+                for r in range(8)
+            ]
+        )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_ids, out_hashes = [], []
         for pdf in batches:
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            for mid, blob, mtype in zip(
+                pdf["media_id"], pdf["blob"], pdf["media_type"]
+            ):
                 if not fake:
-                    raise NotImplementedError(
-                        "real dHash needs an image decoder (PIL) on "
-                        "executors; install and replace this branch"
+                    if mtype != "image/png":
+                        raise NotImplementedError(
+                            f"real dHash: no decoder for {mtype!r} here; "
+                            "install PIL on executors and add a branch"
+                        )
+                    _, _, px = _png_decode(bytes(blob))
+                    grid = _grid_9x8(px.astype(np.float64))
+                    bits = (grid[:, 1:] < grid[:, :-1]).flatten()
+                    out_ids.append(mid)
+                    out_hashes.append(
+                        "".join("1" if b else "0" for b in bits)
                     )
+                    continue
                 raw = np.frombuffer(bytes(blob), dtype=np.uint8)
                 if raw.size == 0:
                     raw = np.zeros(1, dtype=np.uint8)
@@ -128,7 +406,7 @@ def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
                 out_hashes.append("".join("1" if b else "0" for b in bits))
         yield pd.DataFrame({"media_id": out_ids, "phash": out_hashes})
 
-    return df.select("media_id", "blob").mapInPandas(
+    return df.select("media_id", "blob", "media_type").mapInPandas(
         _hash, schema="media_id long, phash string"
     )
 
