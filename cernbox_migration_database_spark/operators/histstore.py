@@ -1,0 +1,255 @@
+"""Mergeable per-partition fixed-bin histogram store over a versioned table.
+
+The quantile sibling of :mod:`sketchstore` (KMV): one tiny mergeable
+summary per base partition, committed as a versioned table, so every
+"p50 / p99 of X within <any partition subset>?" is served from
+O(nbins · |selected partitions|) rows with ZERO base-table IO — the
+Druid/Pinot star-tree rollup shape at lakehouse scale.
+
+Where the KMV store had to stay ADD-ONLY (minima cannot be subtracted),
+fixed-bin counts subtract EXACTLY: a delete window folds as ``n - 1``
+per (partition, bin), an update as ``-pre + post`` — so this is the one
+sketch in the family whose incremental refresh handles every change
+type with no repair path at all, and ``refresh ≡ rebuild`` holds
+bit-for-bit (counts are exact integers; only the served quantile is an
+approximation, bounded by the bin width).
+
+Determinism is the differential contract (same posture as KMV vs HLL —
+engine-internal t-digest/KLL states could never hash-match DuckDB):
+
+* values enter the store as exact cents, ``CAST(CAST(x AS
+  DECIMAL(18,2)) * 100 AS BIGINT)`` — the repo's standard
+  double→decimal→long pipeline, identical in both engines;
+* bin edges are FROZEN at build from the build snapshot's [min, max]
+  (recorded in the state sidecar, like drift.py's reference bins);
+  later out-of-range values clamp to the edge bins BEFORE the divide,
+  so truncating and flooring division agree;
+* ``bin = ((clamped - lo) * nbins) div span`` and the served estimate
+  ``lo + (bin * span) div nbins`` (the bin's lower edge) are pure
+  integer arithmetic — a from-scratch replay over the same rows is
+  bit-identical, which the catalog oracle pins end-to-end.
+
+Zero-count rows are physically pruned on refresh and a negative count
+raises (the joinview double-apply discipline): the store's row count
+stays ≤ nbins · #partitions forever, and a replayed window is loud
+instead of silently corrupting counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import table_format as TF
+
+_STATE = "_hist_state.json"
+
+# served quantiles: (label, numerator, denominator)
+DEFAULT_QUANTILES = (
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def _cents(col: F.Column) -> F.Column:
+    """The repo-standard exact money pipeline (stats_moments et al.):
+    DOUBLE → DECIMAL(18,2) → integer cents. Identical in DuckDB."""
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _binned(df: DataFrame, st: dict, extra: tuple = ()) -> DataFrame:
+    """(part, bin[, *extra]) per row: clamp to the frozen [lo, hi] FIRST
+    (so the dividend is never negative and truncate == floor in both
+    engines), then one integer divide."""
+    lo, span, nbins = st["lo"], st["span"], st["nbins"]
+    return df.select(
+        F.col(st["part_col"]).alias("part"),
+        F.expr(
+            f"CAST(((least({lo + span - 1}L, greatest({lo}L, "
+            f"CAST(CAST({st['value_col']} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f")) - {lo}L) * {nbins}L) div {span}L AS BIGINT)"
+        ).alias("bin"),
+        *extra,
+    )
+
+
+def build_hist_store(
+    spark: SparkSession,
+    base_root: str,
+    store_root: str,
+    part_col: str,
+    value_col: str,
+    key: str,
+    nbins: int = 64,
+) -> int:
+    """Materialize per-partition bin counts of ``value_col`` over the
+    versioned table at ``base_root``. Bin edges freeze to the build
+    snapshot's [min, max] cents (two scalars to the driver — the only
+    collect this store ever does). Returns the base version the store
+    reflects."""
+    base_v = TF.current_version(base_root)
+    df = TF.read_table(spark, base_root, base_v)
+    row = df.agg(
+        F.min(_cents(value_col)).alias("lo"),
+        F.max(_cents(value_col)).alias("hi"),
+    ).first()
+    if row["lo"] is None:
+        raise ValueError(f"{base_root} has no non-null {value_col} rows")
+    lo, hi = int(row["lo"]), int(row["hi"])
+    st = {
+        "base_root": base_root,
+        "base_version": base_v,
+        "part_col": part_col,
+        "value_col": value_col,
+        "key": key,
+        "nbins": nbins,
+        "lo": lo,
+        "span": hi - lo + 1,
+    }
+    hist = (
+        _binned(df, st)
+        .groupBy("part", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    TF.create_table(hist, store_root)
+    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return base_v
+
+
+def _state(store_root: str) -> dict:
+    with open(os.path.join(store_root, _STATE), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
+    """Fold the base change feed into the store — EVERY change type:
+    inserts/update post-images add, deletes/update pre-images subtract.
+    One signed-delta aggregation over O(changed rows), one keyed merge
+    over the ≤ nbins·#partitions-row state table, then zero-count rows
+    prune and any negative count raises (double-applied window)."""
+    st = _state(store_root)
+    cur = TF.current_version(st["base_root"])
+    if cur == st["base_version"]:
+        return cur
+    ch = TF.read_changes(
+        spark,
+        st["base_root"],
+        key=st["key"],
+        from_version=st["base_version"],
+        to_version=cur,
+        include_preimage=True,
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        _binned(ch.withColumn("__d", sign), st, extra=("__d",))
+        .groupBy("part", "bin")
+        .agg(F.sum("__d").cast("long").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    if not delta.isEmpty():
+        TF.merge_into(
+            spark,
+            store_root,
+            delta,
+            on=["part", "bin"],
+            update_set={"n": lambda t, s: t["n"] + s["n"]},
+            check_cardinality=False,
+        )
+        states = TF.read_table(spark, store_root)
+        bad = states.where(F.col("n") < 0)
+        if not bad.isEmpty():
+            raise ValueError(
+                "negative bin count after fold — change window applied "
+                "twice? " + str(bad.limit(3).collect())
+            )
+        dead = states.where(F.col("n") == 0)
+        if not dead.isEmpty():
+            TF.merge_into(
+                spark,
+                store_root,
+                dead,
+                on=["part", "bin"],
+                when_matched="delete",
+                when_not_matched=None,
+                check_cardinality=False,
+            )
+    st["base_version"] = cur
+    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return cur
+
+
+def estimate_quantiles(
+    spark: SparkSession,
+    store_root: str,
+    scopes: dict[str, list[str] | None],
+    quantiles: tuple = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """Quantile estimates served from the store alone — no base read.
+    ``scopes`` maps scope name → partition values (None = all). For each
+    (scope, quantile q = qn/qd): merge = sum the selected states per bin,
+    rank = ceil(qn · total / qd) in integers, answer = the first bin
+    whose cumulative count reaches the rank, served as the bin's lower
+    edge ``lo + (bin · span) div nbins`` in cents. Bit-identical to the
+    same arithmetic replayed from scratch over the base rows; within one
+    bin width of the exact quantile by construction. Returns
+    (scope, q_label, total_n, bin, est_cents) — a ≤ |scopes|·|quantiles|
+    row result computed from KiB of state."""
+    st = _state(store_root)
+    lo, span, nbins = st["lo"], st["span"], st["nbins"]
+    states = TF.read_table(spark, store_root)
+    spec = spark.createDataFrame(
+        list(quantiles), "q_label string, qn long, qd long"
+    )
+    outs = []
+    for name, parts in scopes.items():
+        sel = states if parts is None else states.where(
+            F.col("part").isin(parts)
+        )
+        merged = sel.groupBy("bin").agg(F.sum("n").alias("n"))
+        # cumulative counts WITHOUT an unpartitioned window: a broadcast
+        # triangular self-join over the ≤ nbins merged rows (≤ nbins²
+        # pairs of state, never data-sized) keeps every pass parallel
+        lower = merged.select(
+            F.col("bin").alias("bin2"), F.col("n").alias("n2")
+        )
+        tot = merged.agg(F.sum("n").cast("long").alias("total_n"))
+        cum = (
+            merged.join(F.broadcast(lower), F.col("bin2") <= F.col("bin"))
+            .groupBy("bin")
+            .agg(F.sum("n2").alias("cum_n"))
+            .crossJoin(F.broadcast(tot))
+        )
+        hit = cum.join(
+            F.broadcast(spec),
+            cum["cum_n"]
+            >= F.expr("(qn * total_n + qd - 1) div qd"),
+        )
+        outs.append(
+            hit.groupBy("q_label")
+            .agg(
+                F.min("bin").alias("bin"),
+                F.max("total_n").alias("total_n"),
+            )
+            .select(
+                F.lit(name).alias("scope"),
+                "q_label",
+                F.col("total_n").cast("long").alias("total_n"),
+                F.col("bin").cast("long").alias("bin"),
+                (F.lit(lo) + F.expr(f"(bin * {span}L) div {nbins}L"))
+                .cast("long")
+                .alias("est_cents"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

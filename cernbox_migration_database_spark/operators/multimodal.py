@@ -325,6 +325,67 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, duration_ms long, peak_amp long, "
+    "min_amp long, sum_amp long, energy long, crossings long"
+)
+
+
+def audio_features(df: DataFrame, midline: int = 64) -> DataFrame:
+    """Integer-exact PCM features from REALLY-decoded WAV blobs: sample
+    count, duration, peak/min/sum amplitude, energy = Σ(s-midline)², and
+    midline-crossing count (the zero-crossing-rate numerator; the default
+    midline is 64 because the synthesized fixtures carry ASCII-band
+    samples, all below the unsigned-8-bit midpoint 128). One Arrow
+    mapInPandas pass — the codec boundary — with the arithmetic on numpy
+    int64, so every feature is exactly replayable from the payload bytes:
+    a differential against the pre-encode text pins that the ``wave``
+    decode recovers the PCM payload EXACTLY, not just its geometry.
+    Non-WAV rows raise (route images to decode_media/perceptual_hash)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob, mtype in zip(
+                pdf["media_id"], pdf["blob"], pdf["media_type"]
+            ):
+                if mtype != "audio/wav":
+                    raise ValueError(
+                        f"audio_features got {mtype!r}; filter to audio/wav"
+                    )
+                rate, n, frames = _wav_decode(bytes(blob))
+                v = np.frombuffer(frames, dtype=np.uint8).astype(np.int64)
+                if n == 0:
+                    rows.append((mid, 0, 0, 0, 0, 0, 0, 0))
+                    continue
+                below = v < midline
+                rows.append(
+                    (
+                        mid,
+                        int(n),
+                        int(n) * 1000 // rate,
+                        int(v.max()),
+                        int(v.min()),
+                        int(v.sum()),
+                        int(((v - midline) ** 2).sum()),
+                        int((below[:-1] != below[1:]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "duration_ms", "peak_amp",
+                    "min_amp", "sum_amp", "energy", "crossings",
+                ],
+            )
+
+    return df.select("media_id", "blob", "media_type").mapInPandas(
+        _feats, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
     """64-bit dHash per media blob — the image near-dup fingerprint
     (resize to a 9x8 luma grid, emit 1 where each pixel is brighter than

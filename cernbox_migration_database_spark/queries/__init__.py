@@ -76,6 +76,10 @@ _PRIORITY = [
     # (every stage composed as one DAG; the highest-signal composition
     # test in the catalog) ---
     "pipeline_pretraining_corpus",
+    # --- round-9: the quantile sibling of the KMV store — the one sketch
+    # whose refresh folds ALL change types (counts subtract exactly) ---
+    "quantile_histogram_store",
+    "multimodal_audio_features",
     # --- round-8 additions: trained-quantizer ADC, positional phrase /
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",

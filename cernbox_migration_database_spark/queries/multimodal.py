@@ -188,3 +188,66 @@ def multimodal_phash_dedup(spark, sf_dir):
         .orderBy("ia", "ib")
     )
 
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 2 = 1
+        AND length(text) = octet_length(encode(text))
+        AND length(text) > 0
+    ),
+    b AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+      FROM d
+    ),
+    v AS (SELECT doc_id, i, ascii(substring(text, i, 1)) AS s FROM b),
+    c AS (
+      SELECT doc_id, s,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS ns
+      FROM v
+    ),
+    x AS (
+      SELECT doc_id, MAX(s) AS peak, MIN(s) AS mn, SUM(s) AS sm,
+             SUM((s - 64) * (s - 64)) AS en,
+             SUM(CASE WHEN ns IS NOT NULL AND ((s < 64) <> (ns < 64))
+                      THEN 1 ELSE 0 END) AS cr
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(length(d.text) AS BIGINT) AS n_samples,
+           CAST(length(d.text) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(x.peak AS BIGINT) AS peak_amp,
+           CAST(x.mn AS BIGINT) AS min_amp,
+           CAST(x.sm AS BIGINT) AS sum_amp,
+           CAST(x.en AS BIGINT) AS energy,
+           CAST(x.cr AS BIGINT) AS crossings
+    FROM d JOIN x USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction over REALLY-decoded WAV bytes
+    (operators/multimodal.py audio_features): odd-id documents become
+    genuine 8-bit mono PCM WAV containers, the stdlib ``wave`` reader
+    decodes them back on executors, and integer-exact features (sample
+    count, duration, peak/min/sum amplitude, Σ(s-64)² energy,
+    midline-crossing count) come off the decoded samples in the same
+    Arrow batch. The oracle recomputes every feature from the PRE-encode
+    text's codepoints (the fixture is ASCII, asserted in-query on both
+    sides, so codepoint == PCM byte) — a hash match proves the container
+    round-trip preserved the payload bit-for-bit AND the feature
+    arithmetic agrees, not merely that the geometry survived. Scale: one
+    codec boundary, features reduce inside the batch — rows out are
+    O(#media), never O(#samples)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 2 == 1)
+        & (F.length("text") == F.octet_length("text"))
+        & (F.length("text") > 0)
+    )
+    return (
+        M.audio_features(M.synthesize_media(docs))
+        .orderBy("media_id")
+    )

@@ -1,0 +1,165 @@
+"""Mergeable per-partition fixed-bin histogram store (operators/histstore.py).
+
+The store's promise is exactness of the STATE (counts are exact integers;
+only the served quantile is approximate, bounded by one bin width), so the
+battery here is the strongest form the index family has: refresh ≡ rebuild
+bit-for-bit across ALL THREE change types — the KMV store can't do that
+(minima don't subtract), which is this operator's reason to exist.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernbox_migration_database_spark.operators import histstore as HS
+from cernbox_migration_database_spark.operators import table_format as TF
+
+NBINS = 8
+
+_ROWS = [
+    # (k, part, price) — two-decimal doubles, several per (part, bin)
+    (1, "a", 10.00),
+    (2, "a", 12.50),
+    (3, "a", 45.25),
+    (4, "a", 99.99),
+    (5, "b", 10.00),
+    (6, "b", 55.00),
+    (7, "b", 77.77),
+    (8, "c", 33.33),
+    (9, "c", 60.60),
+    (10, "c", 99.99),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, part string, price double"
+    )
+
+
+def _mk(spark, tmp_path, rows=_ROWS, nbins=NBINS):
+    base, store = str(tmp_path / "base"), str(tmp_path / "hist")
+    TF.create_table(_df(spark, rows), base)
+    HS.build_hist_store(
+        spark, base, store,
+        part_col="part", value_col="price", key="k", nbins=nbins,
+    )
+    return base, store
+
+
+def _hist_rows(spark, store):
+    return sorted(
+        (r["part"], int(r["bin"]), int(r["n"]))
+        for r in TF.read_table(spark, store).collect()
+    )
+
+
+def _scratch_hist(spark, base, st):
+    """Re-derive the counts from the current base snapshot through the
+    store's FROZEN bin edges (pure-plan replay of _binned + groupBy)."""
+    df = TF.read_table(spark, base)
+    return sorted(
+        (r["part"], int(r["bin"]), int(r["n"]))
+        for r in HS._binned(df, st)
+        .groupBy("part", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+
+
+def test_build_counts_match_scratch(spark, tmp_path):
+    base, store = _mk(spark, tmp_path)
+    st = HS._state(store)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st)
+    assert sum(n for _, _, n in _hist_rows(spark, store)) == len(_ROWS)
+
+
+def test_insert_delete_update_folds_equal_rebuild(spark, tmp_path):
+    base, store = _mk(spark, tmp_path)
+    st = HS._state(store)
+    # insert window — includes values OUTSIDE the frozen [lo, hi] on both
+    # sides, exercising edge-bin clamping
+    TF.merge_into(
+        spark, base,
+        _df(spark, [(11, "a", 1.00), (12, "b", 500.00), (13, "c", 50.0)]),
+        on="k", when_matched=None,
+    )
+    HS.refresh_hist_store(spark, store)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st)
+    # mixed delete + update window, one refresh folds both commits
+    TF.delete_where(spark, base, "k % 5 = 0")
+    TF.update_where(spark, base, "k = 3", {"price": "price * 2"})
+    HS.refresh_hist_store(spark, store)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st)
+    total = sum(n for _, _, n in _hist_rows(spark, store))
+    assert total == TF.read_table(spark, base).count()
+
+
+def test_emptied_bins_are_physically_pruned(spark, tmp_path):
+    base, store = _mk(spark, tmp_path)
+    before = {(p, b) for p, b, _ in _hist_rows(spark, store)}
+    # delete every 'c' row: its bins must VANISH from the state table,
+    # not linger as n=0 rows
+    TF.delete_where(spark, base, "part = 'c'")
+    HS.refresh_hist_store(spark, store)
+    after = _hist_rows(spark, store)
+    assert all(p != "c" for p, _, _ in after)
+    assert all(n > 0 for _, _, n in after)
+    assert {(p, b) for p, b, _ in after} < before
+
+
+def test_double_applied_window_raises(spark, tmp_path):
+    base, store = _mk(spark, tmp_path)
+    # k=4 (a, 99.99) is ALONE in its bin, so re-applying its delete drives
+    # that count to -1 (a shared bin would merely prune to zero silently)
+    TF.delete_where(spark, base, "k = 4")
+    HS.refresh_hist_store(spark, store)
+    # rewind the recorded base version to re-fold the same delete window:
+    # the second application must be loud, not a silent corruption
+    st = HS._state(store)
+    st["base_version"] -= 1
+    import json
+    import os
+
+    with open(os.path.join(store, HS._STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    with pytest.raises(ValueError, match="negative bin count"):
+        HS.refresh_hist_store(spark, store)
+
+
+def test_noop_refresh_and_quantile_scopes(spark, tmp_path):
+    base, store = _mk(spark, tmp_path)
+    v = HS.refresh_hist_store(spark, store)
+    assert v == TF.current_version(base)
+    est = HS.estimate_quantiles(
+        spark, store, {"all": None, "ab": ["a", "b"]},
+        quantiles=(("p50", 1, 2), ("p100", 1, 1)),
+    ).collect()
+    got = {(r["scope"], r["q_label"]): r for r in est}
+    assert set(got) == {
+        ("all", "p50"), ("all", "p100"), ("ab", "p50"), ("ab", "p100")
+    }
+    st = HS._state(store)
+    lo, span, nbins = st["lo"], st["span"], st["nbins"]
+    # hand oracle: bin of the ceil-rank-th value, served as lower edge
+    import math
+
+    def oracle(rows, q):
+        cents = sorted(round(p * 100) for _, _, p in rows)
+        r = math.ceil(q * len(cents))
+        c = min(lo + span - 1, max(lo, cents[r - 1]))
+        b = ((c - lo) * nbins) // span
+        return b, lo + (b * span) // nbins
+
+    for scope, parts in (("all", None), ("ab", {"a", "b"})):
+        rows = [
+            t for t in _ROWS if parts is None or t[1] in parts
+        ]
+        for ql, q in (("p50", 0.5), ("p100", 1.0)):
+            b, edge = oracle(rows, q)
+            r = got[(scope, ql)]
+            assert (int(r["bin"]), int(r["est_cents"])) == (b, edge), (
+                scope, ql,
+            )
+            assert int(r["total_n"]) == len(rows)

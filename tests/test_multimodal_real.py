@@ -174,3 +174,41 @@ def test_real_phash_near_dup_contract(spark):
         M.perceptual_hash(media, fake=False), max_hamming=3
     ).collect()
     assert [(p["ia"], p["ib"]) for p in pairs] == [(0, 1)]
+
+
+def test_audio_features_match_hand_computation(spark):
+    """audio_features must recover the exact PCM payload through the real
+    WAV container: every integer feature equals a hand computation over
+    the pre-encode bytes."""
+    payload = b"Abz 09!Abz"  # crosses the 64 midline several times
+    df = spark.createDataFrame(
+        [(1, M._wav_encode(payload), "audio/wav")],
+        "media_id long, blob binary, media_type string",
+    )
+    row = M.audio_features(df).collect()[0]
+    v = list(payload)
+    below = [x < 64 for x in v]
+    assert row["n_samples"] == len(v)
+    assert row["duration_ms"] == len(v) * 1000 // 8000
+    assert row["peak_amp"] == max(v)
+    assert row["min_amp"] == min(v)
+    assert row["sum_amp"] == sum(v)
+    assert row["energy"] == sum((x - 64) ** 2 for x in v)
+    assert row["crossings"] == sum(
+        1 for a, b in zip(below, below[1:]) if a != b
+    )
+
+
+def test_audio_features_empty_payload_and_non_wav(spark):
+    df = spark.createDataFrame(
+        [(1, M._wav_encode(b""), "audio/wav")],
+        "media_id long, blob binary, media_type string",
+    )
+    row = M.audio_features(df).collect()[0]
+    assert (row["n_samples"], row["energy"], row["crossings"]) == (0, 0, 0)
+    bad = spark.createDataFrame(
+        [(2, b"\x89PNG", "image/png")],
+        "media_id long, blob binary, media_type string",
+    )
+    with pytest.raises(Exception, match="audio/wav"):
+        M.audio_features(bad).collect()
