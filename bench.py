@@ -80,6 +80,9 @@ PROBE_HEADLINE = [
     "search_bm25_indexed",
     "search_phrase",
     "search_near",
+    # round-9: the quantile sketch store — estimates served from bin-count
+    # states alone (zero base IO at probe time)
+    "quantile_histogram_store",
 ]
 
 WARM_PASSES = 2

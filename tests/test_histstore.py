@@ -163,3 +163,30 @@ def test_noop_refresh_and_quantile_scopes(spark, tmp_path):
                 scope, ql,
             )
             assert int(r["total_n"]) == len(rows)
+
+
+def test_streaming_sink_maintains_store_through_post_batch(spark, tmp_path):
+    """Live-pipeline wiring: a streaming sink whose post_batch hook runs
+    refresh_hist_store keeps the store exact through insert microbatches
+    AND an RTBF delete landing between them — no repair path needed
+    (counts subtract), and a crash-replayed microbatch stays a no-op."""
+    from cernbox_migration_database_spark.streaming.table_sink import (
+        exactly_once_batch_writer,
+    )
+
+    base, store = _mk(spark, tmp_path)
+    st = HS._state(store)
+    apply = exactly_once_batch_writer(
+        base, app_id="hist", key="k",
+        post_batch=lambda sp: HS.refresh_hist_store(sp, store),
+    )
+    apply(_df(spark, [(11, "a", 20.20), (12, "b", 200.0)]), 1)
+    TF.delete_where(spark, base, "k = 4")  # RTBF between microbatches
+    apply(_df(spark, [(13, "c", 3.00)]), 2)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st)
+    # crash-replay: the merge no-ops and the hook sees no new version
+    apply(_df(spark, [(13, "c", 3.00)]), 2)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st)
+    assert sum(n for _, _, n in _hist_rows(spark, store)) == TF.read_table(
+        spark, base
+    ).count()
