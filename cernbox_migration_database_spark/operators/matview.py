@@ -56,12 +56,18 @@ def _mv_cols(group_cols: list[str], sum_cols: list[str]) -> list[str]:
     return ["__group", *group_cols, "n_rows", *[f"sum_{c}" for c in sum_cols]]
 
 
-def _aggregate(df: DataFrame, group_cols, sum_cols, scale, sign=None) -> DataFrame:
-    one = F.lit(1) if sign is None else sign
-    aggs = [F.sum(one).alias("n_rows")] + [
-        F.sum((_scaled(c, scale)) * (F.lit(1) if sign is None else sign)).alias(
-            f"sum_{c}"
-        )
+def _aggregate(
+    df: DataFrame, group_cols, sum_cols, scale, sign=None, weight_col=None
+) -> DataFrame:
+    # factor = sign · weight: ``weight_col`` lets the view aggregate a
+    # BAG-form table (the join view's one-row-per-tuple + n_dup layout),
+    # counting each tuple with its multiplicity — how incremental views
+    # STACK (agg-over-join = matview folding joinview's own change feed)
+    factor = F.lit(1) if sign is None else sign
+    if weight_col is not None:
+        factor = factor * F.col(weight_col).cast("long")
+    aggs = [F.sum(factor).alias("n_rows")] + [
+        F.sum(_scaled(c, scale) * factor).alias(f"sum_{c}")
         for c in sum_cols
     ]
     return (
@@ -80,12 +86,25 @@ def create_aggregate_view(
     group_cols: list[str],
     sum_cols: list[str],
     scale: int = 2,
+    weight_col: str | None = None,
 ) -> int:
     """Materialize count+sum aggregates of the versioned table at
     ``base_root`` grouped by ``group_cols``; returns the base version the
-    view reflects. One full scan — the last one the view ever needs."""
+    view reflects. One full scan — the last one the view ever needs.
+
+    ``weight_col`` (e.g. the join view's ``n_dup``) aggregates a bag-form
+    base: each stored tuple counts with its multiplicity, and refresh
+    folds multiplicity CHANGES exactly (an update raising n_dup 2→3
+    contributes -2·v from the pre-image and +3·v from the post-image).
+    This is what lets an aggregate view sit ON TOP of a join view and
+    stay incremental end-to-end: base deltas fold into the join view by
+    the counting algorithm, whose own change feed folds into the
+    aggregate — no stage ever rescans anything."""
     base_v = current_version(base_root)
-    mv = _aggregate(read_table(spark, base_root, base_v), group_cols, sum_cols, scale)
+    mv = _aggregate(
+        read_table(spark, base_root, base_v), group_cols, sum_cols, scale,
+        weight_col=weight_col,
+    )
     create_table(mv, mv_root)
     with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
         json.dump(
@@ -96,6 +115,7 @@ def create_aggregate_view(
                 "group_cols": group_cols,
                 "sum_cols": sum_cols,
                 "scale": scale,
+                "weight_col": weight_col,
             },
             fh,
         )
@@ -134,7 +154,10 @@ def refresh_aggregate_view(spark: SparkSession, mv_root: str) -> int:
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    delta = _aggregate(ch, group_cols, sum_cols, scale, sign=sign)
+    delta = _aggregate(
+        ch, group_cols, sum_cols, scale, sign=sign,
+        weight_col=st.get("weight_col"),
+    )
     # An update moving values within the same group cancels to all-zero —
     # drop those rows so the merge touches only truly-changed groups.
     nonzero = (F.col("n_rows") != 0) | F.lit(False)

@@ -512,3 +512,61 @@ def delete_docs_from_text_index(
         meta["total_tokens"] -= nt
         _write_meta(base, meta)
     return nd
+
+
+def bind_text_index(base: str, doc_root: str, version: int | None = None,
+                    key: str = "doc_id", text_col: str = "text") -> int:
+    """Bind the index to the versioned document table it was built from so
+    :func:`sync_text_index` can maintain it VERSION-DRIVEN (the shape a
+    streaming sink's post_batch hook wants). ``version`` is the snapshot
+    the index currently reflects — default: the table's current version,
+    correct when called right after ``build_text_index`` over the same
+    snapshot. Records (corpus_root, corpus_version, key, text_col) in the
+    meta sidecar; returns the bound version."""
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    v = TF.current_version(doc_root) if version is None else int(version)
+    meta.update(
+        {"corpus_root": doc_root, "corpus_version": v,
+         "corpus_key": key, "corpus_text_col": text_col}
+    )
+    _write_meta(base, meta)
+    return v
+
+
+def sync_text_index(spark: SparkSession, base: str) -> int:
+    """Advance a bound index to its document table's current version by
+    folding the change window through :func:`fold_text_index_changes` —
+    inserts, deletes, and updates all maintain postings + meta scalars
+    with the insert path's bounded bucket blast radius. Version-driven and
+    therefore replay-safe at the microbatch level: a replayed streaming
+    batch whose corpus merge no-ops leaves the version unchanged and this
+    is a no-op. Single-maintainer posture (the matview contract): the
+    meta sidecar records the folded version without a lock, so exactly
+    one pipeline may own a given index's maintenance."""
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    root = meta.get("corpus_root")
+    if root is None:
+        raise ValueError(
+            "index is not bound to a document table — call "
+            "bind_text_index(base, doc_root) after building"
+        )
+    last = int(meta["corpus_version"])
+    cur = TF.current_version(root)
+    if cur == last:
+        return cur
+    ch = TF.read_changes(
+        spark, root, key=meta["corpus_key"],
+        from_version=last, to_version=cur, include_preimage=True,
+    )
+    fold_text_index_changes(
+        spark, base, ch,
+        text_col=meta["corpus_text_col"], id_col=meta["corpus_key"],
+    )
+    # fold rewrote the meta scalars — re-read before advancing the pointer
+    with open(os.path.join(base, _META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta["corpus_version"] = cur
+    _write_meta(base, meta)
+    return cur

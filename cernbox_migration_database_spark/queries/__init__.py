@@ -80,6 +80,8 @@ _PRIORITY = [
     # whose refresh folds ALL change types (counts subtract exactly) ---
     "quantile_histogram_store",
     "multimodal_audio_features",
+    "mv_agg_over_join",
+    "streaming_text_ingest_search",
     # --- round-8 additions: trained-quantizer ADC, positional phrase /
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",

@@ -1413,6 +1413,98 @@ def mv_join_refresh(spark, sf_dir):
     )
 
 
+_AOJ_C = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_AOJ_C3 = "CAST(CAST(o_totalprice * 3 AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "mv_agg_over_join",
+    f"""
+    WITH a AS (
+        SELECT o_custkey AS custkey,
+               CASE WHEN o_orderkey % 5 = 1 THEN {_AOJ_C3}
+                    ELSE {_AOJ_C} END AS cents
+        FROM orders WHERE o_orderkey % 9 <> 0
+        UNION ALL
+        SELECT o_custkey, {_AOJ_C}
+        FROM orders WHERE o_orderkey % 11 = 4
+    ),
+    b AS (
+        SELECT c_custkey AS custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 6 <> 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_o_totalprice
+    FROM a JOIN b USING (custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def mv_agg_over_join(spark, sf_dir):
+    """STACKED incremental views (operators/joinview.py + matview.py
+    weight_col): an aggregate view maintained over a join view's OWN
+    change feed — base deltas fold into the join view by the counting
+    algorithm, and the join view's commits (bag-form tuples with n_dup
+    multiplicities) fold into a count+sum view whose contributions are
+    weighted by multiplicity, so an update raising a tuple's n_dup 2→3
+    contributes -2·v then +3·v. Two churn windows (fact delete +
+    conditional price-update + key-shifted inserts, then a dim-side
+    delete) each run the full two-level refresh, and the served aggregate
+    is differentialed against DuckDB recomputing join+group-by from
+    scratch over the final rows. This is the DBSP composition theorem in
+    working code: incremental operators compose, so a view tower stays
+    O(changes) per level — the only query shape that survives a 100 TB
+    fact table under continuous ingest."""
+    from ..operators import joinview as JV
+    from ..operators import matview as MVX
+    from ..operators import table_format as TF
+
+    base = _versioned_scratch("aggoverjoin", sf_dir)
+    a_root, b_root = f"{base}/a", f"{base}/b"
+    jv_root, agg_root = f"{base}/jv", f"{base}/agg"
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    TF.create_table(orders, a_root)
+    TF.create_table(cust, b_root)
+    # a_cols drops o_orderkey on purpose: the projection collapses same-
+    # (custkey, price) orders onto one bag tuple with n_dup > 1, so the
+    # aggregate view's multiplicity weighting is exercised for real
+    JV.create_join_view(
+        spark, a_root, b_root, jv_root,
+        on="custkey", a_key="o_orderkey", b_key="custkey",
+        a_cols=["o_totalprice"], b_cols=["c_mktsegment"],
+    )
+    MVX.create_aggregate_view(
+        spark, jv_root, agg_root,
+        key="__row", group_cols=["c_mktsegment"],
+        sum_cols=["o_totalprice"], weight_col="n_dup",
+    )
+    # window 1 — fact churn: conditional update, delete, key-shifted
+    # inserts; both view levels fold it from change feeds alone
+    TF.update_where(
+        spark, a_root, "o_orderkey % 5 = 1",
+        {"o_totalprice": "o_totalprice * 3"},
+    )
+    TF.delete_where(spark, a_root, "o_orderkey % 9 = 0")
+    ins = orders.where(F.col("o_orderkey") % 11 == 4).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    TF.merge_into(spark, a_root, ins, on="o_orderkey", when_matched=None)
+    JV.refresh_join_view(spark, jv_root)
+    MVX.refresh_aggregate_view(spark, agg_root)
+    # window 2 — dim churn: departed customers drop their orders out of
+    # BOTH views through the same two folds
+    TF.delete_where(spark, b_root, "custkey % 6 = 0")
+    JV.refresh_join_view(spark, jv_root)
+    MVX.refresh_aggregate_view(spark, agg_root)
+    return MVX.read_aggregate_view(spark, agg_root).orderBy("c_mktsegment")
+
+
 @register(
     "profile_drift_psi",
     """

@@ -1247,3 +1247,90 @@ def streaming_pii_scrub(spark, sf_dir):
         .orderBy("lang")
     )
 
+
+
+@register(
+    "streaming_text_ingest_search",
+    f"""
+    WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 31),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM live),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tfc FROM toks
+      WHERE tok IN {repr(tuple(_BM25_TERMS))} GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+    term_scores AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.dfc + 0.5) / (df.dfc + 0.5))
+             * (tf.tfc * ({_BM25_K1!r} + 1.0))
+             / (tf.tfc + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                + {_BM25_B!r} * dl.dlen / stats.avgdl)) AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), stats),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(s AS DECIMAL(18,12)) * 1000000000000
+                  AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS score
+      FROM term_scores GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def streaming_text_ingest_search(spark, sf_dir):
+    """STREAMING maintenance of the inverted text index — the Lucene
+    near-real-time-ingest shape on Spark: today's crawl arrives as a
+    Structured Streaming feed, lands in the corpus through the
+    exactly-once txn-marked sink, and the sink's post_batch hook runs
+    :func:`textindex.sync_text_index` — VERSION-DRIVEN maintenance that
+    folds each microbatch's change window into the postings (replayed
+    batches no-op because the corpus version didn't move). After the
+    stream, an RTBF delete lands on the corpus and the next maintenance
+    tick folds it through the round-9 delete path (pre-image re-tokenize,
+    bounded bucket blast radius, meta scalars decrement). The probe is
+    the standard BM25 search; the oracle replays the scan-path BM25 over
+    the FINAL corpus membership, so the hash match proves the index
+    tracked inserts-then-deletes through a live pipeline bit-for-bit —
+    indexed == scan, continuously."""
+    from ..operators import table_format as TF
+    from ..operators import textindex as TI
+    from ..sources import cbx_datasource as DS
+    from ..streaming.table_sink import stream_write_table
+
+    scratch = _versioned_scratch("textstream", sf_dir)
+    src, dst = scratch + "/src", scratch + "/docs"
+    base, ckpt = scratch + "/idx", scratch + "/ckpt"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    TF.create_table(docs.where(F.col("doc_id") % 10 != 9), dst)
+    TI.build_text_index(spark, TF.read_table(spark, dst), base)
+    TI.bind_text_index(base, dst)
+    new = docs.where(F.col("doc_id") % 10 == 9)
+    TF.create_table(new.where(F.col("doc_id") % 20 == 9), src)
+    TF.insert_into(spark, src, new.where(F.col("doc_id") % 20 == 19))
+    DS.register(spark)
+    stream = (
+        spark.readStream.format("cbxtable")
+        .option("startingVersion", "earliest")
+        .load(src)
+    )
+    q = stream_write_table(
+        stream, dst, ckpt, app_id="ti_ingest", key="doc_id",
+        post_batch=lambda sp: TI.sync_text_index(sp, base),
+    )
+    q.awaitTermination(600)
+    # an RTBF delete lands between maintenance ticks; the next sync folds
+    # it from the change feed (pre-image path — no postings-wide pass)
+    TF.delete_where(spark, dst, "doc_id % 100 = 31")
+    TI.sync_text_index(spark, base)
+    return TI.bm25_probe(
+        spark, base, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, top_k=50
+    )

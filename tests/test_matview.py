@@ -211,3 +211,46 @@ def test_refresh_across_partition_evolution(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_view_folds_bag_multiplicities(spark, tmp_path):
+    """weight_col: the view aggregates a bag-form base (one row per tuple
+    + n_dup) counting each tuple with its multiplicity, and a refresh
+    folds multiplicity CHANGES exactly — an update raising n_dup 2→3
+    must contribute -2·v + 3·v, not replace-with-source."""
+    root, mv = str(tmp_path / "bag"), str(tmp_path / "wmv")
+    bag = spark.createDataFrame(
+        [
+            Row(tup="t1", grp="g0", val=10.0, n_dup=2),
+            Row(tup="t2", grp="g0", val=5.5, n_dup=1),
+            Row(tup="t3", grp="g1", val=7.25, n_dup=3),
+        ]
+    )
+    TF.create_table(bag, root)
+    MV.create_aggregate_view(
+        spark, root, mv, key="tup", group_cols=["grp"],
+        sum_cols=["val"], weight_col="n_dup",
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_val"])
+        for r in MV.read_aggregate_view(spark, mv).collect()
+    }
+    assert got == {"g0": (3, 25.5), "g1": (3, 21.75)}
+    # multiplicity bump t1 2→3, a tuple delete, and a new tuple — one fold
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(tup="t1", grp="g0", val=10.0, n_dup=3)]),
+        on="tup", when_not_matched=None,
+    )
+    TF.delete_where(spark, root, "tup = 't3'")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(tup="t4", grp="g1", val=2.0, n_dup=4)]),
+        on="tup", when_matched=None,
+    )
+    MV.refresh_aggregate_view(spark, mv)
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_val"])
+        for r in MV.read_aggregate_view(spark, mv).collect()
+    }
+    assert got == {"g0": (4, 35.5), "g1": (4, 8.0)}

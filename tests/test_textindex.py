@@ -336,3 +336,64 @@ def test_delete_docs_without_preimage_matches_rebuild(spark, tmp_path):
     assert _probe_state(spark, inc) == _probe_state(spark, full)
     assert TI.delete_docs_from_text_index(spark, inc, [999]) == 0
     assert _probe_state(spark, inc) == _probe_state(spark, full)
+
+
+def test_bind_sync_is_version_driven_and_replay_safe(spark, tmp_path):
+    """sync_text_index advances a BOUND index to the document table's
+    current version across insert / delete / update commits, equals a
+    from-scratch rebuild after every sync, and no-ops when the version
+    didn't move (the microbatch-replay case)."""
+    from cernbox_migration_database_spark.operators import (
+        table_format as TF,
+    )
+
+    rows = [(i, f"alpha w{i} beta gamma") for i in range(8)]
+    root = str(tmp_path / "docs")
+    base = str(tmp_path / "idx")
+    TF.create_table(_docs(spark, rows), root)
+    TI.build_text_index(
+        spark, TF.read_table(spark, root), base, n_buckets=8
+    )
+    TI.bind_text_index(base, root)
+
+    def probe():
+        return [
+            (r["doc_id"], r["score"])
+            for r in TI.bm25_probe(
+                spark, base, ["alpha", "beta"], top_k=50
+            ).collect()
+        ]
+
+    def rebuilt():
+        alt = str(tmp_path / f"re{TF.current_version(root)}")
+        TI.build_text_index(
+            spark, TF.read_table(spark, root), alt, n_buckets=8
+        )
+        return [
+            (r["doc_id"], r["score"])
+            for r in TI.bm25_probe(
+                spark, alt, ["alpha", "beta"], top_k=50
+            ).collect()
+        ]
+
+    # insert + delete + update commits, ONE sync folds the whole window
+    TF.merge_into(
+        spark, root, _docs(spark, [(20, "beta beta fresh")]),
+        on="doc_id", when_matched=None,
+    )
+    TF.delete_where(spark, root, "doc_id = 3")
+    TF.update_where(spark, root, "doc_id = 5", {"text": "'alpha only now'"})
+    v = TI.sync_text_index(spark, base)
+    assert v == TF.current_version(root)
+    assert probe() == rebuilt()
+    # no version movement -> no-op (replayed microbatch shape)
+    meta_before = open(os.path.join(base, TI._META)).read()
+    assert TI.sync_text_index(spark, base) == v
+    assert open(os.path.join(base, TI._META)).read() == meta_before
+    # unbound index is loud
+    import pytest as _pytest
+
+    other = str(tmp_path / "unbound")
+    TI.build_text_index(spark, _docs(spark, rows[:2]), other, n_buckets=8)
+    with _pytest.raises(ValueError, match="not bound"):
+        TI.sync_text_index(spark, other)
