@@ -34,6 +34,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --r6 [k] [sf_dir]
        python tools/scale_check.py --lshindex [k] [sf_dir] [runs]
        python tools/scale_check.py --clusterindex [k] [sf_dir]
+       python tools/scale_check.py --histstore [k] [sf_dir]
 Prints one JSON line.
 """
 
@@ -974,6 +975,111 @@ def r6_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def histstore_mode_main(argv: list[str]) -> int:
+    """--histstore: does the quantile histogram store stay delta-bound and
+    state-bound while the base scales? Orders replicated k-fold into
+    disjoint key shards. At 1x and kx, three wall-times: (a)
+    ``full_rebuild_sec`` — re-deriving every bin count from the base
+    (grows ~k); (b) ``refresh_sec`` — a FIXED-size mixed delete+insert
+    window folded through the change feed (delta-bound, the ~flat claim);
+    (c) ``estimate_sec`` — quantiles over 3 scopes served from the
+    state table alone (state-bound: ≤ nbins·|parts| rows regardless of
+    base size — flat is the whole point of the store)."""
+    import functools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import histstore as HS
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-histstore")
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.groupBy("o_orderpriority").count().count()  # warm-up
+
+    def run(mult: int) -> dict:
+        base_df = functools.reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                orders.select(
+                    (F.col("o_orderkey") + 10_000_000 * i).alias(
+                        "o_orderkey"
+                    ),
+                    "o_orderpriority",
+                    "o_totalprice",
+                )
+                for i in range(mult)
+            ],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            root, store = os.path.join(d, "base"), os.path.join(d, "hist")
+            TF.create_table(base_df, root)
+            t0 = time.monotonic()
+            HS.build_hist_store(
+                spark, root, store,
+                part_col="o_orderpriority", value_col="o_totalprice",
+                key="o_orderkey", nbins=64,
+            )
+            rebuild_s = time.monotonic() - t0
+            # FIXED-size churn regardless of mult: original-shard keys only
+            TF.delete_where(
+                spark, root,
+                "o_orderkey % 97 = 0 AND o_orderkey < 10000000",
+            )
+            ins = orders.where(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 900_000_000).alias("o_orderkey"),
+                "o_orderpriority",
+                "o_totalprice",
+            )
+            TF.merge_into(
+                spark, root, ins, on="o_orderkey", when_matched=None
+            )
+            t0 = time.monotonic()
+            HS.refresh_hist_store(spark, store)
+            refresh_s = time.monotonic() - t0
+            t0 = time.monotonic()
+            HS.estimate_quantiles(
+                spark, store,
+                {"all": None, "urgent": ["1-URGENT", "2-HIGH"],
+                 "low": ["5-LOW"]},
+            ).collect()
+            estimate_s = time.monotonic() - t0
+            return {
+                "full_rebuild_sec": round(rebuild_s, 3),
+                "refresh_sec": round(refresh_s, 3),
+                "estimate_sec": round(estimate_s, 3),
+            }
+
+    one, kx = run(1), run(k)
+    out = {
+        "mode": "histstore",
+        "k": k,
+        "sf_dir": sf_dir,
+        "t1": one,
+        "tk": kx,
+        "refresh_ratio_kx_vs_1x": round(
+            kx["refresh_sec"] / one["refresh_sec"], 3
+        ),
+        "estimate_ratio_kx_vs_1x": round(
+            kx["estimate_sec"] / one["estimate_sec"], 3
+        ),
+        "rebuild_ratio_kx_vs_1x": round(
+            kx["full_rebuild_sec"] / one["full_rebuild_sec"], 3
+        ),
+        "refresh_vs_rebuild_at_kx": round(
+            kx["refresh_sec"] / kx["full_rebuild_sec"], 3
+        ),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     if "--_time-one" in argv:  # internal: one (query, dir) in this process
@@ -1004,6 +1110,9 @@ def main() -> int:
     if "--clusterindex" in argv:
         argv.remove("--clusterindex")
         return clusterindex_mode_main(argv)
+    if "--histstore" in argv:
+        argv.remove("--histstore")
+        return histstore_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
