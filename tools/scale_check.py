@@ -1004,6 +1004,12 @@ def histstore_mode_main(argv: list[str]) -> int:
     orders.groupBy("o_orderpriority").count().count()  # warm-up
 
     def run(mult: int) -> dict:
+        # shard-partitioned replica, churn confined to shard 0: commits
+        # stay partition-scoped, so read_changes prunes its snapshot
+        # diffs to the touched shard — the years-deep-table shape where
+        # a delta-bound refresh is actually delta-bound (an UNPARTITIONED
+        # base makes the CDF diff itself scan everything, and refresh
+        # would grow with the base no matter how small the window)
         base_df = functools.reduce(
             lambda x, y: x.unionByName(y),
             [
@@ -1013,13 +1019,14 @@ def histstore_mode_main(argv: list[str]) -> int:
                     ),
                     "o_orderpriority",
                     "o_totalprice",
+                    F.lit(i).alias("shard"),
                 )
                 for i in range(mult)
             ],
         )
         with tempfile.TemporaryDirectory() as d:
             root, store = os.path.join(d, "base"), os.path.join(d, "hist")
-            TF.create_table(base_df, root)
+            TF.create_table(base_df, root, partition_by="shard")
             t0 = time.monotonic()
             HS.build_hist_store(
                 spark, root, store,
@@ -1027,15 +1034,16 @@ def histstore_mode_main(argv: list[str]) -> int:
                 key="o_orderkey", nbins=64,
             )
             rebuild_s = time.monotonic() - t0
-            # FIXED-size churn regardless of mult: original-shard keys only
+            # FIXED-size churn regardless of mult, all inside shard 0
             TF.delete_where(
                 spark, root,
-                "o_orderkey % 97 = 0 AND o_orderkey < 10000000",
+                "shard = 0 AND o_orderkey % 97 = 0",
             )
             ins = orders.where(F.col("o_orderkey") % 89 == 0).select(
                 (F.col("o_orderkey") + 900_000_000).alias("o_orderkey"),
                 "o_orderpriority",
                 "o_totalprice",
+                F.lit(0).alias("shard"),
             )
             TF.merge_into(
                 spark, root, ins, on="o_orderkey", when_matched=None
