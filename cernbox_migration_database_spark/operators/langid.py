@@ -208,21 +208,22 @@ def with_fluency(df: DataFrame, text_col: str = "text") -> DataFrame:
     aggregate over a literal map, scan-linear; n_bigrams derives from
     length(norm) rather than re-walking the bigram array (no second HOF
     pass)."""
-    norm = norm_expr(text_col)
-    entries: list[Column] = []
-    for bg, q in EN_LM.items():
-        entries.append(F.lit(bg))
-        entries.append(F.lit(q).cast("long"))
-    lm_map = F.create_map(*entries)
-    tot = F.aggregate(
-        _bigram_expr(norm),
-        F.lit(0).cast("long"),
-        lambda acc, bg: acc
-        + F.coalesce(lm_map[bg], F.lit(EN_FLOOR).cast("long")),
-    )
+    # same decomposition as score_langs: every bigram contributes at least
+    # the smoothing floor, so tot = floor·n_bigrams + Σ count(bg)·(q−floor)
+    # over the LM's known bigrams — codegen occurrence counts over one
+    # materialized normalization instead of the interpreted per-element
+    # HOF walk with a 280-entry literal-map scan
+    norm = F.col("__flu_norm")
     n = F.when(F.length(norm) >= 2, F.length(norm) - 1).otherwise(F.lit(0))
+    tot = n.cast("long") * F.lit(EN_FLOOR).cast("long")
+    for bg, q in EN_LM.items():
+        if q != EN_FLOOR:
+            tot = tot + F.regexp_count(norm, F.lit(f"(?={bg})")).cast(
+                "long"
+            ) * F.lit(q - EN_FLOOR).cast("long")
     return (
-        df.withColumn("n_bigrams", n.cast("long"))
+        df.withColumn("__flu_norm", norm_expr(text_col))
+        .withColumn("n_bigrams", n.cast("long"))
         .withColumn("fluency_q", tot)
         .withColumn(
             "fluency",
@@ -232,6 +233,7 @@ def with_fluency(df: DataFrame, text_col: str = "text") -> DataFrame:
                 / (F.col("n_bigrams") * float(SCALE)),
             ),
         )
+        .drop("__flu_norm")
     )
 
 
