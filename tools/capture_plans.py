@@ -44,6 +44,11 @@ SHOW = {
     "dedup_repeated_spans": "span dedup: ONE exchange on span text (canonical window), per-doc sorted-fold reassembly; posexplode persisted pre-window",
     "table_delete_vectors": "merge-on-read table read: parquet snapshot scan LEFT-ANTI-joined to the (file, row_index) tombstone frame — AQE picks the broadcast (no hint); data files unrewritten",
     "multimodal_phash_dedup": "image near-dup: ONE Arrow MapInPandas boundary (the codec stage), then JVM-side band-bucket aggregate + in-array pair expansion — no self-join, no second Python stage",
+    # round 9 additions
+    "quantile_histogram_store": "histogram-store estimates: state-table rows only (<= nbins x |parts|), broadcast triangular self-join for cumulatives — zero base IO, no unpartitioned window",
+    "multimodal_audio_features": "real WAV decode + integer features in ONE Arrow MapInPandas boundary; output O(#media) rows (features reduce inside the batch)",
+    "mv_agg_over_join": "stacked views serve: the aggregate view's state table scan only — the joins and folds happened at refresh time, the read plan is a KiB-scale scan",
+    "text_langid": "langid scoring: 64 regexp_count occurrence counts x integer weights over ONE materialized normalization — whole-stage codegen, no interpreted HOF, no map scan",
 }
 
 # Narrative that survives regeneration (measured evidence lives here, the
