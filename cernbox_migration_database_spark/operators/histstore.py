@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from . import table_format as TF
 
 _STATE = "_hist_state.json"
+_TXN_APP = "hs"
 
 # served quantiles: (label, numerator, denominator)
 DEFAULT_QUANTILES = (
@@ -110,6 +111,7 @@ def build_hist_store(
         "nbins": nbins,
         "lo": lo,
         "span": hi - lo + 1,
+        "fold_seq": 0,
     }
     hist = (
         _binned(df, st)
@@ -132,8 +134,26 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
     inserts/update post-images add, deletes/update pre-images subtract.
     One signed-delta aggregation over O(changed rows), one keyed merge
     over the ≤ nbins·#partitions-row state table, then zero-count rows
-    prune and any negative count raises (double-applied window)."""
+    prune and any negative count raises (double-applied window).
+
+    Crash-safe (the joinview recovery discipline): the fold merge carries
+    an idempotent-writer marker ``txn=(hs, fold_seq)`` plus the folded
+    window in ``commit_meta``, so a crash between the merge commit and
+    the state-file write is healed by re-adopting the committed window
+    from the store's own commit log — the replayed refresh folds only
+    changes AFTER it instead of double-applying (which would silently
+    corrupt counts). Zero-prune needs no recovery scoping: the state
+    table is KiB-sized, so every refresh checks/prunes it in full."""
     st = _state(store_root)
+    committed = TF.last_txn_entry(store_root, _TXN_APP)
+    seq0 = int(st.get("fold_seq", 0))
+    if committed is not None and committed["txn_ver"] > seq0:
+        st["base_version"] = int(committed["hs_window"][1])
+        st["fold_seq"] = seq0 = int(committed["txn_ver"])
+        with open(
+            os.path.join(store_root, _STATE), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(st, fh)
     cur = TF.current_version(st["base_root"])
     if cur == st["base_version"]:
         return cur
@@ -162,7 +182,10 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
             on=["part", "bin"],
             update_set={"n": lambda t, s: t["n"] + s["n"]},
             check_cardinality=False,
+            txn=(_TXN_APP, seq0 + 1),
+            commit_meta={"hs_window": [st["base_version"], cur]},
         )
+        st["fold_seq"] = seq0 + 1
         states = TF.read_table(spark, store_root)
         bad = states.where(F.col("n") < 0)
         if not bad.isEmpty():

@@ -34,12 +34,14 @@ from pyspark.sql import functions as F
 from .table_format import (
     create_table,
     current_version,
+    last_txn_entry,
     merge_into,
     read_changes,
     read_table,
 )
 
 _STATE = "_mv_state.json"
+_TXN_APP = "mv"
 
 
 def _group_key(group_cols: list[str]):
@@ -116,6 +118,7 @@ def create_aggregate_view(
                 "sum_cols": sum_cols,
                 "scale": scale,
                 "weight_col": weight_col,
+                "fold_seq": 0,
             },
             fh,
         )
@@ -136,12 +139,31 @@ def refresh_aggregate_view(spark: SparkSession, mv_root: str) -> int:
     base version WITHOUT a lock, so exactly one process may refresh a
     given view (two concurrent refreshes would double-apply the same
     delta). Run it from the one pipeline that owns the view — the same
-    posture as a Structured Streaming query owning its checkpoint."""
+    posture as a Structured Streaming query owning its checkpoint.
+
+    Crash-safe WITHIN that owner (the joinview recovery discipline): the
+    fold merge carries ``txn=(mv, fold_seq)`` plus the folded window in
+    ``commit_meta``, so an owner that crashed between the merge commit
+    and the state write re-adopts the committed window from the view's
+    own commit log on its next refresh — never a double-apply. A
+    recovered refresh also runs the zero-group prune over the FULL view
+    (the crashed run's delta is gone, so its emptied groups are not
+    covered by the new delta's scope)."""
     st = _state(mv_root)
+    committed = last_txn_entry(mv_root, _TXN_APP)
+    seq0 = int(st.get("fold_seq", 0))
+    recovered = committed is not None and committed["txn_ver"] > seq0
+    if recovered:
+        st["base_version"] = int(committed["mv_window"][1])
+        st["fold_seq"] = seq0 = int(committed["txn_ver"])
+        with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
+            json.dump(st, fh)
     base_root, from_v = st["base_root"], st["base_version"]
     group_cols, sum_cols, scale = st["group_cols"], st["sum_cols"], st["scale"]
     cur = current_version(base_root)
     if cur == from_v:
+        if recovered:
+            _prune_zero_groups(spark, mv_root, scope=None)
         return cur
     ch = read_changes(
         spark,
@@ -169,6 +191,7 @@ def refresh_aggregate_view(spark: SparkSession, mv_root: str) -> int:
     for c in sum_cols:
         name = f"sum_{c}"
         adders[name] = lambda t, s, n=name: t[n] + s[n]
+    seq = seq0 + 1
     merge_into(
         spark,
         mv_root,
@@ -176,14 +199,27 @@ def refresh_aggregate_view(spark: SparkSession, mv_root: str) -> int:
         on="__group",
         update_set=adders,
         check_cardinality=False,  # delta is one row per group by construction
+        txn=(_TXN_APP, seq),
+        commit_meta={"mv_window": [from_v, cur]},
     )
     # Prune groups whose membership dropped to zero (scoped to the delta's
-    # keys — the view is never scanned beyond the touched groups).
-    dead = (
-        read_table(spark, mv_root)
-        .join(delta.select("__group"), "__group", "left_semi")
-        .where(F.col("n_rows") == 0)
+    # keys — the view is never scanned beyond the touched groups — except
+    # on crash recovery, where the crashed delta's scope is unknowable).
+    _prune_zero_groups(
+        spark, mv_root, scope=None if recovered else delta.select("__group")
     )
+    st["base_version"] = cur
+    st["fold_seq"] = seq
+    with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return cur
+
+
+def _prune_zero_groups(spark, mv_root: str, scope: DataFrame | None) -> None:
+    dead = read_table(spark, mv_root)
+    if scope is not None:
+        dead = dead.join(scope, "__group", "left_semi")
+    dead = dead.where(F.col("n_rows") == 0)
     if not dead.isEmpty():
         merge_into(
             spark,
@@ -194,10 +230,6 @@ def refresh_aggregate_view(spark: SparkSession, mv_root: str) -> int:
             when_not_matched=None,
             check_cardinality=False,
         )
-    st["base_version"] = cur
-    with open(os.path.join(mv_root, _STATE), "w", encoding="utf-8") as fh:
-        json.dump(st, fh)
-    return cur
 
 
 def read_aggregate_view(spark: SparkSession, mv_root: str) -> DataFrame:

@@ -190,3 +190,33 @@ def test_streaming_sink_maintains_store_through_post_batch(spark, tmp_path):
     assert sum(n for _, _, n in _hist_rows(spark, store)) == TF.read_table(
         spark, base
     ).count()
+
+
+def test_crash_between_fold_commit_and_state_write_is_recovered(
+    spark, tmp_path
+):
+    """The joinview recovery discipline: the fold merge carries
+    txn=(hs, fold_seq) + the folded window, so a crash BEFORE the state
+    write (simulated by restoring the whole pre-fold state file) is
+    healed — the replayed refresh adopts the committed window from the
+    commit log and folds only what came after, instead of double-applying
+    the window into the counts."""
+    import json
+    import os
+
+    base, store = _mk(spark, tmp_path)
+    st0 = HS._state(store)
+    pre_fold_state = json.dumps(st0)
+    TF.delete_where(spark, base, "k = 4")  # alone in its bin
+    HS.refresh_hist_store(spark, store)
+    # crash: the fold merge committed but the state write was lost
+    with open(os.path.join(store, HS._STATE), "w", encoding="utf-8") as fh:
+        fh.write(pre_fold_state)
+    # the base moves further; the replayed refresh must adopt THEN fold
+    TF.merge_into(
+        spark, base, _df(spark, [(14, "a", 99.99)]),
+        on="k", when_matched=None,
+    )
+    HS.refresh_hist_store(spark, store)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st0)
+    assert HS._state(store)["base_version"] == TF.current_version(base)

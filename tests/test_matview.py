@@ -254,3 +254,51 @@ def test_weighted_view_folds_bag_multiplicities(spark, tmp_path):
         for r in MV.read_aggregate_view(spark, mv).collect()
     }
     assert got == {"g0": (4, 35.5), "g1": (4, 8.0)}
+
+
+def test_crash_between_fold_commit_and_state_write_is_recovered(
+    spark, tmp_path
+):
+    """The joinview recovery discipline applied to aggregate views: the
+    fold merge carries txn=(mv, fold_seq) + the folded window, so a crash
+    before the state write (simulated by restoring the pre-fold state
+    file) is healed — the replayed refresh adopts the committed window
+    and folds only what came after; its full-view zero-prune also reaps
+    groups the crashed run emptied."""
+    import json
+    import os
+
+    root, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="g" + str(i % 3), val=float(i)) for i in range(12)]
+    )
+    TF.create_table(df, root)
+    MV.create_aggregate_view(
+        spark, root, mv, key="id", group_cols=["grp"], sum_cols=["val"]
+    )
+    pre_fold_state = open(os.path.join(mv, MV._STATE)).read()
+    # the window EMPTIES group g2 (ids 2,5,8,11) — its zero row must not
+    # survive recovery
+    TF.delete_where(spark, root, "grp = 'g2'")
+    MV.refresh_aggregate_view(spark, mv)
+    with open(os.path.join(mv, MV._STATE), "w", encoding="utf-8") as fh:
+        fh.write(pre_fold_state)
+    # base moves further; replayed refresh must adopt, fold, full-prune
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=20, grp="g0", val=100.0)]),
+        on="id", when_matched=None,
+    )
+    MV.refresh_aggregate_view(spark, mv)
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_val"])
+        for r in MV.read_aggregate_view(spark, mv).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in TF.read_table(spark, root)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want and "g2" not in got
