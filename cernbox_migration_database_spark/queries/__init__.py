@@ -82,6 +82,7 @@ _PRIORITY = [
     "multimodal_audio_features",
     "mv_agg_over_join",
     "streaming_text_ingest_search",
+    "fuzzy_join_part_names",
     # --- round-8 additions: trained-quantizer ADC, positional phrase /
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",

@@ -842,3 +842,61 @@ def dedup_cross_field(spark, sf_dir):
     )
     return g.where(F.col("block_size") > 1)
 
+
+
+@register(
+    "fuzzy_join_part_names",
+    """
+    WITH probes AS (
+      SELECT p_partkey AS probe_key,
+             substring(p_name, 1, 4) || substring(p_name, 6) AS q
+      FROM part WHERE p_partkey % 40 = 7
+    ),
+    cands AS (
+      SELECT pr.probe_key, pr.q, p.p_partkey AS match_key, p.p_name
+      FROM probes pr JOIN part p
+        ON substring(pr.q, 1, 4) = substring(p.p_name, 1, 4)
+       AND abs(length(pr.q) - length(p.p_name)) <= 2
+    )
+    SELECT probe_key, match_key,
+           CAST(levenshtein(q, p_name) AS BIGINT) AS dist
+    FROM cands
+    WHERE levenshtein(q, p_name) <= 2
+    ORDER BY probe_key, match_key
+    """,
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    """Blocked fuzzy string join — the record-linkage / entity-resolution
+    primitive: probe strings (part names with their 5th character
+    deterministically dropped, the classic typo model) rejoin the catalog
+    under edit distance ≤ 2. The plan is the standard two-phase shape
+    that survives 100 TB: a BLOCKING equi-join on (4-char prefix) with a
+    ±2 length guard — an ordinary shuffle hash join, NO all-pairs
+    anywhere — then the expensive Wagner-Fischer levenshtein verify runs
+    ONLY on in-block candidates (prefix blocking is exact for this typo
+    model because the corruption site is past the prefix; general fuzzy
+    pipelines add more block keys, not a wider join). Both engines run
+    the identical unbounded DP, so distances hash-match exactly."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = part.where(F.col("p_partkey") % 40 == 7).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.substring("p_name", 1, 4), F.expr("substring(p_name, 6)")
+        ).alias("q"),
+    )
+    cands = probes.join(
+        part,
+        (F.substring("q", 1, 4) == F.substring("p_name", 1, 4))
+        & (
+            F.abs(F.length("q") - F.length("p_name")) <= 2
+        ),
+    )
+    return (
+        cands.select(
+            "probe_key",
+            F.col("p_partkey").alias("match_key"),
+            F.levenshtein("q", "p_name").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+        .orderBy("probe_key", "match_key")
+    )
