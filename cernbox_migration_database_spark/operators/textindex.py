@@ -543,7 +543,17 @@ def sync_text_index(spark: SparkSession, base: str) -> int:
     batch whose corpus merge no-ops leaves the version unchanged and this
     is a no-op. Single-maintainer posture (the matview contract): the
     meta sidecar records the folded version without a lock, so exactly
-    one pipeline may own a given index's maintenance."""
+    one pipeline may own a given index's maintenance.
+
+    Crash-safe WITHIN that owner: a ``pending`` window is recorded in the
+    meta sidecar BEFORE the fold and cleared after the version pointer
+    advances, so an owner that crashed anywhere inside the fold re-enters
+    through :func:`_recover_window` — deletes re-merge idempotently, the
+    window's adds land only if their (atomic) commit was lost, and the
+    meta scalars are RECOMPUTED from the postings instead of re-applying
+    the window's counts. Without this, a replayed delete window would
+    silently double-decrement n_docs/total_tokens (the delete-merge
+    no-ops on absent rows but the fold's counts come from the window)."""
     with open(os.path.join(base, _META), encoding="utf-8") as fh:
         meta = json.load(fh)
     root = meta.get("corpus_root")
@@ -552,10 +562,23 @@ def sync_text_index(spark: SparkSession, base: str) -> int:
             "index is not bound to a document table — call "
             "bind_text_index(base, doc_root) after building"
         )
+    if meta.get("pending"):
+        _recover_window(spark, base, meta)
+        with open(os.path.join(base, _META), encoding="utf-8") as fh:
+            meta = json.load(fh)
     last = int(meta["corpus_version"])
     cur = TF.current_version(root)
     if cur == last:
         return cur
+    # pending carries the POSTINGS version too: the fold commits a known
+    # phase sequence (delete-merge, then add-merge), so recovery can read
+    # exactly how many phases landed from the postings commit count —
+    # doc-id presence alone cannot tell an updated document's pre-image
+    # from its landed post-image
+    meta["pending"] = [
+        last, cur, TF.current_version(os.path.join(base, "postings"))
+    ]
+    _write_meta(base, meta)
     ch = TF.read_changes(
         spark, root, key=meta["corpus_key"],
         from_version=last, to_version=cur, include_preimage=True,
@@ -568,5 +591,86 @@ def sync_text_index(spark: SparkSession, base: str) -> int:
     with open(os.path.join(base, _META), encoding="utf-8") as fh:
         meta = json.load(fh)
     meta["corpus_version"] = cur
+    meta.pop("pending", None)
     _write_meta(base, meta)
     return cur
+
+
+def _recover_window(spark: SparkSession, base: str, meta: dict) -> None:
+    """Idempotently re-apply a crashed sync's window [from, to]: the fold
+    commits its phases in a fixed order (delete-merge, then add-merge —
+    each an atomic postings commit), and the pending record carries the
+    postings version the fold started from, so the number of phases that
+    LANDED is read exactly from the postings commit count. Recovery
+    applies only the missing suffix, then RECOMPUTES n_docs/total_tokens
+    from the postings (one recovery-only aggregate) — the crashed run may
+    or may not have applied its incremental decrements, and a replayed
+    window must not re-apply window counts (that would silently
+    double-decrement on delete windows)."""
+    frm, to, p_v0 = (int(x) for x in meta["pending"])
+    id_col, text_col = meta["corpus_key"], meta["corpus_text_col"]
+    ch = TF.read_changes(
+        spark, meta["corpus_root"], key=id_col,
+        from_version=frm, to_version=to, include_preimage=True,
+    )
+    postings_root = os.path.join(base, "postings")
+    removed = ch.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    added = ch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    victims = None
+    if not removed.isEmpty():
+        rtoks = removed.select(
+            "doc_id", F.posexplode(TXT.tokens("text")).alias("pos", "tok")
+        )
+        v = TF.with_bucket(
+            _postings(rtoks), key="tok", n_buckets=meta["n_buckets"]
+        )
+        if not v.isEmpty():
+            victims = v
+    phases = ([("del", victims)] if victims is not None else []) + (
+        [("add", added)] if not added.isEmpty() else []
+    )
+    landed = TF.current_version(postings_root) - p_v0
+    if not 0 <= landed <= len(phases):
+        raise ValueError(
+            f"recover_window: postings advanced by {landed} commits but "
+            f"the window folds {len(phases)} phases — another writer on "
+            "this index? (single-maintainer contract)"
+        )
+    for kind, payload in phases[landed:]:
+        if kind == "del":
+            TF.merge_into(
+                spark, postings_root,
+                payload.select("bucket", "tok", "doc_id"),
+                on=["tok", "doc_id"],
+                when_matched="delete", when_not_matched=None,
+                check_cardinality=False,
+            )
+        else:
+            atoks = payload.select(
+                "doc_id",
+                F.posexplode(TXT.tokens("text")).alias("pos", "tok"),
+            )
+            TF.merge_into(
+                spark, postings_root,
+                TF.with_bucket(
+                    _postings(atoks), key="tok",
+                    n_buckets=meta["n_buckets"],
+                ),
+                on=["tok", "doc_id"],
+                when_matched=None,
+                check_cardinality=False,
+            )
+    row = (
+        TF.read_table(spark, postings_root)
+        .agg(F.countDistinct("doc_id"), F.sum("tfc"))
+        .first()
+    )
+    meta["n_docs"] = int(row[0] or 0)
+    meta["total_tokens"] = int(row[1] or 0)
+    meta["corpus_version"] = to
+    meta.pop("pending", None)
+    _write_meta(base, meta)

@@ -397,3 +397,134 @@ def test_bind_sync_is_version_driven_and_replay_safe(spark, tmp_path):
     TI.build_text_index(spark, _docs(spark, rows[:2]), other, n_buckets=8)
     with _pytest.raises(ValueError, match="not bound"):
         TI.sync_text_index(spark, other)
+def test_sync_recovers_crashed_window_at_all_crash_points(spark, tmp_path):
+    """The pending record carries the postings version the fold started
+    from, so recovery reads EXACTLY how many fold phases landed from the
+    postings commit count and applies only the missing suffix, then
+    recomputes the meta scalars. Three crash shapes: (1) pending written,
+    fold never ran; (2) delete phase committed, add phase lost (the
+    mid-fold crash — doc-id presence cannot detect this for updated
+    documents); (3) fold fully committed, pointer write lost (the shape
+    where a naive replay would double-decrement scalars or re-delete an
+    updated document's surviving rows)."""
+    import json
+
+    from cernbox_migration_database_spark.operators import (
+        table_format as TF,
+    )
+
+    rows = [(i, f"alpha w{i} beta gamma") for i in range(8)]
+    root, base = str(tmp_path / "docs"), str(tmp_path / "idx")
+    TF.create_table(_docs(spark, rows), root)
+    TI.build_text_index(spark, TF.read_table(spark, root), base, n_buckets=8)
+    TI.bind_text_index(base, root)
+    postings = os.path.join(base, "posting" "s")
+    v0 = TF.current_version(root)
+    p0 = TF.current_version(postings)
+
+    def meta():
+        return json.load(open(os.path.join(base, TI._META)))
+
+    def state():
+        m = meta()
+        return (
+            m["n_docs"], m["total_tokens"],
+            [
+                (r["doc_id"], r["score"])
+                for r in TI.bm25_probe(
+                    spark, base, ["alpha", "beta"], top_k=50
+                ).collect()
+            ],
+        )
+
+    seq = [0]
+
+    def rebuilt():
+        seq[0] += 1
+        alt = str(tmp_path / f"re{seq[0]}")
+        TI.build_text_index(
+            spark, TF.read_table(spark, root), alt, n_buckets=8
+        )
+        m = json.load(open(os.path.join(alt, TI._META)))
+        return (
+            m["n_docs"], m["total_tokens"],
+            [
+                (r["doc_id"], r["score"])
+                for r in TI.bm25_probe(
+                    spark, alt, ["alpha", "beta"], top_k=50
+                ).collect()
+            ],
+        )
+
+    # the window: a delete, an update KEEPING a shared term (beta), and
+    # an insert — the update is what breaks presence-based detection
+    TF.delete_where(spark, root, "doc_id = 2")
+    TF.update_where(spark, root, "doc_id = 5", {"text": "'beta beta moved'"})
+    TF.merge_into(
+        spark, root, _docs(spark, [(30, "gamma gamma new")]),
+        on="doc_id", when_matched=None,
+    )
+    v1 = TF.current_version(root)
+    want = rebuilt()
+
+    def set_pending(p_start):
+        m = meta()
+        m["pending"] = [v0, v1, p_start]
+        m["corpus_version"] = v0
+        TI._write_meta(base, m)
+
+    # shape 1: fold never ran
+    set_pending(p0)
+    TI.sync_text_index(spark, base)
+    assert state() == want and "pending" not in meta()
+
+    # shape 3 setup happens to be the current state (fold fully applied
+    # by shape 1's recovery): re-mark the same window pending with the
+    # ORIGINAL postings version + 2 landed phases
+    set_pending(TF.current_version(postings) - 2)
+    TI.sync_text_index(spark, base)
+    assert state() == want and meta()["corpus_version"] == v1
+
+    # shape 2: rebuild a fresh index, apply ONLY the delete phase, then
+    # recover — the add phase must be replayed, nothing re-deleted
+    base2 = str(tmp_path / "idx2")
+    TF.create_table(
+        _docs(spark, rows), str(tmp_path / "d2")
+    )  # pristine corpus twin for the pre-window snapshot
+    TI.build_text_index(
+        spark, TF.read_table(spark, root, v0), base2, n_buckets=8
+    )
+    TI.bind_text_index(base2, root, version=v0)
+    p2 = TF.current_version(os.path.join(base2, "postings"))
+    ch = TF.read_changes(
+        spark, root, key="doc_id", from_version=v0, to_version=v1,
+        include_preimage=True,
+    )
+    removed = ch.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("doc_id", "text")
+    rtoks = removed.select(
+        "doc_id", F.posexplode(TI.TXT.tokens("text")).alias("pos", "tok")
+    )
+    m2 = json.load(open(os.path.join(base2, TI._META)))
+    TI._delete_posting_keys(
+        spark, base2, m2,
+        TI.TF.with_bucket(
+            TI._postings(rtoks), key="tok", n_buckets=m2["n_buckets"]
+        ),
+    )
+    m2 = json.load(open(os.path.join(base2, TI._META)))
+    m2["pending"] = [v0, v1, p2]
+    TI._write_meta(base2, m2)
+    TI.sync_text_index(spark, base2)
+    m2 = json.load(open(os.path.join(base2, TI._META)))
+    got2 = (
+        m2["n_docs"], m2["total_tokens"],
+        [
+            (r["doc_id"], r["score"])
+            for r in TI.bm25_probe(
+                spark, base2, ["alpha", "beta"], top_k=50
+            ).collect()
+        ],
+    )
+    assert got2 == want and m2["corpus_version"] == v1
