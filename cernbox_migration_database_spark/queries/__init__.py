@@ -83,6 +83,7 @@ _PRIORITY = [
     "mv_agg_over_join",
     "streaming_text_ingest_search",
     "fuzzy_join_part_names",
+    "multimodal_image_features",
     # --- round-8 additions: trained-quantizer ADC, positional phrase /
     # proximity retrieval, and the delete-window cluster ingest ---
     "similarity_pq_adc_trained",

@@ -251,3 +251,65 @@ def multimodal_audio_features(spark, sf_dir):
         M.audio_features(M.synthesize_media(docs))
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_image_features",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS nb,
+             octet_length(encode(text)) % 96 + 8 AS w
+      FROM documents
+      WHERE doc_id % 2 = 0
+        AND length(text) = octet_length(encode(text))
+        AND length(text) > 0
+    ),
+    b AS (
+      SELECT doc_id, w, unnest(generate_series(1, nb)) AS i, text
+      FROM d
+    ),
+    v AS (
+      SELECT doc_id, w, i, ascii(substring(text, i, 1)) AS s FROM b
+    ),
+    x AS (
+      SELECT doc_id, MAX(s) AS peak, SUM(s) AS sm,
+             SUM(s * ((i - 1) // w + 1)) AS rw,
+             SUM(s * ((i - 1) % w + 1)) AS cw
+      FROM v GROUP BY doc_id, w
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(GREATEST((d.nb + d.w - 1) // d.w, 1) AS BIGINT) AS height,
+           CAST(d.w * GREATEST((d.nb + d.w - 1) // d.w, 1) AS BIGINT)
+             AS n_px,
+           CAST(x.sm AS BIGINT) AS sum_px,
+           CAST(x.peak AS BIGINT) AS peak_px,
+           CAST(x.rw AS BIGINT) AS row_weighted,
+           CAST(x.cw AS BIGINT) AS col_weighted
+    FROM d JOIN x USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_image_features(spark, sf_dir):
+    """Image feature extraction over REALLY-decoded PNG pixels
+    (operators/multimodal.py image_features): even-id documents become
+    genuine zlib-compressed grayscale PNGs, the stdlib five-filter
+    decoder reconstructs the pixel grid on executors, and integer-exact
+    features — including POSITION-WEIGHTED sums Σpx·row and Σpx·col —
+    come off the decoded grid. The oracle replays the features from the
+    pre-encode byte stream with pure position arithmetic (byte i sits at
+    row (i-1) div w, col (i-1) mod w; zero padding contributes nothing),
+    so a hash match proves the scanline filters put every byte back on
+    its exact grid cell — the sibling of multimodal_audio_features'
+    payload-fidelity contract, upgraded from 'bytes survived' to 'bytes
+    survived IN PLACE'. Scale: one codec boundary, O(#media) rows out."""
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 2 == 0)
+        & (F.length("text") == F.octet_length("text"))
+        & (F.length("text") > 0)
+    )
+    return (
+        M.image_features(M.synthesize_media(docs))
+        .orderBy("media_id")
+    )

@@ -212,3 +212,31 @@ def test_audio_features_empty_payload_and_non_wav(spark):
     )
     with pytest.raises(Exception, match="audio/wav"):
         M.audio_features(bad).collect()
+
+
+def test_image_features_position_weights_by_hand(spark):
+    """image_features must place every decoded byte on its exact grid
+    cell: position-weighted sums equal a hand computation over a known
+    2x3 grid."""
+    import numpy as np
+
+    g = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, M._png_encode(g), "image/png")],
+        "media_id long, blob binary, media_type string",
+    )
+    row = M.image_features(df).collect()[0]
+    assert (row["width"], row["height"], row["n_px"]) == (3, 2, 6)
+    assert row["sum_px"] == 210 and row["peak_px"] == 60
+    # rows weighted 1,2: 1*(10+20+30) + 2*(40+50+60) = 60 + 300
+    assert row["row_weighted"] == 360
+    # cols weighted 1,2,3: 1*(10+40) + 2*(20+50) + 3*(30+60)
+    assert row["col_weighted"] == 50 + 140 + 270
+    bad = spark.createDataFrame(
+        [(2, M._wav_encode(b"x"), "audio/wav")],
+        "media_id long, blob binary, media_type string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="image/png"):
+        M.image_features(bad).collect()
