@@ -232,47 +232,53 @@ def estimate_quantiles(
     spec = spark.createDataFrame(
         list(quantiles), "q_label string, qn long, qd long"
     )
-    outs = []
+    # ONE plan for every scope: a broadcast (scope, part) map fans the
+    # state rows into their scopes (None = all parts via a null marker
+    # handled below), then a single groupBy(scope, bin) merge. Cumulative
+    # counts come from a broadcast triangular self-join keyed by scope —
+    # ≤ |scopes|·nbins² pairs of STATE, never data-sized, and no
+    # unpartitioned window anywhere.
+    pairs: list[tuple[str, str | None]] = []
     for name, parts in scopes.items():
-        sel = states if parts is None else states.where(
-            F.col("part").isin(parts)
+        if parts is None:
+            pairs.append((name, None))
+        else:
+            pairs.extend((name, p) for p in parts)
+    smap = spark.createDataFrame(pairs, "scope string, part string")
+    fanned = states.join(
+        F.broadcast(smap),
+        (smap["part"].isNull()) | (states["part"] == smap["part"]),
+    ).select("scope", states["bin"], states["n"])
+    merged = fanned.groupBy("scope", "bin").agg(F.sum("n").alias("n"))
+    lower = merged.select(
+        F.col("scope").alias("scope2"),
+        F.col("bin").alias("bin2"),
+        F.col("n").alias("n2"),
+    )
+    cum = (
+        merged.join(
+            F.broadcast(lower),
+            (F.col("scope2") == F.col("scope"))
+            & (F.col("bin2") <= F.col("bin")),
         )
-        merged = sel.groupBy("bin").agg(F.sum("n").alias("n"))
-        # cumulative counts WITHOUT an unpartitioned window: a broadcast
-        # triangular self-join over the ≤ nbins merged rows (≤ nbins²
-        # pairs of state, never data-sized) keeps every pass parallel
-        lower = merged.select(
-            F.col("bin").alias("bin2"), F.col("n").alias("n2")
+        .groupBy("scope", "bin")
+        .agg(F.sum("n2").alias("cum_n"))
+    )
+    totals = merged.groupBy("scope").agg(
+        F.sum("n").cast("long").alias("total_n")
+    )
+    cum = cum.join(F.broadcast(totals), "scope")
+    hit = cum.join(
+        F.broadcast(spec),
+        cum["cum_n"] >= F.expr("(qn * total_n + qd - 1) div qd"),
+    )
+    return hit.groupBy("scope", "q_label").agg(
+        F.max("total_n").cast("long").alias("total_n"),
+        F.min("bin").cast("long").alias("bin"),
+        (
+            F.lit(lo)
+            + F.expr(f"(min(bin) * {span}L) div {nbins}L")
         )
-        tot = merged.agg(F.sum("n").cast("long").alias("total_n"))
-        cum = (
-            merged.join(F.broadcast(lower), F.col("bin2") <= F.col("bin"))
-            .groupBy("bin")
-            .agg(F.sum("n2").alias("cum_n"))
-            .crossJoin(F.broadcast(tot))
-        )
-        hit = cum.join(
-            F.broadcast(spec),
-            cum["cum_n"]
-            >= F.expr("(qn * total_n + qd - 1) div qd"),
-        )
-        outs.append(
-            hit.groupBy("q_label")
-            .agg(
-                F.min("bin").alias("bin"),
-                F.max("total_n").alias("total_n"),
-            )
-            .select(
-                F.lit(name).alias("scope"),
-                "q_label",
-                F.col("total_n").cast("long").alias("total_n"),
-                F.col("bin").cast("long").alias("bin"),
-                (F.lit(lo) + F.expr(f"(bin * {span}L) div {nbins}L"))
-                .cast("long")
-                .alias("est_cents"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .cast("long")
+        .alias("est_cents"),
+    )
