@@ -129,6 +129,116 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             octet_length(encode(text)) % 24 + 8 AS w
+      FROM documents)
+    SELECT doc_id AS media_id, 'video/avi' AS media_type,
+           CAST(w AS BIGINT) AS width,
+           CAST(GREATEST((nb + w - 1) // w, 1) AS BIGINT) AS height,
+           CAST((nb % 4 + 2) * 100 AS BIGINT) AS duration_ms
+    FROM d ORDER BY media_id
+    """,
+)
+def multimodal_video_decode(spark, sf_dir):
+    """REAL video codec round-trip on executors: document bytes become
+    genuine uncompressed grayscale AVI containers (RIFF chunk tree,
+    avih/strh/strf headers, bottom-up strided DIB frames, idx1 index —
+    operators/multimodal.py _avi_encode), then decode_media(fake=False)
+    REALLY parses them back — recursive RIFF walk, header unpack, frame
+    reconstruction — inside Arrow mapInPandas batches. The differential
+    works because container geometry is a pure function of the payload
+    LENGTH (width = n % 24 + 8, height = ceil(n/width), frames =
+    n % 4 + 2 at 10 fps ⇒ duration = frames·100 ms), so the oracle
+    recomputes what the decoder must REDISCOVER from real container
+    bytes. Frame-pixel fidelity is pinned by multimodal_video_frames and
+    tests/test_multimodal_video.py."""
+    media = M.synthesize_video(_t(spark, sf_dir, "documents"))
+    decoded = M.decode_media(media, fake=False)
+    return decoded.select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb,
+             octet_length(encode(text)) % 24 + 8 AS w
+      FROM documents
+      WHERE doc_id % 4 = 2
+        AND length(text) = octet_length(encode(text))
+        AND length(text) > 0),
+    g AS (
+      SELECT doc_id, text, nb, w,
+             GREATEST((nb + w - 1) // w, 1) AS h,
+             nb % 4 + 2 AS nf
+      FROM d),
+    fr AS (
+      SELECT doc_id, text, nb, w, h, w * h AS np, nf,
+             unnest(generate_series(0, nf - 1, 2)) AS f
+      FROM g),
+    px AS (
+      SELECT doc_id, w, h, nf, f,
+             unnest(generate_series(0, np - 1)) AS j,
+             text, nb, np
+      FROM fr),
+    v AS (
+      SELECT doc_id, w, h, nf, f, j,
+             CASE WHEN (j + f * w) % np < nb
+                  THEN ascii(substring(
+                         text, CAST((j + f * w) % np + 1 AS INT), 1))
+                  ELSE 0 END AS s
+      FROM px),
+    x AS (
+      SELECT doc_id, w, h, nf, f,
+             SUM(s) AS sm, MAX(s) AS pk,
+             SUM(s * (j // w + 1)) AS rw,
+             SUM(s * (j % w + 1)) AS cw
+      FROM v GROUP BY doc_id, w, h, nf, f)
+    SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sm AS BIGINT) AS sum_px, CAST(pk AS BIGINT) AS peak_px,
+           CAST(rw AS BIGINT) AS row_weighted,
+           CAST(cw AS BIGINT) AS col_weighted
+    FROM x ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Frame sampling + per-frame features over REALLY-decoded AVI
+    frames (operators/multimodal.py video_frame_features): documents
+    become genuine multi-frame AVIs whose frame f is the padded byte
+    grid circularly rolled down by f rows, the RIFF/DIB decoder
+    reconstructs every frame on executors, and every SECOND frame emits
+    integer-exact features including POSITION-WEIGHTED sums Σpx·row and
+    Σpx·col. The oracle replays each sampled frame from the pre-encode
+    byte stream with pure position arithmetic (pixel j of frame f =
+    byte (j + f·w) mod (w·h), zero where past the payload), so a hash
+    match proves the decoder dropped the stride padding, un-flipped the
+    bottom-up rows, and put every byte of every frame back on its exact
+    (row, col) — the video analogue of multimodal_image_features'
+    grid-fidelity contract, times the temporal axis. Scale: one codec
+    boundary, O(#media · #sampled-frames) rows out."""
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 4 == 2)
+        & (F.length("text") == F.octet_length("text"))
+        & (F.length("text") > 0)
+    )
+    return (
+        M.video_frame_features(M.synthesize_video(docs), every=2)
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
     "multimodal_phash_dedup",
     """
     WITH b AS (
