@@ -74,6 +74,14 @@ from pyspark.sql import functions as F
 
 from .merge import assert_exactly_one
 
+# Actions whose commit materializes/records a FULL uniform snapshot state:
+# the schema-evolution window, active-rename chain, and evolved-mix flag all
+# reset at the latest such entry (see _snapshot_reader / _active_renames).
+_RESET_ACTIONS = (
+    "create", "compact", "repartition", "restore", "overwrite", "clone",
+    "merge_branch",
+)
+
 _VERSIONS = "_versions"
 _POINTER = "_latest"
 _LOG = "_log"
@@ -843,7 +851,7 @@ def _snapshot_reader(spark: SparkSession, root: str, v: int):
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite")
+            if e["action"] in _RESET_ACTIONS
         ),
         default=0,
     )
@@ -875,7 +883,7 @@ def _active_renames(entries: list[dict]) -> list[list[str]]:
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite")
+            if e["action"] in _RESET_ACTIONS
         ),
         default=0,
     )
@@ -2101,7 +2109,7 @@ def restore(root: str, version: int) -> int:
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite")
+            if e["action"] in _RESET_ACTIONS
         ),
         default=0,
     )
@@ -2176,7 +2184,7 @@ def clone_table(
         (
             i
             for i, e in enumerate(entries)
-            if e["action"] in ("create", "compact", "repartition", "restore", "overwrite", "clone")
+            if e["action"] in _RESET_ACTIONS
         ),
         default=0,
     )
@@ -3416,6 +3424,246 @@ def resolve_tag(root: str, name: str) -> int:
             return int(json.load(fh)["version"])
     except FileNotFoundError:
         raise KeyError(f"no tag {name!r} on {root}")
+
+
+_BRANCHES = "_branches"
+
+
+class BranchMergeConflict(Exception):
+    """Write-write conflict: the same key(s) changed on both the branch
+    and main since the fork point — merging would silently pick a side."""
+
+
+def _branch_meta_path(root: str, name: str) -> str:
+    return os.path.join(root, _BRANCHES, name, "_branch.json")
+
+
+def branch_root(root: str, name: str) -> str:
+    """The branch's table root. A branch IS a versioned table — every
+    operator (read_table, merge_into, delete_where, read_changes, CDF
+    consumers, streaming sinks) works on this path unchanged."""
+    p = os.path.join(root, _BRANCHES, name)
+    if not os.path.exists(_branch_meta_path(root, name)):
+        raise KeyError(f"no branch {name!r} on {root}")
+    return p
+
+
+def create_branch(root: str, name: str, version: int | None = None) -> str:
+    """Branch a versioned table: a ZERO-COPY fork (the Iceberg/Nessie
+    named-branch idea) whose snapshot is hardlinked from the source
+    version — O(#files) metadata, no data IO, stats manifest carried.
+    The branch is a full table root under ``<root>/_branches/<name>``
+    with its own commit log and pointer, so the entire write surface
+    (MERGE/DELETE/UPDATE, COW and MOR, CDF, time travel) applies to it
+    directly, and writes on either side can never touch the other
+    (immutable version dirs make the shared inodes safe). The fork point
+    is recorded so :func:`merge_branch` can fast-forward or rebase the
+    branch back into main. The 100 TB workflow this unlocks: fork a
+    production corpus instantly, run a risky backfill/experiment against
+    the branch, validate, then merge or discard. Returns the branch's
+    table-root path."""
+    if not _TAG_RE.match(name):
+        raise ValueError(f"invalid branch name {name!r}")
+    broot = os.path.join(root, _BRANCHES, name)
+    v = current_version(root) if version is None else version
+    clone_table(root, broot, v)  # raises if the branch root already exists
+    meta = {"name": name, "base_version": v, "created_at": time.time()}
+    path = _branch_meta_path(root, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+    return broot
+
+
+def list_branches(root: str) -> list[dict]:
+    """All branches, name-sorted; each entry carries the fork point."""
+    bdir = os.path.join(root, _BRANCHES)
+    out = []
+    try:
+        names = sorted(os.listdir(bdir))
+    except FileNotFoundError:
+        return []
+    for n in names:
+        p = _branch_meta_path(root, n)
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def delete_branch(root: str, name: str) -> None:
+    """Drop a branch: its version directories release their references
+    (shared inodes live until main's own vacuum drops the last link)."""
+    p = os.path.join(root, _BRANCHES, name)
+    if not os.path.exists(_branch_meta_path(root, name)):
+        raise KeyError(f"no branch {name!r} on {root}")
+    shutil.rmtree(p)
+
+
+def merge_branch(
+    spark: SparkSession, root: str, name: str, key: str | list[str]
+) -> dict:
+    """Merge a branch back into main, keyed on ``key``.
+
+    * **Fast-forward** — main has not moved since the fork: the branch
+      head snapshot hardlinks in as main's next version (O(#files), zero
+      data IO, one commit — the restore/clone discipline), carrying the
+      branch's schema state, evolved flag, rename chain, and checks.
+    * **Rebase** — main moved: the branch's change feed since the fork
+      (:func:`read_changes` from its v1 clone to its head) replays onto
+      main's CURRENT snapshot, after a write-write conflict check — keys
+      changed on BOTH sides since the fork raise
+      :class:`BranchMergeConflict` with samples rather than silently
+      picking a side (the Nessie/Delta commit-conflict semantics).
+      Deletes apply first (one ``when_matched='delete'`` merge), then
+      upserts (one update/insert merge); both commits carry idempotent
+      txn markers keyed to (branch, fork, head), so re-running
+      ``merge_branch`` after a crash between them applies only the
+      missing phase — the crash-recovery discipline the incremental
+      stores use. Scale: everything is change-feed-sized; the conflict
+      check is a key-projected join of two change feeds.
+
+    Schema-diverged branches (columns changed on either side since the
+    fork) refuse to merge, loudly — rename/drop/evolve on a branch is a
+    rebuild-the-branch workflow for now. Returns a dict with the merge
+    ``mode`` and committed version(s). The branch itself is left intact;
+    drop it with :func:`delete_branch` when done."""
+    broot = branch_root(root, name)
+    with open(_branch_meta_path(root, name), encoding="utf-8") as fh:
+        base = int(json.load(fh)["base_version"])
+    head = current_version(broot)
+    cur = current_version(root)
+    if head == 1:
+        return {"mode": "noop", "version": cur}
+
+    bhist = history(broot)
+    mhist = history(root)
+
+    def _cols_at(entries, v):
+        return next(
+            (
+                e["columns"]
+                for e in reversed(entries)
+                if e["version"] <= v and e.get("columns")
+            ),
+            None,
+        )
+
+    fork_cols = _cols_at(bhist, 1)
+    if _cols_at(bhist, head) != fork_cols or _cols_at(mhist, cur) != fork_cols:
+        raise NotImplementedError(
+            f"branch {name!r} and main must share the fork-point column set "
+            "to merge; rename/drop/evolve on a branch cannot merge yet — "
+            "rebuild the branch from a fresh fork"
+        )
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if cur == base:
+        # fast-forward: hardlink the branch head in as main's next version
+        src = _vdir(broot, head)
+        last_uniform = max(
+            (i for i, e in enumerate(bhist) if e["action"] in _RESET_ACTIONS),
+            default=0,
+        )
+        evolved = any(e.get("evolved") for e in bhist[last_uniform:])
+        new_v = cur + 1
+        vdir = _claim_version(root, new_v)
+        staging = vdir + ".staging"
+        try:
+            _linked, carry_copied = _link_tree(src, staging)
+            os.rename(staging, vdir)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            _unclaim(vdir)
+            raise
+        _commit(
+            root,
+            new_v,
+            {
+                "action": "merge_branch",
+                "parent": cur,
+                "branch": name,
+                "branch_version": head,
+                **(
+                    {"schema_json": sj}
+                    if (sj := next(
+                        (
+                            e.get("schema_json")
+                            for e in reversed(bhist)
+                            if e.get("schema_json")
+                        ),
+                        None,
+                    ))
+                    else {}
+                ),
+                **({"carry_copied_files": carry_copied} if carry_copied else {}),
+                "partition_by": bhist[-1].get("partition_by"),
+                "columns": _cols_at(bhist, head),
+                "evolved": evolved,
+                "renames_active": _active_renames(bhist),
+                "checks": next(
+                    (e["checks"] for e in reversed(bhist) if "checks" in e), {}
+                )
+                or {},
+            },
+        )
+        return {"mode": "ff", "version": new_v}
+
+    # rebase: replay the branch's change feed onto main's moved snapshot
+    feed = read_changes(spark, broot, keys, 1, head)
+    main_feed = read_changes(spark, root, keys, base, cur)
+    app = f"__branch_merge__:{name}:{base}:{head}"
+    done = last_txn_version(root, app) or 0
+    deletes = feed.where(F.col("_change_type") == "delete").drop("_change_type")
+    upserts = feed.where(
+        F.col("_change_type").isin("insert", "update")
+    ).drop("_change_type")
+    conflict_keys = (
+        feed.select(*keys)
+        .distinct()
+        .join(main_feed.select(*keys).distinct(), keys, "inner")
+    )
+    # A resumed merge sees its OWN committed phase(s) in main's change
+    # feed — those keys carry exactly the branch's intent, not a
+    # conflict; exclude what this merge already applied (phase 1 =
+    # delete keys, phase 2 = upsert keys).
+    if done >= 1:
+        own = deletes.select(*keys).distinct()
+        if done >= 2:
+            own = own.union(upserts.select(*keys).distinct())
+        conflict_keys = conflict_keys.join(own, keys, "left_anti")
+    conflicts = conflict_keys.limit(5).collect()
+    if conflicts:
+        raise BranchMergeConflict(
+            f"branch {name!r} and main both changed key(s) "
+            f"{[tuple(r) for r in conflicts]} since fork v{base}; "
+            "resolve on the branch (re-fork + replay) before merging"
+        )
+    versions = []
+    if done < 1 and deletes.limit(1).count():
+        versions.append(
+            merge_into(
+                spark, root, deletes, on=keys,
+                when_matched="delete", when_not_matched=None,
+                txn=(app, 1),
+                commit_meta={"branch": name, "branch_version": head},
+            )
+        )
+    if done < 2 and upserts.limit(1).count():
+        versions.append(
+            merge_into(
+                spark, root, upserts, on=keys,
+                when_matched="update", when_not_matched="insert",
+                txn=(app, 2),
+                commit_meta={"branch": name, "branch_version": head},
+            )
+        )
+    return {
+        "mode": "rebase",
+        "versions": versions,
+        "version": current_version(root),
+    }
 
 
 def vacuum(

@@ -1705,3 +1705,102 @@ def query_result_cache(spark, sf_dir):
     assert rep["hit"] is False, rep
     return out.orderBy("o_orderpriority")
 
+
+
+@register(
+    "table_branch_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders),
+    after_ff AS (  -- branch 1: MOR delete of %10=6, fast-forwarded in
+      SELECT * FROM base WHERE o_orderkey % 10 <> 6),
+    rebased AS (   -- branch 2's update (x2 on %10=3) + main's own (+5 on %10=1)
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 3
+                  THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS DOUBLE) / 100.0
+                  WHEN o_orderkey % 10 = 1
+                  THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500 AS DOUBLE) / 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM after_ff),
+    inserted AS (  -- branch 2's inserts: re-keyed copies of %100=7 rows
+      SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 100 AS DOUBLE) / 100.0
+      FROM after_ff WHERE o_orderkey % 100 = 7),
+    final AS (SELECT * FROM rebased UNION ALL SELECT * FROM inserted)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_branch_merge(spark, sf_dir):
+    """Zero-copy table BRANCHING with both merge-back modes
+    (table_format.create_branch / merge_branch — the Iceberg/Nessie named
+    branch reduced to this format's primitives): branch 1 forks main,
+    applies a merge-on-read delete (DV sidecars ride the hardlink carry),
+    and FAST-FORWARDS back in — main had not moved, so the merge is one
+    O(#files) hardlink commit, asserted in-query. Branch 2 forks the
+    result, applies an update and fresh inserts while MAIN independently
+    updates a DISJOINT key set, so the merge takes the REBASE path: the
+    branch's change feed since the fork replays onto main's moved
+    snapshot after the write-write conflict check, also asserted
+    in-query. The oracle recomputes the final table relationally
+    (delete -> both sides' updates -> inserts) with cent-scaled-long
+    price arithmetic, binary-exact cross-engine. Scale: the fork and the
+    FF merge move zero data; the rebase is change-feed-sized (two keyed
+    merges + a key-projected conflict join)."""
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("branch", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+
+    b1 = TF.create_branch(root, "exp-ff")
+    TF.delete_where(spark, b1, "o_orderkey % 10 = 6", mode="mor")
+    r1 = TF.merge_branch(spark, root, "exp-ff", key="o_orderkey")
+    assert r1["mode"] == "ff", r1
+
+    b2 = TF.create_branch(root, "exp-rebase")
+    TF.update_where(
+        spark, b2, "o_orderkey % 10 = 3",
+        {"o_totalprice": (
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * 2 AS DOUBLE) / 100.0"
+        )},
+    )
+    ins = TF.read_table(spark, b2).where(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        (
+            (
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint") + 100
+            ).cast("double") / 100.0
+        ).alias("o_totalprice"),
+    )
+    TF.merge_into(spark, b2, ins, on="o_orderkey")
+    TF.update_where(  # main moves independently on a disjoint key set
+        spark, root, "o_orderkey % 10 = 1",
+        {"o_totalprice": (
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " + 500 AS DOUBLE) / 100.0"
+        )},
+    )
+    r2 = TF.merge_branch(spark, root, "exp-rebase", key="o_orderkey")
+    assert r2["mode"] == "rebase", r2
+
+    return (
+        TF.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,180 @@
+"""Table branching (operators/table_format.py, round 9): zero-copy named
+branches with fast-forward and rebase merge-back, write-write conflict
+detection, crash-idempotent two-phase rebase, and branch isolation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cernbox_migration_database_spark.operators import table_format as T
+
+
+def _mk(spark, tmp_path, n=12, name="tbl"):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(n)], "id long, p long, v double"
+    )
+    T.create_table(df, root, partition_by="p")
+    return root
+
+
+def _state(spark, root, version=None):
+    return {r.id: r.v for r in T.read_table(spark, root, version).collect()}
+
+
+def test_branch_is_isolated_and_zero_copy(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    # zero-copy: the branch's v1 files share inodes with main's snapshot
+    main_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(T._vdir(root, 1))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    br_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(T._vdir(br, 1))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert br_inodes and br_inodes <= main_inodes
+    # writes on the branch are invisible on main (and vice versa)
+    T.update_where(spark, br, "id = 3", {"v": "v + 100"})
+    T.delete_where(spark, root, "id = 8")
+    assert _state(spark, br)[3] == 103.0 and 8 in _state(spark, br)
+    assert _state(spark, root)[3] == 3.0 and 8 not in _state(spark, root)
+    # a branch is a full table: time travel works on it
+    assert _state(spark, br, version=1)[3] == 3.0
+    assert [b["name"] for b in T.list_branches(root)] == ["exp"]
+    assert T.list_branches(br) == []
+
+
+def test_fast_forward_merge_hardlinks_and_carries_checks(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 3", {"v": "v + 100"})
+    T.delete_where(spark, br, "id = 7")
+    T.set_checks(spark, br, {"v_nonneg": "v >= 0"})
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r == {"mode": "ff", "version": 2}
+    got = _state(spark, root)
+    assert got[3] == 103.0 and 7 not in got and len(got) == 11
+    # FF is a hardlink carry: main's new version shares inodes with the
+    # branch head (zero data IO)
+    head = T._vdir(br, T.current_version(br))
+    head_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(head)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    new_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(T._vdir(root, 2))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert new_inodes == head_inodes
+    # the branch's constraint state rides the FF commit
+    assert T.table_checks(root) == {"v_nonneg": "v >= 0"}
+    # and history records the merge as a first-class action
+    assert T.history(root)[-1]["action"] == "merge_branch"
+
+
+def test_rebase_merge_disjoint_keys(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 0", {"v": "v + 1000"})
+    ins = spark.createDataFrame([(99, 0, 9.9)], "id long, p long, v double")
+    T.merge_into(spark, br, ins, on="id")
+    T.delete_where(spark, br, "id = 11")
+    T.update_where(spark, root, "id = 5", {"v": "v + 5"})  # main moves
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r["mode"] == "rebase" and len(r["versions"]) == 2
+    got = _state(spark, root)
+    assert got[0] == 1000.0 and got[99] == 9.9 and 11 not in got
+    assert got[5] == 10.0  # main's independent change survives
+
+
+def test_rebase_conflict_raises_with_samples(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 1", {"v": "v + 1"})
+    T.update_where(spark, root, "id = 1", {"v": "v + 2"})
+    with pytest.raises(T.BranchMergeConflict, match=r"\(1,\)"):
+        T.merge_branch(spark, root, "exp", key="id")
+    # main untouched by the failed merge
+    assert _state(spark, root)[1] == 3.0
+
+
+def test_rebase_crash_between_phases_resumes_idempotently(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the delete phase commits but before the upsert phase:
+    re-running merge_branch applies ONLY the missing upserts (txn
+    markers), converging to the same final state with no double-apply."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.delete_where(spark, br, "id = 2")
+    T.update_where(spark, br, "id = 4", {"v": "v + 40"})
+    T.update_where(spark, root, "id = 9", {"v": "v + 90"})  # force rebase
+
+    real_merge = T.merge_into
+    calls = {"n": 0}
+
+    def crashing(spark_, root_, source, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before upsert phase")
+        return real_merge(spark_, root_, source, **kw)
+
+    monkeypatch.setattr(T, "merge_into", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        T.merge_branch(spark, root, "exp", key="id")
+    # delete landed, upsert did not
+    mid = _state(spark, root)
+    assert 2 not in mid and mid[4] == 4.0
+    monkeypatch.setattr(T, "merge_into", real_merge)
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r["mode"] == "rebase" and len(r["versions"]) == 1
+    got = _state(spark, root)
+    assert 2 not in got and got[4] == 44.0 and got[9] == 99.0
+    # a third run is a full no-op
+    r2 = T.merge_branch(spark, root, "exp", key="id")
+    assert r2["mode"] == "rebase" and r2["versions"] == []
+    assert _state(spark, root) == got
+
+
+def test_merge_unmoved_branch_is_noop_and_schema_divergence_refuses(
+    spark, tmp_path
+):
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "idle")
+    assert T.merge_branch(spark, root, "idle", key="id")["mode"] == "noop"
+    br = T.create_branch(root, "ren")
+    T.rename_column(spark, br, "v", "val")
+    T.update_where(spark, br, "id = 1", {"val": "val + 1"})
+    with pytest.raises(NotImplementedError, match="fork-point column set"):
+        T.merge_branch(spark, root, "ren", key="id")
+
+
+def test_branch_admin_edges(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="invalid branch name"):
+        T.create_branch(root, "bad/name")
+    T.create_branch(root, "exp")
+    with pytest.raises(FileExistsError):
+        T.create_branch(root, "exp")
+    with pytest.raises(KeyError, match="no branch"):
+        T.branch_root(root, "ghost")
+    with pytest.raises(KeyError, match="no branch"):
+        T.delete_branch(root, "ghost")
+    T.delete_branch(root, "exp")
+    assert T.list_branches(root) == []
+    # branching a historical version pins the fork point
+    T.delete_where(spark, root, "id = 0")
+    br = T.create_branch(root, "old", version=1)
+    assert 0 in _state(spark, br)
