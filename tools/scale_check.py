@@ -35,6 +35,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --lshindex [k] [sf_dir] [runs]
        python tools/scale_check.py --clusterindex [k] [sf_dir]
        python tools/scale_check.py --histstore [k] [sf_dir]
+       python tools/scale_check.py --branch [k] [sf_dir]
 Prints one JSON line.
 """
 
@@ -755,6 +756,134 @@ def joinview_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def branch_mode_main(argv: list[str]) -> int:
+    """--branch: do the table-branching costs track CHANGES, not table
+    size? Orders replicated k-fold into disjoint key shards (the
+    histstore-mode base shape: partition-scoped commits keep the rebase
+    diff prunable). At 1x and kx:
+      * ``fork_sec`` / ``fork_new_bytes`` — create_branch: hardlink clone,
+        zero new data bytes at any scale (O(#files) wall);
+      * ``ff_sec`` / ``ff_new_bytes`` — fast-forward merge after a
+        shard-0-confined branch update: one hardlink commit, zero new
+        bytes on main (the branch already paid its COW rewrite);
+      * ``rebase_sec`` — merge after BOTH sides moved (branch in shard 0,
+        main in shard 1): the conflict check + change-feed replay prune
+        to the touched shards, so the wall is churn-bound, ~flat in k.
+    """
+    import functools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-branch")
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.groupBy("o_orderpriority").count().count()  # warm-up
+
+    def parquet_stats(vdir, prev_inodes):
+        new_b = linked_b = 0
+        for dp, _, fs in os.walk(vdir):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                st = os.stat(os.path.join(dp, f))
+                if st.st_ino in prev_inodes:
+                    linked_b += st.st_size
+                else:
+                    new_b += st.st_size
+        return new_b, linked_b
+
+    def inodes(vdir):
+        return {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    def run(mult: int) -> dict:
+        base_df = functools.reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                orders.select(
+                    (F.col("o_orderkey") + 10_000_000 * i).alias(
+                        "o_orderkey"
+                    ),
+                    "o_orderpriority",
+                    "o_totalprice",
+                    F.lit(i).alias("shard"),
+                )
+                for i in range(mult)
+            ],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            root = os.path.join(d, "t")
+            TF.create_table(base_df, root, partition_by="shard")
+            base_ino = inodes(TF._vdir(root, 1))
+            t0 = time.monotonic()
+            b1 = TF.create_branch(root, "ff")
+            fork_s = time.monotonic() - t0
+            fork_new, fork_linked = parquet_stats(TF._vdir(b1, 1), base_ino)
+            # shard-0-confined fixed-size branch churn
+            TF.update_where(
+                spark, b1, "shard = 0 AND o_orderkey % 7 = 0",
+                {"o_totalprice": "o_totalprice * 2"},
+            )
+            head_ino = inodes(TF._vdir(b1, TF.current_version(b1)))
+            t0 = time.monotonic()
+            r = TF.merge_branch(spark, root, "ff", key="o_orderkey")
+            ff_s = time.monotonic() - t0
+            assert r["mode"] == "ff", r
+            ff_new, _ = parquet_stats(TF._vdir(root, r["version"]), head_ino)
+            # rebase: branch churn in shard 0, main churn in shard 1
+            TF.create_branch(root, "rb")
+            b2 = TF.branch_root(root, "rb")
+            TF.update_where(
+                spark, b2, "shard = 0 AND o_orderkey % 11 = 0",
+                {"o_totalprice": "o_totalprice + 1"},
+            )
+            TF.update_where(
+                spark, root, "shard = 1 AND o_orderkey % 13 = 0",
+                {"o_totalprice": "o_totalprice + 2"},
+            )
+            t0 = time.monotonic()
+            r2 = TF.merge_branch(spark, root, "rb", key="o_orderkey")
+            rebase_s = time.monotonic() - t0
+            assert r2["mode"] == "rebase", r2
+            return {
+                "fork_sec": round(fork_s, 3),
+                "fork_new_bytes": fork_new,
+                "fork_linked_bytes": fork_linked,
+                "ff_sec": round(ff_s, 3),
+                "ff_new_bytes": ff_new,
+                "rebase_sec": round(rebase_s, 3),
+            }
+
+    one, kx = run(1), run(k)
+    out = {
+        "mode": "branch",
+        "k": k,
+        "sf_dir": sf_dir,
+        "t1": one,
+        "tk": kx,
+        "fork_ratio_kx_vs_1x": round(kx["fork_sec"] / one["fork_sec"], 3),
+        "ff_ratio_kx_vs_1x": round(kx["ff_sec"] / one["ff_sec"], 3),
+        "rebase_ratio_kx_vs_1x": round(
+            kx["rebase_sec"] / one["rebase_sec"], 3
+        ),
+        "zero_copy": kx["fork_new_bytes"] == 0 and kx["ff_new_bytes"] == 0,
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def r6_mode_main(argv: list[str]) -> int:
     """--r6: the round-6 lakehouse components at k-fold fact growth.
     One versioned orders table, replicated into k disjoint key shards
@@ -1121,6 +1250,9 @@ def main() -> int:
     if "--histstore" in argv:
         argv.remove("--histstore")
         return histstore_mode_main(argv)
+    if "--branch" in argv:
+        argv.remove("--branch")
+        return branch_mode_main(argv)
     if dedup_mode:
         argv.remove("--dedup")
     k = int(argv[0]) if len(argv) > 0 else (5 if dedup_mode else 10)
