@@ -3502,7 +3502,11 @@ def delete_branch(root: str, name: str) -> None:
 
 
 def merge_branch(
-    spark: SparkSession, root: str, name: str, key: str | list[str]
+    spark: SparkSession,
+    root: str,
+    name: str,
+    key: str | list[str],
+    on_conflict: str = "fail",
 ) -> dict:
     """Merge a branch back into main, keyed on ``key``.
 
@@ -3512,10 +3516,16 @@ def merge_branch(
       branch's schema state, evolved flag, rename chain, and checks.
     * **Rebase** — main moved: the branch's change feed since the fork
       (:func:`read_changes` from its v1 clone to its head) replays onto
-      main's CURRENT snapshot, after a write-write conflict check — keys
-      changed on BOTH sides since the fork raise
+      main's CURRENT snapshot, after a write-write conflict check over
+      keys changed on BOTH sides since the fork. ``on_conflict`` picks
+      the policy: ``'fail'`` (default) raises
       :class:`BranchMergeConflict` with samples rather than silently
-      picking a side (the Nessie/Delta commit-conflict semantics).
+      picking a side (the Nessie/Delta commit-conflict semantics);
+      ``'main-wins'`` drops the conflicted keys from the branch's feed
+      (main's post-fork change survives); ``'branch-wins'`` replays the
+      branch's change over main's (a branch update even re-inserts a
+      row main deleted — the branch's post-image is the outcome). Both
+      auto-resolutions report the conflicted-key count in the result.
       Deletes apply first (one ``when_matched='delete'`` merge), then
       upserts (one update/insert merge); both commits carry idempotent
       txn markers keyed to (branch, fork, head), so re-running
@@ -3529,6 +3539,11 @@ def merge_branch(
     rebuild-the-branch workflow for now. Returns a dict with the merge
     ``mode`` and committed version(s). The branch itself is left intact;
     drop it with :func:`delete_branch` when done."""
+    if on_conflict not in ("fail", "branch-wins", "main-wins"):
+        raise ValueError(
+            f"on_conflict must be fail|branch-wins|main-wins, got "
+            f"{on_conflict!r}"
+        )
     broot = branch_root(root, name)
     with open(_branch_meta_path(root, name), encoding="utf-8") as fh:
         base = int(json.load(fh)["base_version"])
@@ -3633,13 +3648,26 @@ def merge_branch(
         if done >= 2:
             own = own.union(upserts.select(*keys).distinct())
         conflict_keys = conflict_keys.join(own, keys, "left_anti")
-    conflicts = conflict_keys.limit(5).collect()
-    if conflicts:
-        raise BranchMergeConflict(
-            f"branch {name!r} and main both changed key(s) "
-            f"{[tuple(r) for r in conflicts]} since fork v{base}; "
-            "resolve on the branch (re-fork + replay) before merging"
-        )
+    n_conflicts = 0
+    if on_conflict == "fail":
+        conflicts = conflict_keys.limit(5).collect()
+        if conflicts:
+            raise BranchMergeConflict(
+                f"branch {name!r} and main both changed key(s) "
+                f"{[tuple(r) for r in conflicts]} since fork v{base}; "
+                "resolve on the branch (re-fork + replay), or merge with "
+                "on_conflict='branch-wins'/'main-wins'"
+            )
+    else:
+        from ..util import tracked_persist
+
+        conflict_keys = tracked_persist(conflict_keys)
+        n_conflicts = conflict_keys.count()
+        if n_conflicts and on_conflict == "main-wins":
+            deletes = deletes.join(conflict_keys, keys, "left_anti")
+            upserts = upserts.join(conflict_keys, keys, "left_anti")
+        # branch-wins: the feed applies as-is — the branch's change
+        # overrides main's post-fork change on the conflicted keys
     versions = []
     if done < 1 and deletes.limit(1).count():
         versions.append(
@@ -3663,6 +3691,8 @@ def merge_branch(
         "mode": "rebase",
         "versions": versions,
         "version": current_version(root),
+        "resolution": on_conflict,
+        "conflicts": n_conflicts,
     }
 
 

@@ -161,6 +161,36 @@ def test_merge_unmoved_branch_is_noop_and_schema_divergence_refuses(
         T.merge_branch(spark, root, "ren", key="id")
 
 
+def test_merge_conflict_resolution_policies(spark, tmp_path):
+    """on_conflict='main-wins' drops the conflicted keys from the branch
+    feed; 'branch-wins' replays the branch over main — including
+    re-inserting a row main deleted."""
+    root = _mk(spark, tmp_path, name="mw")
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 1", {"v": "v + 1"})     # conflicted
+    T.update_where(spark, br, "id = 4", {"v": "v + 40"})    # clean
+    T.update_where(spark, root, "id = 1", {"v": "v + 2"})   # main's side
+    r = T.merge_branch(spark, root, "exp", key="id", on_conflict="main-wins")
+    assert r["mode"] == "rebase" and r["conflicts"] == 1
+    assert r["resolution"] == "main-wins"
+    got = _state(spark, root)
+    assert got[1] == 3.0       # main's change survives on the conflict
+    assert got[4] == 44.0      # clean branch change still applies
+
+    root2 = _mk(spark, tmp_path, name="bw")
+    T.create_branch(root2, "exp")
+    b2 = T.branch_root(root2, "exp")
+    T.update_where(spark, b2, "id = 1", {"v": "v + 1"})
+    T.delete_where(spark, root2, "id = 1")                  # main deletes it
+    r2 = T.merge_branch(spark, root2, "exp", key="id", on_conflict="branch-wins")
+    assert r2["conflicts"] == 1
+    got2 = _state(spark, root2)
+    assert got2[1] == 2.0      # branch's post-image re-inserted
+
+    with pytest.raises(ValueError, match="on_conflict"):
+        T.merge_branch(spark, root2, "exp", key="id", on_conflict="ours")
+
+
 def test_branch_admin_edges(spark, tmp_path):
     root = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="invalid branch name"):
