@@ -49,6 +49,8 @@ SHOW = {
     "multimodal_audio_features": "real WAV decode + integer features in ONE Arrow MapInPandas boundary; output O(#media) rows (features reduce inside the batch)",
     "mv_agg_over_join": "stacked views serve: the aggregate view's state table scan only — the joins and folds happened at refresh time, the read plan is a KiB-scale scan",
     "text_langid": "langid scoring: 64 regexp_count occurrence counts x integer weights over ONE materialized normalization — whole-stage codegen, no interpreted HOF, no map scan",
+    "multimodal_video_frames": "real AVI decode + frame sampling in ONE Arrow MapInPandas boundary; output O(#media x #sampled-frames) rows, position-weighted sums reduce inside the batch",
+    "table_branch_merge": "branch rebase: change-feed diffs pruned to touched partitions, key-projected conflict join, two keyed merges — fork and FF merge are pure metadata (no plan at all)",
 }
 
 # Narrative that survives regeneration (measured evidence lives here, the
