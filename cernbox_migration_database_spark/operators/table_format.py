@@ -3465,10 +3465,30 @@ def create_branch(root: str, name: str, version: int | None = None) -> str:
     if not _TAG_RE.match(name):
         raise ValueError(f"invalid branch name {name!r}")
     broot = os.path.join(root, _BRANCHES, name)
-    v = current_version(root) if version is None else version
-    clone_table(root, broot, v)  # raises if the branch root already exists
-    meta = {"name": name, "base_version": v, "created_at": time.time()}
     path = _branch_meta_path(root, name)
+    if os.path.exists(path):
+        raise FileExistsError(f"branch {name!r} already exists on {root}")
+    if os.path.exists(broot):
+        # crashed fork: if the clone COMMITTED (pointer exists) adopt it —
+        # its v1 entry records the fork version; otherwise the clone died
+        # mid-stage (claim/staging debris, no pointer) and a fresh clone
+        # can safely replace it
+        if os.path.exists(os.path.join(broot, _POINTER)):
+            v = int(history(broot)[0]["source_version"])
+            if version is not None and version != v:
+                raise FileExistsError(
+                    f"a crashed fork of branch {name!r} committed at "
+                    f"v{v}, not the requested v{version}; delete_branch "
+                    "and retry"
+                )
+        else:
+            shutil.rmtree(broot)
+            v = current_version(root) if version is None else version
+            clone_table(root, broot, v)
+    else:
+        v = current_version(root) if version is None else version
+        clone_table(root, broot, v)
+    meta = {"name": name, "base_version": v, "created_at": time.time()}
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
@@ -3494,11 +3514,19 @@ def list_branches(root: str) -> list[dict]:
 
 def delete_branch(root: str, name: str) -> None:
     """Drop a branch: its version directories release their references
-    (shared inodes live until main's own vacuum drops the last link)."""
+    (shared inodes live until main's own vacuum drops the last link).
+    The meta ref is removed FIRST, so a crash mid-removal leaves a
+    meta-less orphan dir — invisible to :func:`branch_root` /
+    :func:`list_branches` and adopted-or-replaced by a later
+    :func:`create_branch` of the same name. Also accepts such orphans
+    (crashed fork or crashed delete) for cleanup."""
     p = os.path.join(root, _BRANCHES, name)
-    if not os.path.exists(_branch_meta_path(root, name)):
+    meta = _branch_meta_path(root, name)
+    if not os.path.exists(meta) and not os.path.isdir(p):
         raise KeyError(f"no branch {name!r} on {root}")
-    shutil.rmtree(p)
+    if os.path.exists(meta):
+        os.remove(meta)
+    shutil.rmtree(p, ignore_errors=True)
 
 
 def merge_branch(

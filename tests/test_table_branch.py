@@ -191,6 +191,45 @@ def test_merge_conflict_resolution_policies(spark, tmp_path):
         T.merge_branch(spark, root2, "exp", key="id", on_conflict="ours")
 
 
+def test_create_branch_recovers_from_crashed_fork(spark, tmp_path):
+    """A crash between the clone commit and the meta write leaves a
+    committed branch root without its ref: create_branch ADOPTS it (the
+    clone entry records the fork version); a partial clone (no pointer)
+    is replaced; a crashed delete's meta-less orphan is cleanable."""
+    root = _mk(spark, tmp_path)
+    broot = os.path.join(root, "_branches", "exp")
+    # crashed fork: clone committed, meta never written
+    T.clone_table(root, broot, 1)
+    assert T.list_branches(root) == []  # invisible without the ref
+    got = T.create_branch(root, "exp")
+    assert got == broot
+    assert T.list_branches(root)[0]["base_version"] == 1
+    # adopting under a DIFFERENT requested version refuses
+    T.delete_branch(root, "exp")
+    T.delete_where(spark, root, "id = 0")  # main at v2 now
+    T.clone_table(root, broot, 1)
+    with pytest.raises(FileExistsError, match="crashed fork"):
+        T.create_branch(root, "exp", version=2)
+    T.delete_branch(root, "exp")  # orphan cleanup path
+    # partial clone (no pointer): replaced by a fresh fork
+    os.makedirs(os.path.join(broot, "_versions", "v00000001.staging"))
+    br = T.create_branch(root, "exp")
+    assert T.current_version(br) == 1
+    assert 0 not in _state(spark, br)  # forked from CURRENT main (v2)
+
+
+def test_delete_branch_crash_leaves_no_live_looking_ref(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "exp")
+    # simulate the crash AFTER the meta removal, BEFORE the rmtree
+    os.remove(os.path.join(root, "_branches", "exp", "_branch.json"))
+    assert T.list_branches(root) == []
+    with pytest.raises(KeyError):
+        T.branch_root(root, "exp")
+    T.delete_branch(root, "exp")  # cleans the orphan dir
+    assert not os.path.isdir(os.path.join(root, "_branches", "exp"))
+
+
 def test_branch_admin_edges(spark, tmp_path):
     root = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="invalid branch name"):
