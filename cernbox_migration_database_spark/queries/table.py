@@ -1804,3 +1804,129 @@ def table_branch_merge(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "table_branch_stream_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders),
+    updated AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN 777.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base),
+    goods AS (
+      SELECT o_orderkey + 30000000, o_orderstatus, o_orderpriority,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 200 AS DOUBLE) / 100.0
+      FROM base WHERE o_orderkey % 11 = 0),
+    final AS (SELECT * FROM updated UNION ALL SELECT * FROM goods)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_branch_stream_audit(spark, sf_dir):
+    """Write-audit-publish at BRANCH granularity — the production
+    workflow table branching exists for (Nessie's 'commit to a staging
+    branch, validate, merge'): a feed table's commit log streams through
+    the exactly-once sink ONTO A BRANCH of the serving table, every
+    microbatch gated by data-quality expectations (price >= 0) with
+    violating rows quarantined to their own versioned table; main's
+    readers never see a single in-flight or bad row. The audit is
+    asserted in-query (the quarantine holds exactly the poisoned feed
+    rows, the branch holds none), then the branch FAST-FORWARDS into
+    main — one hardlink commit, mode-asserted. The oracle recomputes the
+    published state relationally (repriced updates + clean inserts; the
+    quarantined rows never arrive), cent-scaled-long arithmetic.
+    Scale: the branch fork and the publish merge are metadata ops; the
+    ingest cost is per-microbatch change-sized; audit runs inside the
+    sink's one pass over each batch."""
+    from ..operators import expectations as EX
+    from ..operators import table_format as TF
+    from ..sources import cbx_datasource as DS
+    from ..streaming.table_sink import stream_write_table
+
+    scratch = _versioned_scratch("braudit", sf_dir)
+    main, feed, ckpt, quar = (
+        scratch + "/main", scratch + "/feed",
+        scratch + "/ckpt", scratch + "/quar",
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, main, partition_by="o_orderpriority")
+    branch = TF.create_branch(main, "ingest")
+
+    # the upstream feed: reprices, then a poisoned batch, then clean adds
+    TF.create_table(
+        base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.lit(777.0)
+        ),
+        feed,
+    )
+    TF.insert_into(
+        spark, feed,
+        base.where(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            "o_orderstatus", "o_orderpriority",
+            F.lit(-1.0).alias("o_totalprice"),
+        ),
+    )
+    TF.insert_into(
+        spark, feed,
+        base.where(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+            "o_orderstatus", "o_orderpriority",
+            (
+                (
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("bigint") + 200
+                ).cast("double") / 100.0
+            ).alias("o_totalprice"),
+        ),
+    )
+
+    DS.register(spark)
+    stream = (
+        spark.readStream.format("cbxtable")
+        .option("startingVersion", "earliest")
+        .option("withCommitVersion", "true")
+        .load(feed)
+    )
+    q = stream_write_table(
+        stream, branch, ckpt, app_id="table_branch_stream_audit",
+        key="o_orderkey", partition_by="o_orderpriority",
+        order_by="_commit_version",
+        expectations=[
+            EX.Expectation("price_nonneg", "o_totalprice >= 0", "drop")
+        ],
+        quarantine_root=quar,
+    )
+    q.awaitTermination(600)
+
+    n_bad = TF.read_table(spark, quar).count()
+    n_poisoned = base.where(F.col("o_orderkey") % 13 == 0).count()
+    assert n_bad == n_poisoned and n_bad > 0, (n_bad, n_poisoned)
+    assert (
+        TF.read_table(spark, branch)
+        .where(F.col("o_totalprice") < 0)
+        .count()
+        == 0
+    )
+    r = TF.merge_branch(spark, main, "ingest", key="o_orderkey")
+    assert r["mode"] == "ff", r
+
+    return (
+        TF.read_table(spark, main)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
