@@ -230,6 +230,24 @@ def test_delete_branch_crash_leaves_no_live_looking_ref(spark, tmp_path):
     assert not os.path.isdir(os.path.join(root, "_branches", "exp"))
 
 
+def test_branch_survives_main_vacuum_and_vice_versa(spark, tmp_path):
+    """Retention on either side never breaks the other: vacuuming main
+    down past the fork point leaves the branch fully readable (hardlinked
+    inodes live until their last referent), and vacuuming the branch
+    leaves main untouched."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    # advance main twice so the fork-point version ages out of retention
+    T.update_where(spark, root, "id = 1", {"v": "v + 1"})
+    T.update_where(spark, root, "id = 2", {"v": "v + 2"})
+    removed = T.vacuum(root, keep_last=1)
+    assert 1 in removed  # the fork-point snapshot is gone from MAIN
+    assert _state(spark, br)[1] == 1.0  # branch v1 still reads exactly
+    T.update_where(spark, br, "id = 3", {"v": "v + 3"})
+    assert T.vacuum(br, keep_last=1) == [1]
+    assert _state(spark, root)[3] == 3.0  # main unaffected
+
+
 def test_branch_admin_edges(spark, tmp_path):
     root = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="invalid branch name"):
