@@ -62,3 +62,78 @@ def propagate_deletions(
     for a in audits[1:]:
         audit = audit.unionByName(a)
     return purged, audit
+
+
+def purge_table_tree(
+    spark,
+    root: str,
+    condition,
+    mode: str = "cow",
+    vacuum_after: bool = False,
+    orphan_grace_s: float = 3600.0,
+) -> dict:
+    """Right-to-be-forgotten over a VERSIONED table and every branch of
+    it — the compliance operation time travel makes subtle: a
+    ``DELETE`` commit removes rows from the CURRENT snapshot only, while
+    every earlier version directory (and any branch forked from one)
+    still physically holds them. This runs ``delete_where(condition)``
+    against main and each branch (targets with no matching rows are
+    skipped — no empty commits), then reports what RETENTION still
+    holds:
+
+    * ``targets`` — per-target rows deleted + the delete's version;
+    * ``retained_versions`` — per-target version directories older than
+      the delete that still contain the purged rows until vacuumed;
+    * ``pinned_tags`` — tags pinning such versions: vacuum will NOT
+      reclaim them, so compliance needs the tag released first (reported,
+      never auto-deleted — a tag is a reproducibility promise);
+    * with ``vacuum_after=True``, each target is vacuumed down to its
+      post-delete snapshot (``keep_last=1``) and the reclaimed versions
+      are reported.
+
+    ``mode='cow'`` (default) rewrites the touched partitions — the purged
+    rows leave the data files immediately, which is what a deletion
+    request means. ``mode='mor'`` commits tombstones instead (O(deleted
+    rows), but the bytes REMAIN in the current version's files until the
+    next OPTIMIZE compacts them) — the result records
+    ``physical=False`` so the caller knows a compaction is still owed.
+    Scale: per target one partition-pruned delete; the audit counts ride
+    the deletes' own plans; nothing here scans more than the deletes do.
+    """
+    from . import table_format as TF
+
+    targets = {"main": root}
+    for b in TF.list_branches(root):
+        targets[f"branch:{b['name']}"] = TF.branch_root(root, b["name"])
+    report: dict = {
+        "targets": {},
+        "retained_versions": {},
+        "pinned_tags": {},
+        "physical": mode == "cow",
+        "vacuumed": {},
+    }
+    for name, troot in targets.items():
+        n = TF.read_table(spark, troot).where(condition).count()
+        if n == 0:
+            # nothing in the CURRENT snapshot — but earlier versions may
+            # still hold previously-deleted matches, so retention is
+            # reported (and reclaimed) for zero-match targets too
+            v = TF.current_version(troot)
+            report["targets"][name] = {"n_deleted": 0, "version": None}
+        else:
+            v = TF.delete_where(spark, troot, condition, mode=mode)
+            report["targets"][name] = {"n_deleted": n, "version": v}
+        older = [
+            e["version"] for e in TF.history(troot) if e["version"] < v
+        ]
+        if older:
+            report["retained_versions"][name] = older
+        pinned = [t for t in TF.list_tags(troot) if t["version"] < v]
+        if pinned:
+            report["pinned_tags"][name] = [t["name"] for t in pinned]
+        if vacuum_after:
+            report["vacuumed"][name] = TF.vacuum(
+                troot, keep_last=1, remove_orphans=True,
+                orphan_grace_s=orphan_grace_s,
+            )
+    return report

@@ -1930,3 +1930,96 @@ def table_branch_stream_audit(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "table_purge_tree",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders),
+    extra AS (
+      SELECT o_orderkey + 40000000 AS o_orderkey, o_orderstatus,
+             o_orderpriority, o_totalprice
+      FROM base WHERE o_orderkey % 17 = 0),
+    m AS (SELECT * FROM base WHERE o_orderkey % 9 <> 5),
+    b AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+      WHERE o_orderkey % 9 <> 5),
+    agg AS (
+      SELECT 'main' AS source, o_orderpriority,
+             COUNT(*) AS n_orders,
+             (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+      FROM m GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'branch', o_orderpriority, COUNT(*),
+             (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0)
+      FROM b GROUP BY o_orderpriority)
+    SELECT * FROM agg ORDER BY source, o_orderpriority
+    """,
+)
+def table_purge_tree(spark, sf_dir):
+    """Branch-aware right-to-be-forgotten (purge.purge_table_tree): one
+    deletion request propagates to main AND every branch of the
+    versioned table — the governance operation time travel makes subtle,
+    because a DELETE commit cleans only the current snapshot while every
+    older version directory still physically holds the rows. The purge
+    runs with vacuum_after=True, so retention is reclaimed down to the
+    post-delete snapshots; the query ASSERTS the physical story
+    in-place: per-target deleted counts match, pre-purge version dirs
+    are GONE on both targets, and a second purge pass is a no-op
+    (zero-match targets commit nothing). The oracle recomputes both
+    final states relationally — main minus the purged keys, branch =
+    (base + its divergent inserts) minus the purged keys, where the
+    inserted keys' own purge membership rides the shifted key. Scale:
+    per target one partition-pruned COW delete; audits ride the deletes'
+    plans; vacuum is O(#reclaimed files) driver-side metadata."""
+    import os as _os
+
+    from ..operators import purge as PG
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("purgetree", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(base, root, partition_by="o_orderpriority")
+    branch = TF.create_branch(root, "exp")
+    TF.merge_into(
+        spark, branch,
+        base.where(F.col("o_orderkey") % 17 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 40000000
+        ),
+        on="o_orderkey",
+    )
+    rep = PG.purge_table_tree(
+        spark, root, "o_orderkey % 9 = 5", vacuum_after=True
+    )
+    assert rep["targets"]["main"]["n_deleted"] > 0, rep
+    assert rep["targets"]["branch:exp"]["n_deleted"] > 0, rep
+    assert rep["physical"] is True
+    # pre-purge snapshots physically reclaimed on BOTH targets
+    assert 1 in rep["vacuumed"]["main"] and 1 in rep["vacuumed"]["branch:exp"]
+    assert not _os.path.isdir(TF._vdir(root, 1))
+    assert not _os.path.isdir(TF._vdir(branch, 1))
+    # second pass: nothing left anywhere, no new commits
+    rep2 = PG.purge_table_tree(spark, root, "o_orderkey % 9 = 5")
+    assert all(t["n_deleted"] == 0 for t in rep2["targets"].values()), rep2
+
+    def agg(troot, label):
+        return (
+            TF.read_table(spark, troot)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .withColumn("source", F.lit(label))
+            .select("source", "o_orderpriority", "n_orders", "sum_price")
+        )
+
+    return (
+        agg(root, "main")
+        .unionByName(agg(branch, "branch"))
+        .orderBy("source", "o_orderpriority")
+    )

@@ -1,0 +1,82 @@
+"""Branch-aware RTBF purge (operators/purge.py purge_table_tree): deletes
+propagate to main and every branch, retention of older snapshots is
+reported and reclaimable, pinned tags surface as compliance blockers, and
+merge-on-read purges are flagged non-physical."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cernbox_migration_database_spark.operators import purge as P
+from cernbox_migration_database_spark.operators import table_format as T
+
+
+def _mk(spark, tmp_path, name="tbl"):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p long, v double"
+    )
+    T.create_table(df, root, partition_by="p")
+    return root
+
+
+def test_purge_propagates_to_branches_and_reports_retention(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "b1")
+    b1 = T.branch_root(root, "b1")
+    # b1 diverges: one extra matching row
+    T.merge_into(
+        spark, b1,
+        spark.createDataFrame([(105, 0, 1.0)], "id long, p long, v double"),
+        on="id",
+    )
+    T.create_branch(root, "empty")  # will have zero matches after main purge
+    rep = P.purge_table_tree(spark, root, "id % 10 = 5")
+    assert rep["physical"] is True
+    assert rep["targets"]["main"]["n_deleted"] == 3  # 5, 15, 25
+    assert rep["targets"]["branch:b1"]["n_deleted"] == 4  # + id=105
+    assert rep["targets"]["branch:empty"]["n_deleted"] == 3
+    for name, troot in [("main", root), ("branch:b1", b1)]:
+        assert (
+            T.read_table(spark, troot).where("id % 10 = 5").count() == 0
+        )
+        assert rep["retained_versions"][name]  # old snapshots still hold them
+    # zero-match second pass: no new commits, retention still reported
+    cur = T.current_version(root)
+    rep2 = P.purge_table_tree(spark, root, "id % 10 = 5")
+    assert rep2["targets"]["main"] == {"n_deleted": 0, "version": None}
+    assert T.current_version(root) == cur
+    assert rep2["retained_versions"]["main"]  # pre-purge versions remain
+
+
+def test_purge_vacuum_reclaims_and_tags_block(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    T.create_tag(root, "release", version=1)
+    rep = P.purge_table_tree(spark, root, "id % 10 = 5", vacuum_after=True)
+    # the tag pins v1: reported as a compliance blocker, never auto-deleted
+    assert rep["pinned_tags"]["main"] == ["release"]
+    assert 1 not in rep["vacuumed"]["main"]
+    assert os.path.isdir(T._vdir(root, 1))  # still physically present
+    assert T.read_table(spark, root, tag="release").where(
+        "id % 10 = 5"
+    ).count() == 3
+    # release the tag; the next purge pass reclaims the pinned snapshot
+    T.delete_tag(root, "release")
+    rep2 = P.purge_table_tree(spark, root, "id % 10 = 5", vacuum_after=True)
+    assert 1 in rep2["vacuumed"]["main"]
+    assert not os.path.isdir(T._vdir(root, 1))
+    assert T.read_table(spark, root).where("id % 10 = 5").count() == 0
+
+
+def test_purge_mor_is_flagged_non_physical(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    rep = P.purge_table_tree(spark, root, "id % 10 = 5", mode="mor")
+    assert rep["physical"] is False
+    assert rep["targets"]["main"]["n_deleted"] == 3
+    # logically gone, but the bytes still sit in the current version's
+    # files behind deletion vectors until OPTIMIZE
+    assert T.read_table(spark, root).where("id % 10 = 5").count() == 0
+    vdir = T._vdir(root, T.current_version(root))
+    assert os.path.isdir(os.path.join(vdir, "_dv"))
