@@ -3594,11 +3594,20 @@ def merge_branch(
         )
 
     fork_cols = _cols_at(bhist, 1)
-    if _cols_at(bhist, head) != fork_cols or _cols_at(mhist, cur) != fork_cols:
+    schema_diverged = (
+        _cols_at(bhist, head) != fork_cols
+        or _cols_at(mhist, cur) != fork_cols
+    )
+    if schema_diverged and cur != base:
+        # the REBASE replay needs both sides in one column set; the FF
+        # path below is fine with divergence — the hardlink commit
+        # carries the branch's schema_json/columns/renames_active, so a
+        # branch rename/drop/evolve simply becomes main's new state
         raise NotImplementedError(
             f"branch {name!r} and main must share the fork-point column set "
-            "to merge; rename/drop/evolve on a branch cannot merge yet — "
-            "rebuild the branch from a fresh fork"
+            "to REBASE-merge; rename/drop/evolve on a branch merges only "
+            "by fast-forward (main unmoved) — rebuild the branch from a "
+            "fresh fork otherwise"
         )
 
     keys = [key] if isinstance(key, str) else list(key)

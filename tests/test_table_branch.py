@@ -148,17 +148,29 @@ def test_rebase_crash_between_phases_resumes_idempotently(
     assert _state(spark, root) == got
 
 
-def test_merge_unmoved_branch_is_noop_and_schema_divergence_refuses(
+def test_merge_unmoved_branch_is_noop_and_schema_divergence_rules(
     spark, tmp_path
 ):
     root = _mk(spark, tmp_path)
     T.create_branch(root, "idle")
     assert T.merge_branch(spark, root, "idle", key="id")["mode"] == "noop"
+    # a schema-changing branch CAN fast-forward: the hardlink commit
+    # carries the branch's columns + rename chain, so main adopts them
     br = T.create_branch(root, "ren")
     T.rename_column(spark, br, "v", "val")
     T.update_where(spark, br, "id = 1", {"val": "val + 1"})
-    with pytest.raises(NotImplementedError, match="fork-point column set"):
-        T.merge_branch(spark, root, "ren", key="id")
+    r = T.merge_branch(spark, root, "ren", key="id")
+    assert r["mode"] == "ff"
+    main_now = T.read_table(spark, root)
+    assert main_now.columns == ["id", "p", "val"]
+    assert {x.id: x.val for x in main_now.collect()}[1] == 2.0
+    # but it cannot REBASE: once main moves, the divergence refuses
+    br2 = T.create_branch(root, "ren2")
+    T.rename_column(spark, br2, "val", "v2")
+    T.update_where(spark, br2, "id = 3", {"v2": "v2 + 1"})
+    T.update_where(spark, root, "id = 5", {"val": "val + 5"})
+    with pytest.raises(NotImplementedError, match="REBASE"):
+        T.merge_branch(spark, root, "ren2", key="id")
 
 
 def test_merge_conflict_resolution_policies(spark, tmp_path):
