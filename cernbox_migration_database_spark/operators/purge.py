@@ -16,6 +16,8 @@ per-row) and the anti-join never shuffles the fact tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,8 +80,9 @@ def purge_table_tree(
     every earlier version directory (and any branch forked from one)
     still physically holds them. This runs ``delete_where(condition)``
     against main and each branch (targets with no matching rows are
-    skipped — no empty commits), then reports what RETENTION still
-    holds:
+    skipped — no empty commits) — branches RECURSIVELY, since a branch
+    is a full table root that can carry branches of its own — then
+    reports what RETENTION still holds:
 
     * ``targets`` — per-target rows deleted + the delete's version;
     * ``retained_versions`` — per-target version directories older than
@@ -102,9 +105,18 @@ def purge_table_tree(
     """
     from . import table_format as TF
 
+    # Walk the WHOLE branch tree: a branch is itself a full table root on
+    # which create_branch works, so branches-of-branches exist and hold
+    # the purged rows too — one-level iteration would silently skip them.
     targets = {"main": root}
-    for b in TF.list_branches(root):
-        targets[f"branch:{b['name']}"] = TF.branch_root(root, b["name"])
+    stack = [("", root)]
+    while stack:
+        prefix, troot = stack.pop()
+        for b in TF.list_branches(troot):
+            label = f"{prefix}branch:{b['name']}"
+            broot = TF.branch_root(troot, b["name"])
+            targets[label] = broot
+            stack.append((label + "/", broot))
     report: dict = {
         "targets": {},
         "retained_versions": {},
@@ -123,8 +135,14 @@ def purge_table_tree(
         else:
             v = TF.delete_where(spark, troot, condition, mode=mode)
             report["targets"][name] = {"n_deleted": n, "version": v}
+        # history() log entries survive vacuum — filter to version dirs
+        # that still physically exist, else the report claims already-
+        # reclaimed directories "still contain the purged rows"
         older = [
-            e["version"] for e in TF.history(troot) if e["version"] < v
+            e["version"]
+            for e in TF.history(troot)
+            if e["version"] < v
+            and os.path.isdir(TF._vdir(troot, e["version"]))
         ]
         if older:
             report["retained_versions"][name] = older

@@ -3520,6 +3520,10 @@ def delete_branch(root: str, name: str) -> None:
     :func:`list_branches` and adopted-or-replaced by a later
     :func:`create_branch` of the same name. Also accepts such orphans
     (crashed fork or crashed delete) for cleanup."""
+    if not _TAG_RE.match(name):
+        # same gate as create_branch: a name carrying '/' or '..' would
+        # make p escape _branches/ and rmtree the table root itself
+        raise ValueError(f"invalid branch name {name!r}")
     p = os.path.join(root, _BRANCHES, name)
     meta = _branch_meta_path(root, name)
     if not os.path.exists(meta) and not os.path.isdir(p):
@@ -3562,6 +3566,13 @@ def merge_branch(
       stores use. Scale: everything is change-feed-sized; the conflict
       check is a key-projected join of two change feeds.
 
+    A successful merge ADVANCES the branch meta (``base_version`` = the
+    merged main head, ``feed_base`` = the applied branch head), so a
+    kept-and-recommitted branch can merge repeatedly: each merge diffs
+    only the versions new on each side since the previous one, instead
+    of replaying from the original fork and reporting its own merged
+    keys as write-write conflicts.
+
     Schema-diverged branches (columns changed on either side since the
     fork) refuse to merge, loudly — rename/drop/evolve on a branch is a
     rebuild-the-branch workflow for now. Returns a dict with the merge
@@ -3574,11 +3585,36 @@ def merge_branch(
         )
     broot = branch_root(root, name)
     with open(_branch_meta_path(root, name), encoding="utf-8") as fh:
-        base = int(json.load(fh)["base_version"])
+        meta = json.load(fh)
+    base = int(meta["base_version"])
+    # feed_base = the branch version whose changes a PRIOR merge already
+    # applied to main (1 = the fork clone, nothing merged yet). Without
+    # it, a second merge_branch after more branch commits would replay
+    # the whole feed from v1 and see its own merged keys as write-write
+    # conflicts against main's post-merge feed.
+    feed_from = int(meta.get("feed_base", 1))
     head = current_version(broot)
     cur = current_version(root)
-    if head == 1:
+    if head == feed_from:
         return {"mode": "noop", "version": cur}
+
+    def _advance_meta(new_base: int, mode: str) -> None:
+        # a successful merge makes main's new head the branch's
+        # effective fork point, and `head` the last-applied branch
+        # version — the next merge diffs only what is new on each side.
+        # ff_ok: after an FF, main's snapshot IS the branch head, so a
+        # later branch-only advance may FF again; after a REBASE, main
+        # holds changes the branch snapshot never saw, so hardlinking
+        # the branch head over main would drop them — every later merge
+        # must rebase.
+        meta["base_version"] = new_base
+        meta["feed_base"] = head
+        meta["ff_ok"] = mode == "ff"
+        mpath = _branch_meta_path(root, name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, mpath)
 
     bhist = history(broot)
     mhist = history(root)
@@ -3593,7 +3629,7 @@ def merge_branch(
             None,
         )
 
-    fork_cols = _cols_at(bhist, 1)
+    fork_cols = _cols_at(bhist, feed_from)
     schema_diverged = (
         _cols_at(bhist, head) != fork_cols
         or _cols_at(mhist, cur) != fork_cols
@@ -3611,7 +3647,7 @@ def merge_branch(
         )
 
     keys = [key] if isinstance(key, str) else list(key)
-    if cur == base:
+    if cur == base and meta.get("ff_ok", True):
         # fast-forward: hardlink the branch head in as main's next version
         src = _vdir(broot, head)
         last_uniform = max(
@@ -3660,11 +3696,19 @@ def merge_branch(
                 or {},
             },
         )
+        _advance_meta(new_v, "ff")
         return {"mode": "ff", "version": new_v}
 
     # rebase: replay the branch's change feed onto main's moved snapshot
-    feed = read_changes(spark, broot, keys, 1, head)
-    main_feed = read_changes(spark, root, keys, base, cur)
+    # (also taken when main is at the fork point but its CONTENT isn't
+    # the branch snapshot — ff_ok False after a prior rebase — in which
+    # case main's feed since base is empty and no conflict is possible)
+    feed = read_changes(spark, broot, keys, feed_from, head)
+    main_feed = (
+        read_changes(spark, root, keys, base, cur)
+        if cur > base
+        else read_changes(spark, broot, keys, feed_from, head).limit(0)
+    )
     app = f"__branch_merge__:{name}:{base}:{head}"
     done = last_txn_version(root, app) or 0
     deletes = feed.where(F.col("_change_type") == "delete").drop("_change_type")
@@ -3724,10 +3768,12 @@ def merge_branch(
                 commit_meta={"branch": name, "branch_version": head},
             )
         )
+    merged_v = current_version(root)
+    _advance_meta(merged_v, "rebase")
     return {
         "mode": "rebase",
         "versions": versions,
-        "version": current_version(root),
+        "version": merged_v,
         "resolution": on_conflict,
         "conflicts": n_conflicts,
     }

@@ -650,15 +650,18 @@ def dedup_keep_canonical(spark, sf_dir):
     """The dedup operator a pipeline actually RUNS: the corpus with near-
     duplicates dropped — one canonical document (minimum id) kept per
     near-dup cluster, singletons passed through untouched. Composes
-    jaccard_pairs -> connected_components -> a broadcast-able left join
-    back onto the corpus (cluster table is |near-dup docs| rows, tiny
-    relative to the corpus, so the final join never shuffles the documents
-    at scale). End-to-end differential: the oracle recomputes pairs,
+    jaccard_pairs -> connected_components -> a left join back onto the
+    corpus. NO broadcast hint on the cluster table: it is |near-dup
+    docs| rows, which on a dup-heavy crawl (the 100 TB design point,
+    30-50% near-dup rates) grows linearly with the corpus — the same
+    argument plan_audit's NO-HINT rule makes about LSH candidate pairs
+    (r9 verdict). AQE broadcasts it when measured-small and shuffles
+    when not. End-to-end differential: the oracle recomputes pairs,
     clusters (recursive CTE), and the keep-filter from scratch."""
     docs = _t(spark, sf_dir, "documents")
     prs = D.jaccard_pairs(docs, block_col="lang", k=3, threshold=0.2)
     clusters = D.connected_components(prs)
-    keep = docs.join(F.broadcast(clusters), "doc_id", "left").where(
+    keep = docs.join(clusters, "doc_id", "left").where(
         F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
     )
     return keep.select("doc_id", "lang", "n_chars")

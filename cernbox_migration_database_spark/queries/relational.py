@@ -163,8 +163,11 @@ def join_enrich_parts(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # No broadcast hints: part/supplier scale linearly with SF
+        # (part = SF*200k rows). AQE broadcasts them while measured-small
+        # and switches to shuffle joins at scale (r9 verdict).
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -752,7 +752,10 @@ def bm25_search(spark, sf_dir):
     )
     term_scores = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
+        # dfreq is vocabulary-sized — Heaps-law sublinear but unbounded,
+        # so no hard hint; AQE broadcasts it while measured-small.
+        # stats stays hinted: it is a one-row scalar aggregate.
+        .join(dfreq, "tok")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", s.alias("s"))
     )

@@ -119,8 +119,10 @@ def q5_region_revenue(spark, sf_dir):
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
+        # supplier scales linearly with SF — no hard hint (AQE decides);
+        # nation/region are fixed 25/5 rows, so their hints stay.
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -295,7 +297,7 @@ def q14_promo_revenue(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)  # part ~ SF: no hint
     return j.agg(
         (F.lit(100.0) * dsum(promo, scale=6) / dsum(rev, scale=6)).alias("promo_pct")
     )
@@ -571,7 +573,7 @@ def q7_volume_shipping(spark, sf_dir):
         F.col("cust_nation") == "NATION_2"
     ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)  # supplier ~ SF: no hint
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
@@ -659,7 +661,7 @@ def q19_disjunctive_join(spark, sf_dir):
         | ((F.col("p_type") == "ECONOMY") & (sz <= 10) & (q >= 20))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part ~ SF: no hint
         .where(disj)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -760,8 +762,9 @@ def q8_market_share(spark, sf_dir):
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # part/supplier ~ SF: no hints (AQE decides); nation/region fixed
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
@@ -813,8 +816,9 @@ def q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # part/supplier ~ SF: no hints; nation fixed 25 rows keeps its
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -902,7 +906,7 @@ def q20_dominant_supplier(spark, sf_dir):
         per.withColumn("q", F.col("qs").cast("double") / 100.0)
         .withColumn("tq", tot_win.cast("double") / 100.0)
         .where(F.col("q") > 0.2 * F.col("tq"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # s ~ SF
         .select("s_name")
         .distinct()
         .orderBy("s_name")

@@ -403,12 +403,15 @@ def bloom_decontaminate(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
         F.sum(F.col("bloom_pos").cast("int")).cast("long").alias("bloom_hits"),
     )
-    # Exact verification joins ONLY the bloom survivors; the eval n-gram
-    # set is benchmark-sized by construction (it does not grow with the
-    # train corpus), so the broadcast is bounded — unlike a candidate-pair
-    # set, which is why the LSH verify join gets no such hint.
+    # Exact verification joins ONLY the bloom survivors. NO broadcast
+    # hint on evalg: eval here is hash-designated as ~12.5% OF THE
+    # CORPUS, so its shingle set grows linearly with data — a hard hint
+    # would be a driver OOM at 100x (r9 verdict). AQE still picks
+    # broadcast at measured-small scales; at 100 TB it correctly
+    # shuffles. The bounded-broadcast variant is
+    # train_decontaminate_external (fixed-size benchmark eval set).
     survivors = probed.where("bloom_pos").join(
-        F.broadcast(evalg.withColumn("__e", F.lit(True))), "g", "left"
+        evalg.withColumn("__e", F.lit(True)), "g", "left"
     )
     exact = survivors.groupBy("doc_id").agg(
         F.sum(F.col("__e").isNotNull().cast("int")).cast("long").alias("exact_hits")
@@ -980,7 +983,7 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
         ex.where(~F.col("__is_eval"))
         .select("doc_id", "g")
         .where(SK.bloom_contains(F.col("g"), words, m_bits, k))
-        .join(F.broadcast(evalg), "g", "left_semi")
+        .join(evalg, "g", "left_semi")  # eval ~12.5% of corpus: no hint
         .select("doc_id")
         .distinct()
     )

@@ -80,3 +80,32 @@ def test_purge_mor_is_flagged_non_physical(spark, tmp_path):
     assert T.read_table(spark, root).where("id % 10 = 5").count() == 0
     vdir = T._vdir(root, T.current_version(root))
     assert os.path.isdir(os.path.join(vdir, "_dv"))
+
+
+def test_purge_recurses_into_nested_branches(spark, tmp_path):
+    """A branch is a full table root, so branches-of-branches exist; the
+    purge must walk the WHOLE tree or the nested branch keeps the purged
+    rows live (r9 ADVICE)."""
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "child")
+    child = T.branch_root(root, "child")
+    T.create_branch(child, "grandchild")
+    gchild = T.branch_root(child, "grandchild")
+    rep = P.purge_table_tree(spark, root, "id % 10 = 5")
+    assert rep["targets"]["branch:child"]["n_deleted"] == 3
+    assert rep["targets"]["branch:child/branch:grandchild"]["n_deleted"] == 3
+    assert T.read_table(spark, gchild).where("id % 10 = 5").count() == 0
+
+
+def test_retained_versions_lists_only_existing_dirs(spark, tmp_path):
+    """history() log entries survive vacuum; the compliance report must
+    not claim already-reclaimed version dirs still hold the purged rows
+    (r9 ADVICE)."""
+    root = _mk(spark, tmp_path)
+    T.delete_where(spark, root, "id = 1")  # v2
+    T.vacuum(root, keep_last=1)  # physically drops v1
+    assert not os.path.isdir(T._vdir(root, 1))
+    rep = P.purge_table_tree(spark, root, "id % 10 = 5")
+    assert 1 not in rep["retained_versions"].get("main", [])
+    # the surviving pre-purge version (v2) IS still reported
+    assert rep["retained_versions"]["main"] == [2]

@@ -142,9 +142,10 @@ def test_rebase_crash_between_phases_resumes_idempotently(
     assert r["mode"] == "rebase" and len(r["versions"]) == 1
     got = _state(spark, root)
     assert 2 not in got and got[4] == 44.0 and got[9] == 99.0
-    # a third run is a full no-op
+    # a third run is a full no-op (the successful merge advanced the
+    # branch meta's fork point, so there is nothing left to diff)
     r2 = T.merge_branch(spark, root, "exp", key="id")
-    assert r2["mode"] == "rebase" and r2["versions"] == []
+    assert r2["mode"] == "noop"
     assert _state(spark, root) == got
 
 
@@ -277,3 +278,52 @@ def test_branch_admin_edges(spark, tmp_path):
     T.delete_where(spark, root, "id = 0")
     br = T.create_branch(root, "old", version=1)
     assert 0 in _state(spark, br)
+
+
+def test_delete_branch_rejects_escaping_names(spark, tmp_path):
+    """delete_branch must apply the same name gate as create_branch: a
+    name with '/' or '..' would resolve outside _branches/ and rmtree
+    the table root itself (r9 ADVICE)."""
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "exp")
+    for bad in ("..", "../..", "a/../..", "exp/../../_versions"):
+        with pytest.raises(ValueError, match="invalid branch name"):
+            T.delete_branch(root, bad)
+    # table intact, branch intact
+    assert T.current_version(root) == 1
+    assert [b["name"] for b in T.list_branches(root)] == ["exp"]
+
+
+def test_merge_branch_twice_advances_fork_point(spark, tmp_path):
+    """A kept branch that commits again after a merge must re-merge
+    cleanly: without advancing base_version/feed_base the second merge
+    diffs from the ORIGINAL fork and sees its own merged keys in main's
+    feed as write-write conflicts (r9 ADVICE)."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 0", {"v": "v + 1000"})
+    T.update_where(spark, root, "id = 5", {"v": "v + 5"})  # force rebase
+    r1 = T.merge_branch(spark, root, "exp", key="id")
+    assert r1["mode"] == "rebase"
+    # branch keeps working: a NEW change on a previously merged key
+    T.update_where(spark, br, "id = 0", {"v": "v + 1"})
+    r2 = T.merge_branch(spark, root, "exp", key="id")  # must not conflict
+    assert r2["mode"] == "rebase"
+    assert _state(spark, root)[0] == 1001.0
+    # and with no further branch commits, a third merge is a no-op
+    assert T.merge_branch(spark, root, "exp", key="id")["mode"] == "noop"
+
+
+def test_merge_branch_twice_after_ff(spark, tmp_path):
+    """Same discipline on the fast-forward path: after an FF merge the
+    branch meta advances, so the next merge diffs only the new branch
+    commits (and fast-forwards again if main hasn't moved since)."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 3", {"v": "v + 100"})
+    r1 = T.merge_branch(spark, root, "exp", key="id")
+    assert r1["mode"] == "ff"
+    T.update_where(spark, br, "id = 3", {"v": "v + 1"})
+    r2 = T.merge_branch(spark, root, "exp", key="id")
+    assert r2["mode"] in ("ff", "rebase")
+    assert _state(spark, root)[3] == 104.0

@@ -36,13 +36,17 @@ from cernbox_migration_database_spark.session import get_spark
 from cernbox_migration_database_spark.util import release_persisted
 
 HARD = ("BatchEvalPython", "CartesianProduct")
-# Queries whose ANALYZED plan must carry ZERO broadcast hints: their joined
-# sides grow with the data (LSH candidate pairs are billions of rows on a
-# near-dup-heavy 100 TB crawl), so a hard hint is a driver OOM at scale.
-# AQE choosing broadcast at runtime for a measured-small side is fine — the
-# rule bans only the unconditional hint (ResolvedHint in the logical plan).
-# Round-3 verdict caught dedup_minhash_lsh shipping exactly this hint.
-NO_BROADCAST_HINT = ("dedup_minhash_lsh",)
+# Broadcast hints are DEFAULT-DENY (r9 verdict inverted the old one-query
+# deny-list): an unconditional hint on a side that grows with the data is
+# a driver OOM at scale — LSH candidate pairs, cluster relations on a
+# dup-heavy crawl, eval splits designated as a corpus fraction, TPC-H
+# part/supplier (SF-linear) are all such sides. AQE choosing broadcast at
+# runtime for a MEASURED-small side is always fine; the rule bans only
+# the hard hint (ResolvedHint in the analyzed logical plan). A query may
+# carry hints ONLY if listed here with a bounded-size justification; any
+# unlisted hint flags UnjustifiedBroadcastHint. Keep justifications honest
+# — "small at sf0.1" is NOT bounded; "25-row nation enum" is.
+BROADCAST_HINT_ALLOWED: dict[str, str] = {}
 ARROW = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -141,6 +145,16 @@ def selftest() -> int:
         failures.append("bad fixture NOT flagged")
     if audit_plan(_explain(good)):
         failures.append("good fixture flagged")
+    # Default-deny broadcast rule: a hinted join must read as hinted in
+    # the analyzed plan (so an unlisted query would flag), an unhinted
+    # one must not (so AQE-chosen broadcasts never flag).
+    dim = spark.range(5).toDF("x")
+    hinted_join = df.join(F.broadcast(dim), "x")
+    plain_join = df.join(dim, "x")
+    if "ResolvedHint" not in _analyzed(hinted_join):
+        failures.append("hinted fixture NOT detected in analyzed plan")
+    if "ResolvedHint" in _analyzed(plain_join):
+        failures.append("unhinted fixture detected as hinted")
     for f in failures:
         print(f"SELFTEST FAIL: {f}")
     print("selftest ok" if not failures else "selftest FAILED")
@@ -165,8 +179,9 @@ def main() -> int:
             print(f"FLAG {name}: build error {type(e).__name__}: {e}")
             continue
         reasons = audit_plan(plan)
-        if name in NO_BROADCAST_HINT and "ResolvedHint" in _analyzed(df):
-            reasons.append("BroadcastHintOnUnbounded")
+        hinted = "ResolvedHint" in _analyzed(df)
+        if hinted and name not in BROADCAST_HINT_ALLOWED:
+            reasons.append("UnjustifiedBroadcastHint")
         arrow_hits = [a for a in ARROW if a in plan]
         n_exchange = len(re.findall(r"\bExchange ", plan))
         if reasons:
@@ -174,7 +189,11 @@ def main() -> int:
             print(f"FLAG {name}: {reasons} (exchanges={n_exchange})")
         else:
             arrow = f" arrow={arrow_hits}" if arrow_hits else ""
-            print(f"ok   {name}: exchanges={n_exchange}{arrow}", flush=True)
+            hint = " hint(allowed)" if hinted else ""
+            print(
+                f"ok   {name}: exchanges={n_exchange}{arrow}{hint}",
+                flush=True,
+            )
         release_persisted()
         spark.catalog.clearCache()
     print(f"\n{len(bad)} flagged")
