@@ -97,10 +97,17 @@ def run_migration(
     user: str | None = None,
     dry_run: bool = True,
     create_fn: Callable[[DataFrame], DataFrame] | None = None,
-    broadcast_meta: bool = True,
+    broadcast_meta: bool = False,
 ) -> MigrationResult:
     """Run the migration over an ``oc_share``-shaped DataFrame and an
     ``eos_meta``-shaped catalog DataFrame (FIXTURES.md §B).
+
+    ``broadcast_meta`` defaults to False: the meta catalog scales with
+    the number of files being migrated, so a hard broadcast hint on it
+    is the growing-side anti-pattern plan_audit bans — AQE broadcasts a
+    measured-small catalog at runtime anyway. Pass True only when the
+    caller KNOWS the catalog slice is bounded (e.g. a single-user run
+    against a per-user fixture).
 
     ``create_fn`` is the S10 side-effecting create sink: given the DataFrame
     of versions folders that do not exist (carrying at least
@@ -179,7 +186,7 @@ def run_migration(
             mc,
             df_miss["target_path"] == mc["v_path"],
             required_col="v_path",
-            broadcast=True,
+            broadcast=broadcast_meta,
             stage="versions_folder_create",
         )
         df_hit = df_hit.unionByName(created_hit)

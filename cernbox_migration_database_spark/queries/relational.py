@@ -156,9 +156,10 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def join_enrich_parts(spark, sf_dir):
-    """J1 enrichment shape: fact ⋈ two small dims. Both dims broadcast
-    (verified via explain) — the set-at-a-time analogue of the reference's
-    per-row `eos file info` lookups (main.go:120-137)."""
+    """J1 enrichment shape: fact ⋈ two dims — the set-at-a-time analogue
+    of the reference's per-row `eos file info` lookups (main.go:120-137).
+    The dims are left unhinted (they scale with SF); AQE broadcasts them
+    while measured-small."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")

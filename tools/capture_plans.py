@@ -280,11 +280,17 @@ driver-sized at scale — a near-dup-heavy crawl yields billions — so the
 hint is a driver OOM waiting to happen. The hint is gone; AQE still picks
 broadcast at test scale (candidate set measures under the threshold), so
 local plans are unchanged in practice while the 100 TB plan degrades
-gracefully to shuffle join. `tools/plan_audit.py` now pins this: queries
-in `NO_BROADCAST_HINT` fail the audit if ANY `ResolvedHint` appears in
-their analyzed plan (AQE-chosen broadcasts don't appear there; only the
-unconditional hint does). Driver row: `dedup_minhash_lsh` stays in the r4
-sentinel core.
+gracefully to shuffle join. r10 INVERTED the audit rule: broadcast hints
+are now default-deny for EVERY query — any `ResolvedHint
+(strategy=broadcast)` in an analyzed plan fails the audit unless the
+query is in `BROADCAST_HINT_ALLOWED` with a bounded-size justification
+(AQE-chosen broadcasts don't appear there; only the unconditional hint
+does). The same sweep stripped the corpus-proportional hints the old
+one-query deny-list let through: decontaminate evalg (~12.5% of corpus),
+dedup_keep_canonical clusters (linear on a dup-heavy crawl), TPC-H
+part/supplier (SF-linear), the migration meta catalog
+(broadcast_meta now defaults False). Driver row: `dedup_minhash_lsh`
+stays in the r4 sentinel core.
 
 ### parse_kv_map: split each token once (r3 regression recovered)
 The r3 structural last-wins fold was kept (conf-independence intact), but

@@ -45,8 +45,57 @@ HARD = ("BatchEvalPython", "CartesianProduct")
 # the hard hint (ResolvedHint in the analyzed logical plan). A query may
 # carry hints ONLY if listed here with a bounded-size justification; any
 # unlisted hint flags UnjustifiedBroadcastHint. Keep justifications honest
-# — "small at sf0.1" is NOT bounded; "25-row nation enum" is.
-BROADCAST_HINT_ALLOWED: dict[str, str] = {}
+# — "small at sf0.1" is NOT bounded; "25-row nation enum" is. Non-broadcast
+# hints (merge/shuffle_hash) are never flagged: they force the SCALABLE
+# join path, the opposite failure mode.
+_HINT = "ResolvedHint (strategy=broadcast)"
+BROADCAST_HINT_ALLOWED: dict[str, str] = {
+    # fixed probe/query sets: k rows chosen by the query itself
+    "similarity_knn": "fixed probe set (k query vectors)",
+    "similarity_range_search": "fixed probe set",
+    "similarity_maxsim": "fixed multi-vector query set",
+    "similarity_ann_lsh": "fixed probe set; LSH bands fixed",
+    "similarity_ann_ivf": "fixed probe set + k centroids",
+    "similarity_ann_ivf_trained": "fixed probe set + trained centroids",
+    "similarity_ivf_pq": "fixed probe set + k*m*16 PQ LUT",
+    "similarity_ivf_pq_trained": "fixed probe set + trained PQ LUT",
+    "similarity_pq_adc": "per-query m*16 ADC LUT",
+    "similarity_pq_adc_trained": "trained m*16 ADC LUT",
+    "similarity_ivfpq_index_probe": "probe batch + flat broadcast LUT",
+    # text search: per-query-term stats (<= |terms| rows) and 1-row scalars
+    "bm25_search": "1-row vocab/corpus scalars",
+    "search_bm25_indexed": "df stats for the query's terms only",
+    "search_bm25_conjunctive": "df stats for the query's terms only",
+    "search_hybrid_rrf": "per-query term stats + fixed probe",
+    "text_tfidf": "1-row corpus-stats scalar (dfreq is unhinted)",
+    "text_lm_score_heldout": "1-row normalizer scalar",
+    "text_lm_cross_entropy": "1-row normalizer scalar",
+    # TPC-H fixed-cardinality enums: nation=25 rows, region=5 at EVERY SF
+    "q5_region_revenue": "nation(25)/region(5) fixed enums",
+    "q7_volume_shipping": "nation(25) fixed enum",
+    "q8_market_share": "nation(25)/region(5) fixed enums",
+    "q9_product_profit": "nation(25) fixed enum",
+    "q10_returned_items": "nation(25) fixed enum",
+    "join_dims_region": "nation(25)/region(5) fixed enums",
+    # fixed-bin / scalar relations
+    "quantile_binning": "fixed threshold list",
+    "histogram_totalprice": "fixed bin edges + 1-row total",
+    "range_join_price_bands": "fixed band table",
+    "quantile_histogram_store": "bin-bounded store state (KiB)",
+    "events_anomaly_zscore": "per-event-type stats (enum-bounded)",
+    "graph_triangle_count": "1-row scalar aggregates",
+    "graph_bfs_levels": "modulus-bounded 200-row edge relation",
+    "cms_heavy_hitters": "fixed w*d CMS sketch",
+    # bounded side relations
+    "train_token_packing": "|langs| x 16 chunk-offset rows",
+    "pipeline_end_to_end": "|langs| x 16 pack offsets (evalg unhinted)",
+    "pipeline_pretraining_corpus": (
+        "|langs| x 16 pack offsets (decontaminate evalg unhinted)"
+    ),
+    "train_mixture_weights": "1-row total + per-lang weights (|langs|)",
+    "train_curriculum_stages": "1-row corpus-count scalar",
+    "deletion_propagation": "RTBF request list (per-entity, not per-row)",
+}
 ARROW = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -151,10 +200,13 @@ def selftest() -> int:
     dim = spark.range(5).toDF("x")
     hinted_join = df.join(F.broadcast(dim), "x")
     plain_join = df.join(dim, "x")
-    if "ResolvedHint" not in _analyzed(hinted_join):
+    merge_join = df.join(dim.hint("merge"), "x")
+    if _HINT not in _analyzed(hinted_join):
         failures.append("hinted fixture NOT detected in analyzed plan")
-    if "ResolvedHint" in _analyzed(plain_join):
+    if _HINT in _analyzed(plain_join):
         failures.append("unhinted fixture detected as hinted")
+    if _HINT in _analyzed(merge_join):
+        failures.append("merge hint wrongly detected as broadcast")
     for f in failures:
         print(f"SELFTEST FAIL: {f}")
     print("selftest ok" if not failures else "selftest FAILED")
@@ -179,7 +231,7 @@ def main() -> int:
             print(f"FLAG {name}: build error {type(e).__name__}: {e}")
             continue
         reasons = audit_plan(plan)
-        hinted = "ResolvedHint" in _analyzed(df)
+        hinted = _HINT in _analyzed(df)
         if hinted and name not in BROADCAST_HINT_ALLOWED:
             reasons.append("UnjustifiedBroadcastHint")
         arrow_hits = [a for a in ARROW if a in plan]
