@@ -62,6 +62,11 @@ BROADCAST_HINT_ALLOWED: dict[str, str] = {
     "similarity_pq_adc": "per-query m*16 ADC LUT",
     "similarity_pq_adc_trained": "trained m*16 ADC LUT",
     "similarity_ivfpq_index_probe": "probe batch + flat broadcast LUT",
+    "similarity_ivf_index_probe": "fixed probe batch vs standing index",
+    "similarity_ivf_filtered": "fixed probe set + k centroids",
+    "streaming_text_ingest_search": (
+        "per-query term stats + RTBF delete batch (per-entity)"
+    ),
     # text search: per-query-term stats (<= |terms| rows) and 1-row scalars
     "bm25_search": "1-row vocab/corpus scalars",
     "search_bm25_indexed": "df stats for the query's terms only",
