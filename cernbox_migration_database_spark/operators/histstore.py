@@ -112,6 +112,13 @@ def build_hist_store(
         "lo": lo,
         "span": hi - lo + 1,
         "fold_seq": 0,
+        # drift bookkeeping (r9 verdict item 5): under distribution
+        # drift the frozen edges clamp the new tail into the edge bins
+        # and quantiles silently saturate — track how often post-build
+        # ingest clamps, and keep the build-time global bin mass as the
+        # PSI reference (≤ nbins integers, KiB).
+        "n_added": 0,
+        "n_clamped": 0,
     }
     hist = (
         _binned(df, st)
@@ -119,6 +126,13 @@ def build_hist_store(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     TF.create_table(hist, store_root)
+    st["ref_dist"] = {
+        str(r["bin"]): int(r["tot"])
+        for r in TF.read_table(spark, store_root)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
     with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
         json.dump(st, fh)
     return base_v
@@ -150,6 +164,15 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
     if committed is not None and committed["txn_ver"] > seq0:
         st["base_version"] = int(committed["hs_window"][1])
         st["fold_seq"] = seq0 = int(committed["txn_ver"])
+        # the crashed refresh's clamp counters rode the commit itself —
+        # re-adopt them with the window so drift accounting stays exact
+        if committed.get("hs_clamp"):
+            st["n_clamped"] = int(st.get("n_clamped", 0)) + int(
+                committed["hs_clamp"][0]
+            )
+            st["n_added"] = int(st.get("n_added", 0)) + int(
+                committed["hs_clamp"][1]
+            )
         with open(
             os.path.join(store_root, _STATE), "w", encoding="utf-8"
         ) as fh:
@@ -174,6 +197,26 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
         .agg(F.sum("__d").cast("long").alias("n"))
         .where(F.col("n") != 0)
     )
+    # drift accounting: how much of this window's ADD side falls outside
+    # the frozen [lo, hi] and clamps into an edge bin (one O(changes)
+    # aggregate — two scalars to the driver)
+    cents = F.expr(
+        f"CAST(CAST({st['value_col']} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    out_of_range = (cents < F.lit(st["lo"])) | (
+        cents > F.lit(st["lo"] + st["span"] - 1)
+    )
+    crow = (
+        ch.where(F.col("_change_type").isin("insert", "update_postimage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_add"),
+            F.coalesce(
+                F.sum(out_of_range.cast("long")), F.lit(0)
+            ).alias("n_out"),
+        )
+        .first()
+    )
+    n_add, n_out = int(crow["n_add"]), int(crow["n_out"])
     if not delta.isEmpty():
         TF.merge_into(
             spark,
@@ -183,7 +226,10 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
             update_set={"n": lambda t, s: t["n"] + s["n"]},
             check_cardinality=False,
             txn=(_TXN_APP, seq0 + 1),
-            commit_meta={"hs_window": [st["base_version"], cur]},
+            commit_meta={
+                "hs_window": [st["base_version"], cur],
+                "hs_clamp": [n_out, n_add],
+            },
         )
         st["fold_seq"] = seq0 + 1
         states = TF.read_table(spark, store_root)
@@ -205,6 +251,8 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
                 check_cardinality=False,
             )
     st["base_version"] = cur
+    st["n_added"] = int(st.get("n_added", 0)) + n_add
+    st["n_clamped"] = int(st.get("n_clamped", 0)) + n_out
     with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
         json.dump(st, fh)
     return cur
@@ -282,3 +330,119 @@ def estimate_quantiles(
         .cast("long")
         .alias("est_cents"),
     )
+
+
+def drift_report(
+    spark: SparkSession,
+    store_root: str,
+    clamp_threshold: float = 0.01,
+    psi_threshold: float = 0.2,
+) -> dict:
+    """Is the frozen bin grid still fit for the data it now summarizes?
+
+    Two signals, both O(state) — no base-table IO:
+
+    * **clamp rate** — fraction of post-build ingested values that fell
+      outside the frozen [lo, hi] and clamped into an edge bin (tracked
+      by :func:`refresh_hist_store`, crash-exactly). A drifting tail
+      lands ENTIRELY in one edge bin, so every quantile beyond that
+      bin's mass saturates at the same edge value — the failure mode the
+      flag exists for.
+    * **PSI** of the store's CURRENT global bin mass against the
+      build-time reference mass (the sidecar's ``ref_dist``), with the
+      drift module's 0.5-count smoothing. Catches reshaping INSIDE the
+      range too (edges still fine, mass moved). 0.2 is the conventional
+      "significant shift" threshold.
+
+    Returns the measured signals plus ``drifted`` and, when drifted, the
+    prescription: :func:`rebuild_hist_store` re-freezes the edges (the
+    KMV store's repair discipline — detect loudly, repair targeted)."""
+    import math
+
+    st = _state(store_root)
+    n_added = int(st.get("n_added", 0))
+    n_clamped = int(st.get("n_clamped", 0))
+    clamp_rate = (n_clamped / n_added) if n_added else 0.0
+    ref = {int(k): v for k, v in st.get("ref_dist", {}).items()}
+    cur = {
+        int(r["bin"]): int(r["tot"])
+        for r in TF.read_table(spark, store_root)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    nbins = int(st["nbins"])
+    tot_ref = sum(ref.values())
+    tot_cur = sum(cur.values())
+    psi = 0.0
+    if tot_ref and tot_cur:
+        for b in range(nbins):
+            p = (ref.get(b, 0) + 0.5) / (tot_ref + 0.5 * nbins)
+            q = (cur.get(b, 0) + 0.5) / (tot_cur + 0.5 * nbins)
+            psi += (q - p) * math.log(q / p)
+    drifted = clamp_rate > clamp_threshold or psi > psi_threshold
+    return {
+        "n_added": n_added,
+        "n_clamped": n_clamped,
+        "clamp_rate": clamp_rate,
+        "psi": round(psi, 6),
+        "clamp_threshold": clamp_threshold,
+        "psi_threshold": psi_threshold,
+        "drifted": drifted,
+        "action": "rebuild_hist_store" if drifted else None,
+    }
+
+
+def rebuild_hist_store(spark: SparkSession, store_root: str) -> int:
+    """Re-freeze the bin edges from the base table's CURRENT snapshot and
+    rebuild the state in place — the repair :func:`drift_report`
+    prescribes. The store table gets a delete-all + insert (two keyed
+    merges over KiB of state, versioned like any other commit — the
+    sketchstore rebuild discipline), the sidecar gets the new [lo, span],
+    a fresh PSI reference, and zeroed clamp counters. Serving continues
+    to work mid-rebuild via the store's own versioning. Returns the base
+    version the rebuilt store reflects; matches :func:`build_hist_store`
+    from scratch bit-for-bit (pinned in tests)."""
+    st = _state(store_root)
+    cur = TF.current_version(st["base_root"])
+    df = TF.read_table(spark, st["base_root"], cur)
+    row = df.agg(
+        F.min(_cents(st["value_col"])).alias("lo"),
+        F.max(_cents(st["value_col"])).alias("hi"),
+    ).first()
+    if row["lo"] is None:
+        raise ValueError(
+            f"{st['base_root']} has no non-null {st['value_col']} rows"
+        )
+    st["lo"] = int(row["lo"])
+    st["span"] = int(row["hi"]) - int(row["lo"]) + 1
+    fresh = (
+        _binned(df, st)
+        .groupBy("part", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stale = TF.read_table(spark, store_root)
+    if not stale.isEmpty():
+        TF.merge_into(
+            spark, store_root, stale.select("part", "bin"),
+            on=["part", "bin"],
+            when_matched="delete", when_not_matched=None,
+            check_cardinality=False,
+        )
+    TF.merge_into(
+        spark, store_root, fresh, on=["part", "bin"],
+        when_matched=None, check_cardinality=False,
+    )
+    st["base_version"] = cur
+    st["n_added"] = 0
+    st["n_clamped"] = 0
+    st["ref_dist"] = {
+        str(r["bin"]): int(r["tot"])
+        for r in TF.read_table(spark, store_root)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+    return cur

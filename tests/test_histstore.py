@@ -220,3 +220,64 @@ def test_crash_between_fold_commit_and_state_write_is_recovered(
     HS.refresh_hist_store(spark, store)
     assert _hist_rows(spark, store) == _scratch_hist(spark, base, st0)
     assert HS._state(store)["base_version"] == TF.current_version(base)
+
+
+def test_drift_flag_and_rebuild_with_new_edges(spark, tmp_path):
+    """r9 verdict item 5: frozen edges silently clamp a drifted tail into
+    the top bin — drifted folds must trip the drift flag, and the
+    prescribed rebuild (re-frozen edges) must match a from-scratch build
+    bit-for-bit."""
+    base, store = _mk(spark, tmp_path)
+    rep0 = HS.drift_report(spark, store)
+    assert rep0["drifted"] is False and rep0["n_added"] == 0
+
+    # drifted ingest: every new value far above the frozen hi (99.99)
+    drifted = [(100 + i, "a", 500.0 + i) for i in range(20)]
+    TF.merge_into(spark, base, _df(spark, drifted), on="k")
+    HS.refresh_hist_store(spark, store)
+    rep1 = HS.drift_report(spark, store)
+    assert rep1["n_added"] == 20 and rep1["n_clamped"] == 20
+    assert rep1["clamp_rate"] == 1.0
+    assert rep1["drifted"] is True
+    assert rep1["action"] == "rebuild_hist_store"
+    # saturation is real pre-rebuild: p50 and p99 both serve the top edge
+    q = {
+        r["q_label"]: int(r["est_cents"])
+        for r in HS.estimate_quantiles(
+            spark, store, {"all": None}
+        ).collect()
+    }
+    assert q["p90"] == q["p99"]  # tail collapsed into the clamp bin
+
+    # rebuild re-freezes edges from the current snapshot
+    v = HS.rebuild_hist_store(spark, store)
+    st = HS._state(store)
+    assert st["lo"] == 1000 and st["span"] == 51900 - 1000 + 1
+    assert st["n_added"] == 0 and st["n_clamped"] == 0
+    # rebuilt state == a from-scratch build over the same snapshot
+    scratch_store = str(tmp_path / "scratch")
+    HS.build_hist_store(
+        spark, base, scratch_store,
+        part_col="part", value_col="price", key="k", nbins=NBINS,
+    )
+    assert _hist_rows(spark, store) == _hist_rows(spark, scratch_store)
+    assert HS._state(scratch_store)["ref_dist"] == st["ref_dist"]
+    assert HS.drift_report(spark, store)["drifted"] is False
+    # the rebuilt store keeps folding incrementally
+    TF.delete_where(spark, base, "k = 105")
+    assert HS.refresh_hist_store(spark, store) > v - 1
+    st2 = HS._state(store)
+    assert _hist_rows(spark, store) == _scratch_hist(spark, base, st2)
+
+
+def test_psi_drift_inside_range_trips_without_clamping(spark, tmp_path):
+    """Mass reshaping INSIDE the frozen range clamps nothing — PSI must
+    catch it anyway."""
+    base, store = _mk(spark, tmp_path)
+    # pile a large in-range cohort into one low bin: clamp rate stays 0
+    surge = [(200 + i, "b", 11.00) for i in range(300)]
+    TF.merge_into(spark, base, _df(spark, surge), on="k")
+    HS.refresh_hist_store(spark, store)
+    rep = HS.drift_report(spark, store)
+    assert rep["n_clamped"] == 0 and rep["clamp_rate"] == 0.0
+    assert rep["psi"] > 0.2 and rep["drifted"] is True
