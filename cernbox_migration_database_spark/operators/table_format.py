@@ -3573,11 +3573,18 @@ def merge_branch(
     of replaying from the original fork and reporting its own merged
     keys as write-write conflicts.
 
-    Schema-diverged branches (columns changed on either side since the
-    fork) refuse to merge, loudly — rename/drop/evolve on a branch is a
-    rebuild-the-branch workflow for now. Returns a dict with the merge
-    ``mode`` and committed version(s). The branch itself is left intact;
-    drop it with :func:`delete_branch` when done."""
+    Schema-diverged branches REBASE too (r10): the branch feed is mapped
+    through both sides' recorded rename chains into main's column set —
+    a one-sided rename carries onto main as a metadata commit (the FF
+    discipline), a drop on either side wins, a branch-added column lands
+    via merge schema evolution, a main-added column keeps its values on
+    updates and reads null on branch inserts. Renaming the SAME fork
+    column differently on both sides — or dropping a merge key — is a
+    write-write conflict on the schema itself and raises
+    :class:`BranchMergeConflict` regardless of ``on_conflict`` (there is
+    no row-level resolution for a schema split). Returns a dict with the
+    merge ``mode`` and committed version(s). The branch itself is left
+    intact; drop it with :func:`delete_branch` when done."""
     if on_conflict not in ("fail", "branch-wins", "main-wins"):
         raise ValueError(
             f"on_conflict must be fail|branch-wins|main-wins, got "
@@ -3629,22 +3636,77 @@ def merge_branch(
             None,
         )
 
-    fork_cols = _cols_at(bhist, feed_from)
-    schema_diverged = (
-        _cols_at(bhist, head) != fork_cols
-        or _cols_at(mhist, cur) != fork_cols
-    )
-    if schema_diverged and cur != base:
-        # the REBASE replay needs both sides in one column set; the FF
-        # path below is fine with divergence — the hardlink commit
-        # carries the branch's schema_json/columns/renames_active, so a
-        # branch rename/drop/evolve simply becomes main's new state
-        raise NotImplementedError(
-            f"branch {name!r} and main must share the fork-point column set "
-            "to REBASE-merge; rename/drop/evolve on a branch merges only "
-            "by fast-forward (main unmoved) — rebuild the branch from a "
-            "fresh fork otherwise"
-        )
+    fork_cols = _cols_at(bhist, feed_from) or []
+    bcols_cur = _cols_at(bhist, head) or []
+    mcols_cur = _cols_at(mhist, cur) or []
+    schema_diverged = bcols_cur != fork_cols or mcols_cur != fork_cols
+
+    # Schema-diverged REBASE maps the branch feed through both sides'
+    # recorded rename chains into one column set (r9 verdict item 3 —
+    # the raise is gone). Per fork-point column, the NET effect of each
+    # side's renames/drops is derived from the commit log:
+    #   * renamed on ONE side -> the rename carries (applied to main as
+    #     a metadata commit before the replay, exactly what FF does);
+    #   * renamed DIFFERENTLY on both sides -> BranchMergeConflict (a
+    #     write-write conflict on the schema itself);
+    #   * dropped on either side -> the drop wins (main's drop strips
+    #     the feed column; the branch's drop is applied to main);
+    #   * added on the branch -> schema evolution at replay
+    #     (merge_into(evolve_schema=True)); added on main -> the feed
+    #     omits it, updates keep target values, inserts land null.
+    # The mapping is IDEMPOTENT across a crash: once the metadata ops
+    # commit on main, a re-run derives identical names on both sides and
+    # produces an empty op list.
+    def _fold_renames(entries, after_v):
+        chain = [
+            tuple(e["renamed"])
+            for e in entries
+            if e["version"] > after_v and e.get("renamed")
+        ]
+
+        def fwd(nm):
+            for old, new in chain:
+                if nm == old:
+                    nm = new
+            return nm
+
+        def inv(nm):
+            for old, new in reversed(chain):
+                if nm == new:
+                    nm = old
+            return nm
+
+        return fwd, inv
+
+    b_fwd, b_inv = _fold_renames(bhist, feed_from)
+    m_fwd, m_inv = _fold_renames(mhist, base)
+    schema_ops: list[tuple] = []  # branch intents to apply on main
+    feed_map: dict[str, str | None] = {}  # branch-cur -> main-cur (None=strip)
+    if schema_diverged:
+        for c in fork_cols:
+            bn, mn = b_fwd(c), m_fwd(c)
+            b_alive, m_alive = bn in bcols_cur, mn in mcols_cur
+            if (
+                bn != c and mn != c and bn != mn
+                and b_alive and m_alive
+            ):
+                raise BranchMergeConflict(
+                    f"branch {name!r} renamed fork column {c!r} to {bn!r} "
+                    f"but main renamed it to {mn!r} since fork — a "
+                    "write-write conflict on the schema; resolve by "
+                    "renaming one side back"
+                )
+            if not m_alive:
+                feed_map[bn] = None  # main dropped it: drop wins
+            elif not b_alive:
+                schema_ops.append(("drop", mn))
+            else:
+                feed_map[bn] = mn
+                if bn != c and bn != mn:
+                    # the BRANCH renamed it (and main didn't): carry the
+                    # rename onto main. A main-only rename needs no op —
+                    # the feed just maps forward into main's new name.
+                    schema_ops.append(("rename", mn, bn))
 
     keys = [key] if isinstance(key, str) else list(key)
     if cur == base and meta.get("ff_ok", True):
@@ -3703,11 +3765,33 @@ def merge_branch(
     # (also taken when main is at the fork point but its CONTENT isn't
     # the branch snapshot — ff_ok False after a prior rebase — in which
     # case main's feed since base is empty and no conflict is possible)
-    feed = read_changes(spark, broot, keys, feed_from, head)
+    if schema_diverged:
+        # the branch feed is keyed/columned in BRANCH-current names:
+        # diff it with branch names, then map into main-current names
+        bkeys = [b_fwd(m_inv(k)) for k in keys]
+        for k, bk in zip(keys, bkeys):
+            if feed_map.get(bk, bk) is None or (
+                ("drop", k) in schema_ops
+            ):
+                raise BranchMergeConflict(
+                    f"merge key {k!r} was dropped on one side since fork "
+                    f"— cannot rebase branch {name!r}"
+                )
+        feed = read_changes(spark, broot, bkeys, feed_from, head)
+        for bc in feed.columns:
+            if bc == "_change_type":
+                continue
+            mc = feed_map.get(bc, bc)  # branch-added cols pass through
+            if mc is None:
+                feed = feed.drop(bc)  # dropped on main: the drop wins
+            elif mc != bc:
+                feed = feed.withColumnRenamed(bc, mc)
+    else:
+        feed = read_changes(spark, broot, keys, feed_from, head)
     main_feed = (
         read_changes(spark, root, keys, base, cur)
         if cur > base
-        else read_changes(spark, broot, keys, feed_from, head).limit(0)
+        else feed.limit(0).select(*keys, "_change_type")
     )
     app = f"__branch_merge__:{name}:{base}:{head}"
     done = last_txn_version(root, app) or 0
@@ -3750,10 +3834,37 @@ def merge_branch(
         # branch-wins: the feed applies as-is — the branch's change
         # overrides main's post-fork change on the conflicted keys
     versions = []
+    if schema_ops:
+        # carry the branch's schema intent onto main (metadata-only
+        # commits, the FF discipline) — AFTER the conflict decision (a
+        # 'fail' raise must leave main untouched), BEFORE the replay.
+        # Conflicted-key sets above were already materialized
+        # (collect/count), so mutating main here can't re-derive them.
+        for op in schema_ops:
+            if op[0] == "drop":
+                versions.append(drop_column(spark, root, op[1]))
+            else:
+                _, mn, bn = op
+                versions.append(rename_column(spark, root, mn, bn))
+                deletes = (
+                    deletes.withColumnRenamed(mn, bn)
+                    if mn in deletes.columns
+                    else deletes
+                )
+                upserts = (
+                    upserts.withColumnRenamed(mn, bn)
+                    if mn in upserts.columns
+                    else upserts
+                )
+                keys = [bn if k == mn else k for k in keys]
+        cur = current_version(root)
     if done < 1 and deletes.limit(1).count():
         versions.append(
             merge_into(
-                spark, root, deletes, on=keys,
+                # a delete-by-key needs only the key columns — and the
+                # diverged feed may carry branch-added columns main
+                # doesn't have yet
+                spark, root, deletes.select(*keys), on=keys,
                 when_matched="delete", when_not_matched=None,
                 txn=(app, 1),
                 commit_meta={"branch": name, "branch_version": head},
@@ -3764,6 +3875,9 @@ def merge_branch(
             merge_into(
                 spark, root, upserts, on=keys,
                 when_matched="update", when_not_matched="insert",
+                # diverged feeds may ADD branch columns (evolution) or
+                # OMIT main-added ones (updates keep target values)
+                evolve_schema=schema_diverged,
                 txn=(app, 2),
                 commit_meta={"branch": name, "branch_version": head},
             )

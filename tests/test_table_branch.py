@@ -165,13 +165,20 @@ def test_merge_unmoved_branch_is_noop_and_schema_divergence_rules(
     main_now = T.read_table(spark, root)
     assert main_now.columns == ["id", "p", "val"]
     assert {x.id: x.val for x in main_now.collect()}[1] == 2.0
-    # but it cannot REBASE: once main moves, the divergence refuses
+    # and it can REBASE too (r10): the branch rename carries onto main
+    # as a metadata commit and the feed replays under the new name,
+    # while main's own post-fork data change survives
     br2 = T.create_branch(root, "ren2")
     T.rename_column(spark, br2, "val", "v2")
     T.update_where(spark, br2, "id = 3", {"v2": "v2 + 1"})
     T.update_where(spark, root, "id = 5", {"val": "val + 5"})
-    with pytest.raises(NotImplementedError, match="REBASE"):
-        T.merge_branch(spark, root, "ren2", key="id")
+    r2 = T.merge_branch(spark, root, "ren2", key="id")
+    assert r2["mode"] == "rebase"
+    main2 = T.read_table(spark, root)
+    assert main2.columns == ["id", "p", "v2"]
+    got = {x.id: x.v2 for x in main2.collect()}
+    assert got[3] == 4.0  # branch change, under the renamed column
+    assert got[5] == 10.0  # main's independent change survives
 
 
 def test_merge_conflict_resolution_policies(spark, tmp_path):
@@ -327,3 +334,89 @@ def test_merge_branch_twice_after_ff(spark, tmp_path):
     r2 = T.merge_branch(spark, root, "exp", key="id")
     assert r2["mode"] in ("ff", "rebase")
     assert _state(spark, root)[3] == 104.0
+
+
+def test_rebase_with_main_side_rename(spark, tmp_path):
+    """Main renamed a column after the fork; the branch's feed (fork
+    names) must map forward through MAIN's rename chain."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 2", {"v": "v + 20"})
+    T.rename_column(spark, root, "v", "val")
+    T.update_where(spark, root, "id = 7", {"val": "val + 70"})
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r["mode"] == "rebase"
+    main = T.read_table(spark, root)
+    assert main.columns == ["id", "p", "val"]
+    got = {x.id: x.val for x in main.collect()}
+    assert got[2] == 22.0 and got[7] == 77.0
+
+
+def test_rebase_with_branch_added_column_evolves_main(spark, tmp_path):
+    """A column added on the branch lands on main via merge schema
+    evolution; pre-existing main rows read it as null."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    add = spark.createDataFrame(
+        [(100, 0, 1.0, "x"), (101, 1, 2.0, "y")],
+        "id long, p long, v double, tag string",
+    )
+    T.merge_into(spark, br, add, on="id", evolve_schema=True)
+    T.update_where(spark, root, "id = 5", {"v": "v + 5"})  # main moves
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r["mode"] == "rebase"
+    main = T.read_table(spark, root)
+    assert "tag" in main.columns
+    rows = {x.id: x for x in main.collect()}
+    assert rows[100].tag == "x" and rows[101].tag == "y"
+    assert rows[1].tag is None and rows[5].v == 10.0
+
+
+def test_rebase_with_branch_dropped_column(spark, tmp_path):
+    """A drop on the branch carries onto main as a metadata commit; the
+    replay is a partial-schema feed (main keeps what the feed omits)."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.drop_column(spark, br, "v")
+    T.update_where(spark, br, "id = 4", {"p": "p + 10"})
+    T.merge_into(
+        spark, root,
+        spark.createDataFrame([(200, 2, 9.0)], "id long, p long, v double"),
+        on="id",
+    )  # main moves
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r["mode"] == "rebase"
+    main = T.read_table(spark, root)
+    assert main.columns == ["id", "p"]
+    got = {x.id: x.p for x in main.collect()}
+    assert got[4] == 11 and 200 in got
+
+
+def test_rebase_conflicting_renames_raise(spark, tmp_path):
+    """The same fork column renamed differently on both sides is a
+    write-write conflict on the schema — no on_conflict policy can
+    resolve it row-wise."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.rename_column(spark, br, "v", "v_branch")
+    T.update_where(spark, br, "id = 1", {"v_branch": "v_branch + 1"})
+    T.rename_column(spark, root, "v", "v_main")
+    with pytest.raises(T.BranchMergeConflict, match="renamed fork column"):
+        T.merge_branch(spark, root, "exp", key="id", on_conflict="branch-wins")
+    # main untouched by the refused merge
+    assert T.read_table(spark, root).columns == ["id", "p", "v_main"]
+
+
+def test_rebase_main_dropped_column_wins(spark, tmp_path):
+    """Main dropped a column the branch still carries: the drop wins and
+    the branch feed's values for it are stripped."""
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    T.update_where(spark, br, "id = 6", {"v": "v + 60"})
+    T.drop_column(spark, root, "v")
+    T.update_where(spark, root, "id = 8", {"p": "p + 8"})
+    r = T.merge_branch(spark, root, "exp", key="id")
+    assert r["mode"] == "rebase"
+    main = T.read_table(spark, root)
+    assert main.columns == ["id", "p"]
+    assert {x.id for x in main.collect()} == set(range(12))
