@@ -72,6 +72,7 @@ def purge_table_tree(
     condition,
     mode: str = "cow",
     vacuum_after: bool = False,
+    compact_after: bool = False,
     orphan_grace_s: float = 3600.0,
 ) -> dict:
     """Right-to-be-forgotten over a VERSIONED table and every branch of
@@ -100,8 +101,17 @@ def purge_table_tree(
     rows), but the bytes REMAIN in the current version's files until the
     next OPTIMIZE compacts them) — the result records
     ``physical=False`` so the caller knows a compaction is still owed.
+    ``compact_after=True`` settles that debt in the same call: every
+    MOR target that committed deletion vectors gets an OPTIMIZE commit
+    (``table_format.compact``) that materializes the tombstones — the
+    purged bytes leave the CURRENT snapshot's data files — and the
+    result flips to ``physical=True`` with the compaction versions in
+    ``compacted``. Pair with ``vacuum_after=True`` for bytes-gone-on-
+    disk including the pre-delete snapshots. A second purge pass stays a
+    no-op: zero matches commit nothing, so nothing re-compacts.
     Scale: per target one partition-pruned delete; the audit counts ride
-    the deletes' own plans; nothing here scans more than the deletes do.
+    the deletes' own plans; compaction (opt-in) is the only step that
+    rewrites beyond the touched partitions.
     """
     from . import table_format as TF
 
@@ -121,8 +131,9 @@ def purge_table_tree(
         "targets": {},
         "retained_versions": {},
         "pinned_tags": {},
-        "physical": mode == "cow",
+        "physical": mode == "cow" or compact_after,
         "vacuumed": {},
+        "compacted": {},
     }
     for name, troot in targets.items():
         n = TF.read_table(spark, troot).where(condition).count()
@@ -135,6 +146,11 @@ def purge_table_tree(
         else:
             v = TF.delete_where(spark, troot, condition, mode=mode)
             report["targets"][name] = {"n_deleted": n, "version": v}
+            if mode == "mor" and compact_after:
+                # materialize the deletion vectors: the purged bytes
+                # leave the current snapshot's data files
+                report["compacted"][name] = TF.compact(spark, troot)
+                v = report["compacted"][name]
         # history() log entries survive vacuum — filter to version dirs
         # that still physically exist, else the report claims already-
         # reclaimed directories "still contain the purged rows"

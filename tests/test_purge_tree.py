@@ -109,3 +109,34 @@ def test_retained_versions_lists_only_existing_dirs(spark, tmp_path):
     assert 1 not in rep["retained_versions"].get("main", [])
     # the surviving pre-purge version (v2) IS still reported
     assert rep["retained_versions"]["main"] == [2]
+
+
+def test_purge_mor_compact_after_is_physical(spark, tmp_path):
+    """compact_after=True settles the MOR debt in the same call: the
+    OPTIMIZE commit materializes the deletion vectors, so the purged
+    BYTES leave the current snapshot's data files (asserted by reading
+    the raw parquet, bypassing DV subtraction) — r9 verdict item 6."""
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "b1")
+    rep = P.purge_table_tree(
+        spark, root, "id % 10 = 5", mode="mor", compact_after=True
+    )
+    assert rep["physical"] is True
+    assert rep["targets"]["main"]["n_deleted"] == 3
+    assert set(rep["compacted"]) == {"main", "branch:b1"}
+    for name, troot in [("main", root), ("branch:b1", T.branch_root(root, "b1"))]:
+        vdir = T._vdir(troot, T.current_version(troot))
+        raw = (
+            spark.read.parquet(os.path.join(vdir, "data"))
+            if os.path.isdir(os.path.join(vdir, "data"))
+            else spark.read.parquet(vdir)
+        )
+        assert raw.where("id % 10 = 5").count() == 0  # bytes gone
+    # second pass: zero matches, nothing committed, nothing re-compacted
+    cur = T.current_version(root)
+    rep2 = P.purge_table_tree(
+        spark, root, "id % 10 = 5", mode="mor", compact_after=True
+    )
+    assert rep2["targets"]["main"]["n_deleted"] == 0
+    assert rep2["compacted"] == {}
+    assert T.current_version(root) == cur
