@@ -1062,3 +1062,44 @@ def pipeline_pretraining_corpus(spark, sf_dir):
 
 
 PHASED["pipeline_pretraining_corpus"] = (_pipeline_clean, _pipeline_pack)
+
+
+@register(
+    "train_decontaminate_external",
+    f"""
+    WITH bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, lang, unnest(s) AS shingle
+           FROM sh WHERE len(s) > 0),
+    spl AS (SELECT doc_id, lang, shingle,
+                   doc_id IN (SELECT doc_id FROM bench) AS is_eval
+            FROM ex)
+    SELECT a.doc_id AS train_doc,
+           CAST(COUNT(DISTINCT a.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_eval_docs
+    FROM spl a JOIN spl b ON a.lang = b.lang AND a.shingle = b.shingle
+    WHERE NOT a.is_eval AND b.is_eval
+    GROUP BY a.doc_id
+    """,
+)
+def train_decontaminate_external(spark, sf_dir):
+    """Decontamination against an EXTERNAL fixed-size benchmark suite —
+    the shape real pipelines run (r9 verdict item 8): eval is a small
+    STATIC table (here a deterministic 100-document stand-in: the 100
+    lowest doc_ids, collected via the bounded probe-set discipline —
+    ordered limit, never a corpus-fraction), so the eval shingle side is
+    GENUINELY bounded at any corpus scale. That is what makes this
+    variant's broadcast legitimate where the hash-split variants'
+    (train_decontaminate, bloom_decontaminate) was stripped: there eval
+    is ~12.5% OF THE CORPUS and grows with it; here it is 100 documents
+    forever. The scan side is one pass over the corpus; the join touches
+    only shingles colliding with the benchmark's."""
+    d = _t(spark, sf_dir, "documents")
+    bench_ids = [
+        r[0]
+        for r in d.select("doc_id").orderBy("doc_id").limit(100).collect()
+    ]
+    return D.contamination_overlap(
+        d, F.col("doc_id").isin(bench_ids), block_col="lang", k=3
+    )
