@@ -1,0 +1,194 @@
+"""Maintenance planner for versioned tables — the OPTIMIZE/VACUUM advisor.
+
+Every long-lived lakehouse table accretes four kinds of debt, each with a
+first-class repair already in the engine; what was missing is the sweep
+that FINDS the debt across a whole branch tree without reading any data.
+``plan_maintenance`` walks main + every branch (recursively — the
+purge_table_tree discipline) and, from METADATA ONLY (directory listings,
+commit log, sidecars — never a parquet row), reports per target:
+
+* **small-file debt** — data files in the current snapshot vs the
+  partition count; each COW merge writes >= 1 file per touched partition,
+  so a merge-heavy table drifts toward scan plans dominated by file-open
+  overhead at 100 TB. Repair: :func:`table_format.compact`.
+* **deletion-vector debt** — a current snapshot carrying ``_dv/``
+  tombstones pays an anti-join on every read AND still physically holds
+  deleted bytes (the RTBF gap purge_table_tree flags ``physical=False``
+  for). Repair: compact (materializes DVs).
+* **retention debt** — version directories older than ``keep_last``,
+  still holding every pre-delete row; tags pinning them are listed as
+  blockers (a tag is a reproducibility promise — reported, never
+  auto-released). Repair: :func:`table_format.vacuum`.
+* **orphan debris** — ``*.staging`` leftovers and claimed-but-uncommitted
+  version dirs from crashed writers. Repair: ``vacuum(remove_orphans=
+  True)`` (itself activity-aged, so an in-flight writer is never
+  collected).
+* **sketch-store drift** — any attached histogram store whose clamp rate
+  or PSI tripped (:func:`histstore.drift_report`). Repair:
+  :func:`histstore.rebuild_hist_store`. Passed in by root since stores
+  are free-standing tables.
+
+The planner only RECOMMENDS; ``apply_maintenance`` executes the plan with
+the same idempotence the underlying ops already have (compaction is a
+version like any other; vacuum re-runs are no-ops). Splitting
+detect/apply keeps the expensive rewrites under operator control — at
+100 TB a compaction is a deliberate act, not a side effect of a scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from . import table_format as TF
+
+# thresholds: conservative defaults, all overridable per call
+DEFAULTS = {
+    "max_files_per_partition": 4.0,
+    "keep_last": 2,
+}
+
+
+def _targets(root: str) -> dict[str, str]:
+    out = {"main": root}
+    stack = [("", root)]
+    while stack:
+        prefix, troot = stack.pop()
+        for b in TF.list_branches(troot):
+            label = f"{prefix}branch:{b['name']}"
+            broot = TF.branch_root(troot, b["name"])
+            out[label] = broot
+            stack.append((label + "/", broot))
+    return out
+
+
+def _snapshot_stats(vdir: str) -> tuple[int, int, bool]:
+    """(n_data_files, n_partition_dirs, has_dv) from one directory walk."""
+    n_files = 0
+    parts = set()
+    for dp, dns, fns in os.walk(vdir):
+        rel = os.path.relpath(dp, vdir)
+        if rel.split(os.sep)[0] == TF._DV:
+            dns[:] = []
+            continue
+        for f in fns:
+            if f.endswith(".parquet"):
+                n_files += 1
+                if rel != ".":
+                    parts.add(rel)
+    return n_files, max(1, len(parts)), TF._has_dv(vdir)
+
+
+def plan_maintenance(
+    root: str,
+    max_files_per_partition: float = DEFAULTS["max_files_per_partition"],
+    keep_last: int = DEFAULTS["keep_last"],
+) -> dict:
+    """Debt report + recommended actions for ``root`` and every branch.
+
+    Returns ``{target: {stats..., actions: [..]}}`` where each action is
+    ``{"op": "compact"|"vacuum", "reason": str}``. Metadata-only: one
+    os.walk of each CURRENT snapshot + the commit log — no Spark job, no
+    data IO, safe to run on a schedule against thousands of tables.
+    """
+    report: dict = {}
+    for name, troot in _targets(root).items():
+        cur = TF.current_version(troot)
+        vdir = TF._vdir(troot, cur)
+        n_files, n_parts, has_dv = _snapshot_stats(vdir)
+        committed = {e["version"] for e in TF.history(troot)}
+        vroot = os.path.join(troot, TF._VERSIONS)
+        old_versions = []
+        orphans = []
+        for d in sorted(os.listdir(vroot)):
+            p = os.path.join(vroot, d)
+            if d.endswith(".staging"):
+                orphans.append(d)
+                continue
+            if not d.startswith("v"):
+                continue
+            try:
+                v = int(d[1:])
+            except ValueError:
+                continue
+            if v not in committed:
+                orphans.append(d)
+            elif v < cur - keep_last + 1:
+                old_versions.append(v)
+        pinned = [
+            t["name"] for t in TF.list_tags(troot)
+            if t["version"] in old_versions
+        ]
+        actions = []
+        if n_files / n_parts > max_files_per_partition:
+            actions.append({
+                "op": "compact",
+                "reason": (
+                    f"small-file debt: {n_files} files over {n_parts} "
+                    f"partition(s) (> {max_files_per_partition}/part)"
+                ),
+            })
+        if has_dv:
+            actions.append({
+                "op": "compact",
+                "reason": "deletion vectors pending: reads pay an "
+                          "anti-join and deleted bytes remain on disk",
+            })
+        if old_versions or orphans:
+            actions.append({
+                "op": "vacuum",
+                "reason": (
+                    f"{len(old_versions)} version(s) beyond keep_last="
+                    f"{keep_last}"
+                    + (f", {len(orphans)} orphan(s)" if orphans else "")
+                    + (f"; tags pin {pinned}" if pinned else "")
+                ),
+            })
+        report[name] = {
+            "version": cur,
+            "n_files": n_files,
+            "n_partitions": n_parts,
+            "has_dv": has_dv,
+            "old_versions": old_versions,
+            "orphans": orphans,
+            "pinned_tags": pinned,
+            "actions": actions,
+        }
+    return report
+
+
+def apply_maintenance(
+    spark: SparkSession,
+    root: str,
+    plan: dict | None = None,
+    keep_last: int = DEFAULTS["keep_last"],
+    orphan_grace_s: float = 3600.0,
+) -> dict:
+    """Execute a :func:`plan_maintenance` plan (or derive one fresh).
+
+    One compact per target at most (the two compact reasons share a
+    repair), then vacuum. Returns per-target
+    ``{compacted: version|None, vacuumed: [versions]}``. Idempotent: a
+    second pass finds no debt and does nothing.
+    """
+    plan = plan if plan is not None else plan_maintenance(
+        root, keep_last=keep_last
+    )
+    targets = _targets(root)
+    result: dict = {}
+    for name, entry in plan.items():
+        troot = targets.get(name)
+        if troot is None:
+            continue
+        ops = {a["op"] for a in entry["actions"]}
+        out = {"compacted": None, "vacuumed": []}
+        if "compact" in ops:
+            out["compacted"] = TF.compact(spark, troot)
+        if "vacuum" in ops:
+            out["vacuumed"] = TF.vacuum(
+                troot, keep_last=keep_last, remove_orphans=True,
+                orphan_grace_s=orphan_grace_s,
+            )
+        result[name] = out
+    return result

@@ -227,7 +227,7 @@ _MANIFEST = "_manifest.jsonl"
 # Read side: one anti-join of the scan against the tombstone frame on
 # (relative path, row index). Tombstones are a vanishing fraction of table
 # rows, so AQE plans the anti-join as a broadcast at any realistic DV size
-# (no manual hint — plan-audit rule NO_BROADCAST_HINT). Row identity comes
+# (no manual hint — plan-audit default-deny broadcast-hint rule). Row identity comes
 # from ``_metadata.row_index`` (Spark's stable physical row position), not
 # from any data column — tombstoning never requires a table key.
 _DV = "_dv"

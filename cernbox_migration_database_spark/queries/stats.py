@@ -1071,7 +1071,7 @@ def graph_bfs_levels(spark, sf_dir):
             level.where(F.col("dist") < 8)
             # edge cardinality is BOUNDED by the modulus (200 rows at any
             # data scale) — a justified explicit broadcast, unlike the
-            # data-sized relations the NO_BROADCAST_HINT audit rule pins
+            # data-sized relations the default-deny broadcast-hint audit rule pins
             .join(F.broadcast(edges), level["node"] == edges["u"])
             .select(
                 F.col("v").alias("node"),

@@ -1,0 +1,103 @@
+"""Maintenance planner (operators/maintenance.py): metadata-only debt
+detection across a branch tree, and apply = the existing repairs."""
+
+from __future__ import annotations
+
+import os
+
+from cernbox_migration_database_spark.operators import maintenance as M
+from cernbox_migration_database_spark.operators import table_format as T
+
+
+def _mk(spark, tmp_path, name="tbl"):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p long, v double"
+    )
+    # write compactly (one task per partition value) — a parallel write
+    # at local[32] legitimately starts life with small-file debt, which
+    # is exactly what the planner is supposed to flag
+    T.create_table(df.repartition(3, "p"), root, partition_by="p")
+    return root
+
+
+def test_fresh_table_has_no_debt(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    plan = M.plan_maintenance(root)
+    assert list(plan) == ["main"]
+    assert plan["main"]["actions"] == []
+    assert plan["main"]["has_dv"] is False
+
+
+def test_small_files_and_retention_detected_and_repaired(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    # append-heavy history: each MOR insert-only merge APPENDS files
+    # without rewriting (COW would self-compact the touched partition)
+    for i in range(6):
+        T.merge_into(
+            spark, root,
+            spark.createDataFrame(
+                [(100 + i, i % 3, 1.0 * i)], "id long, p long, v double"
+            ),
+            on="id", when_matched=None, write_mode="mor",
+        )
+    plan = M.plan_maintenance(root, max_files_per_partition=2.0)
+    ops = [a["op"] for a in plan["main"]["actions"]]
+    assert "compact" in ops and "vacuum" in ops
+    assert plan["main"]["old_versions"]  # beyond keep_last
+    n_before = T.read_table(spark, root).count()
+    res = M.apply_maintenance(spark, root, plan)
+    assert res["main"]["compacted"] is not None
+    assert res["main"]["vacuumed"]
+    # repairs preserve data and clear the debt
+    assert T.read_table(spark, root).count() == n_before
+    plan2 = M.plan_maintenance(root)
+    assert plan2["main"]["actions"] == []
+    # idempotent: a second apply does nothing
+    res2 = M.apply_maintenance(spark, root)
+    assert res2["main"] == {"compacted": None, "vacuumed": []}
+
+
+def test_dv_debt_detected_and_compaction_clears_it(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    T.delete_where(spark, root, "id % 10 = 5", mode="mor")
+    plan = M.plan_maintenance(root)
+    assert plan["main"]["has_dv"] is True
+    assert any(
+        a["op"] == "compact" and "deletion vectors" in a["reason"]
+        for a in plan["main"]["actions"]
+    )
+    M.apply_maintenance(spark, root, plan)
+    cur = T.current_version(root)
+    assert not os.path.isdir(os.path.join(T._vdir(root, cur), "_dv"))
+    assert M.plan_maintenance(root)["main"]["has_dv"] is False
+
+
+def test_orphans_and_tag_pins_reported(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    T.delete_where(spark, root, "id = 1")  # v2
+    T.delete_where(spark, root, "id = 2")  # v3 -> v1 beyond keep_last=2
+    T.create_tag(root, "release", version=1)
+    # crashed-writer debris
+    os.makedirs(os.path.join(root, T._VERSIONS, "v9.staging"))
+    plan = M.plan_maintenance(root)
+    m = plan["main"]
+    assert m["old_versions"] == [1]
+    assert "v9.staging" in m["orphans"]
+    assert m["pinned_tags"] == ["release"]
+    vac = next(a for a in m["actions"] if a["op"] == "vacuum")
+    assert "release" in vac["reason"] and "orphan" in vac["reason"]
+
+
+def test_planner_walks_branch_tree(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    T.create_branch(root, "child")
+    child = T.branch_root(root, "child")
+    T.create_branch(child, "grandchild")
+    T.delete_where(spark, child, "id = 3", mode="mor")
+    plan = M.plan_maintenance(root)
+    assert set(plan) == {
+        "main", "branch:child", "branch:child/branch:grandchild"
+    }
+    assert plan["branch:child"]["has_dv"] is True
+    assert plan["branch:child/branch:grandchild"]["has_dv"] is False

@@ -15,7 +15,7 @@ from cernbox_migration_database_spark.session import get_spark
 SHOW = {
     "scan_filter_project_sort": "S1 scan: both predicates pushed to parquet, 4-col pruned read",
     "q1_pricing_summary": "partial (map-side) + final aggregate, scaled-long accumulators",
-    "q5_region_revenue": "6-table join: all dims broadcast, AQE re-plans fact joins",
+    "q5_region_revenue": "6-table join: fixed-enum dims (nation/region) hinted, supplier unhinted (SF-linear; AQE decides), AQE re-plans fact joins",
     "merge_update_orders": "MERGE shape: single left join on the key",
     "dedup_minhash_lsh": "LSH: band-bucket AGGREGATE (collect_set + in-array pair expansion) + UNHINTED candidate verification (AQE chooses; r4 dropped the broadcast hint — unbounded at 100 TB) — no self-join",
     "dedup_simhash": "one row per (doc, token), single groupBy(doc) with 64 partial sums — no 64-way explode",

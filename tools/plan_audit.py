@@ -247,6 +247,10 @@ def main() -> int:
         else:
             arrow = f" arrow={arrow_hits}" if arrow_hits else ""
             hint = " hint(allowed)" if hinted else ""
+            if not hinted and name in BROADCAST_HINT_ALLOWED:
+                # keep the allowlist honest: an entry whose plan carries
+                # no hint anymore is dead weight — prune it
+                hint = " NOTE stale-allowlist-entry"
             print(
                 f"ok   {name}: exchanges={n_exchange}{arrow}{hint}",
                 flush=True,
