@@ -2095,3 +2095,84 @@ def table_purge_mor_physical(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "table_maintenance_cycle",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    extra AS (
+      SELECT o_orderkey + 30000000 AS o_orderkey, o_orderstatus,
+             o_totalprice FROM base WHERE o_orderkey % 13 = 0),
+    final AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+      WHERE o_orderkey % 7 <> 3)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS sum_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def table_maintenance_cycle(spark, sf_dir):
+    """The OPTIMIZE/VACUUM advisor loop (operators/maintenance.py, r10):
+    an append-heavy MOR history leaves all four debt classes on the
+    table — appended small files, deletion vectors, versions beyond the
+    retention window — and ``plan_maintenance`` finds them from METADATA
+    ONLY (one directory walk + the commit log, no Spark job), then
+    ``apply_maintenance`` repairs with the existing first-class ops
+    (compact materializes the DVs and re-coalesces files; vacuum
+    reclaims old snapshots). The query asserts the full governance loop
+    in-place: debt detected → repaired → second plan finds NOTHING →
+    second apply is a no-op; the returned aggregate reads the compacted
+    snapshot's RAW parquet (no DV subtraction), so the differential
+    proves the repairs preserved exactly the logical table. Scale: the
+    planner is O(#files) metadata per table — schedulable across
+    thousands of tables; the rewrites happen only when debt crosses the
+    thresholds, under operator control."""
+    import os as _os
+
+    from ..operators import maintenance as MN
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("maint", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.create_table(
+        base.repartition(3, "o_orderstatus"), root,
+        partition_by="o_orderstatus",
+    )
+    TF.merge_into(
+        spark, root,
+        base.where(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 30000000
+        ),
+        on="o_orderkey", when_matched=None, write_mode="mor",
+    )
+    TF.delete_where(spark, root, "o_orderkey % 7 = 3", mode="mor")
+    plan = MN.plan_maintenance(root, max_files_per_partition=2.0)
+    ops = {a["op"] for a in plan["main"]["actions"]}
+    assert ops == {"compact", "vacuum"}, plan
+    assert plan["main"]["has_dv"] is True
+    res = MN.apply_maintenance(spark, root, plan)
+    assert res["main"]["compacted"] and res["main"]["vacuumed"], res
+    plan2 = MN.plan_maintenance(root, max_files_per_partition=2.0)
+    assert plan2["main"]["actions"] == [], plan2
+    res2 = MN.apply_maintenance(spark, root, plan2)
+    assert res2["main"] == {"compacted": None, "vacuumed": []}, res2
+    cur = TF.current_version(root)
+    vdir = TF._vdir(root, cur)
+    assert not _os.path.isdir(_os.path.join(vdir, "_dv"))
+    raw = spark.read.parquet(vdir)  # RAW files: repairs must be exact
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
