@@ -1173,3 +1173,115 @@ def stats_ttest_groups(spark, sf_dir):
         ).alias("t_stat"),
     )
 
+
+
+@register(
+    "quantile_histogram_drift",
+    f"""
+    WITH cts AS (
+      SELECT o_orderkey AS k, o_orderpriority AS part,
+             {_HIST_CENTS} AS c
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(c) AS lo, MAX(c) - MIN(c) + 1 AS span FROM cts
+    ),
+    binned AS (
+      SELECT part,
+             ((LEAST(lo + span - 1, GREATEST(lo, c)) - lo) * 64) // span
+               AS bin
+      FROM cts, bounds
+    ),
+    hist AS (SELECT part, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+    scope_map(scope, part) AS (VALUES
+      ('all','1-URGENT'), ('all','2-HIGH'), ('all','3-MEDIUM'),
+      ('all','4-NOT SPECIFIED'), ('all','5-LOW'),
+      ('urgent','1-URGENT'), ('urgent','2-HIGH'), ('low','5-LOW')),
+    sh AS (
+      SELECT m.scope, h.bin, SUM(h.n) AS n
+      FROM hist h JOIN scope_map m ON h.part = m.part GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT scope, bin,
+             SUM(n) OVER (PARTITION BY scope ORDER BY bin) AS cum_n,
+             SUM(n) OVER (PARTITION BY scope) AS total_n
+      FROM sh
+    ),
+    spec(q_label, qn, qd) AS (VALUES
+      ('p25',1,4), ('p50',1,2), ('p90',9,10), ('p99',99,100)),
+    hit AS (
+      SELECT c.scope, s.q_label, MIN(c.bin) AS bin,
+             MAX(c.total_n) AS total_n
+      FROM cum c JOIN spec s
+        ON c.cum_n >= (s.qn * c.total_n + s.qd - 1) // s.qd
+      GROUP BY 1, 2
+    )
+    SELECT scope, q_label, CAST(total_n AS BIGINT) AS total_n,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(lo + (bin * span) // 64 AS BIGINT) AS est_cents
+    FROM hit, bounds
+    ORDER BY scope, q_label
+    """,
+)
+def quantile_histogram_drift(spark, sf_dir):
+    """The histogram store's DRIFT lifecycle (r10, verdict item 5): the
+    store is built on the LOW price cohort (o_totalprice < 150000) so its
+    frozen edges cannot represent the tail, then the tail cohort folds in
+    — every tail value clamps into the top bin and the upper quantiles
+    SATURATE (p90 == p99, asserted in-query). drift_report catches it
+    from the clamp counters the refresh tracks (plus a PSI check of
+    current-vs-build bin mass, both O(state)), prescribes
+    rebuild_hist_store, and the rebuild re-freezes the edges from the
+    full snapshot. The DIFFERENTIAL runs against the REBUILT store: the
+    oracle replays the frozen-bin integer arithmetic from scratch with
+    bounds over ALL rows — a hash match proves the rebuild's re-frozen
+    edges, state, and serve arithmetic are exactly the from-scratch
+    build's. Scale: detection is KiB-state math; the rebuild is the one
+    full-scan step, taken only when the flag trips (the KMV repair
+    discipline)."""
+    return _hist_store_estimate_phase(
+        spark, _hist_drift_build(spark, sf_dir)
+    )
+
+
+def _hist_drift_build(spark, sf_dir):
+    """Build phase: low-cohort build, tail fold (clamps), drift flag,
+    rebuild with re-frozen edges."""
+    from ..operators import histstore as HS
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("histdrift", sf_dir)
+    base, store = root + "/orders", root + "/hist"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.create_table(orders.where(F.col("o_totalprice") < 150000), base)
+    HS.build_hist_store(
+        spark, base, store,
+        part_col="o_orderpriority", value_col="o_totalprice",
+        key="o_orderkey", nbins=64,
+    )
+    rep0 = HS.drift_report(spark, store)
+    assert rep0["drifted"] is False, rep0
+    TF.merge_into(
+        spark, base, orders.where(F.col("o_totalprice") >= 150000),
+        on="o_orderkey", when_matched=None,
+    )
+    HS.refresh_hist_store(spark, store)
+    rep1 = HS.drift_report(spark, store)
+    assert rep1["drifted"] is True and rep1["clamp_rate"] == 1.0, rep1
+    # saturation is real pre-rebuild: the tail collapsed into the top bin
+    pre = {
+        (r["scope"], r["q_label"]): r["est_cents"]
+        for r in _hist_store_estimate_phase(spark, store).collect()
+    }
+    assert pre[("all", "p90")] == pre[("all", "p99")], pre
+    HS.rebuild_hist_store(spark, store)
+    rep2 = HS.drift_report(spark, store)
+    assert rep2["drifted"] is False and rep2["n_clamped"] == 0, rep2
+    return store
+
+
+PHASED["quantile_histogram_drift"] = (
+    _hist_drift_build, _hist_store_estimate_phase
+)
