@@ -3626,6 +3626,22 @@ def merge_branch(
     bhist = history(broot)
     mhist = history(root)
 
+    # Crash between an FF's _commit and its meta write: main's head IS
+    # this very merge (action/branch/branch_version match) but the meta
+    # still points at the old fork — a naive re-run would take the
+    # rebase path and report every branch change as a write-write
+    # conflict against its own FF commit. Heal by adopting the already-
+    # committed FF: advance the meta and return it. (Rebase-phase
+    # crashes are covered separately by the txn markers.)
+    if (
+        mhist[-1].get("action") == "merge_branch"
+        and mhist[-1].get("branch") == name
+        and mhist[-1].get("branch_version") == head
+        and cur > base
+    ):
+        _advance_meta(cur, "ff")
+        return {"mode": "ff", "version": cur, "healed": True}
+
     def _cols_at(entries, v):
         return next(
             (

@@ -420,3 +420,27 @@ def test_rebase_main_dropped_column_wins(spark, tmp_path):
     main = T.read_table(spark, root)
     assert main.columns == ["id", "p"]
     assert {x.id for x in main.collect()} == set(range(12))
+
+
+def test_ff_crash_before_meta_write_heals(spark, tmp_path):
+    """Crash between the FF's commit and the branch-meta write: a re-run
+    must ADOPT the committed FF (mode='ff', healed) instead of taking
+    the rebase path and conflicting with its own merge commit."""
+    import json
+
+    root = _mk(spark, tmp_path)
+    br = T.create_branch(root, "exp")
+    mpath = T._branch_meta_path(root, "exp")
+    with open(mpath, encoding="utf-8") as fh:
+        pre_meta = fh.read()
+    T.update_where(spark, br, "id = 3", {"v": "v + 100"})
+    r1 = T.merge_branch(spark, root, "exp", key="id")
+    assert r1["mode"] == "ff"
+    got = _state(spark, root)
+    # simulate the crash: the merge committed but the meta write was lost
+    with open(mpath, "w", encoding="utf-8") as fh:
+        fh.write(pre_meta)
+    r2 = T.merge_branch(spark, root, "exp", key="id")
+    assert r2["mode"] == "ff" and r2.get("healed") is True
+    assert _state(spark, root) == got  # nothing re-applied
+    assert T.merge_branch(spark, root, "exp", key="id")["mode"] == "noop"
