@@ -1285,3 +1285,131 @@ def _hist_drift_build(spark, sf_dir):
 PHASED["quantile_histogram_drift"] = (
     _hist_drift_build, _hist_store_estimate_phase
 )
+
+
+@register(
+    "heavy_hitters_store",
+    f"""
+    WITH all_tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    c0 AS (SELECT token FROM all_tok WHERE doc_id % 5 <> 0),
+    c1 AS (SELECT token FROM all_tok),
+    c2 AS (SELECT token FROM all_tok WHERE doc_id % 100 <> 17),
+    t0 AS (SELECT COUNT(*) AS t FROM c0),
+    t1 AS (SELECT COUNT(*) AS t FROM c1),
+    t2 AS (SELECT COUNT(*) AS t FROM c2),
+    -- depth-4 x width-256 CMS of each corpus (zero buckets absent,
+    -- matching the store's zero-prune invariant)
+    h0 AS (
+      SELECT token, cnt, row, ({_CMS_BUCKET.format(j='row')}) % 256 AS bucket
+      FROM (SELECT token, COUNT(*) AS cnt FROM c0 GROUP BY token),
+           (SELECT unnest(generate_series(0, 3)) AS row)),
+    s0 AS (SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+           FROM h0 GROUP BY 1, 2),
+    h1 AS (
+      SELECT token, cnt, row, ({_CMS_BUCKET.format(j='row')}) % 256 AS bucket
+      FROM (SELECT token, COUNT(*) AS cnt FROM c1 GROUP BY token),
+           (SELECT unnest(generate_series(0, 3)) AS row)),
+    s1 AS (SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+           FROM h1 GROUP BY 1, 2),
+    h2 AS (
+      SELECT token, cnt, row, ({_CMS_BUCKET.format(j='row')}) % 256 AS bucket
+      FROM (SELECT token, COUNT(*) AS cnt FROM c2 GROUP BY token),
+           (SELECT unnest(generate_series(0, 3)) AS row)),
+    s2 AS (SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+           FROM h2 GROUP BY 1, 2),
+    -- est(token, corpus) = min over rows of the token's bucket counters
+    -- (left join + 0: a bucket with no surviving counter reads zero)
+    probe0 AS (
+      SELECT v.token, p.row,
+             ({_CMS_BUCKET.format(j='p.row')}) % 256 AS bucket
+      FROM (SELECT DISTINCT token FROM c0) v,
+           (SELECT unnest(generate_series(0, 3)) AS row) p),
+    e0 AS (
+      SELECT pr.token, MIN(COALESCE(s.counter, 0)) AS est
+      FROM probe0 pr LEFT JOIN s0 s
+        ON s.row = pr.row AND s.bucket = pr.bucket
+      GROUP BY pr.token),
+    cand0 AS (
+      SELECT e0.token FROM e0, t0 WHERE 64 * e0.est >= t0.t),
+    w1 AS (SELECT DISTINCT token FROM all_tok WHERE doc_id % 5 = 0),
+    v1 AS (SELECT token FROM cand0 UNION SELECT token FROM w1),
+    probe1 AS (
+      SELECT v.token, p.row,
+             ({_CMS_BUCKET.format(j='p.row')}) % 256 AS bucket
+      FROM v1 v, (SELECT unnest(generate_series(0, 3)) AS row) p),
+    e1 AS (
+      SELECT pr.token, MIN(COALESCE(s.counter, 0)) AS est
+      FROM probe1 pr LEFT JOIN s1 s
+        ON s.row = pr.row AND s.bucket = pr.bucket
+      GROUP BY pr.token),
+    cand1 AS (
+      SELECT e1.token FROM e1, t1 WHERE 64 * e1.est >= t1.t),
+    w2 AS (SELECT DISTINCT token FROM all_tok WHERE doc_id % 100 = 17),
+    v2 AS (SELECT token FROM cand1 UNION SELECT token FROM w2),
+    probe2 AS (
+      SELECT v.token, p.row,
+             ({_CMS_BUCKET.format(j='p.row')}) % 256 AS bucket
+      FROM v2 v, (SELECT unnest(generate_series(0, 3)) AS row) p),
+    e2 AS (
+      SELECT pr.token, CAST(MIN(COALESCE(s.counter, 0)) AS BIGINT) AS est
+      FROM probe2 pr LEFT JOIN s2 s
+        ON s.row = pr.row AND s.bucket = pr.bucket
+      GROUP BY pr.token),
+    cand2 AS (
+      SELECT e2.token, e2.est FROM e2, t2 WHERE 64 * e2.est >= t2.t)
+    SELECT token, est FROM cand2, t2 WHERE 32 * est >= t2.t
+    ORDER BY token
+    """,
+)
+def heavy_hitters_store(spark, sf_dir):
+    """Incremental heavy-hitters store (operators/freqstore.py, r10) —
+    the frequency member of the incremental-sketch family (KMV distinct
+    counts, histogram quantiles, now CMS heavy tokens). Count-min is a
+    LINEAR sketch, so the store folds EVERY change type exactly: the
+    delete window's pre-image tokens subtract from the counters the same
+    way the histogram store's bin counts do (refresh ≡ rebuild pinned
+    bit-for-bit in tests). The bounded candidate set (≤ 2/θ tokens,
+    margin 2 under the serve threshold) is re-vetted each fold against
+    the window's touched tokens; the lifecycle here — build on 80% of
+    the corpus, fold the remaining inserts, fold an RTBF delete window,
+    serve — is replayed END-TO-END by the oracle: three CMS
+    constructions, the candidate evolution C0→C1→C2 with the same
+    integer margin arithmetic, and the final serve filter. Scale: state
+    is depth×width counters + ≤2/θ candidates (KiB); a refresh shuffles
+    O(window tokens × depth); serving reads zero base data."""
+    return _freq_store_serve(spark, _freq_store_build(spark, sf_dir))
+
+
+def _freq_store_build(spark, sf_dir):
+    """Build phase: 80% build, insert fold, RTBF delete fold."""
+    from ..operators import freqstore as FS
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("freqstore", sf_dir)
+    base, store = root + "/docs", root + "/freq"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    TF.create_table(docs.where(F.col("doc_id") % 5 != 0), base)
+    FS.build_freq_store(
+        spark, base, store, key="doc_id", theta_num=1, theta_den=32
+    )
+    TF.merge_into(
+        spark, base, docs.where(F.col("doc_id") % 5 == 0),
+        on="doc_id", when_matched=None,
+    )
+    FS.refresh_freq_store(spark, store)
+    TF.delete_where(spark, base, "doc_id % 100 = 17")
+    FS.refresh_freq_store(spark, store)
+    st = FS._state(store)
+    assert st["needs_rescan"] is False, st  # mild shrink: margin holds
+    return store
+
+
+def _freq_store_serve(spark, store):
+    """Serve phase: store state only."""
+    from ..operators import freqstore as FS
+
+    return FS.heavy_hitters(spark, store).orderBy("token")
+
+
+PHASED["heavy_hitters_store"] = (_freq_store_build, _freq_store_serve)

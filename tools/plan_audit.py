@@ -92,6 +92,7 @@ BROADCAST_HINT_ALLOWED: dict[str, str] = {
     "graph_triangle_count": "1-row scalar aggregates",
     "graph_bfs_levels": "modulus-bounded 200-row edge relation",
     "cms_heavy_hitters": "fixed w*d CMS sketch",
+    "heavy_hitters_store": "fixed w*d CMS state (KiB)",
     # bounded side relations
     "train_token_packing": "|langs| x 16 chunk-offset rows",
     "pipeline_end_to_end": "|langs| x 16 pack offsets (evalg unhinted)",
