@@ -135,3 +135,30 @@ def test_candidates_stay_bounded(spark, tmp_path):
     cands = T.read_table(spark, store + "/cand").count()
     assert cands == 0
     assert _hh(spark, store) == {}
+
+
+def test_streaming_sink_maintains_freq_store(spark, tmp_path):
+    """Live-pipeline wiring: the exactly-once streaming sink's post_batch
+    hook runs refresh_freq_store, keeping the sketch exact through insert
+    microbatches AND an RTBF delete landing between them; a crash-replayed
+    microbatch stays a no-op (linear sketch + version-driven fold)."""
+    from cernbox_migration_database_spark.streaming.table_sink import (
+        exactly_once_batch_writer,
+    )
+
+    base, store = _mk(spark, tmp_path)
+    apply = exactly_once_batch_writer(
+        base, app_id="freq", key="doc_id",
+        post_batch=lambda sp: FS.refresh_freq_store(sp, store),
+    )
+    apply(_docs(spark, [(10, "a a b"), (11, "k k k")]), 1)
+    T.delete_where(spark, base, "doc_id = 4")  # RTBF between batches
+    apply(_docs(spark, [(12, "a k")]), 2)
+    scratch = str(tmp_path / "scratch_s")
+    FS.build_freq_store(spark, base, scratch, key="doc_id",
+                        theta_num=1, theta_den=5)
+    assert _sketch(spark, store) == _sketch(spark, scratch)
+    assert _hh(spark, store) == _hh(spark, scratch)
+    # crash-replay of microbatch 2: merge no-ops, fold sees no version
+    apply(_docs(spark, [(12, "a k")]), 2)
+    assert _sketch(spark, store) == _sketch(spark, scratch)
