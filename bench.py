@@ -83,6 +83,9 @@ PROBE_HEADLINE = [
     # round-9: the quantile sketch store — estimates served from bin-count
     # states alone (zero base IO at probe time)
     "quantile_histogram_store",
+    # round-10: the heavy-hitters store — candidates vetted against the
+    # broadcast CMS state alone (zero base IO at probe time)
+    "heavy_hitters_store",
 ]
 
 WARM_PASSES = 2
