@@ -35,6 +35,7 @@ Usage: python tools/scale_check.py [k] [sf_dir] [runs]
        python tools/scale_check.py --lshindex [k] [sf_dir] [runs]
        python tools/scale_check.py --clusterindex [k] [sf_dir]
        python tools/scale_check.py --histstore [k] [sf_dir]
+       python tools/scale_check.py --freqstore [k] [sf_dir]
        python tools/scale_check.py --branch [k] [sf_dir]
 Prints one JSON line.
 """
@@ -1217,6 +1218,106 @@ def histstore_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def freqstore_mode_main(argv: list[str]) -> int:
+    """--freqstore: does the heavy-hitters store stay delta-bound and
+    state-bound while the corpus scales? Documents replicated k-fold into
+    disjoint key shards (texts reused — CMS counters scale k-fold, which
+    is fine: the sketch is weight-agnostic). At 1x and kx: (a)
+    ``full_rebuild_sec`` — sketch + candidates from the whole corpus
+    (grows ~k); (b) ``refresh_sec`` — a FIXED-size insert+delete window
+    folded through the change feed (delta-bound claim); (c)
+    ``serve_sec`` — heavy_hitters() from store state alone (state-bound:
+    depth x width counters + <= 2/theta candidates, flat)."""
+    import functools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import freqstore as FS
+    from cernbox_migration_database_spark.operators import table_format as TF
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale-check-freqstore")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    docs.limit(5).count()  # warm-up
+
+    def run(mult: int) -> dict:
+        base_df = functools.reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                docs.select(
+                    (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
+                    "text",
+                    F.lit(i).alias("shard"),
+                )
+                for i in range(mult)
+            ],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            root, store = os.path.join(d, "docs"), os.path.join(d, "freq")
+            TF.create_table(base_df, root, partition_by="shard")
+            t0 = time.monotonic()
+            FS.build_freq_store(
+                spark, root, store, key="doc_id",
+                theta_num=1, theta_den=32,
+            )
+            rebuild_s = time.monotonic() - t0
+            # FIXED-size churn regardless of mult, confined to shard 0
+            # so the CDF snapshot diff stays partition-pruned
+            TF.delete_where(
+                spark, root, "shard = 0 AND doc_id % 97 = 0"
+            )
+            ins = docs.where(F.col("doc_id") % 89 == 0).select(
+                (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                "text",
+                F.lit(0).alias("shard"),
+            )
+            TF.merge_into(
+                spark, root, ins, on="doc_id", when_matched=None
+            )
+            t0 = time.monotonic()
+            FS.refresh_freq_store(spark, store)
+            refresh_s = time.monotonic() - t0
+            t0 = time.monotonic()
+            FS.heavy_hitters(spark, store).collect()
+            serve_s = time.monotonic() - t0
+            return {
+                "full_rebuild_sec": round(rebuild_s, 3),
+                "refresh_sec": round(refresh_s, 3),
+                "serve_sec": round(serve_s, 3),
+            }
+
+    run(1)  # throwaway: pay store-path codegen/JIT before measuring
+    one, kx = run(1), run(k)
+    out = {
+        "mode": "freqstore",
+        "k": k,
+        "sf_dir": sf_dir,
+        "t1": one,
+        "tk": kx,
+        "refresh_ratio_kx_vs_1x": round(
+            kx["refresh_sec"] / one["refresh_sec"], 3
+        ),
+        "serve_ratio_kx_vs_1x": round(
+            kx["serve_sec"] / one["serve_sec"], 3
+        ),
+        "rebuild_ratio_kx_vs_1x": round(
+            kx["full_rebuild_sec"] / one["full_rebuild_sec"], 3
+        ),
+        "refresh_vs_rebuild_at_kx": round(
+            kx["refresh_sec"] / kx["full_rebuild_sec"], 3
+        ),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     if "--_time-one" in argv:  # internal: one (query, dir) in this process
@@ -1250,6 +1351,9 @@ def main() -> int:
     if "--histstore" in argv:
         argv.remove("--histstore")
         return histstore_mode_main(argv)
+    if "--freqstore" in argv:
+        argv.remove("--freqstore")
+        return freqstore_mode_main(argv)
     if "--branch" in argv:
         argv.remove("--branch")
         return branch_mode_main(argv)
