@@ -101,3 +101,47 @@ def test_planner_walks_branch_tree(spark, tmp_path):
     }
     assert plan["branch:child"]["has_dv"] is True
     assert plan["branch:child/branch:grandchild"]["has_dv"] is False
+
+
+def test_planner_maintains_a_sketch_store_state_table(spark, tmp_path):
+    """Composition: an incremental store's state table is itself a
+    versioned table that accretes versions with every fold — the planner
+    finds the retention debt and vacuum reclaims it without breaking the
+    store's serving or its next fold."""
+    from cernbox_migration_database_spark.operators import freqstore as FS
+
+    base, store = str(tmp_path / "docs"), str(tmp_path / "freq")
+    T.create_table(
+        spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, "b b b")],
+            "doc_id long, text string",
+        ),
+        base,
+    )
+    FS.build_freq_store(spark, base, store, key="doc_id",
+                        theta_num=1, theta_den=4)
+    for i in range(3):  # three folds -> three+ sketch-table versions
+        T.merge_into(
+            spark, base,
+            spark.createDataFrame([(10 + i, "a b z")],
+                                  "doc_id long, text string"),
+            on="doc_id",
+        )
+        FS.refresh_freq_store(spark, store)
+    plan = M.plan_maintenance(store + "/sketch")
+    assert any(a["op"] == "vacuum" for a in plan["main"]["actions"]), plan
+    before = FS.heavy_hitters(spark, store).collect()
+    M.apply_maintenance(spark, store + "/sketch", plan)
+    assert M.plan_maintenance(store + "/sketch")["main"]["old_versions"] == []
+    # store still serves and still folds after the reclamation
+    assert FS.heavy_hitters(spark, store).collect() == before
+    T.delete_where(spark, base, "doc_id = 3")
+    FS.refresh_freq_store(spark, store)
+    scratch = str(tmp_path / "scratch")
+    FS.build_freq_store(spark, base, scratch, key="doc_id",
+                        theta_num=1, theta_den=4)
+    sk = lambda s: sorted(
+        (r["row"], r["bucket"], r["counter"])
+        for r in T.read_table(spark, s + "/sketch").collect()
+    )
+    assert sk(store) == sk(scratch)
