@@ -270,17 +270,53 @@ def _vs_baseline(
     return out
 
 
+def _wait_for_idle(max_load: float, timeout: float) -> float:
+    """Block until the 1-min load average drops under ``max_load`` (or
+    the timeout passes); returns the load observed at release — the
+    make_baseline.py gate, now applied to the protocol itself."""
+    deadline = time.monotonic() + timeout
+    while True:
+        load = os.getloadavg()[0]
+        if load < max_load or time.monotonic() > deadline:
+            return load
+        time.sleep(15)
+
+
 def protocol() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # let the previous run's own load decay before sampling the next
     # start load, so load_avg.start reflects CO-TENANT load (the thing
     # that invalidates a run), not our own 1-min residue
     cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45"))
+    # load gate (r10 verdict item 1): BENCH_r10.json was committed from a
+    # protocol whose first run started at load 6.41 and recorded probe
+    # ratios up to 2.5x that the builder's own idle re-run didn't show —
+    # the committed artifact must be clean BY CONSTRUCTION. Each run
+    # waits for the box to go idle (same 1.5 bar the baseline was built
+    # under); a run that still sampled a hot start (co-tenant arrived
+    # between gate and sample) is rejected and retried, bounded by
+    # max_attempts so a permanently-busy box still yields an artifact
+    # (flagged via gate_timed_out + the recorded loads).
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
+    gate_timeout = float(
+        os.environ.get("SPARK_GRAFT_BENCH_GATE_TIMEOUT", "600")
+    )
     here = os.path.abspath(__file__)
     results = []
-    for i in range(runs):
-        if i and cooldown > 0:
+    rejected = 0
+    max_attempts = runs + int(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRIES", "3")
+    )
+    attempt = 0
+    while len(results) < runs and attempt < max_attempts:
+        attempt += 1
+        if attempt > 1 and cooldown > 0:
             time.sleep(cooldown)
+        gate_load = _wait_for_idle(max_load, gate_timeout)
+        print(
+            f"# attempt {attempt}: gate released at load {gate_load:.2f}",
+            file=sys.stderr,
+        )
         out = subprocess.run(
             [sys.executable, here, "--single"],
             capture_output=True,
@@ -291,15 +327,25 @@ def protocol() -> None:
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not lines:
             print(
-                f"# run {i + 1}/{runs} produced no JSON; stderr tail: "
+                f"# attempt {attempt} produced no JSON; stderr tail: "
                 f"{out.stderr[-500:]}",
                 file=sys.stderr,
             )
             continue
         rec = json.loads(lines[-1])
+        start = (rec.get("load_avg") or {}).get("start", 0.0)
+        if start > max_load and attempt < max_attempts:
+            rejected += 1
+            print(
+                f"# attempt {attempt} REJECTED: start load {start} > gate "
+                f"{max_load} (co-tenant arrived after the gate) — retrying",
+                file=sys.stderr,
+            )
+            continue
+        rec["gate_load"] = round(gate_load, 2)
         results.append(rec)
         print(
-            f"# run {i + 1}/{runs}: cold={rec['value']} "
+            f"# run {len(results)}/{runs}: cold={rec['value']} "
             f"warm={rec['warm_total']} load={rec.get('load_avg')}",
             file=sys.stderr,
         )
@@ -356,6 +402,11 @@ def protocol() -> None:
         "spread_cold": [min(colds), max(colds)],
         "spread_warm": [min(warms), max(warms)],
         "load_avg_per_run": [r.get("load_avg") for r in results],
+        "gate": {
+            "max_load": max_load,
+            "gate_loads": [r.get("gate_load") for r in results],
+            "rejected_runs": rejected,
+        },
         "sf": results[0].get("sf"),
     }
     # Full detail goes to a committed sidecar + an EARLY stdout line; the
@@ -383,6 +434,7 @@ def protocol() -> None:
         "max_load": max(
             (r.get("load_avg") or {}).get("start", 0.0) for r in results
         ),
+        "gate": detail["gate"],
         "sf": results[0].get("sf"),
         "detail": "BENCH_DETAIL.json",
     }

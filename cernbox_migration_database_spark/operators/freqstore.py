@@ -178,23 +178,114 @@ def _state(store_root: str) -> dict:
         return json.load(fh)
 
 
+def _prune_zero_counters(spark: SparkSession, sroot: str) -> None:
+    """Delete counter==0 sketch rows (zero buckets are ABSENT by the
+    store invariant; estimates coalesce missing to 0, so this is a space
+    invariant, not a correctness one — safe to re-run in recovery)."""
+    dead = TF.read_table(spark, sroot).where(F.col("counter") == 0)
+    if not dead.isEmpty():
+        TF.merge_into(
+            spark, sroot, dead.select("row", "bucket"),
+            on=["row", "bucket"],
+            when_matched="delete", when_not_matched=None,
+            check_cardinality=False,
+        )
+
+
+def _revet(
+    spark: SparkSession,
+    store_root: str,
+    st: dict,
+    window_tokens: DataFrame,
+    total: int,
+) -> None:
+    """Re-vet (old candidates ∪ window tokens) against the post-fold
+    sketch at ``total``; drop the fallen, add the risen. Idempotent —
+    the keep set is a pure function of (sketch, candidate∪window,
+    total) and both merges replay safely — so crash recovery can run it
+    again. Mutates ``st`` (vet_total ratchet / needs_rescan); the caller
+    persists the state file.
+
+    Soundness anchor (ADVICE r10): a candidate dropped HERE was judged
+    light relative to ``total`` — if the corpus later shrinks past half
+    of ANY total a drop decision was made at, that token can become
+    relatively heavy while untouched, so ``vet_total`` only ratchets UP
+    on a vet (a full rescan re-anchors it down)."""
+    from ..util import tracked_persist
+
+    croot = os.path.join(store_root, "cand")
+    cand = (
+        TF.read_table(spark, croot)
+        .select("token")
+        .union(window_tokens.select("token"))
+        .distinct()
+    )
+    est = _estimates(spark, store_root, cand, st)
+    keep = est.where(
+        2 * F.col("est") * st["theta_den"]
+        >= F.lit(st["theta_num"]) * F.lit(int(total))
+    ).select("token")
+    keep = tracked_persist(keep)
+    old = TF.read_table(spark, croot).select("token")
+    drop = old.join(keep, "token", "left_anti")
+    add = keep.join(old, "token", "left_anti")
+    if not drop.isEmpty():
+        TF.merge_into(
+            spark, croot, drop, on="token",
+            when_matched="delete", when_not_matched=None,
+            check_cardinality=False,
+        )
+    if not add.isEmpty():
+        TF.merge_into(
+            spark, croot, add, on="token",
+            when_matched=None, check_cardinality=False,
+        )
+    st["vet_total"] = max(int(st.get("vet_total", total)), int(total))
+    # margin-2 soundness holds while T ≥ vet_total / 2: below that an
+    # UNTOUCHED token can be relatively-heavy yet never vetted
+    if 2 * int(total) < int(st["vet_total"]):
+        st["needs_rescan"] = True
+
+
 def refresh_freq_store(spark: SparkSession, store_root: str) -> int:
     """Fold the base change window into the sketch (signed counter merge,
     zero rows pruned, negatives raise = double-apply guard) and re-vet
-    the candidate set. Crash-safe via the histstore discipline: the
-    sketch merge carries ``txn=(fs, fold_seq)`` + the window and the
-    folded total delta in ``commit_meta``; recovery re-adopts them.
-    Deletion-heavy drift (total below half the last full-vet total)
-    flags ``needs_rescan`` instead of serving silently-incomplete
-    candidates."""
+    the candidate set. Crash-safe via the histstore discipline EXTENDED
+    to the vet: the sketch merge carries ``txn=(fs, fold_seq)`` + the
+    window and the folded total in ``commit_meta``; recovery re-adopts
+    them AND re-runs the candidate re-vet over that window's tokens
+    (idempotent merges) — adopting the total alone would leave a token
+    that crossed θ·T/2 inside the crashed window permanently unvetted,
+    and ``heavy_hitters`` would serve an incomplete set without raising.
+    Deletion-heavy drift (total below half of any vet-time total) flags
+    ``needs_rescan`` instead of serving silently-incomplete candidates."""
     st = _state(store_root)
     sroot = os.path.join(store_root, "sketch")
     committed = TF.last_txn_entry(sroot, _TXN_APP)
     seq0 = int(st.get("fold_seq", 0))
     if committed is not None and committed["txn_ver"] > seq0:
-        st["base_version"] = int(committed["fs_window"][1])
+        # crash landed between the sketch commit and the state write —
+        # the post-commit phases (zero-prune, candidate re-vet) may not
+        # have run; redo them from the committed window before adopting
+        w_from = int(committed["fs_window"][0])
+        w_to = int(committed["fs_window"][1])
+        st["base_version"] = w_to
         st["total"] = int(committed["fs_total"])
         st["fold_seq"] = seq0 = int(committed["txn_ver"])
+        _prune_zero_counters(spark, sroot)
+        wch = TF.read_changes(
+            spark,
+            st["base_root"],
+            key=st["key"],
+            from_version=w_from,
+            to_version=w_to,
+            include_preimage=True,
+        )
+        _revet(
+            spark, store_root, st,
+            _tokens_signed(wch, st["text_col"]).select("token").distinct(),
+            int(st["total"]),
+        )
         with open(
             os.path.join(store_root, _STATE), "w", encoding="utf-8"
         ) as fh:
@@ -230,53 +321,19 @@ def refresh_freq_store(spark: SparkSession, store_root: str) -> int:
             },
         )
         st["fold_seq"] = seq0 + 1
-        states = TF.read_table(spark, sroot)
-        if not states.where(F.col("counter") < 0).isEmpty():
+        if not TF.read_table(spark, sroot).where(
+            F.col("counter") < 0
+        ).isEmpty():
             raise ValueError(
                 "negative CMS counter after fold — window applied twice?"
             )
-        dead = states.where(F.col("counter") == 0)
-        if not dead.isEmpty():
-            TF.merge_into(
-                spark, sroot, dead.select("row", "bucket"),
-                on=["row", "bucket"],
-                when_matched="delete", when_not_matched=None,
-                check_cardinality=False,
-            )
+        _prune_zero_counters(spark, sroot)
     # re-vet: old candidates ∪ the window's tokens, against post-fold state
-    croot = os.path.join(store_root, "cand")
-    cand = (
-        TF.read_table(spark, croot)
-        .select("token")
-        .union(toks.select("token").distinct())
-        .distinct()
+    _revet(
+        spark, store_root, st, toks.select("token").distinct(), new_total
     )
-    est = _estimates(spark, store_root, cand, st)
-    keep = est.where(
-        2 * F.col("est") * st["theta_den"]
-        >= F.lit(st["theta_num"]) * F.lit(new_total)
-    ).select("token")
-    keep = tracked_persist(keep)
-    old = TF.read_table(spark, croot).select("token")
-    drop = old.join(keep, "token", "left_anti")
-    add = keep.join(old, "token", "left_anti")
-    if not drop.isEmpty():
-        TF.merge_into(
-            spark, croot, drop, on="token",
-            when_matched="delete", when_not_matched=None,
-            check_cardinality=False,
-        )
-    if not add.isEmpty():
-        TF.merge_into(
-            spark, croot, add, on="token",
-            when_matched=None, check_cardinality=False,
-        )
     st["total"] = new_total
     st["base_version"] = cur
-    # margin-2 soundness holds while T ≥ vet_total / 2: below that an
-    # UNTOUCHED token can be relatively-heavy yet never vetted
-    if 2 * new_total < int(st["vet_total"]):
-        st["needs_rescan"] = True
     with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
         json.dump(st, fh)
     return cur

@@ -143,6 +143,23 @@ def _state(store_root: str) -> dict:
         return json.load(fh)
 
 
+def _write_state(store_root: str, st: dict) -> None:
+    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+
+
+def _check_not_rebuilding(st: dict) -> None:
+    """A crashed :func:`rebuild_hist_store` leaves the store between its
+    delete-all and insert (or with new counts under the OLD sidecar
+    edges) — folding into or serving from that state is silently wrong,
+    so every other entry point raises until the rebuild is re-run."""
+    if st.get("rebuilding"):
+        raise ValueError(
+            "hist store rebuild in progress or crashed mid-way — re-run "
+            "rebuild_hist_store() to complete the repair"
+        )
+
+
 def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
     """Fold the base change feed into the store — EVERY change type:
     inserts/update post-images add, deletes/update pre-images subtract.
@@ -159,6 +176,7 @@ def refresh_hist_store(spark: SparkSession, store_root: str) -> int:
     corrupt counts). Zero-prune needs no recovery scoping: the state
     table is KiB-sized, so every refresh checks/prunes it in full."""
     st = _state(store_root)
+    _check_not_rebuilding(st)
     committed = TF.last_txn_entry(store_root, _TXN_APP)
     seq0 = int(st.get("fold_seq", 0))
     if committed is not None and committed["txn_ver"] > seq0:
@@ -275,6 +293,7 @@ def estimate_quantiles(
     (scope, q_label, total_n, bin, est_cents) — a ≤ |scopes|·|quantiles|
     row result computed from KiB of state."""
     st = _state(store_root)
+    _check_not_rebuilding(st)
     lo, span, nbins = st["lo"], st["span"], st["nbins"]
     states = TF.read_table(spark, store_root)
     spec = spark.createDataFrame(
@@ -360,6 +379,7 @@ def drift_report(
     import math
 
     st = _state(store_root)
+    _check_not_rebuilding(st)
     n_added = int(st.get("n_added", 0))
     n_clamped = int(st.get("n_clamped", 0))
     clamp_rate = (n_clamped / n_added) if n_added else 0.0
@@ -399,8 +419,14 @@ def rebuild_hist_store(spark: SparkSession, store_root: str) -> int:
     prescribes. The store table gets a delete-all + insert (two keyed
     merges over KiB of state, versioned like any other commit — the
     sketchstore rebuild discipline), the sidecar gets the new [lo, span],
-    a fresh PSI reference, and zeroed clamp counters. Serving continues
-    to work mid-rebuild via the store's own versioning. Returns the base
+    a fresh PSI reference, and zeroed clamp counters. Crash-safe via a
+    ``rebuilding`` sidecar flag (ADVICE r10): it is written BEFORE the
+    delete-all and cleared only by the final sidecar write, and every
+    other entry point (refresh / estimate / drift) raises while it is up
+    — a crash between the two merges otherwise leaves an empty-or-stale
+    store under the OLD [lo, span], into which later refreshes would
+    silently fold garbage. Re-running rebuild_hist_store completes the
+    repair: the delete-all + insert pair is idempotent. Returns the base
     version the rebuilt store reflects; matches :func:`build_hist_store`
     from scratch bit-for-bit (pinned in tests)."""
     st = _state(store_root)
@@ -414,6 +440,11 @@ def rebuild_hist_store(spark: SparkSession, store_root: str) -> int:
         raise ValueError(
             f"{st['base_root']} has no non-null {st['value_col']} rows"
         )
+    # mark the repair OPEN before any state-table write; the old edges
+    # stay in the sidecar until the final commit below, but nothing may
+    # serve or fold against them while the flag is up
+    st["rebuilding"] = True
+    _write_state(store_root, st)
     st["lo"] = int(row["lo"])
     st["span"] = int(row["hi"]) - int(row["lo"]) + 1
     fresh = (
@@ -443,6 +474,6 @@ def rebuild_hist_store(spark: SparkSession, store_root: str) -> int:
         .agg(F.sum("n").alias("tot"))
         .collect()
     }
-    with open(os.path.join(store_root, _STATE), "w", encoding="utf-8") as fh:
-        json.dump(st, fh)
+    st["rebuilding"] = False
+    _write_state(store_root, st)
     return cur

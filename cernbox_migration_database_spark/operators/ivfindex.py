@@ -19,6 +19,21 @@ ranking names — manifest-planned, no listing, no full-index pass — and
 ranks candidates by the same exact fixed-point cosine as the scan-path
 operators, so indexed results are differentialable against a relational
 oracle recomputing assignment + probe from the raw table.
+
+Drift lifecycle (r10 verdict item 3 — the vector member of the drift
+family histstore/freqstore started): fixed centroids mean a drifting
+corpus silently degrades — new vectors pile into a few hot cells (a
+probe of those cells reads a corpus-scale posting list) and the mean
+quantization error rises (cell membership stops meaning "near this
+centroid", which is what bounds ANN recall). :func:`ivf_drift_report`
+measures both from the INDEX alone — per-cell population PSI against
+the build-time reference plus hot/empty-cell naming, and the mean
+scaled-cosine quantization error vs its build anchor — and prescribes
+the targeted repair: :func:`replan_centroids` splits hot cells (their
+smallest-id members become new centroids) and retires empty ones, then
+:func:`rebuild_ivf_index` re-assigns under the new centroid set in one
+crash-guarded keyed merge. Detection is O(index metadata + one index
+aggregate); repair is O(corpus) — deliberate, loud, never automatic.
 """
 
 from __future__ import annotations
@@ -82,6 +97,9 @@ def build_ivf_index(
         partition_by="cell",
     )
     os.makedirs(index_root, exist_ok=True)
+    # drift anchors (cell mass for PSI, mean quantization error) —
+    # ivf_drift_report measures against the index AS BUILT
+    _drift_refs(spark, index_root, st)
     with open(os.path.join(index_root, _META), "w", encoding="utf-8") as fh:
         json.dump(st, fh)
     return st["base_version"]
@@ -90,6 +108,246 @@ def build_ivf_index(
 def _state(index_root: str) -> dict:
     with open(os.path.join(index_root, _META), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def _write_state(index_root: str, st: dict) -> None:
+    with open(os.path.join(index_root, _META), "w", encoding="utf-8") as fh:
+        json.dump(st, fh)
+
+
+def _check_not_rebuilding(st: dict) -> None:
+    """A crashed :func:`rebuild_ivf_index` may have committed re-assigned
+    rows while the meta still names the OLD centroids — probing or
+    folding against that mismatch is silently wrong, so everything else
+    raises until the rebuild is re-run to completion."""
+    if st.get("rebuilding"):
+        raise ValueError(
+            "ivf index rebuild in progress or crashed mid-way — re-run "
+            "rebuild_ivf_index() to complete the repair"
+        )
+
+
+def _cell_counts(spark: SparkSession, index_root: str) -> dict[int, int]:
+    """Current per-cell populations: one cell-only columnar aggregate
+    over the index (result is ≤ n_cells rows — KiB)."""
+    cells_root = os.path.join(index_root, "cells")
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in TF.read_table(spark, cells_root)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _mean_qerr(spark: SparkSession, index_root: str, st: dict) -> float:
+    """Mean quantization error over the index: avg(1 - cosine(vector,
+    its assigned centroid)) — ONE row-local aggregate (the centroid
+    cosines are plan literals, the row's own `cell` picks one; no join,
+    no shuffle beyond the final scalar). This is the quantity whose rise
+    means cell membership no longer bounds distance — the precondition
+    for IVF recall."""
+    from .similarity import _centroid_cosines
+
+    cents = [(list(c), float(n)) for c, n in st["centroids"]]
+    cells = TF.read_table(spark, os.path.join(index_root, "cells"))
+    own_cos = F.element_at(
+        F.array(*_centroid_cosines(F.col("svec"), F.col("norm"), cents)),
+        F.col("cell").cast("int") + 1,
+    )
+    row = cells.agg(F.avg(F.lit(1.0) - own_cos).alias("qe")).first()
+    return float(row["qe"]) if row["qe"] is not None else 0.0
+
+
+def _drift_refs(spark: SparkSession, index_root: str, st: dict) -> None:
+    """Anchor the drift references to the CURRENT index state (called at
+    build and after a rebuild): per-cell mass for PSI, mean quantization
+    error for the recall proxy."""
+    st["ref_cells"] = {
+        str(c): n for c, n in _cell_counts(spark, index_root).items()
+    }
+    st["ref_qerr"] = _mean_qerr(spark, index_root, st)
+
+
+def ivf_drift_report(
+    spark: SparkSession,
+    index_root: str,
+    psi_threshold: float = 0.2,
+    share_factor: float = 2.0,
+    qerr_ratio_threshold: float = 1.25,
+) -> dict:
+    """Is the frozen centroid set still fit for the corpus it indexes?
+
+    The histstore drift discipline applied to the vector family (r10
+    verdict item 3): at 100 TB with distribution drift, recall decays
+    SILENTLY — new vectors assign to whatever old centroid is least
+    wrong, so the index keeps answering, just badly. Three signals, all
+    from the index alone (never the base table):
+
+    * **cell-population PSI** — current per-cell mass vs the build-time
+      reference (``ref_cells``), same 0.5-count smoothing as
+      histstore.drift_report. Catches reshaping even when no single
+      cell is extreme.
+    * **hot cells** — cells holding more than ``share_factor``× the
+      uniform share (cnt · k > factor · total): their posting lists are
+      what a probe actually reads, so a hot cell is a direct probe-cost
+      regression AND the natural SPLIT target.
+    * **quantization-error ratio** — mean (1 - cosine to own centroid)
+      vs its build anchor (``ref_qerr``): the recall proxy. Rising qerr
+      means vectors sit far from every centroid, so nprobe cells no
+      longer cover the true neighborhood.
+
+    Returns the signals plus ``drifted`` and the prescription:
+    :func:`replan_centroids` (split the named hot cells, retire the
+    empty ones) followed by :func:`rebuild_ivf_index` — targeted
+    re-clustering, not a from-scratch retrain, unless PSI says the whole
+    shape moved."""
+    st = _state(index_root)
+    _check_not_rebuilding(st)
+    import math
+
+    k = len(st["centroids"])
+    cur = _cell_counts(spark, index_root)
+    ref = {int(c): int(n) for c, n in st.get("ref_cells", {}).items()}
+    tot_cur = sum(cur.values())
+    tot_ref = sum(ref.values())
+    psi = 0.0
+    if tot_ref and tot_cur:
+        for c in range(k):
+            p = (ref.get(c, 0) + 0.5) / (tot_ref + 0.5 * k)
+            q = (cur.get(c, 0) + 0.5) / (tot_cur + 0.5 * k)
+            psi += (q - p) * math.log(q / p)
+    hot = sorted(
+        c for c, n in cur.items() if n * k > share_factor * tot_cur
+    )
+    empty = sorted(set(range(k)) - set(cur))
+    qerr = _mean_qerr(spark, index_root, st)
+    ref_qerr = float(st.get("ref_qerr", 0.0))
+    qerr_ratio = (qerr / ref_qerr) if ref_qerr > 0 else 1.0
+    drifted = (
+        psi > psi_threshold
+        or bool(hot)
+        or qerr_ratio > qerr_ratio_threshold
+    )
+    return {
+        "n_cells": k,
+        "total": tot_cur,
+        "psi": round(psi, 6),
+        "psi_threshold": psi_threshold,
+        "hot_cells": hot,
+        "share_factor": share_factor,
+        "empty_cells": empty,
+        "qerr": round(qerr, 9),
+        "ref_qerr": round(ref_qerr, 9),
+        "qerr_ratio": round(qerr_ratio, 6),
+        "qerr_ratio_threshold": qerr_ratio_threshold,
+        "drifted": drifted,
+        "action": (
+            "replan_centroids + rebuild_ivf_index" if drifted else None
+        ),
+    }
+
+
+def replan_centroids(
+    spark: SparkSession,
+    index_root: str,
+    hot_cells: list[int],
+    empty_cells: list[int] | None = None,
+    per_cell: int = 2,
+) -> list[tuple[list[int], float]]:
+    """Targeted re-clustering plan: the new centroid literal list =
+    (old centroids minus the retired empty cells) + for each hot cell
+    its ``per_cell`` smallest-id member vectors promoted to centroids —
+    the classic split-hot/merge-cold repair, DETERMINISTIC (id-ordered
+    member pick, so an oracle can name the same vectors) and bounded
+    (collects per_cell·|hot| rows of KiB centroid data; the hot cells'
+    members are read through the pruned partition scan, never the whole
+    index). Feed the result to :func:`rebuild_ivf_index`; cell ids
+    renumber — every consumer re-derives assignment from the new list."""
+    st = _state(index_root)
+    _check_not_rebuilding(st)
+    retired = set(empty_cells or [])
+    kept = [
+        (list(c), float(n))
+        for i, (c, n) in enumerate(st["centroids"])
+        if i not in retired
+    ]
+    if not hot_cells:
+        return kept
+    cells_root = os.path.join(index_root, "cells")
+    rels = [f"cell={c}" for c in sorted(set(hot_cells))]
+    members = TF.scan_partitions(spark, cells_root, rels)
+    id_col = st["id_col"]
+    picked = (
+        members.select("cell", F.col(id_col).alias("__id"), "svec", "norm")
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                W.partitionBy("cell").orderBy(F.col("__id"))
+            ),
+        )
+        .where(F.col("__r") <= per_cell)
+        .orderBy("cell", "__id")
+        .collect()
+    )
+    return kept + [(list(r["svec"]), float(r["norm"])) for r in picked]
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_root: str,
+    centroids: list[tuple[list[int], float]] | None = None,
+) -> int:
+    """Re-freeze the centroid set and re-assign the whole index under it
+    — the repair :func:`ivf_drift_report` prescribes, O(corpus) and
+    deliberately explicit (the module's "retrain = rebuild, loud"
+    posture, now with a first-class path). The index first folds any
+    pending base changes under the OLD centroids (so membership is
+    current), then ONE keyed upsert merge rewrites every row's
+    (cell, svec, norm) under the new centroids — same id set, so no
+    delete pass exists to crash between.
+
+    Crash-safe via the histstore rebuild discipline: the meta records
+    ``rebuilding`` + the ``pending_centroids`` BEFORE the merge, every
+    other entry point raises while the flag is up, and a re-run resumes
+    with the SAME pending centroids (the merge is an idempotent pure
+    function of (snapshot, centroids)). ``centroids=None`` on a clean
+    index raises — a rebuild without a new plan is a no-op wearing a
+    corpus-scale cost."""
+    st = _state(index_root)
+    if st.get("rebuilding"):
+        # resume the crashed rebuild with its own staged plan
+        pend = st["pending_centroids"]
+        centroids = [(list(c), float(n)) for c, n in pend]
+    else:
+        if centroids is None:
+            raise ValueError(
+                "rebuild_ivf_index needs a new centroid set "
+                "(replan_centroids / kmeans_train + centroid_literals)"
+            )
+        refresh_ivf_index(spark, index_root)
+        st = _state(index_root)
+        st["rebuilding"] = True
+        st["pending_centroids"] = [
+            [list(c), float(n)] for c, n in centroids
+        ]
+        _write_state(index_root, st)
+    new_st = dict(st)
+    new_st["centroids"] = [[list(c), float(n)] for c, n in centroids]
+    cur = st["base_version"]
+    docs = TF.read_table(spark, st["base_root"], cur)
+    TF.merge_into(
+        spark,
+        os.path.join(index_root, "cells"),
+        _assigned(docs, new_st),
+        on=st["id_col"],
+        check_cardinality=False,
+    )
+    new_st.pop("pending_centroids", None)
+    new_st["rebuilding"] = False
+    _drift_refs(spark, index_root, new_st)
+    _write_state(index_root, new_st)
+    return cur
 
 
 def refresh_ivf_index(spark: SparkSession, index_root: str) -> int:

@@ -51,16 +51,9 @@ DEFAULTS = {
 
 
 def _targets(root: str) -> dict[str, str]:
-    out = {"main": root}
-    stack = [("", root)]
-    while stack:
-        prefix, troot = stack.pop()
-        for b in TF.list_branches(troot):
-            label = f"{prefix}branch:{b['name']}"
-            broot = TF.branch_root(troot, b["name"])
-            out[label] = broot
-            stack.append((label + "/", broot))
-    return out
+    # the branch-tree walk is shared with purge_table_tree so the two
+    # sweeps can never drift on branch resolution
+    return dict(TF.walk_branch_tree(root))
 
 
 def _snapshot_stats(vdir: str) -> tuple[int, int, bool]:
@@ -154,6 +147,11 @@ def plan_maintenance(
             "orphans": orphans,
             "pinned_tags": pinned,
             "actions": actions,
+            # the thresholds this plan was computed with: apply executes
+            # the REVIEWED plan, so vacuum must use the keep_last the
+            # old_versions list was derived from, not a fresh default
+            "keep_last": keep_last,
+            "max_files_per_partition": max_files_per_partition,
         }
     return report
 
@@ -162,32 +160,47 @@ def apply_maintenance(
     spark: SparkSession,
     root: str,
     plan: dict | None = None,
-    keep_last: int = DEFAULTS["keep_last"],
+    keep_last: int | None = None,
     orphan_grace_s: float = 3600.0,
 ) -> dict:
     """Execute a :func:`plan_maintenance` plan (or derive one fresh).
 
     One compact per target at most (the two compact reasons share a
-    repair), then vacuum. Returns per-target
+    repair), then vacuum. Vacuum retention comes from the PLAN — each
+    entry records the ``keep_last`` it was priced with, so applying a
+    reviewed plan never deletes beyond what that plan reported. Passing
+    ``keep_last`` explicitly alongside a plan raises on mismatch (re-plan
+    instead — the reviewed old_versions list would no longer describe
+    what vacuum does). Returns per-target
     ``{compacted: version|None, vacuumed: [versions]}``. Idempotent: a
     second pass finds no debt and does nothing.
     """
-    plan = plan if plan is not None else plan_maintenance(
-        root, keep_last=keep_last
-    )
+    if plan is None:
+        plan = plan_maintenance(
+            root,
+            keep_last=DEFAULTS["keep_last"] if keep_last is None
+            else keep_last,
+        )
     targets = _targets(root)
     result: dict = {}
     for name, entry in plan.items():
         troot = targets.get(name)
         if troot is None:
             continue
+        plan_keep = int(entry.get("keep_last", DEFAULTS["keep_last"]))
+        if keep_last is not None and keep_last != plan_keep:
+            raise ValueError(
+                f"apply_maintenance(keep_last={keep_last}) conflicts with "
+                f"the plan's recorded keep_last={plan_keep} for {name!r}; "
+                "re-run plan_maintenance with the intended retention"
+            )
         ops = {a["op"] for a in entry["actions"]}
         out = {"compacted": None, "vacuumed": []}
         if "compact" in ops:
             out["compacted"] = TF.compact(spark, troot)
         if "vacuum" in ops:
             out["vacuumed"] = TF.vacuum(
-                troot, keep_last=keep_last, remove_orphans=True,
+                troot, keep_last=plan_keep, remove_orphans=True,
                 orphan_grace_s=orphan_grace_s,
             )
         result[name] = out

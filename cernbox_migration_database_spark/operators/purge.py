@@ -115,18 +115,10 @@ def purge_table_tree(
     """
     from . import table_format as TF
 
-    # Walk the WHOLE branch tree: a branch is itself a full table root on
-    # which create_branch works, so branches-of-branches exist and hold
-    # the purged rows too — one-level iteration would silently skip them.
-    targets = {"main": root}
-    stack = [("", root)]
-    while stack:
-        prefix, troot = stack.pop()
-        for b in TF.list_branches(troot):
-            label = f"{prefix}branch:{b['name']}"
-            broot = TF.branch_root(troot, b["name"])
-            targets[label] = broot
-            stack.append((label + "/", broot))
+    # Walk the WHOLE branch tree (branches-of-branches hold the purged
+    # rows too) — the walk lives in table_format so purge and the
+    # maintenance planner can never drift on branch resolution.
+    targets = dict(TF.walk_branch_tree(root))
     report: dict = {
         "targets": {},
         "retained_versions": {},

@@ -3496,6 +3496,26 @@ def create_branch(root: str, name: str, version: int | None = None) -> str:
     return broot
 
 
+def walk_branch_tree(root: str) -> list[tuple[str, str]]:
+    """(label, table_root) for ``root`` and EVERY branch, recursively —
+    a branch is itself a full table root on which :func:`create_branch`
+    works, so branches-of-branches exist and any one-level iteration
+    silently skips them. Labels compose as ``branch:a/branch:b``; the
+    root itself is ``main``. The single tree walk shared by
+    :mod:`purge` (RTBF propagation) and :mod:`maintenance` (debt sweep)
+    so branch-resolution semantics cannot drift between them."""
+    out = [("main", root)]
+    stack = [("", root)]
+    while stack:
+        prefix, troot = stack.pop()
+        for b in list_branches(troot):
+            label = f"{prefix}branch:{b['name']}"
+            broot = branch_root(troot, b["name"])
+            out.append((label, broot))
+            stack.append((label + "/", broot))
+    return out
+
+
 def list_branches(root: str) -> list[dict]:
     """All branches, name-sorted; each entry carries the fork point."""
     bdir = os.path.join(root, _BRANCHES)

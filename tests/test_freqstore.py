@@ -162,3 +162,80 @@ def test_streaming_sink_maintains_freq_store(spark, tmp_path):
     # crash-replay of microbatch 2: merge no-ops, fold sees no version
     apply(_docs(spark, [(12, "a k")]), 2)
     assert _sketch(spark, store) == _sketch(spark, scratch)
+
+
+def test_grow_then_shrink_trips_rescan_via_vet_anchor(spark, tmp_path):
+    """ADVICE r10 soundness hole: a candidate dropped at a vet while the
+    corpus was GROWN can become relatively heavy again when the corpus
+    shrinks back toward the build total — the old `2·T < vet_total(build)`
+    check never tripped, so heavy_hitters silently omitted a true heavy
+    hitter. The anchor must ratchet to the max total any drop decision
+    was made at."""
+    rows = [(1, "z z z"), (2, "a b c d e f g")]  # total 10, θ=1/4 → z heavy
+    base, store = _mk(spark, tmp_path, rows=rows, theta=(1, 4))
+    assert set(_hh(spark, store)) == {"z"}
+    # grow to 40 tokens: at the vet, z (est 3) falls under θ·T/2 = 5 and
+    # is DROPPED — a drop decision anchored at total 40
+    filler = [
+        (10 + d, " ".join(f"f{d}_{i}" for i in range(10))) for d in range(3)
+    ]
+    T.merge_into(spark, base, _docs(spark, filler), on="doc_id")
+    FS.refresh_freq_store(spark, store)
+    st = FS._state(store)
+    assert st["total"] == 40 and st["vet_total"] == 40  # ratcheted up
+    assert T.read_table(spark, store + "/cand").count() == 0
+    # shrink back to 10: z (untouched by either window) is heavy again
+    T.delete_where(spark, base, "doc_id >= 10")
+    FS.refresh_freq_store(spark, store)
+    st = FS._state(store)
+    assert st["total"] == 10
+    assert st["needs_rescan"] is True  # 2·10 < 40, the ratcheted anchor
+    with pytest.raises(ValueError, match="rescan"):
+        FS.heavy_hitters(spark, store)
+    FS.rescan_candidates(spark, store)
+    got = _hh(spark, store)
+    assert set(got) == {"z"} and got["z"] >= 3
+    assert FS._state(store)["vet_total"] == 10  # full vet re-anchors down
+
+
+def test_crash_between_sketch_commit_and_vet_recovers_the_vet(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 crash-recovery gap: a refresh that commits the sketch
+    merge but dies before the candidate re-vet used to be adopted as
+    complete on the next refresh — a token that crossed θ·T/2 inside
+    that window was permanently unvetted and heavy_hitters served an
+    incomplete set without raising. Recovery must re-run the vet over
+    the committed window's tokens."""
+    base, store = _mk(spark, tmp_path, theta=(1, 3))  # total 17 at build
+    T.merge_into(
+        spark, base, _docs(spark, [(6, "k k k k k k k k")]), on="doc_id"
+    )
+    real = FS._revet
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before vet")
+
+    monkeypatch.setattr(FS, "_revet", boom)
+    with pytest.raises(RuntimeError, match="crash before vet"):
+        FS.refresh_freq_store(spark, store)
+    monkeypatch.setattr(FS, "_revet", real)
+    # sketch committed, state + candidates stale — 'k' is not yet vetted
+    assert FS._state(store)["fold_seq"] == 0
+    assert "k" not in {
+        r["token"]
+        for r in T.read_table(spark, store + "/cand").collect()
+    }
+    # the next refresh adopts the committed fold AND redoes the vet
+    v = FS.refresh_freq_store(spark, store)
+    assert v == T.current_version(base)
+    st = FS._state(store)
+    assert st["fold_seq"] == 1
+    got = _hh(spark, store)
+    assert got.get("k", 0) >= 8  # served — the window's riser was vetted
+    # and the whole store equals a from-scratch build
+    scratch = str(tmp_path / "scratch_v")
+    FS.build_freq_store(spark, base, scratch, key="doc_id",
+                        theta_num=1, theta_den=3)
+    assert _sketch(spark, store) == _sketch(spark, scratch)
+    assert _hh(spark, scratch) == got

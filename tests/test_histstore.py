@@ -281,3 +281,60 @@ def test_psi_drift_inside_range_trips_without_clamping(spark, tmp_path):
     rep = HS.drift_report(spark, store)
     assert rep["n_clamped"] == 0 and rep["clamp_rate"] == 0.0
     assert rep["psi"] > 0.2 and rep["drifted"] is True
+
+
+def test_crashed_rebuild_is_loud_and_repairable(spark, tmp_path, monkeypatch):
+    """ADVICE r10: rebuild_hist_store runs a delete-all merge then an
+    insert merge — a crash between them used to leave an empty store
+    under the OLD sidecar edges, into which later refreshes silently
+    folded garbage and quantiles served nonsense. The `rebuilding`
+    sidecar flag must make every entry point raise until a re-run
+    completes the repair."""
+    base, store = _mk(spark, tmp_path)
+    drifted = [(100 + i, "a", 500.0 + i) for i in range(20)]
+    TF.merge_into(spark, base, _df(spark, drifted), on="k")
+    HS.refresh_hist_store(spark, store)
+    assert HS.drift_report(spark, store)["drifted"] is True
+
+    real = TF.merge_into
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # 1 = delete-all, 2 = insert
+            raise RuntimeError("crash mid-rebuild")
+        return real(*a, **k)
+
+    monkeypatch.setattr(TF, "merge_into", boom)
+    with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+        HS.rebuild_hist_store(spark, store)
+    monkeypatch.setattr(TF, "merge_into", real)
+
+    # the store is mid-repair: state table emptied, sidecar still holds
+    # the pre-rebuild edges — every consumer must refuse to touch it
+    assert HS._state(store)["rebuilding"] is True
+    for fn in (
+        lambda: HS.refresh_hist_store(spark, store),
+        lambda: HS.estimate_quantiles(spark, store, {"all": None}).collect(),
+        lambda: HS.drift_report(spark, store),
+    ):
+        with pytest.raises(ValueError, match="rebuild"):
+            fn()
+
+    # re-running the rebuild completes the repair exactly
+    HS.rebuild_hist_store(spark, store)
+    st = HS._state(store)
+    assert st["rebuilding"] is False
+    scratch_store = str(tmp_path / "scratch_crash")
+    HS.build_hist_store(
+        spark, base, scratch_store,
+        part_col="part", value_col="price", key="k", nbins=NBINS,
+    )
+    assert _hist_rows(spark, store) == _hist_rows(spark, scratch_store)
+    assert HS.drift_report(spark, store)["drifted"] is False
+    # and it keeps folding afterwards
+    TF.delete_where(spark, base, "k = 101")
+    HS.refresh_hist_store(spark, store)
+    assert _hist_rows(spark, store) == _scratch_hist(
+        spark, base, HS._state(store)
+    )

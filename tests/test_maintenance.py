@@ -145,3 +145,28 @@ def test_planner_maintains_a_sketch_store_state_table(spark, tmp_path):
         for r in T.read_table(spark, s + "/sketch").collect()
     )
     assert sk(store) == sk(scratch)
+
+
+def test_apply_uses_the_plans_recorded_keep_last(spark, tmp_path):
+    """ADVICE r10: apply_maintenance used to vacuum with its own default
+    keep_last regardless of what the reviewed plan was computed with —
+    versions the plan never reported as debt were deleted. The plan now
+    records its thresholds and apply honors them, erroring on an
+    explicit conflicting override."""
+    root = _mk(spark, tmp_path)
+    for i in range(5):  # versions v1..v6
+        T.delete_where(spark, root, f"id = {i}")
+    plan = M.plan_maintenance(root, keep_last=4)
+    assert plan["main"]["keep_last"] == 4
+    assert plan["main"]["old_versions"] == [1, 2]
+    # an explicit override that contradicts the reviewed plan is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_last"):
+        M.apply_maintenance(spark, root, plan, keep_last=2)
+    assert os.path.isdir(T._vdir(root, 3))  # nothing was deleted
+    # apply with the plan alone vacuums exactly what the plan priced
+    M.apply_maintenance(spark, root, plan)
+    assert not os.path.isdir(T._vdir(root, 2))
+    assert os.path.isdir(T._vdir(root, 3))  # keep_last=4 kept v3..v6
+    assert os.path.isdir(T._vdir(root, 6))
