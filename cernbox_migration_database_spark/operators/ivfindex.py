@@ -169,6 +169,39 @@ def _drift_refs(spark: SparkSession, index_root: str, st: dict) -> None:
     st["ref_qerr"] = _mean_qerr(spark, index_root, st)
 
 
+def population_drift(
+    cur: dict[int, int],
+    ref: dict[int, int],
+    k: int,
+    psi_threshold: float,
+    share_factor: float,
+) -> dict:
+    """Shared cell-population drift arithmetic (this module + ivfpqindex):
+    PSI of current vs reference cell mass (histstore's 0.5 smoothing),
+    hot cells above ``share_factor``× the uniform share, empty cells."""
+    import math
+
+    tot_cur = sum(cur.values())
+    tot_ref = sum(ref.values())
+    psi = 0.0
+    if tot_ref and tot_cur:
+        for c in range(k):
+            p = (ref.get(c, 0) + 0.5) / (tot_ref + 0.5 * k)
+            q = (cur.get(c, 0) + 0.5) / (tot_cur + 0.5 * k)
+            psi += (q - p) * math.log(q / p)
+    return {
+        "n_cells": k,
+        "total": tot_cur,
+        "psi": round(psi, 6),
+        "psi_threshold": psi_threshold,
+        "hot_cells": sorted(
+            c for c, n in cur.items() if n * k > share_factor * tot_cur
+        ),
+        "share_factor": share_factor,
+        "empty_cells": sorted(set(range(k)) - set(cur)),
+    }
+
+
 def ivf_drift_report(
     spark: SparkSession,
     index_root: str,
@@ -204,48 +237,31 @@ def ivf_drift_report(
     shape moved."""
     st = _state(index_root)
     _check_not_rebuilding(st)
-    import math
-
-    k = len(st["centroids"])
-    cur = _cell_counts(spark, index_root)
-    ref = {int(c): int(n) for c, n in st.get("ref_cells", {}).items()}
-    tot_cur = sum(cur.values())
-    tot_ref = sum(ref.values())
-    psi = 0.0
-    if tot_ref and tot_cur:
-        for c in range(k):
-            p = (ref.get(c, 0) + 0.5) / (tot_ref + 0.5 * k)
-            q = (cur.get(c, 0) + 0.5) / (tot_cur + 0.5 * k)
-            psi += (q - p) * math.log(q / p)
-    hot = sorted(
-        c for c, n in cur.items() if n * k > share_factor * tot_cur
+    rep = population_drift(
+        _cell_counts(spark, index_root),
+        {int(c): int(n) for c, n in st.get("ref_cells", {}).items()},
+        len(st["centroids"]),
+        psi_threshold,
+        share_factor,
     )
-    empty = sorted(set(range(k)) - set(cur))
     qerr = _mean_qerr(spark, index_root, st)
     ref_qerr = float(st.get("ref_qerr", 0.0))
     qerr_ratio = (qerr / ref_qerr) if ref_qerr > 0 else 1.0
-    drifted = (
-        psi > psi_threshold
-        or bool(hot)
+    rep.update(
+        qerr=round(qerr, 9),
+        ref_qerr=round(ref_qerr, 9),
+        qerr_ratio=round(qerr_ratio, 6),
+        qerr_ratio_threshold=qerr_ratio_threshold,
+    )
+    rep["drifted"] = (
+        rep["psi"] > psi_threshold
+        or bool(rep["hot_cells"])
         or qerr_ratio > qerr_ratio_threshold
     )
-    return {
-        "n_cells": k,
-        "total": tot_cur,
-        "psi": round(psi, 6),
-        "psi_threshold": psi_threshold,
-        "hot_cells": hot,
-        "share_factor": share_factor,
-        "empty_cells": empty,
-        "qerr": round(qerr, 9),
-        "ref_qerr": round(ref_qerr, 9),
-        "qerr_ratio": round(qerr_ratio, 6),
-        "qerr_ratio_threshold": qerr_ratio_threshold,
-        "drifted": drifted,
-        "action": (
-            "replan_centroids + rebuild_ivf_index" if drifted else None
-        ),
-    }
+    rep["action"] = (
+        "replan_centroids + rebuild_ivf_index" if rep["drifted"] else None
+    )
+    return rep
 
 
 def replan_centroids(
@@ -256,14 +272,23 @@ def replan_centroids(
     per_cell: int = 2,
 ) -> list[tuple[list[int], float]]:
     """Targeted re-clustering plan: the new centroid literal list =
-    (old centroids minus the retired empty cells) + for each hot cell
-    its ``per_cell`` smallest-id member vectors promoted to centroids —
-    the classic split-hot/merge-cold repair, DETERMINISTIC (id-ordered
-    member pick, so an oracle can name the same vectors) and bounded
-    (collects per_cell·|hot| rows of KiB centroid data; the hot cells'
-    members are read through the pruned partition scan, never the whole
-    index). Feed the result to :func:`rebuild_ivf_index`; cell ids
-    renumber — every consumer re-derives assignment from the new list."""
+    (old centroids minus the retired empty cells) + ``per_cell`` split
+    seeds promoted from each hot cell's own members — the classic
+    split-hot/merge-cold repair. Seeds are picked by DETERMINISTIC
+    greedy farthest-point (Gonzalez k-center) ANCHORED AT THE CELL'S OWN
+    OLD CENTROID: each pick is the member whose best cosine to {old
+    centroid} ∪ {seeds so far} is LOWEST (ties → smallest id). The
+    anchor matters — a hot cell typically holds its original well-
+    represented cluster PLUS the drifted mass, and an unanchored pick
+    would re-elect a copy of the old centroid (wasting the seed and
+    leaving an empty duplicate cell); anchored, every seed lands in the
+    part of the cell the centroid does NOT cover, which is the drift.
+    Each pick is one ordered limit-1 read over the hot cell's pruned
+    partition scan (never the whole index; per_cell·|hot| driver rows
+    of KiB centroid data), and the id-ordered tie-breaks mean an oracle
+    can name the exact same vectors. Feed the result to
+    :func:`rebuild_ivf_index`; cell ids renumber — every consumer
+    re-derives assignment from the new list."""
     st = _state(index_root)
     _check_not_rebuilding(st)
     retired = set(empty_cells or [])
@@ -275,22 +300,37 @@ def replan_centroids(
     if not hot_cells:
         return kept
     cells_root = os.path.join(index_root, "cells")
-    rels = [f"cell={c}" for c in sorted(set(hot_cells))]
-    members = TF.scan_partitions(spark, cells_root, rels)
     id_col = st["id_col"]
-    picked = (
-        members.select("cell", F.col(id_col).alias("__id"), "svec", "norm")
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                W.partitionBy("cell").orderBy(F.col("__id"))
-            ),
-        )
-        .where(F.col("__r") <= per_cell)
-        .orderBy("cell", "__id")
-        .collect()
-    )
-    return kept + [(list(r["svec"]), float(r["norm"])) for r in picked]
+    promoted: list[tuple[list[int], float]] = []
+    for cell in sorted(set(hot_cells)):
+        members = TF.scan_partitions(
+            spark, cells_root, [f"cell={cell}"]
+        ).select(F.col(id_col).alias("__id"), "svec", "norm")
+        oc, on = st["centroids"][cell]
+        chosen = [(list(oc), float(on))]  # anchor: the old centroid
+        for _ in range(per_cell):
+            cos_cols = [
+                cosine_scaled(
+                    F.col("svec"),
+                    F.array(*[F.lit(int(v)).cast("long") for v in sv]),
+                    F.col("norm"),
+                    F.lit(float(nn)),
+                )
+                for sv, nn in chosen
+            ]
+            best = (
+                F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
+            )
+            nxt = (
+                members.withColumn("__best", best)
+                .orderBy(F.col("__best").asc(), F.col("__id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            pick = (list(nxt["svec"]), float(nxt["norm"]))
+            chosen.append(pick)
+            promoted.append(pick)
+    return kept + promoted
 
 
 def rebuild_ivf_index(
@@ -356,6 +396,7 @@ def refresh_ivf_index(spark: SparkSession, index_root: str) -> int:
     id (one index row per vector), so inserts/deletes/updates all fold
     exactly — the index stays a pure function of (snapshot, centroids)."""
     st = _state(index_root)
+    _check_not_rebuilding(st)
     cur = TF.current_version(st["base_root"])
     if cur == st["base_version"]:
         return cur
@@ -414,6 +455,7 @@ def probe_ivf_index(
     selective predicate can empty the probed cells while matches exist in
     unprobed ones — raise nprobe for selective filters."""
     st = _state(index_root)
+    _check_not_rebuilding(st)
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
     cells_root = os.path.join(index_root, "cells")
     id_col = st["id_col"]

@@ -90,6 +90,10 @@ def build_ivfpq_index(
         partition_by="cell",
     )
     os.makedirs(index_root, exist_ok=True)
+    # drift anchor: per-cell population at build, for ivfpq_drift_report
+    st["ref_cells"] = {
+        str(c): n for c, n in _cell_counts(spark, index_root).items()
+    }
     with open(os.path.join(index_root, _META), "w", encoding="utf-8") as fh:
         json.dump(st, fh)
     return st["base_version"]
@@ -98,6 +102,53 @@ def build_ivfpq_index(
 def _state(index_root: str) -> dict:
     with open(os.path.join(index_root, _META), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def _cell_counts(spark: SparkSession, index_root: str) -> dict[int, int]:
+    """Current per-cell populations — one cell-only columnar aggregate
+    over the code table (≤ n_cells result rows)."""
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in TF.read_table(spark, os.path.join(index_root, "codes"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def ivfpq_drift_report(
+    spark: SparkSession,
+    index_root: str,
+    psi_threshold: float = 0.2,
+    share_factor: float = 2.0,
+) -> dict:
+    """Cell-population drift for the packed-code index: PSI of current
+    vs build-time cell mass plus hot/empty-cell naming (the shared
+    :func:`ivfindex.population_drift` arithmetic). The code table holds
+    CODES, not vectors, so the quantization-error signal the full-vector
+    index adds (ivf_drift_report's ``qerr``) is not measurable from this
+    index alone — production IVF-PQ deployments keep the ivfindex-style
+    full-vector index (or a sample of it) beside the code table for
+    exactly this reason. Prescription on drift: rebuild with retrained
+    quantizers (:func:`build_ivfpq_index` — the module's retrain =
+    rebuild, loud posture)."""
+    from .ivfindex import population_drift
+
+    st = _state(index_root)
+    rep = population_drift(
+        _cell_counts(spark, index_root),
+        {int(c): int(n) for c, n in st.get("ref_cells", {}).items()},
+        len(st["centroids"]),
+        psi_threshold,
+        share_factor,
+    )
+    rep["drifted"] = rep["psi"] > psi_threshold or bool(rep["hot_cells"])
+    rep["action"] = (
+        "rebuild (build_ivfpq_index with retrained quantizers)"
+        if rep["drifted"]
+        else None
+    )
+    return rep
 
 
 def refresh_ivfpq_index(spark: SparkSession, index_root: str) -> int:

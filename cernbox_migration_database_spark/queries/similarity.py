@@ -1441,3 +1441,219 @@ def similarity_maxsim(spark, sf_dir):
         ).alias("maxsim")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Vector-index drift lifecycle (r10 verdict item 3): the IVF family's
+# analogue of quantile_histogram_drift — build on the original corpus,
+# fold a DRIFTED insert cohort (a new direction the frozen centroids
+# never saw), detect (hot cell + PSI), repair with the targeted
+# split-rebuild, and differential the POST-REBUILD probe against an
+# oracle replaying the entire lifecycle: assignment under the old
+# centroids, hot/empty-cell arithmetic, the anchored farthest-point
+# split-seed picks, re-assignment under the new centroid list, and the
+# nprobe probe — all in exact fixed-point arithmetic.
+# ---------------------------------------------------------------------------
+
+_IVF_DRIFT_K = 16
+_IVF_DRIFT_SHARE = (3, 2)  # share_factor 1.5 as an exact integer ratio
+
+
+def _ivf_drift_oracle() -> str:
+    dot_ve = _dot_sql("v.emb", "c.cemb")
+    dot_ms1 = _dot_sql("m.emb", "s.emb")
+    dot_mc = _dot_sql("m.emb", "c.cemb")
+    dot_v2 = _dot_sql("v.emb", "c2.cemb")
+    dot_qn = _dot_sql("q.emb", "n.emb")
+    k = _IVF_DRIFT_K
+    num, den = _IVF_DRIFT_SHARE
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      -- the drifted re-embedding: x/16 + 4 (both exact binary-float
+      -- ops), stored back through REAL because the corpus column is
+      -- float32 — the same double->float rounding Spark's write does
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding,
+                            x -> CAST(CAST(CAST(x AS DOUBLE) * 0.0625
+                                       + 4.0 AS REAL) AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id % 5 = 4),
+    nv AS (
+      SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM corpus),
+    cents AS (
+      SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+      FROM nv WHERE vec_id < {k}),
+    -- assignment under the OLD centroids (argmax cosine, ties -> lowest
+    -- centroid index, matching cell_of's array_position-first contract)
+    ac AS (
+      SELECT v.vec_id, c.cent_id, {dot_ve} / (v.nrm * c.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents c),
+    rc AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS r
+      FROM ac),
+    asg AS (SELECT vec_id, cent_id AS cell FROM rc WHERE r = 1),
+    counts AS (SELECT cell, COUNT(*) AS n FROM asg GROUP BY cell),
+    tot AS (SELECT COUNT(*) AS t FROM asg),
+    -- hot: n*k > share_factor*t with share_factor = {num}/{den}
+    hot AS (SELECT cell FROM counts, tot WHERE n * {k} * {den} > {num} * t),
+    kept AS (
+      SELECT cent_id, cemb, cnrm FROM cents
+      WHERE cent_id IN (SELECT cell FROM counts)),
+    members AS (
+      SELECT a.cell, v.vec_id, v.emb, v.nrm
+      FROM asg a JOIN nv v USING (vec_id)
+      WHERE a.cell IN (SELECT cell FROM hot)),
+    -- anchored farthest-point split seeds, per_cell = 2:
+    -- s1 = member with the LOWEST cosine to its cell's old centroid
+    s1 AS (
+      SELECT cell, vec_id, emb, nrm FROM (
+        SELECT m.cell, m.vec_id, m.emb, m.nrm,
+               ROW_NUMBER() OVER (PARTITION BY m.cell
+                 ORDER BY {dot_mc} / (m.nrm * c.cnrm) ASC, m.vec_id) AS rr
+        FROM members m JOIN cents c ON c.cent_id = m.cell)
+      WHERE rr = 1),
+    -- s2 = member minimizing max(cos to old centroid, cos to s1)
+    s2 AS (
+      SELECT cell, vec_id, emb, nrm FROM (
+        SELECT m.cell, m.vec_id, m.emb, m.nrm,
+               ROW_NUMBER() OVER (PARTITION BY m.cell
+                 ORDER BY greatest({dot_mc} / (m.nrm * c.cnrm),
+                                   {dot_ms1} / (m.nrm * s.nrm)) ASC,
+                          m.vec_id) AS rr
+        FROM members m
+             JOIN cents c ON c.cent_id = m.cell
+             JOIN s1 s ON s.cell = m.cell)
+      WHERE rr = 1),
+    -- the new centroid list: kept old centroids in index order, then the
+    -- split seeds in (hot cell asc, pick order) — positions must match
+    -- replan_centroids exactly because argmax/probe ties break on them
+    cents2 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY grp, o1, o2) - 1 AS cid,
+             cemb, cnrm
+      FROM (
+        SELECT 0 AS grp, cent_id AS o1, 0 AS o2, cemb, cnrm FROM kept
+        UNION ALL
+        SELECT 1, cell, 1, emb, nrm FROM s1
+        UNION ALL
+        SELECT 1, cell, 2, emb, nrm FROM s2)),
+    ac2 AS (
+      SELECT v.vec_id, c2.cid, {dot_v2} / (v.nrm * c2.cnrm) AS ccos
+      FROM nv v CROSS JOIN cents2 c2),
+    rc2 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cid) AS r
+      FROM ac2),
+    cells2 AS (SELECT vec_id, cid AS cell FROM rc2 WHERE r = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM rc2
+      WHERE r <= 4
+        AND (vec_id < 10 OR (vec_id >= 10000 AND vec_id < 10050))),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN cells2 m USING (cell)
+      WHERE m.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {dot_qn} / (q.nrm * n.nrm) AS cosine
+      FROM cand JOIN nv q ON q.vec_id = cand.query_id
+                JOIN nv n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("similarity_ivf_drift", _ivf_drift_oracle())
+def similarity_ivf_drift(spark, sf_dir):
+    """IVF drift lifecycle (operators/ivfindex.py, r11) — the vector
+    member of the drift family (histstore clamp/PSI, freqstore vet
+    anchor): frozen centroids + a drifting corpus silently decay recall
+    and pile probe cost into hot cells, so the index now measures its
+    own misfit and prescribes a targeted repair. The lifecycle here —
+    build on the original embeddings, insert-fold a drifted cohort
+    (every fifth vector re-embedded into a direction the centroids never
+    saw — at 100 TB this is an embedding-model upgrade landing in the
+    live corpus), ivf_drift_report trips on the hot cell, the anchored
+    farthest-point split promotes drift-side members to centroids, and
+    rebuild_ivf_index re-assigns under the new set (crash-guarded) —
+    is asserted in-query, and the DIFFERENTIAL runs the post-rebuild
+    probe against an oracle replaying the whole lifecycle in exact
+    fixed-point arithmetic (assignment, hot-cell counting, both greedy
+    seed picks, re-assignment, nprobe probe). Scale: detection is one
+    cell-count aggregate + one row-local qerr aggregate over the index;
+    the split reads only hot-cell partitions; the rebuild is the one
+    deliberate O(corpus) step."""
+    return _ivf_drift_probe_phase(spark, _ivf_drift_build(spark, sf_dir))
+
+
+def _ivf_drift_build(spark, sf_dir):
+    """Build phase: build on the original corpus, fold the drifted
+    cohort, detect, split, rebuild — asserting each lifecycle stage."""
+    from ..operators import ivfindex as IX
+    from ..operators import table_format as TF
+
+    num, den = _IVF_DRIFT_SHARE
+    share = num / den
+    root = _versioned_scratch("ivfdrift", sf_dir)
+    base, idx = root + "/emb", root + "/idx"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    TF.create_table(emb, base)
+    IX.build_ivf_index(
+        spark, base, idx, S.seed_centroids(emb, k=_IVF_DRIFT_K)
+    )
+    rep0 = IX.ivf_drift_report(spark, idx, share_factor=share)
+    assert rep0["drifted"] is False, rep0
+    # the drifted cohort: a fresh direction (x -> x/16 + 4, exact in
+    # binary floating point on both engines) under new ids
+    drifted = emb.where(F.col("vec_id") % 5 == 4).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (
+                x.cast("double") * F.lit(0.0625) + F.lit(4.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    TF.merge_into(spark, base, drifted, on="vec_id", when_matched=None)
+    IX.refresh_ivf_index(spark, idx)
+    rep1 = IX.ivf_drift_report(spark, idx, share_factor=share)
+    assert rep1["drifted"] is True and rep1["hot_cells"], rep1
+    new_cents = IX.replan_centroids(
+        spark, idx, rep1["hot_cells"], rep1["empty_cells"], per_cell=2
+    )
+    IX.rebuild_ivf_index(spark, idx, new_cents)
+    rep2 = IX.ivf_drift_report(spark, idx, share_factor=share)
+    # references re-anchor and the misfit measurably falls: the drifted
+    # mass now has its own centroids instead of the least-wrong old one
+    assert rep2["psi"] == 0.0 and rep2["qerr_ratio"] == 1.0, rep2
+    assert rep2["qerr"] < rep1["qerr"], (rep1["qerr"], rep2["qerr"])
+    return (sf_dir, base, idx)
+
+
+def _ivf_drift_probe_phase(spark, ctx):
+    """Probe phase: nprobe reads against the REBUILT index."""
+    from ..operators import ivfindex as IX
+    from ..operators import table_format as TF
+
+    sf_dir, base, idx = ctx
+    corpus = TF.read_table(spark, base)
+    queries = corpus.where(
+        (F.col("vec_id") < 10)
+        | ((F.col("vec_id") >= 10000) & (F.col("vec_id") < 10050))
+    )
+    return IX.probe_ivf_index(
+        spark, idx, queries, nprobe=4, top_k=5
+    ).orderBy("query_id", "rank")
+
+
+PHASED["similarity_ivf_drift"] = (_ivf_drift_build, _ivf_drift_probe_phase)

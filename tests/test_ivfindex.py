@@ -174,3 +174,166 @@ def test_base_compaction_is_a_content_noop_for_refresh(spark, tmp_path):
         for r in TF.read_table(spark, os.path.join(idx, "cells")).collect()
     )
     assert after == before
+
+
+def _recall(spark, base, idx, query_ids, nprobe=2, k=3):
+    """recall@k of the index probe against exact brute force."""
+    corpus = TF.read_table(spark, base)
+    queries = corpus.where(F.col("vec_id").isin(list(query_ids)))
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in IX.probe_ivf_index(
+            spark, idx, queries, nprobe=nprobe, top_k=k
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(corpus, queries, top_k=k).collect()
+    }
+    return len(got & want) / len(want)
+
+
+def test_drift_lifecycle_split_hot_cell_and_rebuild(spark, tmp_path):
+    """r10 verdict item 3: the vector member of the drift family. A
+    drifted insert cohort piles into one cell — the report must flag it
+    (hot cell + PSI + quantization-error rise) BEFORE recall falls below
+    the 0.6 bar, and the targeted split-rebuild must restore balance
+    while probes keep matching the one-shot oracle."""
+    base, idx, cents = _mk(spark, tmp_path, ids=range(30))
+    rep0 = IX.ivf_drift_report(spark, idx, share_factor=1.5)
+    assert rep0["drifted"] is False and rep0["hot_cells"] == []
+    assert rep0["psi"] == 0.0 and rep0["qerr_ratio"] == 1.0
+    assert _recall(spark, base, idx, [0, 1, 2, 5]) >= 0.6
+
+    # drifted cohort: a NEW direction (closest to the x-axis centroid but
+    # far from it), bigger than any build cluster -> one hot cell
+    drifted = spark.createDataFrame(
+        [(100 + i, [3.0, 1.0, 0.02 * i]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    TF.merge_into(spark, base, drifted, on="vec_id", when_matched=None)
+    IX.refresh_ivf_index(spark, idx)
+
+    rep1 = IX.ivf_drift_report(spark, idx, share_factor=1.5)
+    assert rep1["drifted"] is True, rep1
+    assert rep1["hot_cells"], rep1
+    assert rep1["psi"] > rep1["psi_threshold"]
+    assert rep1["qerr_ratio"] > rep1["qerr_ratio_threshold"]
+    assert "replan" in rep1["action"]
+    # detection fired while recall is still healthy — the whole point:
+    # the operator hears about drift BEFORE the quality cliff
+    recall_at_detect = _recall(
+        spark, base, idx, [0, 1, 100, 101], nprobe=2, k=3
+    )
+    assert recall_at_detect >= 0.6, recall_at_detect
+
+    # targeted repair: promote the hot cell's smallest-id members to
+    # centroids, retire empties, re-assign everything
+    new_cents = IX.replan_centroids(
+        spark, idx, rep1["hot_cells"], rep1["empty_cells"], per_cell=2
+    )
+    assert len(new_cents) == 3 - len(rep1["empty_cells"]) + 2 * len(
+        rep1["hot_cells"]
+    )
+    IX.rebuild_ivf_index(spark, idx, new_cents)
+
+    # post-split: the drifted mass divides between the two promoted
+    # farthest-point seeds (~25/80 each = 31%); bar = 1.7/5 = 34%
+    rep2 = IX.ivf_drift_report(spark, idx, share_factor=1.7)
+    assert rep2["drifted"] is False, rep2
+    assert rep2["hot_cells"] == [] and rep2["psi"] == 0.0
+    # quantization error actually fell: the drifted mass now has its own
+    # centroids instead of clamping to the least-wrong old one
+    assert rep2["qerr"] < rep1["qerr"]
+    # rebuilt index == a from-scratch build under the same centroids,
+    # and probes still match the one-shot path
+    idx2 = str(tmp_path / "idx_scratch")
+    IX.build_ivf_index(spark, base, idx2, new_cents)
+    a = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "cells")).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx2, "cells")).collect()
+    )
+    assert a == b
+    queries = _emb(spark, [0, 1])
+    got = _rows(IX.probe_ivf_index(spark, idx, queries, nprobe=2, top_k=3))
+    want = _rows(
+        S.ann_ivf(
+            TF.read_table(spark, base), queries, new_cents,
+            nprobe=2, top_k=3,
+        )
+    )
+    assert got == want
+    assert _recall(spark, base, idx, [0, 1, 100, 101]) >= 0.6
+    # the rebuilt index keeps folding incrementally
+    TF.delete_where(spark, base, F.col("vec_id") == 101)
+    IX.refresh_ivf_index(spark, idx)
+    assert 101 not in {
+        r["vec_id"]
+        for r in TF.read_table(spark, os.path.join(idx, "cells")).collect()
+    }
+
+
+def test_crashed_rebuild_is_loud_and_resumable(spark, tmp_path, monkeypatch):
+    """The histstore rebuild discipline: a rebuild that dies after staging
+    its plan (or mid-merge) leaves the meta flagged — probe/refresh/drift
+    raise until a re-run completes with the SAME staged centroids."""
+    import pytest
+
+    base, idx, cents = _mk(spark, tmp_path, ids=range(20))
+    # a fourth centroid along [3, 1, 0]: scaled-long form (VEC_SCALE=7)
+    # with its unscaled L2 norm sqrt(10)
+    new_cents = cents + [([30000000, 10000000, 0], 10.0 ** 0.5)]
+
+    real = TF.merge_into
+
+    def boom(*a, **k):
+        raise RuntimeError("crash mid-rebuild")
+
+    monkeypatch.setattr(TF, "merge_into", boom)
+    with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+        IX.rebuild_ivf_index(spark, idx, new_cents)
+    monkeypatch.setattr(TF, "merge_into", real)
+
+    assert IX._state(idx)["rebuilding"] is True
+    queries = _emb(spark, [0])
+    for fn in (
+        lambda: IX.refresh_ivf_index(spark, idx),
+        lambda: IX.probe_ivf_index(spark, idx, queries).collect(),
+        lambda: IX.ivf_drift_report(spark, idx),
+        lambda: IX.replan_centroids(spark, idx, [0]),
+    ):
+        with pytest.raises(ValueError, match="rebuild"):
+            fn()
+
+    # resume: centroids=None picks up the staged plan
+    IX.rebuild_ivf_index(spark, idx)
+    st = IX._state(idx)
+    assert st["rebuilding"] is False and "pending_centroids" not in st
+    assert len(st["centroids"]) == 4
+    # equals a from-scratch build under the staged centroids
+    idx2 = str(tmp_path / "idx2")
+    IX.build_ivf_index(
+        spark, base, idx2,
+        [(list(c), float(n)) for c, n in st["centroids"]],
+    )
+    a = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx, "cells")).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in TF.read_table(spark, os.path.join(idx2, "cells")).collect()
+    )
+    assert a == b
+
+
+def test_rebuild_without_a_plan_raises(spark, tmp_path):
+    import pytest
+
+    base, idx, cents = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="centroid set"):
+        IX.rebuild_ivf_index(spark, idx)

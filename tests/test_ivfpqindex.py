@@ -109,3 +109,24 @@ def test_refresh_equals_rebuild_across_lifecycle(spark, tmp_path):
     TF.compact(spark, base)
     assert PQ.refresh_ivfpq_index(spark, idx) == TF.current_version(base)
     assert rows(idx) == rows(idx2)
+
+
+def test_ivfpq_population_drift_report(spark, tmp_path):
+    """Cell-population drift for the packed-code index: a drifted insert
+    cohort piling into one cell trips PSI + hot-cell naming; the
+    prescription is a loud rebuild (quantizers are frozen at build)."""
+    base, idx, cents, books = _mk(spark, tmp_path)
+    rep0 = PQ.ivfpq_drift_report(spark, idx, share_factor=1.3)
+    assert rep0["drifted"] is False and rep0["psi"] == 0.0
+
+    drifted = spark.createDataFrame(
+        [(100 + i, [3.0, 0.5, 0.2, 0.001 * i]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    TF.merge_into(spark, base, drifted, on="vec_id", when_matched=None)
+    PQ.refresh_ivfpq_index(spark, idx)
+
+    rep1 = PQ.ivfpq_drift_report(spark, idx, share_factor=1.3)
+    assert rep1["drifted"] is True, rep1
+    assert rep1["hot_cells"] and rep1["psi"] > rep1["psi_threshold"]
+    assert "rebuild" in rep1["action"]

@@ -63,6 +63,9 @@ BROADCAST_HINT_ALLOWED: dict[str, str] = {
     "similarity_pq_adc_trained": "trained m*16 ADC LUT",
     "similarity_ivfpq_index_probe": "probe batch + flat broadcast LUT",
     "similarity_ivf_index_probe": "fixed probe batch vs standing index",
+    "similarity_ivf_drift": (
+        "fixed probe batch vs the rebuilt standing index"
+    ),
     "similarity_ivf_filtered": "fixed probe set + k centroids",
     "streaming_text_ingest_search": (
         "per-query term stats + RTBF delete batch (per-entity)"
