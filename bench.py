@@ -91,6 +91,27 @@ PROBE_HEADLINE = [
 WARM_PASSES = 2
 
 
+def _median_phases(entries: list[dict]) -> dict:
+    """Median of per-pass phase dicts ({build, read[, stages]}): scalar
+    phases median directly, per-stage seconds median key-wise."""
+    out = {
+        ph: round(statistics.median(e[ph] for e in entries), 3)
+        for ph in ("build", "read")
+    }
+    keys = sorted({k for e in entries for k in e.get("stages", {})})
+    if keys:
+        out["stages"] = {
+            k: round(
+                statistics.median(
+                    e.get("stages", {}).get(k, 0.0) for e in entries
+                ),
+                3,
+            )
+            for k in keys
+        }
+    return out
+
+
 def _warm_datasource(spark) -> None:
     import shutil
     import tempfile
@@ -164,6 +185,12 @@ def single() -> None:
                     "build": round(t1 - t0, 3),
                     "read": round(t2 - t1, 3),
                 }
+                # per-stage attribution, when the builder records it
+                # (r10 verdict item 4: a 15 s build must name its
+                # dominant stage, not be one opaque number)
+                st = Q.STAGE_TIMES.get(name)
+                if st:
+                    phases[name]["stages"] = dict(st)
                 out[name] = round(t2 - t0, 3)
             else:
                 fn = Q.QUERIES[name]
@@ -204,12 +231,7 @@ def single() -> None:
         for name in HEADLINE
     }
     phase_warm = {
-        name: {
-            ph: round(
-                statistics.median(r[1][name][ph] for r in warm_runs), 3
-            )
-            for ph in ("build", "read")
-        }
+        name: _median_phases([r[1][name] for r in warm_runs])
         for name in phase_cold
     }
     load_end = os.getloadavg()[0]
@@ -362,12 +384,7 @@ def protocol() -> None:
     }
     med_ph = {
         key: {
-            n: {
-                p: round(
-                    statistics.median(r[key][n][p] for r in results), 3
-                )
-                for p in ("build", "read")
-            }
+            n: _median_phases([r[key][n] for r in results])
             for n in results[0].get(key, {})
         }
         for key in ("phases", "phases_warm")

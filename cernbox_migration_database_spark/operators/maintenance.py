@@ -47,6 +47,9 @@ from . import table_format as TF
 DEFAULTS = {
     "max_files_per_partition": 4.0,
     "keep_last": 2,
+    # unpartitioned tables have no partition-count yardstick, so their
+    # expected file count comes from data volume: ceil(bytes / this)
+    "target_file_bytes": 128 * 1024 * 1024,
 }
 
 
@@ -56,9 +59,11 @@ def _targets(root: str) -> dict[str, str]:
     return dict(TF.walk_branch_tree(root))
 
 
-def _snapshot_stats(vdir: str) -> tuple[int, int, bool]:
-    """(n_data_files, n_partition_dirs, has_dv) from one directory walk."""
+def _snapshot_stats(vdir: str) -> tuple[int, int, bool, bool, int]:
+    """(n_data_files, n_partition_dirs, is_partitioned, has_dv, bytes)
+    from one directory walk."""
     n_files = 0
+    n_bytes = 0
     parts = set()
     for dp, dns, fns in os.walk(vdir):
         rel = os.path.relpath(dp, vdir)
@@ -68,9 +73,12 @@ def _snapshot_stats(vdir: str) -> tuple[int, int, bool]:
         for f in fns:
             if f.endswith(".parquet"):
                 n_files += 1
+                n_bytes += os.path.getsize(os.path.join(dp, f))
                 if rel != ".":
                     parts.add(rel)
-    return n_files, max(1, len(parts)), TF._has_dv(vdir)
+    return (
+        n_files, max(1, len(parts)), bool(parts), TF._has_dv(vdir), n_bytes
+    )
 
 
 def plan_maintenance(
@@ -89,7 +97,7 @@ def plan_maintenance(
     for name, troot in _targets(root).items():
         cur = TF.current_version(troot)
         vdir = TF._vdir(troot, cur)
-        n_files, n_parts, has_dv = _snapshot_stats(vdir)
+        n_files, n_parts, is_part, has_dv, n_bytes = _snapshot_stats(vdir)
         committed = {e["version"] for e in TF.history(troot)}
         vroot = os.path.join(troot, TF._VERSIONS)
         old_versions = []
@@ -114,14 +122,33 @@ def plan_maintenance(
             if t["version"] in old_versions
         ]
         actions = []
-        if n_files / n_parts > max_files_per_partition:
-            actions.append({
-                "op": "compact",
-                "reason": (
-                    f"small-file debt: {n_files} files over {n_parts} "
-                    f"partition(s) (> {max_files_per_partition}/part)"
-                ),
-            })
+        # partitioned: compact yields ~1 file/partition, so files-per-
+        # partition is the yardstick. Unpartitioned: there is no
+        # partition count to divide by — the yardstick is data volume
+        # (ceil(bytes / target_file_bytes) expected files), and the
+        # repair must target that same count or it never converges (the
+        # branch-tree property test caught apply re-compacting forever:
+        # compact's parallelism default left 8 files for a tiny table,
+        # still over the 4-per-"partition" bar).
+        target_files = None
+        if is_part:
+            small = n_files / n_parts > max_files_per_partition
+            reason = (
+                f"small-file debt: {n_files} files over {n_parts} "
+                f"partition(s) (> {max_files_per_partition}/part)"
+            )
+        else:
+            target_files = max(
+                1, -(-n_bytes // DEFAULTS["target_file_bytes"])
+            )
+            small = n_files > max_files_per_partition * target_files
+            reason = (
+                f"small-file debt: {n_files} files for {n_bytes} bytes "
+                f"(expected ~{target_files} at "
+                f"{DEFAULTS['target_file_bytes']}B/file)"
+            )
+        if small:
+            actions.append({"op": "compact", "reason": reason})
         if has_dv:
             actions.append({
                 "op": "compact",
@@ -142,6 +169,9 @@ def plan_maintenance(
             "version": cur,
             "n_files": n_files,
             "n_partitions": n_parts,
+            "partitioned": is_part,
+            "n_bytes": n_bytes,
+            "compact_target_files": target_files,
             "has_dv": has_dv,
             "old_versions": old_versions,
             "orphans": orphans,
@@ -197,7 +227,10 @@ def apply_maintenance(
         ops = {a["op"] for a in entry["actions"]}
         out = {"compacted": None, "vacuumed": []}
         if "compact" in ops:
-            out["compacted"] = TF.compact(spark, troot)
+            out["compacted"] = TF.compact(
+                spark, troot,
+                target_files=entry.get("compact_target_files"),
+            )
         if "vacuum" in ops:
             out["vacuumed"] = TF.vacuum(
                 troot, keep_last=plan_keep, remove_orphans=True,

@@ -143,6 +143,16 @@ def purge_table_tree(
                 # leave the current snapshot's data files
                 report["compacted"][name] = TF.compact(spark, troot)
                 v = report["compacted"][name]
+        # vacuum FIRST (when requested), then report retention — so
+        # retained_versions always describes the FINAL state of this
+        # call: with vacuum_after=True the property test caught the old
+        # order listing directories the same call had just reclaimed
+        # (a compliance reader would chase ghosts).
+        if vacuum_after:
+            report["vacuumed"][name] = TF.vacuum(
+                troot, keep_last=1, remove_orphans=True,
+                orphan_grace_s=orphan_grace_s,
+            )
         # history() log entries survive vacuum — filter to version dirs
         # that still physically exist, else the report claims already-
         # reclaimed directories "still contain the purged rows"
@@ -157,9 +167,4 @@ def purge_table_tree(
         pinned = [t for t in TF.list_tags(troot) if t["version"] < v]
         if pinned:
             report["pinned_tags"][name] = [t["name"] for t in pinned]
-        if vacuum_after:
-            report["vacuumed"][name] = TF.vacuum(
-                troot, keep_last=1, remove_orphans=True,
-                orphan_grace_s=orphan_grace_s,
-            )
     return report

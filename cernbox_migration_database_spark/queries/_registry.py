@@ -22,6 +22,12 @@ ORACLE: dict[str, str] = {}
 # The registered query stays probe(build(...)) — one source of truth.
 PHASED: dict[str, tuple[Callable, Callable]] = {}
 
+# Optional per-STAGE wall times recorded by a builder during its last run
+# (query name -> {stage: seconds}); bench.py copies this into the bench
+# artifact's `phases` detail so a multi-second build is attributable to a
+# specific stage instead of being one opaque number (r10 verdict item 4).
+STAGE_TIMES: dict[str, dict[str, float]] = {}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):

@@ -17,7 +17,7 @@ from ..operators import text as TX
 from ..util import ensure_parallelism, global_rank, tracked_persist
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from ._registry import PHASED, _t, _versioned_scratch, register
+from ._registry import PHASED, STAGE_TIMES, _t, _versioned_scratch, register
 from .dedup import _SHINGLES, _minhash_bands_sql, _minhash_sigs_sql
 from .text import _TOKS
 
@@ -940,7 +940,18 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
 
     Writes the surviving corpus to scratch parquet (the checkpoint a real
     pipeline publishes for its downstream consumers) and returns the
-    path."""
+    path.
+
+    Stage attribution (r10 verdict item 4): each stage boundary is a
+    tracked_persist the next stage reads anyway, so forcing it with a
+    count() here just MOVES the materialization to a timed point instead
+    of adding work — the recorded per-stage seconds land in
+    ``STAGE_TIMES['pipeline_pretraining_corpus']`` and bench.py commits
+    them with the phases, making a multi-second build attributable."""
+    import time as _time
+
+    stages: dict[str, float] = {}
+    t0 = _time.time()
     docs = _t(spark, sf_dir, "documents")
     ok = TX.with_quality(docs).where(F.col("quality") == "ok")
     keep = LID.with_langid(ok).where(F.col("lang_pred") == F.col("lang"))
@@ -949,6 +960,9 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
             "doc_id", "lang", PII.redact_pii(F.col("text")).alias("text")
         )
     )
+    red.count()  # materialize the persist at the stage boundary
+    stages["filter_langid_redact"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
     keepers = (
         red.withColumn("__fp", TX.fingerprint("text"))
         .groupBy("__fp")
@@ -957,6 +971,9 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     d1 = tracked_persist(
         red.join(keepers.select("doc_id"), "doc_id", "left_semi")
     )
+    d1.count()
+    stages["exact_dedup"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
     near = D.minhash_lsh_dedup(d1, threshold=0.5)
     d2 = tracked_persist(
         d1.join(
@@ -965,6 +982,9 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
             "left_anti",
         )
     )
+    d2.count()
+    stages["near_dedup"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1"
     )
@@ -990,6 +1010,8 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     d3 = d2.where(~is_eval).join(contaminated, "doc_id", "left_anti")
     out = _versioned_scratch("pipeline", sf_dir) + "/survivors"
     d3.select("doc_id", "lang", "text").write.mode("overwrite").parquet(out)
+    stages["decontaminate_checkpoint"] = round(_time.time() - t0, 3)
+    STAGE_TIMES["pipeline_pretraining_corpus"] = stages
     return out
 
 

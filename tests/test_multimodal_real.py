@@ -240,3 +240,70 @@ def test_image_features_position_weights_by_hand(spark):
 
     with _pytest.raises(Exception, match="image/png"):
         M.image_features(bad).collect()
+
+
+def test_decoder_injection_contract(spark):
+    """r10 verdict item 8: JPEG/MP3/H.264 stay loud stubs in this
+    sandbox, but production plugs a decoder in WITHOUT editing the
+    operator — the injection point must run the callable inside the
+    executor-side Arrow batch, keep n_bytes/sha operator-computed, take
+    precedence over builtins for its type, and leave unknown types loud.
+    The decoders here are LOCAL functions (cloudpickle ships them by
+    value); a production cluster uses module-level functions from a
+    shipped package instead."""
+
+    def _fake_jpeg_decoder(raw: bytes):
+        # bytes in, (width, height, mean_luma, duration_ms) out —
+        # values the test recomputes from the payload
+        return (
+            len(raw) % 7 + 1,
+            len(raw) % 5 + 1,
+            (raw[0] if raw else 0) / 255.0,
+            None,
+        )
+
+    def _fake_png_override(raw: bytes):
+        return (1, 1, 0.5, None)
+
+    payload = b"\xff\xd8\xff\xe0fakejpegbytes"
+    media = spark.createDataFrame(
+        [
+            (1, payload, "image/jpeg", None, None, None),
+            (2, b"\xff\xd8", "image/jpeg", None, None, None),
+        ],
+        M.MEDIA_META_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in M.decode_media(
+            media, fake=False, decoders={"image/jpeg": _fake_jpeg_decoder}
+        ).collect()
+    }
+    import hashlib
+
+    for mid, raw in ((1, payload), (2, b"\xff\xd8")):
+        w, h, luma, dur = _fake_jpeg_decoder(raw)
+        r = out[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_luma"] == pytest.approx(luma)
+        assert r["duration_ms"] is None
+        # content identity is the OPERATOR's, not the decoder's
+        assert r["n_bytes"] == len(raw)
+        assert r["sha"] == hashlib.sha256(raw).hexdigest()
+
+    # an injected decoder overrides the builtin for its media type
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    png = M.synthesize_media(docs)
+    r2 = M.decode_media(
+        png, fake=False, decoders={"image/png": _fake_png_override}
+    ).collect()[0]
+    assert (r2["width"], r2["height"], r2["mean_luma"]) == (1, 1, 0.5)
+
+    # types with neither builtin nor injection stay loud, naming the point
+    mp3 = spark.createDataFrame(
+        [(9, b"ID3", "audio/mp3", None, None, None)], M.MEDIA_META_SCHEMA
+    )
+    with pytest.raises(Exception, match="decoders="):
+        M.decode_media(
+            mp3, fake=False, decoders={"image/jpeg": _fake_jpeg_decoder}
+        ).collect()

@@ -140,3 +140,145 @@ def test_purge_mor_compact_after_is_physical(spark, tmp_path):
     assert rep2["targets"]["main"]["n_deleted"] == 0
     assert rep2["compacted"] == {}
     assert T.current_version(root) == cur
+
+
+def test_branch_tree_random_op_property(spark, tmp_path):
+    """r10 verdict item 6: purge propagation, vacuum tag-pins, tags, and
+    the maintenance planner were each hand-tested on branch trees but
+    never COMPOSED — this drives random op sequences over a depth-2 tree
+    (main -> b1 -> b2) against a per-target dict model, the
+    test_table_format model-based discipline. Invariants after every op:
+    each target's current snapshot equals its model; every tagged version
+    directory still physically exists (a tag is a reproducibility
+    promise no vacuum may break); purge reports count exactly what the
+    models say each target held; apply_maintenance never changes
+    contents and is idempotent."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cernbox_migration_database_spark.operators import (
+        maintenance as MN,
+    )
+
+    op = st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.integers(0, 2),
+            st.lists(
+                st.tuples(st.integers(0, 19), st.integers(1, 99)),
+                min_size=1, max_size=3, unique_by=lambda t: t[0],
+            ),
+            st.sampled_from(["cow", "mor"]),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.integers(0, 2),
+            st.integers(0, 19),
+            st.sampled_from(["cow", "mor"]),
+        ),
+        st.tuples(st.just("tag"), st.integers(0, 2)),
+        st.tuples(
+            st.just("purge"),
+            st.integers(0, 19),
+            st.sampled_from(["cow", "mor"]),
+            st.booleans(),  # vacuum_after
+            st.booleans(),  # compact_after
+        ),
+        st.tuples(st.just("maintain"), st.none()),
+    )
+
+    counter = {"n": 0}
+
+    def mk(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "id long, v long"
+        )
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow, HealthCheck.data_too_large,
+        ],
+    )
+    @given(st.lists(op, min_size=2, max_size=5))
+    def run(ops):
+        counter["n"] += 1
+        root = str(tmp_path / f"pt{counter['n']}")
+        seed = {i: i * 10 for i in range(10)}
+        T.create_table(mk(seed), root)
+        b1 = T.create_branch(root, "b1")
+        # b1 diverges before its own child forks, so the three targets
+        # carry genuinely different histories
+        T.merge_into(spark, b1, mk({50: 1}), on="id")
+        b2 = T.create_branch(b1, "b2")
+        names = ["main", "b1", "b2"]
+        roots = {"main": root, "b1": b1, "b2": b2}
+        models = {
+            "main": dict(seed),
+            "b1": {**seed, 50: 1},
+            "b2": {**seed, 50: 1},
+        }
+        tags = {n: [] for n in names}
+        tagn = {"n": 0}
+
+        def check():
+            for n in names:
+                got = {
+                    r["id"]: r["v"]
+                    for r in T.read_table(spark, roots[n]).collect()
+                }
+                assert got == models[n], (n, got, models[n])
+                for v in tags[n]:
+                    assert os.path.isdir(T._vdir(roots[n], v)), (n, v)
+
+        for kind, *arg in ops:
+            if kind == "upsert":
+                t, rows, mode = arg
+                n = names[t]
+                T.merge_into(
+                    spark, roots[n], mk(dict(rows)), on="id",
+                    write_mode=mode,
+                )
+                models[n].update(dict(rows))
+            elif kind == "delete":
+                t, k, mode = arg
+                n = names[t]
+                if k in models[n]:
+                    T.delete_where(spark, roots[n], f"id = {k}", mode=mode)
+                    models[n].pop(k)
+            elif kind == "tag":
+                n = names[arg[0]]
+                tagn["n"] += 1
+                v = T.current_version(roots[n])
+                T.create_tag(roots[n], f"tg{tagn['n']}", version=v)
+                tags[n].append(v)
+            elif kind == "purge":
+                k, mode, vac, comp = arg
+                rep = P.purge_table_tree(
+                    spark, root, f"id = {k}", mode=mode,
+                    vacuum_after=vac, compact_after=comp,
+                    orphan_grace_s=0.0,
+                )
+                label = {
+                    "main": "main",
+                    "b1": "branch:b1",
+                    "b2": "branch:b1/branch:b2",
+                }
+                for n in names:
+                    want = 1 if k in models[n] else 0
+                    assert (
+                        rep["targets"][label[n]]["n_deleted"] == want
+                    ), (n, k, rep["targets"])
+                    models[n].pop(k, None)
+                    # every retained version the report names must exist
+                    for v in rep["retained_versions"].get(label[n], []):
+                        assert os.path.isdir(T._vdir(roots[n], v))
+            elif kind == "maintain":
+                plan = MN.plan_maintenance(root)
+                MN.apply_maintenance(spark, root, plan)
+                res2 = MN.apply_maintenance(spark, root)
+                for n, out in res2.items():
+                    assert out["compacted"] is None, (n, out)
+            check()
+
+    run()
