@@ -95,6 +95,11 @@ def main(argv: list[str]) -> int:
     if argv and argv[0] == "--child":
         _child(argv[1], argv[2], int(argv[3]))
         return 0
+    probes = list(PROBES)
+    if "--probes" in argv:
+        i = argv.index("--probes")
+        probes = argv[i + 1].split(",")
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     runs = int(argv[1]) if len(argv) > 1 else 3
     max_load = 1.5
@@ -107,7 +112,7 @@ def main(argv: list[str]) -> int:
             base = json.load(fh).get("probes_warm", {})
     out = {"sf_dir": sf_dir, "runs": runs, "max_load": max_load,
            "probes": {}}
-    for name in PROBES:
+    for name in probes:
         gate = _wait_for_idle(max_load)
         print(f"# {name}: gate released at load {gate:.2f}",
               file=sys.stderr)

@@ -455,6 +455,106 @@ def textindex_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def ivfdrift_mode_main(argv: list[str]) -> int:
+    """--ivfdrift: the drift lifecycle's cost split across corpus scale.
+    Claims to verify: DETECTION (ivf_drift_report) is one cell-count
+    aggregate + one row-local qerr aggregate over the index — it should
+    grow far slower than the corpus; a FIXED-SIZE drifted fold is
+    delta-bound (~flat); REBUILD is the one deliberate O(corpus) step
+    (~k is the honest expectation, not a regression). Builds the index
+    at 1x and kx on the shard replica (vec_id<16 seeds live in shard 0),
+    folds a fixed 100-vector drifted window, reports, replans, rebuilds;
+    medians over `runs` for the cheap ops, single-shot for rebuild."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cernbox_migration_database_spark.operators import ivfindex as IX
+    from cernbox_migration_database_spark.operators import similarity as S
+    from cernbox_migration_database_spark.operators import (
+        table_format as TF,
+    )
+
+    k = int(argv[0]) if len(argv) > 0 else 5
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    runs = int(argv[2]) if len(argv) > 2 else 3
+    spark = get_spark(app_name="scale-check-ivfdrift")
+    replica = build_dedup_replica(spark, sf_dir, k)
+    out = {}
+    for tag, d in (("1x", sf_dir), (f"{k}x", replica)):
+        work = tempfile.mkdtemp(prefix=f"cbx_ivfdrift_{tag}_")
+        base, idx = os.path.join(work, "emb"), os.path.join(work, "idx")
+        emb = spark.read.parquet(
+            os.path.join(d, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        TF.create_table(emb, base)
+        t0 = time.monotonic()
+        IX.build_ivf_index(spark, base, idx, S.seed_centroids(emb, k=16))
+        build = time.monotonic() - t0
+        reports = []
+        for _ in range(runs + 1):
+            t0 = time.monotonic()
+            IX.ivf_drift_report(spark, idx)
+            reports.append(time.monotonic() - t0)
+        # fixed-size drifted fold: 100 re-embedded vectors, any scale
+        drifted = (
+            emb.orderBy("vec_id").limit(100)
+            .select(
+                (F.col("vec_id") + 5_000_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: (
+                        x.cast("double") * F.lit(0.0625) + F.lit(4.0)
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        TF.merge_into(spark, base, drifted, on="vec_id", when_matched=None)
+        t0 = time.monotonic()
+        IX.refresh_ivf_index(spark, idx)
+        fold = time.monotonic() - t0
+        rep = IX.ivf_drift_report(spark, idx, share_factor=1.01)
+        t0 = time.monotonic()
+        cents = IX.replan_centroids(
+            spark, idx, rep["hot_cells"][:1], rep["empty_cells"]
+        )
+        IX.rebuild_ivf_index(spark, idx, cents)
+        rebuild = time.monotonic() - t0
+        out[tag] = {
+            "build_sec": round(build, 3),
+            "report_sec": round(statistics.median(reports[1:]), 3),
+            "fold_sec": round(fold, 3),
+            "rebuild_sec": round(rebuild, 3),
+        }
+        shutil.rmtree(work, ignore_errors=True)
+        U.release_persisted()
+    kx = f"{k}x"
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_ivfdrift",
+                "k": k,
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "scales": out,
+                "report_ratio": round(
+                    out[kx]["report_sec"] / out["1x"]["report_sec"], 2
+                ),
+                "fold_ratio": round(
+                    out[kx]["fold_sec"] / out["1x"]["fold_sec"], 2
+                ),
+                "rebuild_ratio": round(
+                    out[kx]["rebuild_sec"] / out["1x"]["rebuild_sec"], 2
+                ),
+            }
+        )
+    )
+    shutil.rmtree(replica, ignore_errors=True)
+    return 0
+
+
 def lshindex_mode_main(argv: list[str]) -> int:
     """--lshindex: does the near-dup index keep probe cost flat while the
     corpus grows? Corpus at 1x and kx (replication-safe dedup replica —
@@ -1345,6 +1445,9 @@ def main() -> int:
     if "--lshindex" in argv:
         argv.remove("--lshindex")
         return lshindex_mode_main(argv)
+    if "--ivfdrift" in argv:
+        argv.remove("--ivfdrift")
+        return ivfdrift_mode_main(argv)
     if "--clusterindex" in argv:
         argv.remove("--clusterindex")
         return clusterindex_mode_main(argv)
