@@ -129,12 +129,12 @@ def ivfpq_drift_report(
     index adds (ivf_drift_report's ``qerr``) is not measurable from this
     index alone — production IVF-PQ deployments keep the ivfindex-style
     full-vector index (or a sample of it) beside the code table for
-    exactly this reason. Prescription on drift: rebuild with retrained
-    quantizers (:func:`build_ivfpq_index` — the module's retrain =
-    rebuild, loud posture)."""
+    exactly this reason. Prescription on drift:
+    :func:`rebuild_ivfpq_index` with retrained centroids."""
     from .ivfindex import population_drift
 
     st = _state(index_root)
+    _check_not_rebuilding(st)
     rep = population_drift(
         _cell_counts(spark, index_root),
         {int(c): int(n) for c, n in st.get("ref_cells", {}).items()},
@@ -144,11 +144,80 @@ def ivfpq_drift_report(
     )
     rep["drifted"] = rep["psi"] > psi_threshold or bool(rep["hot_cells"])
     rep["action"] = (
-        "rebuild (build_ivfpq_index with retrained quantizers)"
+        "rebuild_ivfpq_index with retrained centroids"
         if rep["drifted"]
         else None
     )
     return rep
+
+
+def _check_not_rebuilding(st: dict) -> None:
+    if st.get("rebuilding"):
+        raise ValueError(
+            "ivfpq index rebuild in progress or crashed mid-way — re-run "
+            "rebuild_ivfpq_index() to complete the repair"
+        )
+
+
+def rebuild_ivfpq_index(
+    spark: SparkSession,
+    index_root: str,
+    centroids: list[tuple[list[int], float]] | None = None,
+) -> int:
+    """Re-freeze the coarse centroid set and re-assign every code row —
+    the repair :func:`ivfpq_drift_report` prescribes, now a first-class
+    path instead of "rebuild the table yourself". Codebooks stay frozen:
+    PQ codes are a per-subspace function of the VECTOR alone, so a
+    coarse-quantizer change moves rows between cell partitions without
+    re-encoding — the merge rewrites (id, codes, cell) rows with
+    identical codes under new cells. New centroids come from the caller
+    (kmeans_train + centroid_literals, or the full-vector sibling's
+    ivfindex.replan_centroids — the code table holds no vectors to
+    derive split seeds from). Crash-guarded exactly like
+    ivfindex.rebuild_ivf_index: `rebuilding` + staged
+    `pending_centroids` in the meta, every other entry point raises
+    while the flag is up, resume re-runs the same idempotent merge."""
+    st = _state(index_root)
+    if st.get("rebuilding"):
+        centroids = [
+            (list(c), float(n)) for c, n in st["pending_centroids"]
+        ]
+    else:
+        if centroids is None:
+            raise ValueError(
+                "rebuild_ivfpq_index needs a new centroid set "
+                "(kmeans_train + centroid_literals, or "
+                "ivfindex.replan_centroids on the full-vector sibling)"
+            )
+        refresh_ivfpq_index(spark, index_root)
+        st = _state(index_root)
+        st["rebuilding"] = True
+        st["pending_centroids"] = [
+            [list(c), float(n)] for c, n in centroids
+        ]
+        with open(
+            os.path.join(index_root, _META), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(st, fh)
+    new_st = dict(st)
+    new_st["centroids"] = [[list(c), float(n)] for c, n in centroids]
+    cur = st["base_version"]
+    docs = TF.read_table(spark, st["base_root"], cur)
+    TF.merge_into(
+        spark,
+        os.path.join(index_root, "codes"),
+        _index_rows(docs, new_st),
+        on=st["id_col"],
+        check_cardinality=False,
+    )
+    new_st.pop("pending_centroids", None)
+    new_st["rebuilding"] = False
+    new_st["ref_cells"] = {
+        str(c): n for c, n in _cell_counts(spark, index_root).items()
+    }
+    with open(os.path.join(index_root, _META), "w", encoding="utf-8") as fh:
+        json.dump(new_st, fh)
+    return cur
 
 
 def refresh_ivfpq_index(spark: SparkSession, index_root: str) -> int:
@@ -157,6 +226,7 @@ def refresh_ivfpq_index(spark: SparkSession, index_root: str) -> int:
     out; updates re-encode and re-assign in place (cross-cell moves
     included, the merge rewrites the row under its new cell partition)."""
     st = _state(index_root)
+    _check_not_rebuilding(st)
     cur = TF.current_version(st["base_root"])
     if cur == st["base_version"]:
         return cur
@@ -197,6 +267,7 @@ def probe_ivfpq_index(
     """ADC top-k through the index — output contract identical to
     similarity.ivf_pq_topk (exact integer adc, total tie-break)."""
     st = _state(index_root)
+    _check_not_rebuilding(st)
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
     codes_root = os.path.join(index_root, "codes")
     id_col = st["id_col"]

@@ -130,3 +130,72 @@ def test_ivfpq_population_drift_report(spark, tmp_path):
     assert rep1["drifted"] is True, rep1
     assert rep1["hot_cells"] and rep1["psi"] > rep1["psi_threshold"]
     assert "rebuild" in rep1["action"]
+
+
+def test_ivfpq_rebuild_reassigns_cells_and_is_crash_safe(
+    spark, tmp_path, monkeypatch
+):
+    """rebuild_ivfpq_index: coarse re-assignment under new centroids with
+    frozen codebooks — codes identical, cells moved; crash-guarded like
+    the full-vector sibling (loud while flagged, resume completes)."""
+    import pytest
+
+    base, idx, cents, books = _mk(spark, tmp_path)
+    # new coarse set: the old two + a third along the y-ish axis
+    extra = S.seed_centroids(
+        spark.createDataFrame(
+            [(0, [0.1, 0.1, 2.5, 0.1])], "vec_id long, embedding array<float>"
+        ),
+        k=1,
+    )
+    new_cents = cents + extra
+
+    real = TF.merge_into
+
+    def boom(*a, **k):
+        raise RuntimeError("crash mid-rebuild")
+
+    monkeypatch.setattr(TF, "merge_into", boom)
+    with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+        PQ.rebuild_ivfpq_index(spark, idx, new_cents)
+    monkeypatch.setattr(TF, "merge_into", real)
+    assert PQ._state(idx)["rebuilding"] is True
+    queries = _emb(spark, [0, 1])
+    for fn in (
+        lambda: PQ.refresh_ivfpq_index(spark, idx),
+        lambda: PQ.probe_ivfpq_index(spark, idx, queries).collect(),
+        lambda: PQ.ivfpq_drift_report(spark, idx),
+    ):
+        with pytest.raises(ValueError, match="rebuild"):
+            fn()
+    # resume picks up the staged plan
+    PQ.rebuild_ivfpq_index(spark, idx)
+    st = PQ._state(idx)
+    assert st["rebuilding"] is False and "pending_centroids" not in st
+    assert len(st["centroids"]) == 3
+    # rebuilt == from-scratch build under the new coarse set (codes
+    # bit-identical, cells re-assigned)
+    idx2 = str(tmp_path / "idx_scratch")
+    PQ.build_ivfpq_index(spark, base, idx2, new_cents, books)
+
+    def rows(root):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), r["cell"])
+            for r in TF.read_table(
+                spark, os.path.join(root, "codes")
+            ).collect()
+        )
+
+    assert rows(idx) == rows(idx2)
+    # probes through the rebuilt index match the one-shot path
+    got = _rows(PQ.probe_ivfpq_index(spark, idx, queries, nprobe=2, top_k=3))
+    want = _rows(
+        S.ivf_pq_topk(
+            TF.read_table(spark, base), queries, new_cents, books,
+            nprobe=2, top_k=3,
+        )
+    )
+    assert got == want
+    # plan-less rebuild on a clean index raises
+    with pytest.raises(ValueError, match="centroid set"):
+        PQ.rebuild_ivfpq_index(spark, idx)
