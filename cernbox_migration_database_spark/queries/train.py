@@ -996,7 +996,13 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     ex = sh.where(F.size("s") > 0).select(
         "doc_id", "__is_eval", F.explode("s").alias("g")
     )
-    evalg = ex.where("__is_eval").select("g").distinct()
+    # NO distinct on the eval shingles: both consumers tolerate
+    # duplicates — bloom_build reduces to distinct BIT POSITIONS
+    # map-side (ORing a bit twice is a no-op) and a left-semi join
+    # dedups its right side by construction — so the distinct was a
+    # pure extra corpus-scale shuffle+agg on the pipeline's dominant
+    # stage (r10 verdict item 4 stage budget)
+    evalg = ex.where("__is_eval").select("g")
     m_bits, k = 1 << 18, 4
     words = SK.bloom_build(evalg, "g", m_bits=m_bits, k=k)
     contaminated = (
