@@ -23,10 +23,14 @@ commit log, sidecars — never a parquet row), reports per target:
   version dirs from crashed writers. Repair: ``vacuum(remove_orphans=
   True)`` (itself activity-aged, so an in-flight writer is never
   collected).
-* **sketch-store drift** — any attached histogram store whose clamp rate
-  or PSI tripped (:func:`histstore.drift_report`). Repair:
-  :func:`histstore.rebuild_hist_store`. Passed in by root since stores
-  are free-standing tables.
+* **sketch-store / vector-index drift** — any attached store whose
+  frozen parameters drifted off the data: histogram clamp-rate/PSI
+  (:func:`histstore.drift_report`), IVF/IVF-PQ cell-mass PSI, hot
+  cells, quantization error (:func:`ivfindex.ivf_drift_report`,
+  :func:`ivfpqindex.ivfpq_drift_report`). Passed via ``drift_stores=
+  {label: (kind, store_root)}`` since stores are free-standing tables.
+  Repair: histogram rebuilds execute in ``apply_maintenance``
+  (state-sized); vector rebuilds are O(corpus) prescriptions.
 
 The planner only RECOMMENDS; ``apply_maintenance`` executes the plan with
 the same idempotence the underlying ops already have (compaction is a
@@ -85,6 +89,8 @@ def plan_maintenance(
     root: str,
     max_files_per_partition: float = DEFAULTS["max_files_per_partition"],
     keep_last: int = DEFAULTS["keep_last"],
+    spark: SparkSession | None = None,
+    drift_stores: dict | None = None,
 ) -> dict:
     """Debt report + recommended actions for ``root`` and every branch.
 
@@ -92,8 +98,73 @@ def plan_maintenance(
     ``{"op": "compact"|"vacuum", "reason": str}``. Metadata-only: one
     os.walk of each CURRENT snapshot + the commit log — no Spark job, no
     data IO, safe to run on a schedule against thousands of tables.
-    """
+
+    ``drift_stores`` prices the fifth debt the module always promised:
+    attached incremental-sketch / vector-index stores whose frozen
+    parameters have drifted off the data. Pass ``{label: (kind,
+    store_root)}`` with kind ``"hist"`` (histstore), ``"ivf"`` or
+    ``"ivfpq"`` (vector indexes) plus a live ``spark`` — drift detection
+    reads the store's own STATE (KiB for sketches, one index aggregate
+    for vectors), the one part of the sweep that is not purely
+    directory-walk metadata. Each store lands in the plan as a
+    ``store:<label>`` entry carrying the full drift report and either a
+    ``rebuild_hist_store`` action (cheap, state-sized —
+    :func:`apply_maintenance` executes it) or a ``replan+rebuild``
+    prescription (O(corpus) and needing a centroid plan — reported,
+    never auto-executed)."""
+    if drift_stores and spark is None:
+        raise ValueError("drift_stores pricing needs a SparkSession")
     report: dict = {}
+    for label, (kind, sroot) in (drift_stores or {}).items():
+        if kind == "hist":
+            from . import histstore as HS
+
+            rep = HS.drift_report(spark, sroot)
+            actions = (
+                [{
+                    "op": "rebuild_hist_store",
+                    "reason": f"drifted: clamp_rate={rep['clamp_rate']:.4f}"
+                              f" psi={rep['psi']}",
+                }]
+                if rep["drifted"] else []
+            )
+        elif kind == "ivf":
+            from . import ivfindex as IX
+
+            rep = IX.ivf_drift_report(spark, sroot)
+            actions = (
+                [{
+                    "op": "replan+rebuild",
+                    "reason": f"drifted: hot_cells={rep['hot_cells']} "
+                              f"psi={rep['psi']} "
+                              f"qerr_ratio={rep['qerr_ratio']} — run "
+                              "replan_centroids + rebuild_ivf_index "
+                              "(O(corpus); not auto-executed)",
+                }]
+                if rep["drifted"] else []
+            )
+        elif kind == "ivfpq":
+            from . import ivfpqindex as PQX
+
+            rep = PQX.ivfpq_drift_report(spark, sroot)
+            actions = (
+                [{
+                    "op": "replan+rebuild",
+                    "reason": f"drifted: hot_cells={rep['hot_cells']} "
+                              f"psi={rep['psi']} — run "
+                              "rebuild_ivfpq_index with retrained "
+                              "centroids (O(corpus); not auto-executed)",
+                }]
+                if rep["drifted"] else []
+            )
+        else:
+            raise ValueError(f"unknown drift store kind {kind!r}")
+        report[f"store:{label}"] = {
+            "kind": kind,
+            "store_root": sroot,
+            "drift": rep,
+            "actions": actions,
+        }
     for name, troot in _targets(root).items():
         cur = TF.current_version(troot)
         vdir = TF._vdir(troot, cur)
@@ -214,6 +285,22 @@ def apply_maintenance(
     targets = _targets(root)
     result: dict = {}
     for name, entry in plan.items():
+        if name.startswith("store:"):
+            # attached drift stores: the histstore rebuild is state-sized
+            # and safe to execute; vector rebuilds are O(corpus) and need
+            # a centroid plan, so they stay a reported prescription
+            out = {"rebuilt": None, "skipped": []}
+            for a in entry["actions"]:
+                if a["op"] == "rebuild_hist_store":
+                    from . import histstore as HS
+
+                    out["rebuilt"] = HS.rebuild_hist_store(
+                        spark, entry["store_root"]
+                    )
+                else:
+                    out["skipped"].append(a["op"])
+            result[name] = out
+            continue
         troot = targets.get(name)
         if troot is None:
             continue

@@ -170,3 +170,80 @@ def test_apply_uses_the_plans_recorded_keep_last(spark, tmp_path):
     assert not os.path.isdir(T._vdir(root, 2))
     assert os.path.isdir(T._vdir(root, 3))  # keep_last=4 kept v3..v6
     assert os.path.isdir(T._vdir(root, 6))
+
+
+def test_drift_stores_priced_and_hist_rebuild_executed(spark, tmp_path):
+    """The module's fifth promised debt, now real: attached drift stores
+    land in the plan as store:<label> entries; a drifted histogram store
+    gets its rebuild EXECUTED by apply (state-sized), a drifted vector
+    index stays a reported O(corpus) prescription."""
+    from cernbox_migration_database_spark.operators import histstore as HS
+    from cernbox_migration_database_spark.operators import ivfindex as IX
+    from cernbox_migration_database_spark.operators import similarity as S
+
+    root = _mk(spark, tmp_path)
+    # drifted histogram store over a price table
+    base, hstore = str(tmp_path / "hb"), str(tmp_path / "hs")
+    T.create_table(
+        spark.createDataFrame(
+            [(i, "a", 10.0 + i) for i in range(10)],
+            "k long, part string, price double",
+        ),
+        base,
+    )
+    HS.build_hist_store(
+        spark, base, hstore, part_col="part", value_col="price", key="k"
+    )
+    T.merge_into(
+        spark, base,
+        spark.createDataFrame(
+            [(100 + i, "a", 900.0 + i) for i in range(30)],
+            "k long, part string, price double",
+        ),
+        on="k",
+    )
+    HS.refresh_hist_store(spark, hstore)
+    # drifted ivf index
+    vb, vidx = str(tmp_path / "vb"), str(tmp_path / "vi")
+    emb = spark.createDataFrame(
+        [(i, [2.0 + 0.01 * i, 0.05 * (i % 3), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    T.create_table(emb, vb)
+    IX.build_ivf_index(spark, vb, vidx, S.seed_centroids(emb, k=2))
+    T.merge_into(
+        spark, vb,
+        spark.createDataFrame(
+            [(100 + i, [0.1, 3.0, 1.0 + 0.02 * i]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        ),
+        on="vec_id", when_matched=None,
+    )
+    IX.refresh_ivf_index(spark, vidx)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="SparkSession"):
+        M.plan_maintenance(root, drift_stores={"h": ("hist", hstore)})
+    plan = M.plan_maintenance(
+        root, spark=spark,
+        drift_stores={"prices": ("hist", hstore), "vecs": ("ivf", vidx)},
+    )
+    assert plan["store:prices"]["drift"]["drifted"] is True
+    assert plan["store:prices"]["actions"][0]["op"] == "rebuild_hist_store"
+    assert plan["store:vecs"]["drift"]["drifted"] is True
+    assert plan["store:vecs"]["actions"][0]["op"] == "replan+rebuild"
+    res = M.apply_maintenance(spark, root, plan)
+    assert res["store:prices"]["rebuilt"] is not None
+    assert res["store:vecs"]["skipped"] == ["replan+rebuild"]
+    # the executed rebuild actually cleared the histogram drift
+    assert HS.drift_report(spark, hstore)["drifted"] is False
+    plan2 = M.plan_maintenance(
+        root, spark=spark, drift_stores={"prices": ("hist", hstore)}
+    )
+    assert plan2["store:prices"]["actions"] == []
+    # unknown kind is loud
+    with pytest.raises(ValueError, match="kind"):
+        M.plan_maintenance(
+            root, spark=spark, drift_stores={"x": ("bogus", hstore)}
+        )
