@@ -100,10 +100,14 @@ def _median_phases(entries: list[dict]) -> dict:
     }
     keys = sorted({k for e in entries for k in e.get("stages", {})})
     if keys:
+        # median over the passes that RECORDED the stage — substituting
+        # 0.0 for a missing record would bias toward zero (r11 advice)
         out["stages"] = {
             k: round(
                 statistics.median(
-                    e.get("stages", {}).get(k, 0.0) for e in entries
+                    e["stages"][k]
+                    for e in entries
+                    if k in e.get("stages", {})
                 ),
                 3,
             )
@@ -356,14 +360,26 @@ def protocol() -> None:
             continue
         rec = json.loads(lines[-1])
         start = (rec.get("load_avg") or {}).get("start", 0.0)
-        if start > max_load and attempt < max_attempts:
-            rejected += 1
+        if start > max_load:
+            if attempt < max_attempts:
+                rejected += 1
+                print(
+                    f"# attempt {attempt} REJECTED: start load {start} > "
+                    f"gate {max_load} (co-tenant arrived after the gate) "
+                    "— retrying",
+                    file=sys.stderr,
+                )
+                continue
+            # permanently-busy box: accept the final attempt but FLAG it
+            # in the artifact, per the documented contract (r11 advice)
+            rec["gate_timed_out"] = True
             print(
-                f"# attempt {attempt} REJECTED: start load {start} > gate "
-                f"{max_load} (co-tenant arrived after the gate) — retrying",
+                f"# attempt {attempt} ACCEPTED HOT (start load {start} > "
+                f"gate {max_load}, retries exhausted) — flagged",
                 file=sys.stderr,
             )
-            continue
+        if gate_load >= max_load:
+            rec["gate_timed_out"] = True
         rec["gate_load"] = round(gate_load, 2)
         results.append(rec)
         print(
@@ -423,6 +439,7 @@ def protocol() -> None:
             "max_load": max_load,
             "gate_loads": [r.get("gate_load") for r in results],
             "rejected_runs": rejected,
+            "timed_out": any(r.get("gate_timed_out") for r in results),
         },
         "sf": results[0].get("sf"),
     }

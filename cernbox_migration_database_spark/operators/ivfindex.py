@@ -178,7 +178,14 @@ def population_drift(
 ) -> dict:
     """Shared cell-population drift arithmetic (this module + ivfpqindex):
     PSI of current vs reference cell mass (histstore's 0.5 smoothing),
-    hot cells above ``share_factor``× the uniform share, empty cells."""
+    hot cells above ``share_factor``× the uniform share, empty cells.
+
+    ``hot_cells`` is the PROBE-COST signal (what a probe of that cell
+    reads today) and names every cell over the share bar; the DRIFT
+    verdict instead consumes ``new_hot_cells`` — hot now but NOT hot at
+    anchor time under the same share rule — because a naturally skewed
+    corpus is hot at build time by construction and re-prescribing a
+    replan it just had can never converge (r11 advice)."""
     import math
 
     tot_cur = sum(cur.values())
@@ -189,14 +196,17 @@ def population_drift(
             p = (ref.get(c, 0) + 0.5) / (tot_ref + 0.5 * k)
             q = (cur.get(c, 0) + 0.5) / (tot_cur + 0.5 * k)
             psi += (q - p) * math.log(q / p)
+    hot = sorted(c for c, n in cur.items() if n * k > share_factor * tot_cur)
+    hot_ref = {
+        c for c, n in ref.items() if n * k > share_factor * tot_ref
+    }
     return {
         "n_cells": k,
         "total": tot_cur,
         "psi": round(psi, 6),
         "psi_threshold": psi_threshold,
-        "hot_cells": sorted(
-            c for c, n in cur.items() if n * k > share_factor * tot_cur
-        ),
+        "hot_cells": hot,
+        "new_hot_cells": [c for c in hot if c not in hot_ref],
         "share_factor": share_factor,
         "empty_cells": sorted(set(range(k)) - set(cur)),
     }
@@ -224,7 +234,11 @@ def ivf_drift_report(
     * **hot cells** — cells holding more than ``share_factor``× the
       uniform share (cnt · k > factor · total): their posting lists are
       what a probe actually reads, so a hot cell is a direct probe-cost
-      regression AND the natural SPLIT target.
+      regression AND the natural SPLIT target. Only ``new_hot_cells``
+      (hot now, not hot at anchor) count toward the ``drifted`` verdict
+      — an intrinsically skewed corpus is hot on day one and a replan
+      can never flatten it, so anchored-hot cells are reported as a
+      standing probe-cost fact, not drift.
     * **quantization-error ratio** — mean (1 - cosine to own centroid)
       vs its build anchor (``ref_qerr``): the recall proxy. Rising qerr
       means vectors sit far from every centroid, so nprobe cells no
@@ -255,7 +269,7 @@ def ivf_drift_report(
     )
     rep["drifted"] = (
         rep["psi"] > psi_threshold
-        or bool(rep["hot_cells"])
+        or bool(rep["new_hot_cells"])
         or qerr_ratio > qerr_ratio_threshold
     )
     rep["action"] = (
@@ -283,12 +297,17 @@ def replan_centroids(
     would re-elect a copy of the old centroid (wasting the seed and
     leaving an empty duplicate cell); anchored, every seed lands in the
     part of the cell the centroid does NOT cover, which is the drift.
-    Each pick is one ordered limit-1 read over the hot cell's pruned
-    partition scan (never the whole index; per_cell·|hot| driver rows
-    of KiB centroid data), and the id-ordered tie-breaks mean an oracle
-    can name the exact same vectors. Feed the result to
-    :func:`rebuild_ivf_index`; cell ids renumber — every consumer
-    re-derives assignment from the new list."""
+    Already-promoted members are EXCLUDED from later picks (a hot cell
+    with fewer distinct members than ``per_cell`` stops early instead
+    of electing a duplicate centroid that would own a permanently empty
+    cell), and the id-ordered tie-breaks mean an oracle can name the
+    exact same vectors. All hot cells advance together: each pick ROUND
+    is ONE grouped min_by job over the union of hot-cell pruned
+    partition scans — ``per_cell`` jobs total regardless of |hot|, so a
+    drift event naming hundreds of hot cells costs the same job count
+    as one (driver state stays per_cell·|hot| KiB centroid rows). Feed
+    the result to :func:`rebuild_ivf_index`; cell ids renumber — every
+    consumer re-derives assignment from the new list."""
     st = _state(index_root)
     _check_not_rebuilding(st)
     retired = set(empty_cells or [])
@@ -301,14 +320,25 @@ def replan_centroids(
         return kept
     cells_root = os.path.join(index_root, "cells")
     id_col = st["id_col"]
-    promoted: list[tuple[list[int], float]] = []
-    for cell in sorted(set(hot_cells)):
-        members = TF.scan_partitions(
-            spark, cells_root, [f"cell={cell}"]
-        ).select(F.col(id_col).alias("__id"), "svec", "norm")
-        oc, on = st["centroids"][cell]
-        chosen = [(list(oc), float(on))]  # anchor: the old centroid
-        for _ in range(per_cell):
+    hot = sorted(set(hot_cells))
+    members = TF.scan_partitions(
+        spark, cells_root, [f"cell={c}" for c in hot]
+    ).select("cell", F.col(id_col).alias("__id"), "svec", "norm")
+    # per-cell greedy state, anchored at the cell's own old centroid
+    chosen: dict[int, list[tuple[list[int], float]]] = {
+        c: [(list(st["centroids"][c][0]), float(st["centroids"][c][1]))]
+        for c in hot
+    }
+    picks: dict[int, list[tuple[list[int], float]]] = {c: [] for c in hot}
+    taken_ids: list = []
+    live = list(hot)
+    for _ in range(per_cell):
+        if not live:
+            break
+        # one expression tree: each row scores against ITS cell's chosen
+        # set (when-chain over the still-live hot cells)
+        best = None
+        for c in live:
             cos_cols = [
                 cosine_scaled(
                     F.col("svec"),
@@ -316,20 +346,39 @@ def replan_centroids(
                     F.col("norm"),
                     F.lit(float(nn)),
                 )
-                for sv, nn in chosen
+                for sv, nn in chosen[c]
             ]
-            best = (
-                F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
+            b = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
+            cond = F.col("cell") == F.lit(c)
+            best = F.when(cond, b) if best is None else best.when(cond, b)
+        pool = members.where(F.col("cell").isin(live))
+        if taken_ids:
+            pool = pool.where(~F.col("__id").isin(taken_ids))
+        rows = (
+            pool.withColumn("__best", best)
+            .groupBy("cell")
+            .agg(
+                F.min_by(
+                    F.struct("__id", "svec", "norm"),
+                    F.struct(F.col("__best"), F.col("__id")),
+                ).alias("p")
             )
-            nxt = (
-                members.withColumn("__best", best)
-                .orderBy(F.col("__best").asc(), F.col("__id").asc())
-                .limit(1)
-                .collect()[0]
-            )
-            pick = (list(nxt["svec"]), float(nxt["norm"]))
-            chosen.append(pick)
-            promoted.append(pick)
+            .collect()
+        )
+        got = {int(r["cell"]): r["p"] for r in rows}
+        nxt_live = []
+        for c in live:
+            if c not in got:
+                continue  # cell exhausted: fewer members than picks
+            p = got[c]
+            pick = (list(p["svec"]), float(p["norm"]))
+            chosen[c].append(pick)
+            picks[c].append(pick)
+            taken_ids.append(p["__id"])
+            nxt_live.append(c)
+        live = nxt_live
+    # oracle-stable promoted order: (hot cell asc, pick order)
+    promoted = [p for c in hot for p in picks[c]]
     return kept + promoted
 
 

@@ -142,7 +142,11 @@ def ivfpq_drift_report(
         psi_threshold,
         share_factor,
     )
-    rep["drifted"] = rep["psi"] > psi_threshold or bool(rep["hot_cells"])
+    # new_hot_cells, not hot_cells: anchored-hot cells of a skewed
+    # corpus are a standing probe-cost fact, not drift (r11 advice)
+    rep["drifted"] = rep["psi"] > psi_threshold or bool(
+        rep["new_hot_cells"]
+    )
     rep["action"] = (
         "rebuild_ivfpq_index with retrained centroids"
         if rep["drifted"]

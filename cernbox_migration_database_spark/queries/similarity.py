@@ -1516,7 +1516,10 @@ def _ivf_drift_oracle() -> str:
                  ORDER BY {dot_mc} / (m.nrm * c.cnrm) ASC, m.vec_id) AS rr
         FROM members m JOIN cents c ON c.cent_id = m.cell)
       WHERE rr = 1),
-    -- s2 = member minimizing max(cos to old centroid, cos to s1)
+    -- s2 = member minimizing max(cos to old centroid, cos to s1);
+    -- already-promoted members are excluded (replan_centroids'
+    -- duplicate-centroid guard — identical result off the degenerate
+    -- all-ties case, exact replay on it)
     s2 AS (
       SELECT cell, vec_id, emb, nrm FROM (
         SELECT m.cell, m.vec_id, m.emb, m.nrm,
@@ -1526,7 +1529,7 @@ def _ivf_drift_oracle() -> str:
                           m.vec_id) AS rr
         FROM members m
              JOIN cents c ON c.cent_id = m.cell
-             JOIN s1 s ON s.cell = m.cell)
+             JOIN s1 s ON s.cell = m.cell AND s.vec_id <> m.vec_id)
       WHERE rr = 1),
     -- the new centroid list: kept old centroids in index order, then the
     -- split seeds in (hot cell asc, pick order) — positions must match

@@ -337,3 +337,72 @@ def test_rebuild_without_a_plan_raises(spark, tmp_path):
     base, idx, cents = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="centroid set"):
         IX.rebuild_ivf_index(spark, idx)
+
+
+def test_skewed_at_build_corpus_is_not_drift(spark, tmp_path):
+    """r11 advice: an intrinsically skewed corpus is hot at anchor time
+    by construction — the report must name the hot cell as a standing
+    probe-cost fact (hot_cells) WITHOUT prescribing a replan that could
+    never flatten it (drifted stays False; new_hot_cells empty)."""
+    base, idx = str(tmp_path / "emb"), str(tmp_path / "idx")
+    # centroids = ids 0,1,2 (seed_centroids): one per axis; then 40 of
+    # 48 vectors on the x axis, so the x cell holds >2x the uniform share
+    rows = [(0, [2.0, 0.0, 0.0]), (1, [0.0, 2.0, 0.0]),
+            (2, [0.0, 0.0, 2.0])]
+    rows += [(10 + i, [2.0 + 0.01 * i, 0.01 * (i % 7), 0.0])
+             for i in range(37)]
+    rows += [(100 + i, [0.0, 2.0, 0.01 * i]) for i in range(4)]
+    rows += [(200 + i, [0.0, 0.01 * i, 2.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    TF.create_table(df, base)
+    IX.build_ivf_index(spark, base, idx, S.seed_centroids(df, k=3))
+    rep = IX.ivf_drift_report(spark, idx, share_factor=1.5)
+    assert rep["hot_cells"], rep  # the skew IS reported as probe cost
+    assert rep["new_hot_cells"] == [], rep
+    assert rep["drifted"] is False and rep["action"] is None, rep
+    # a FRESH pile-up into a previously-cold cell still trips the verdict
+    more = spark.createDataFrame(
+        [(300 + i, [0.0, 3.0 + 0.01 * i, 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    TF.merge_into(spark, base, more, on="vec_id", when_matched=None)
+    IX.refresh_ivf_index(spark, idx)
+    rep1 = IX.ivf_drift_report(spark, idx, share_factor=1.5)
+    assert rep1["new_hot_cells"], rep1
+    assert rep1["drifted"] is True, rep1
+
+
+def test_replan_exhausted_hot_cell_yields_no_duplicate_centroids(
+    spark, tmp_path
+):
+    """r11 advice: a hot cell with fewer distinct members than the
+    requested picks must stop early instead of re-electing an
+    already-promoted vector (a duplicate centroid owning a permanently
+    empty cell). Deletes between report and replan make this reachable."""
+    base, idx = str(tmp_path / "emb"), str(tmp_path / "idx")
+    # centroids = ids 0,1,2 (one per axis); x cluster gets 5 extra
+    rows = [(0, [2.0, 0.0, 0.0]), (1, [0.0, 2.0, 0.0]),
+            (2, [0.0, 0.0, 2.0])]
+    rows += [(10 + i, [2.0 + 0.1 * i, 0.1, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    TF.create_table(df, base)
+    IX.build_ivf_index(spark, base, idx, S.seed_centroids(df, k=3))
+    # shrink the hot x cell to TWO members (its own seed vector 0 plus
+    # vector 10) after the report would have run
+    gone = spark.createDataFrame(
+        [(11 + i,) for i in range(4)], "vec_id long"
+    ).join(TF.read_table(spark, base), "vec_id")
+    TF.merge_into(
+        spark, base, gone, on="vec_id",
+        when_matched="delete", when_not_matched=None,
+    )
+    IX.refresh_ivf_index(spark, idx)
+    hot_cell = TF.read_table(spark, os.path.join(idx, "cells")).where(
+        F.col("vec_id") == 0
+    ).first()["cell"]
+    new_cents = IX.replan_centroids(spark, idx, [hot_cell], per_cell=3)
+    # 3 kept + exactly 2 promotable members — the third pick stops
+    # early instead of re-electing one of them as a duplicate centroid
+    assert len(new_cents) == 5, new_cents
+    promoted = [tuple(c) for c, _ in new_cents[3:]]
+    assert len(set(promoted)) == len(promoted), new_cents

@@ -100,11 +100,21 @@ def main(argv: list[str]) -> int:
         i = argv.index("--probes")
         probes = argv[i + 1].split(",")
         del argv[i:i + 2]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
-    runs = int(argv[1]) if len(argv) > 1 else 3
+    # strip every flag/value pair BEFORE consuming positionals — a flag
+    # left in argv[0] used to become sf_dir (r11 advice)
     max_load = 1.5
     if "--max-load" in argv:
-        max_load = float(argv[argv.index("--max-load") + 1])
+        i = argv.index("--max-load")
+        max_load = float(argv[i + 1])
+        del argv[i:i + 2]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        raise SystemExit(
+            f"ab_probes: unknown flag(s) {unknown}; usage: ab_probes.py "
+            "[--probes a,b] [--max-load F] [sf_dir] [runs]"
+        )
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    runs = int(argv[1]) if len(argv) > 1 else 3
     base = {}
     bpath = os.path.join(_REPO, "BASELINE_LOCAL.json")
     if os.path.exists(bpath):
