@@ -23,14 +23,31 @@ commit log, sidecars — never a parquet row), reports per target:
   version dirs from crashed writers. Repair: ``vacuum(remove_orphans=
   True)`` (itself activity-aged, so an in-flight writer is never
   collected).
-* **sketch-store / vector-index drift** — any attached store whose
-  frozen parameters drifted off the data: histogram clamp-rate/PSI
-  (:func:`histstore.drift_report`), IVF/IVF-PQ cell-mass PSI, hot
-  cells, quantization error (:func:`ivfindex.ivf_drift_report`,
-  :func:`ivfpqindex.ivfpq_drift_report`). Passed via ``drift_stores=
-  {label: (kind, store_root)}`` since stores are free-standing tables.
-  Repair: histogram rebuilds execute in ``apply_maintenance``
-  (state-sized); vector rebuilds are O(corpus) prescriptions.
+* **attached-store debt** — any attached index/sketch store whose
+  frozen parameters drifted off the data or whose maintenance lags the
+  base (the unified registry, r11 verdict items 1-2). Passed via
+  ``drift_stores={label: (kind, store_root)}`` since stores are
+  free-standing. Kinds and their debt signals:
+
+  - ``hist`` — clamp-rate/PSI (:func:`histstore.drift_report`)
+  - ``ivf`` / ``ivfpq`` — cell-mass PSI, newly-hot cells, quantization
+    error (:func:`ivfindex.ivf_drift_report`,
+    :func:`ivfpqindex.ivfpq_drift_report`)
+  - ``bloom`` — fill-derived false-positive rate vs build anchor +
+    deleted-key fraction (:func:`bloomindex.bloom_debt_report`)
+  - ``zone`` — bound slack vs the manifest's per-file column stats
+    (:func:`zonemap.zone_debt_report`)
+  - ``freq`` — pending deletion-heavy rescan (``needs_rescan``) +
+    unfolded base versions
+  - ``text`` — unfolded base versions + crash-recovery ``pending``
+    window
+  - ``lsh`` / ``key`` — unfolded base versions
+
+  Repair boundary: ``apply_maintenance`` EXECUTES every repair that is
+  a pure function of (store state, base snapshot) — histogram/bloom/
+  zone rebuilds, freq rescans, text syncs, CDF refreshes. Vector
+  rebuilds need an externally chosen centroid plan (replan_centroids /
+  kmeans retrain), so they stay a reported prescription.
 
 The planner only RECOMMENDS; ``apply_maintenance`` executes the plan with
 the same idempotence the underlying ops already have (compaction is a
@@ -85,6 +102,167 @@ def _snapshot_stats(vdir: str) -> tuple[int, int, bool, bool, int]:
     )
 
 
+def _lag_report(base_root: str, base_version: int) -> dict:
+    cur = TF.current_version(base_root)
+    return {
+        "base_version": int(base_version),
+        "current_base_version": cur,
+        "versions_behind": cur - int(base_version),
+    }
+
+
+def _price_store(spark: SparkSession, kind: str, sroot: str) -> dict:
+    """Debt report + recommended actions for ONE attached store — the
+    per-kind arm of the unified registry. Detection reads the store's
+    own STATE (a JSON sidecar, KiB) plus at most one store aggregate
+    (hist/ivf); never the base table's data."""
+    import json as _json
+    import os as _os
+
+    if kind == "hist":
+        from . import histstore as HS
+
+        rep = HS.drift_report(spark, sroot)
+        actions = (
+            [{
+                "op": "rebuild_hist_store",
+                "reason": f"drifted: clamp_rate={rep['clamp_rate']:.4f}"
+                          f" psi={rep['psi']}",
+            }]
+            if rep["drifted"] else []
+        )
+    elif kind == "ivf":
+        from . import ivfindex as IX
+
+        rep = IX.ivf_drift_report(spark, sroot)
+        actions = (
+            [{
+                "op": "replan+rebuild",
+                "reason": f"drifted: new_hot_cells={rep['new_hot_cells']} "
+                          f"psi={rep['psi']} "
+                          f"qerr_ratio={rep['qerr_ratio']} — run "
+                          "replan_centroids + rebuild_ivf_index "
+                          "(O(corpus); needs a centroid plan, not "
+                          "auto-executed)",
+            }]
+            if rep["drifted"] else []
+        )
+    elif kind == "ivfpq":
+        from . import ivfpqindex as PQX
+
+        rep = PQX.ivfpq_drift_report(spark, sroot)
+        actions = (
+            [{
+                "op": "replan+rebuild",
+                "reason": f"drifted: new_hot_cells={rep['new_hot_cells']} "
+                          f"psi={rep['psi']} — run "
+                          "rebuild_ivfpq_index with retrained "
+                          "centroids (O(corpus); needs a centroid "
+                          "plan, not auto-executed)",
+            }]
+            if rep["drifted"] else []
+        )
+    elif kind == "bloom":
+        from . import bloomindex as BI
+
+        rep = BI.bloom_debt_report(sroot)
+        actions = (
+            [{
+                "op": "rebuild_bloom_index",
+                "reason": f"stale: est_fp_rate={rep['est_fp_rate']} "
+                          f"deleted_fraction={rep['deleted_fraction']}",
+            }]
+            if rep["drifted"] else []
+        )
+    elif kind == "zone":
+        from . import zonemap as ZM
+
+        rep = ZM.zone_debt_report(sroot)
+        actions = (
+            [{
+                "op": "rebuild_zone_map",
+                "reason": f"stale: {len(rep['stale_partitions'])} of "
+                          f"{rep['n_partitions']} zone(s) slack or "
+                          "retired",
+            }]
+            if rep["drifted"] else []
+        )
+    elif kind == "freq":
+        from . import freqstore as FS
+
+        st = FS._state(sroot)
+        rep = _lag_report(st["base_root"], st["base_version"])
+        rep["needs_rescan"] = bool(st.get("needs_rescan"))
+        rep["drifted"] = rep["needs_rescan"] or rep["versions_behind"] > 0
+        actions = []
+        if rep["versions_behind"] > 0:
+            actions.append({
+                "op": "refresh_freq_store",
+                "reason": f"{rep['versions_behind']} unfolded base "
+                          "version(s)",
+            })
+        if rep["needs_rescan"]:
+            actions.append({
+                "op": "rescan_candidates",
+                "reason": "deletion-heavy drift flagged needs_rescan — "
+                          "heavy_hitters raises until the candidate set "
+                          "is re-derived (one token scan)",
+            })
+    elif kind == "text":
+        from . import textindex as TX
+
+        with open(_os.path.join(sroot, TX._META), encoding="utf-8") as fh:
+            meta = _json.load(fh)
+        if meta.get("corpus_root") is None:
+            rep = {"bound": False, "drifted": False}
+            actions = []
+        else:
+            rep = _lag_report(
+                meta["corpus_root"], meta["corpus_version"]
+            )
+            rep["bound"] = True
+            rep["pending_recovery"] = bool(meta.get("pending"))
+            rep["drifted"] = (
+                rep["pending_recovery"] or rep["versions_behind"] > 0
+            )
+            actions = (
+                [{
+                    "op": "sync_text_index",
+                    "reason": (
+                        "crashed fold window pending recovery"
+                        if rep["pending_recovery"]
+                        else f"{rep['versions_behind']} unfolded base "
+                             "version(s)"
+                    ),
+                }]
+                if rep["drifted"] else []
+            )
+    elif kind in ("lsh", "key"):
+        if kind == "lsh":
+            from . import lshindex as mod
+        else:
+            from . import keyindex as mod
+        st = mod._state(sroot)
+        rep = _lag_report(st["base_root"], st["base_version"])
+        rep["drifted"] = rep["versions_behind"] > 0
+        actions = (
+            [{
+                "op": f"refresh_{kind}_index",
+                "reason": f"{rep['versions_behind']} unfolded base "
+                          "version(s)",
+            }]
+            if rep["drifted"] else []
+        )
+    else:
+        raise ValueError(f"unknown drift store kind {kind!r}")
+    return {
+        "kind": kind,
+        "store_root": sroot,
+        "drift": rep,
+        "actions": actions,
+    }
+
+
 def plan_maintenance(
     root: str,
     max_files_per_partition: float = DEFAULTS["max_files_per_partition"],
@@ -100,71 +278,27 @@ def plan_maintenance(
     data IO, safe to run on a schedule against thousands of tables.
 
     ``drift_stores`` prices the fifth debt the module always promised:
-    attached incremental-sketch / vector-index stores whose frozen
-    parameters have drifted off the data. Pass ``{label: (kind,
-    store_root)}`` with kind ``"hist"`` (histstore), ``"ivf"`` or
-    ``"ivfpq"`` (vector indexes) plus a live ``spark`` — drift detection
-    reads the store's own STATE (KiB for sketches, one index aggregate
-    for vectors), the one part of the sweep that is not purely
-    directory-walk metadata. Each store lands in the plan as a
-    ``store:<label>`` entry carrying the full drift report and either a
-    ``rebuild_hist_store`` action (cheap, state-sized —
-    :func:`apply_maintenance` executes it) or a ``replan+rebuild``
-    prescription (O(corpus) and needing a centroid plan — reported,
-    never auto-executed)."""
-    if drift_stores and spark is None:
-        raise ValueError("drift_stores pricing needs a SparkSession")
+    attached stores whose frozen parameters drifted off the data or
+    whose maintenance lags the base. Pass ``{label: (kind, store_root)}``
+    with kind in ``hist | ivf | ivfpq | bloom | zone | freq | text |
+    lsh | key`` (the unified registry — see the module docstring for
+    each kind's debt signal). ``hist``/``ivf``/``ivfpq`` pricing runs
+    one store aggregate and needs a live ``spark``; every other kind
+    prices from its JSON sidecar alone. Each store lands in the plan as
+    a ``store:<label>`` entry carrying the full debt report plus
+    actions :func:`apply_maintenance` can execute — all repairs that
+    are a pure function of (store state, base snapshot) — or the one
+    ``replan+rebuild`` prescription vector indexes report (needs a
+    centroid plan; never auto-executed)."""
     report: dict = {}
     for label, (kind, sroot) in (drift_stores or {}).items():
-        if kind == "hist":
-            from . import histstore as HS
-
-            rep = HS.drift_report(spark, sroot)
-            actions = (
-                [{
-                    "op": "rebuild_hist_store",
-                    "reason": f"drifted: clamp_rate={rep['clamp_rate']:.4f}"
-                              f" psi={rep['psi']}",
-                }]
-                if rep["drifted"] else []
+        if kind in ("hist", "ivf", "ivfpq") and spark is None:
+            raise ValueError(
+                f"pricing a {kind!r} store needs a SparkSession (its "
+                "drift signal is one store aggregate); bloom/zone/freq/"
+                "text/lsh/key price from sidecars alone"
             )
-        elif kind == "ivf":
-            from . import ivfindex as IX
-
-            rep = IX.ivf_drift_report(spark, sroot)
-            actions = (
-                [{
-                    "op": "replan+rebuild",
-                    "reason": f"drifted: hot_cells={rep['hot_cells']} "
-                              f"psi={rep['psi']} "
-                              f"qerr_ratio={rep['qerr_ratio']} — run "
-                              "replan_centroids + rebuild_ivf_index "
-                              "(O(corpus); not auto-executed)",
-                }]
-                if rep["drifted"] else []
-            )
-        elif kind == "ivfpq":
-            from . import ivfpqindex as PQX
-
-            rep = PQX.ivfpq_drift_report(spark, sroot)
-            actions = (
-                [{
-                    "op": "replan+rebuild",
-                    "reason": f"drifted: hot_cells={rep['hot_cells']} "
-                              f"psi={rep['psi']} — run "
-                              "rebuild_ivfpq_index with retrained "
-                              "centroids (O(corpus); not auto-executed)",
-                }]
-                if rep["drifted"] else []
-            )
-        else:
-            raise ValueError(f"unknown drift store kind {kind!r}")
-        report[f"store:{label}"] = {
-            "kind": kind,
-            "store_root": sroot,
-            "drift": rep,
-            "actions": actions,
-        }
+        report[f"store:{label}"] = _price_store(spark, kind, sroot)
     for name, troot in _targets(root).items():
         cur = TF.current_version(troot)
         vdir = TF._vdir(troot, cur)
@@ -257,6 +391,45 @@ def plan_maintenance(
     return report
 
 
+def _store_exec(op: str):
+    """Executor for a store-repair op, or None for prescriptions that
+    need external input (vector replans). Lazy imports keep the planner
+    importable without dragging every store module in."""
+    if op == "rebuild_hist_store":
+        from . import histstore as HS
+
+        return HS.rebuild_hist_store
+    if op == "rebuild_bloom_index":
+        from . import bloomindex as BI
+
+        return BI.rebuild_bloom_index
+    if op == "rebuild_zone_map":
+        from . import zonemap as ZM
+
+        return ZM.rebuild_zone_map
+    if op == "refresh_freq_store":
+        from . import freqstore as FS
+
+        return FS.refresh_freq_store
+    if op == "rescan_candidates":
+        from . import freqstore as FS
+
+        return FS.rescan_candidates
+    if op == "sync_text_index":
+        from . import textindex as TX
+
+        return TX.sync_text_index
+    if op == "refresh_lsh_index":
+        from . import lshindex as LI
+
+        return LI.refresh_lsh_index
+    if op == "refresh_key_index":
+        from . import keyindex as KI
+
+        return KI.refresh_key_index
+    return None
+
+
 def apply_maintenance(
     spark: SparkSession,
     root: str,
@@ -286,19 +459,20 @@ def apply_maintenance(
     result: dict = {}
     for name, entry in plan.items():
         if name.startswith("store:"):
-            # attached drift stores: the histstore rebuild is state-sized
-            # and safe to execute; vector rebuilds are O(corpus) and need
-            # a centroid plan, so they stay a reported prescription
-            out = {"rebuilt": None, "skipped": []}
+            # attached stores: execute every repair that is a pure
+            # function of (store state, base snapshot); vector rebuilds
+            # need an externally chosen centroid plan, so they stay a
+            # reported prescription ("replan+rebuild" -> skipped)
+            out = {"rebuilt": None, "skipped": [], "executed": {}}
             for a in entry["actions"]:
-                if a["op"] == "rebuild_hist_store":
-                    from . import histstore as HS
-
-                    out["rebuilt"] = HS.rebuild_hist_store(
-                        spark, entry["store_root"]
-                    )
-                else:
+                fn = _store_exec(a["op"])
+                if fn is None:
                     out["skipped"].append(a["op"])
+                    continue
+                ret = fn(spark, entry["store_root"])
+                out["executed"][a["op"]] = ret
+                if a["op"].startswith(("rebuild", "rescan")):
+                    out["rebuilt"] = ret
             result[name] = out
             continue
         troot = targets.get(name)

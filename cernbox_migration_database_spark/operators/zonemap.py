@@ -19,6 +19,13 @@ Scale properties, same contract as the bloom index:
   pruned read admits a partition that no longer has matching rows (false
   positive), never skips one that does. Rebuild after heavy deletion or a
   compact to re-tighten.
+* Widen-only means pruning decays SILENTLY: bounds never shrink, so a
+  churned table's zones converge toward "everything overlaps" while
+  every scan stays correct. :func:`zone_debt_report` meters that slack
+  against the per-file column stats the snapshot MANIFEST already holds
+  (metadata-only — no data read), and :func:`rebuild_zone_map` is the
+  priced repair; both register in ``maintenance.plan_maintenance(
+  drift_stores=)`` next to the hist/ivf/ivfpq stores (r11 verdict 1).
 * Works for any orderable column the partition scheme does NOT cover —
   the classic case: date-partitioned facts, zone-mapped on a monotone-ish
   id or amount, so both time ranges (partition pruning) and value ranges
@@ -176,8 +183,21 @@ def range_prune_scan(
     overlaps the range (driver-side interval test on the sidecar). The
     returned plan carries both the partition filter and the range filter,
     so file listing is already restricted before parquet row-group stats
-    prune further."""
+    prune further.
+
+    Raises if the base has committed versions the map has not folded:
+    widen-only safety covers DELETES only — an unfolded insert may have
+    widened a partition's true bounds (or created a partition with no
+    zone at all), and pruning with the stale map would silently MISS
+    those rows. Refresh first; the fold is O(changed rows)."""
     st = _read_state(index_path)
+    cur = current_version(st["base_root"])
+    if cur != st["base_version"]:
+        raise ValueError(
+            f"zone map at version {st['base_version']} but base is at "
+            f"{cur} — unfolded inserts would be silently missed; run "
+            "refresh_zone_map() first"
+        )
     nlo, nhi = _norm(lo), _norm(hi)
     parts = [
         p
@@ -192,3 +212,105 @@ def range_prune_scan(
     if "\x00null" in parts:
         pred = pred | F.col(st["part_col"]).isNull()
     return base.where(pred & F.col(st["col"]).between(lo, hi))
+
+
+def zone_debt_report(
+    index_path: str,
+    slack_threshold: float = 0.5,
+    stale_fraction_threshold: float = 0.25,
+) -> dict:
+    """Staleness-debt meter for the widen-only map (r11 verdict item 1):
+    bounds never shrink, so deletions and churn silently widen the gap
+    between what a zone CLAIMS a partition may hold and what its files
+    actually hold — every range scan stays correct but prunes less,
+    until the map admits everything. Metadata-only: the truth comes from
+    the per-file column stats the snapshot MANIFEST already records
+    (table_format._write_manifest), so the report reads two sidecars and
+    no data.
+
+    Per partition, actual bounds = min/max of the manifest's file stats
+    for the zoned column; a partition is **stale** when
+
+    * its zone claims a numeric range more than ``slack_threshold``
+      wider than the actual range (slack = 1 − actual_width/zone_width),
+      or its non-numeric bounds are strictly wider than actual, or
+    * it no longer exists in the snapshot at all (retired partition
+      still admitting range scans).
+
+    Partitions whose files lack usable stats for the column are reported
+    (``unknown``) but never counted stale. ``drifted`` when the stale
+    fraction crosses the threshold; the repair is
+    :func:`rebuild_zone_map` — one aggregate scan, priced and executed
+    by ``maintenance.apply_maintenance``."""
+    from .table_format import manifest
+
+    st = _read_state(index_path)
+    cur = current_version(st["base_root"])
+    col, part_col = st["col"], st["part_col"]
+    prefix = part_col + "="
+    actual: dict = {}
+    unknown: set = set()
+    for e in manifest(st["base_root"], cur):
+        path = e.get("path", "")
+        if "/" not in path or not path.startswith(prefix):
+            continue
+        pval = path.split("/", 1)[0][len(prefix):]
+        if pval == "__HIVE_DEFAULT_PARTITION__":
+            pval = "\x00null"
+        b = (e.get("stats") or {}).get(col)
+        if b is None:
+            unknown.add(pval)
+            continue
+        lo, hi = _norm(b[0]), _norm(b[1])
+        cb = actual.get(pval)
+        if cb is None:
+            actual[pval] = [lo, hi]
+        else:
+            cb[0], cb[1] = min(cb[0], lo), max(cb[1], hi)
+    stale: dict = {}
+    for p, zb in st["zones"].items():
+        if zb["lo"] is None or zb["hi"] is None:
+            continue
+        if p in unknown:
+            continue
+        ab = actual.get(p)
+        if ab is None:
+            stale[p] = "retired: partition no longer in snapshot"
+            continue
+        zlo, zhi = zb["lo"], zb["hi"]
+        alo, ahi = ab
+        if isinstance(zlo, (int, float)) and isinstance(zhi, (int, float)):
+            zw = float(zhi) - float(zlo)
+            aw = float(ahi) - float(alo)
+            slack = 0.0 if zw <= 0 else max(0.0, 1.0 - aw / zw)
+            if slack > slack_threshold:
+                stale[p] = f"slack {slack:.3f}: zone [{zlo}, {zhi}] vs " \
+                           f"actual [{alo}, {ahi}]"
+        elif alo > zlo or ahi < zhi:
+            stale[p] = f"zone [{zlo}, {zhi}] wider than actual " \
+                       f"[{alo}, {ahi}]"
+    n_zones = len(st["zones"])
+    rep = {
+        "n_partitions": n_zones,
+        "base_version": st["base_version"],
+        "current_base_version": cur,
+        "stale_partitions": dict(sorted(stale.items())),
+        "unknown_partitions": sorted(unknown),
+        "stale_fraction": round(len(stale) / n_zones, 6) if n_zones
+        else 0.0,
+        "slack_threshold": slack_threshold,
+        "stale_fraction_threshold": stale_fraction_threshold,
+    }
+    rep["drifted"] = rep["stale_fraction"] > stale_fraction_threshold
+    rep["action"] = "rebuild_zone_map" if rep["drifted"] else None
+    return rep
+
+
+def rebuild_zone_map(spark: SparkSession, index_path: str) -> int:
+    """Re-tighten every bound from the base's CURRENT snapshot under the
+    map's own recorded column/key — the repair :func:`zone_debt_report`
+    prescribes. One aggregate scan; retired partitions drop out."""
+    st = _read_state(index_path)
+    return create_zone_map(
+        spark, st["base_root"], index_path, col=st["col"], key=st["key"]
+    )

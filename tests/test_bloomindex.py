@@ -136,3 +136,60 @@ def test_bad_geometry_and_unpartitioned_rejected(spark, tmp_path):
     TF.create_table(_base(spark), root2, partition_by="day")
     with pytest.raises(ValueError, match="multiple of 8"):
         BI.create_bloom_index(spark, root2, str(tmp_path / "y.json"), key="id", m_bits=100)
+
+
+def test_debt_report_and_rebuild_cycle(spark, tmp_path):
+    """r11 verdict item 1: add-only staleness is metered and priced. A
+    deletion-heavy history trips deleted_fraction, the prescribed rebuild
+    re-tightens (measurably lower false-positive estimate), and lookups
+    stay exact throughout."""
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.bloomindex.json")
+    TF.create_table(_base(spark), root, partition_by="day")
+    # small m so per-partition fill (and its decay) is measurable
+    BI.create_bloom_index(spark, root, idx, key="id", m_bits=256)
+    rep0 = BI.bloom_debt_report(idx)
+    assert rep0["drifted"] is False and rep0["deleted_fraction"] == 0.0
+    assert rep0["fp_ratio"] == 1.0 and rep0["ref_fp_rate"] is not None
+
+    gone = TF.read_table(spark, root).where(F.col("id") >= 40)
+    TF.merge_into(
+        spark, root, gone, on="id",
+        when_matched="delete", when_not_matched=None,
+    )
+    assert BI.refresh_bloom_index(spark, idx) == 2
+    rep1 = BI.bloom_debt_report(idx)
+    assert rep1["deletes_since_build"] == 160
+    assert rep1["deleted_fraction"] > rep1["deleted_fraction_threshold"]
+    assert rep1["drifted"] is True
+    assert rep1["action"] == "rebuild_bloom_index"
+    # stale bits are false-positive reads, never misses: still exact
+    got = {r["id"] for r in BI.bloom_prune_lookup(spark, idx, [7, 13]).collect()}
+    assert got == {7, 13}
+
+    BI.rebuild_bloom_index(spark, idx)
+    rep2 = BI.bloom_debt_report(idx)
+    assert rep2["drifted"] is False and rep2["deleted_fraction"] == 0.0
+    # the rebuild actually re-tightened pruning
+    assert rep2["est_fp_rate"] < rep1["est_fp_rate"]
+    got = {r["id"] for r in BI.bloom_prune_lookup(spark, idx, [7, 13]).collect()}
+    assert got == {7, 13}
+
+
+def test_lookup_raises_when_index_lags_base(spark, tmp_path):
+    """An unfolded INSERT would be silently missed — the probe must
+    refuse to plan against a lagging index."""
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.bloomindex.json")
+    TF.create_table(_base(spark), root, partition_by="day")
+    BI.create_bloom_index(spark, root, idx, key="id")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=9999, day="d9", val=1.0)]),
+        on="id", when_matched=None,
+    )
+    with pytest.raises(ValueError, match="refresh_bloom_index"):
+        BI.bloom_prune_lookup(spark, idx, [9999])
+    BI.refresh_bloom_index(spark, idx)
+    got = {r["id"] for r in BI.bloom_prune_lookup(spark, idx, [9999]).collect()}
+    assert got == {9999}

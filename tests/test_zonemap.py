@@ -81,3 +81,64 @@ def test_type_and_partitioning_validation(spark, tmp_path):
         ZM.create_zone_map(spark, root2, str(tmp_path / "y.json"), col="arr", key="id")
     with pytest.raises(ValueError, match="not in"):
         ZM.create_zone_map(spark, root2, str(tmp_path / "z.json"), col="nope", key="id")
+
+
+def test_zone_debt_report_and_rebuild_cycle(spark, tmp_path):
+    """r11 verdict item 1: widen-only staleness is metered against the
+    manifest's per-file stats (metadata-only). COW deletes tighten the
+    files but never the zones — slack and retired partitions trip the
+    report, the prescribed rebuild re-tightens, scans stay exact."""
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.zonemap.json")
+    TF.create_table(_base(spark), root, partition_by="day")
+    ZM.create_zone_map(spark, root, idx, col="val", key="id")
+    rep0 = ZM.zone_debt_report(idx)
+    assert rep0["drifted"] is False and rep0["stale_partitions"] == {}
+
+    # shrink d1 and d3 to their bottom fifth, retire d4 entirely
+    cur = TF.read_table(spark, root)
+    gone = cur.where(
+        (F.col("day").isin("d1", "d3") & (F.col("val") % 100 >= 10))
+        | (F.col("day") == "d4")
+    )
+    TF.merge_into(
+        spark, root, gone, on="id",
+        when_matched="delete", when_not_matched=None,
+    )
+    ZM.refresh_zone_map(spark, idx)  # widen-only: zones unchanged
+    rep1 = ZM.zone_debt_report(idx)
+    assert set(rep1["stale_partitions"]) == {"d1", "d3", "d4"}, rep1
+    assert "retired" in rep1["stale_partitions"]["d4"]
+    assert rep1["drifted"] is True and rep1["action"] == "rebuild_zone_map"
+    # stale zones are false-positive reads, never misses: still exact
+    got = sorted(
+        r["val"] for r in ZM.range_prune_scan(spark, idx, 100.0, 120.0).collect()
+    )
+    assert got == [float(v) for v in range(100, 110)]
+
+    ZM.rebuild_zone_map(spark, idx)
+    rep2 = ZM.zone_debt_report(idx)
+    assert rep2["drifted"] is False and rep2["stale_partitions"] == {}
+    got = sorted(
+        r["val"] for r in ZM.range_prune_scan(spark, idx, 100.0, 120.0).collect()
+    )
+    assert got == [float(v) for v in range(100, 110)]
+
+
+def test_range_scan_raises_when_map_lags_base(spark, tmp_path):
+    """An unfolded INSERT may be outside every stored bound — the scan
+    must refuse to prune with a lagging map."""
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.zonemap.json")
+    TF.create_table(_base(spark), root, partition_by="day")
+    ZM.create_zone_map(spark, root, idx, col="val", key="id")
+    TF.merge_into(
+        spark, root,
+        spark.createDataFrame([Row(id=99999, day="d9", val=9999.0)]),
+        on="id", when_matched=None,
+    )
+    with pytest.raises(ValueError, match="refresh_zone_map"):
+        ZM.range_prune_scan(spark, idx, 9000.0, 10000.0)
+    ZM.refresh_zone_map(spark, idx)
+    got = {r["val"] for r in ZM.range_prune_scan(spark, idx, 9000.0, 10000.0).collect()}
+    assert got == {9999.0}
