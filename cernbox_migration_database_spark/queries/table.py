@@ -2251,3 +2251,309 @@ def table_branch_schema_merge(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pruning-index staleness-debt lifecycle (r11 verdict item 1): the
+# add-only bloom index and widen-only zone map decay SILENTLY by design
+# — every lookup stays correct, pruning just reads more — so each now
+# meters its own debt, the maintenance planner prices it next to the
+# hist/ivf/ivfpq drift stores, and apply executes the rebuild. The
+# differentials run the POST-REBUILD pruned reads against plain
+# relational oracles: a rebuild that lost or resurrected a row flips
+# the hash.
+# ---------------------------------------------------------------------------
+
+_BLOOM_PROBES = [4 * i + 1 for i in range(50)]
+
+
+@register(
+    "table_bloom_debt_cycle",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 = 1
+      AND o_orderkey IN ({", ".join(str(v) for v in _BLOOM_PROBES)})
+    ORDER BY o_orderkey
+    """,
+)
+def table_bloom_debt_cycle(spark, sf_dir):
+    """Bloom pruning-index staleness debt, metered and repaired through
+    the maintenance planner (operators/bloomindex.py + maintenance.py,
+    r11 verdict item 1). Add-only folds mean deletions leave stale bits:
+    lookups stay exact while a point probe quietly admits ever more
+    partitions — at 100 TB a six-month-old index degrades toward a full
+    scan with no error anywhere. Lifecycle asserted in-query: build
+    (debt anchors recorded), delete 3/4 of the keys, refresh (deletes
+    are a fold no-op by design), bloom_debt_report trips on
+    deleted_fraction, plan_maintenance prices the store from its sidecar
+    alone (no SparkSession needed), apply_maintenance EXECUTES the
+    rebuild (one column-pruned scan), the re-plan is clean, and the
+    false-positive estimate measurably fell. The differential probes 50
+    point keys through the rebuilt index — a pruned partition that
+    contained a probe key would drop rows against the oracle. Scale:
+    the report is pure sidecar arithmetic; the rebuild is the one
+    deliberate scan, taken only when the planner prices it."""
+    from ..operators import bloomindex as BI
+    from ..operators import maintenance as MN
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("bloomdebt", sf_dir)
+    base_root = root + "/orders"
+    idx = root + "/orders.bloom.json"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.create_table(
+        base.repartition(3, "o_orderstatus"), base_root,
+        partition_by="o_orderstatus",
+    )
+    BI.create_bloom_index(spark, base_root, idx, key="o_orderkey")
+    rep0 = BI.bloom_debt_report(idx)
+    assert rep0["deleted_fraction"] == 0.0 and rep0["fp_ratio"] == 1.0, rep0
+    gone = TF.read_table(spark, base_root).where(
+        F.col("o_orderkey") % 4 != 1
+    )
+    TF.merge_into(
+        spark, base_root, gone, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+    BI.refresh_bloom_index(spark, idx)
+    rep1 = BI.bloom_debt_report(idx)
+    assert rep1["drifted"] is True, rep1
+    assert rep1["deleted_fraction"] > rep1["deleted_fraction_threshold"]
+    plan = MN.plan_maintenance(
+        base_root, drift_stores={"keys": ("bloom", idx)}
+    )
+    assert plan["store:keys"]["actions"][0]["op"] == "rebuild_bloom_index"
+    res = MN.apply_maintenance(spark, base_root, plan)
+    assert "rebuild_bloom_index" in res["store:keys"]["executed"], res
+    plan2 = MN.plan_maintenance(
+        base_root, drift_stores={"keys": ("bloom", idx)}
+    )
+    assert plan2["store:keys"]["actions"] == [], plan2
+    rep2 = BI.bloom_debt_report(idx)
+    assert rep2["deleted_fraction"] == 0.0, rep2
+    assert rep2["est_fp_rate"] <= rep1["est_fp_rate"], (rep1, rep2)
+    # apply may also have compacted the base (a version like any other)
+    # — fold the pointer forward before probing
+    BI.refresh_bloom_index(spark, idx)
+    return BI.bloom_prune_lookup(spark, idx, _BLOOM_PROBES).orderBy(
+        "o_orderkey"
+    )
+
+
+@register(
+    "table_zone_debt_cycle",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_totalprice < 150000
+      AND o_totalprice BETWEEN 10000 AND 50000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def table_zone_debt_cycle(spark, sf_dir):
+    """Zone-map staleness debt, metered against the snapshot manifest's
+    per-file column stats and repaired through the maintenance planner
+    (operators/zonemap.py + maintenance.py, r11 verdict item 1).
+    Widen-only folds mean bounds never shrink: after the high-price
+    cohort is deleted (COW rewrites tighten the FILES, never the zones)
+    every zone claims a range ~3.7x wider than its partition holds, so
+    range scans admit partitions with no matching rows. Lifecycle
+    asserted in-query: build, delete, refresh (widen-only no-op),
+    zone_debt_report names the slack from two sidecars (zone state +
+    manifest — zero data IO), plan_maintenance prices it, apply executes
+    rebuild_zone_map, re-plan clean. The differential aggregates a
+    range-pruned scan over the rebuilt map — a zone that wrongly
+    excluded a partition would drop that status's rows entirely."""
+    from ..operators import maintenance as MN
+    from ..operators import table_format as TF
+    from ..operators import zonemap as ZM
+
+    root = _versioned_scratch("zonedebt", sf_dir)
+    base_root = root + "/orders"
+    idx = root + "/orders.zone.json"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.create_table(
+        base.repartition(3, "o_orderstatus"), base_root,
+        partition_by="o_orderstatus",
+    )
+    ZM.create_zone_map(
+        spark, base_root, idx, col="o_totalprice", key="o_orderkey"
+    )
+    rep0 = ZM.zone_debt_report(idx)
+    assert rep0["drifted"] is False and rep0["stale_partitions"] == {}, rep0
+    gone = TF.read_table(spark, base_root).where(
+        F.col("o_totalprice") >= 150000
+    )
+    TF.merge_into(
+        spark, base_root, gone, on="o_orderkey",
+        when_matched="delete", when_not_matched=None,
+    )
+    ZM.refresh_zone_map(spark, idx)
+    rep1 = ZM.zone_debt_report(idx)
+    assert rep1["drifted"] is True and rep1["stale_partitions"], rep1
+    plan = MN.plan_maintenance(
+        base_root, drift_stores={"price": ("zone", idx)}
+    )
+    assert plan["store:price"]["actions"][0]["op"] == "rebuild_zone_map"
+    res = MN.apply_maintenance(spark, base_root, plan)
+    assert "rebuild_zone_map" in res["store:price"]["executed"], res
+    plan2 = MN.plan_maintenance(
+        base_root, drift_stores={"price": ("zone", idx)}
+    )
+    assert plan2["store:price"]["actions"] == [], plan2
+    assert ZM.zone_debt_report(idx)["stale_partitions"] == {}
+    ZM.refresh_zone_map(spark, idx)  # fold any apply-side compaction
+    return (
+        ZM.range_prune_scan(spark, idx, 10000.0, 50000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _maint_drift_oracle() -> str:
+    # identical frozen-bin arithmetic to quantile_histogram_drift: the
+    # planner-executed rebuild re-freezes edges from the FULL snapshot,
+    # so the oracle replays a from-scratch build over all rows
+    from .stats import _HIST_CENTS
+
+    return f"""
+    WITH cts AS (
+      SELECT o_orderkey AS k, o_orderpriority AS part,
+             {_HIST_CENTS} AS c
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(c) AS lo, MAX(c) - MIN(c) + 1 AS span FROM cts
+    ),
+    binned AS (
+      SELECT part,
+             ((LEAST(lo + span - 1, GREATEST(lo, c)) - lo) * 64) // span
+               AS bin
+      FROM cts, bounds
+    ),
+    hist AS (SELECT part, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+    scope_map(scope, part) AS (VALUES
+      ('all','1-URGENT'), ('all','2-HIGH'), ('all','3-MEDIUM'),
+      ('all','4-NOT SPECIFIED'), ('all','5-LOW'),
+      ('urgent','1-URGENT'), ('urgent','2-HIGH'), ('low','5-LOW')),
+    sh AS (
+      SELECT m.scope, h.bin, SUM(h.n) AS n
+      FROM hist h JOIN scope_map m ON h.part = m.part GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT scope, bin,
+             SUM(n) OVER (PARTITION BY scope ORDER BY bin) AS cum_n,
+             SUM(n) OVER (PARTITION BY scope) AS total_n
+      FROM sh
+    ),
+    spec(q_label, qn, qd) AS (VALUES
+      ('p25',1,4), ('p50',1,2), ('p90',9,10), ('p99',99,100)),
+    hit AS (
+      SELECT c.scope, s.q_label, MIN(c.bin) AS bin,
+             MAX(c.total_n) AS total_n
+      FROM cum c JOIN spec s
+        ON c.cum_n >= (s.qn * c.total_n + s.qd - 1) // s.qd
+      GROUP BY 1, 2
+    )
+    SELECT scope, q_label, CAST(total_n AS BIGINT) AS total_n,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(lo + (bin * span) // 64 AS BIGINT) AS est_cents
+    FROM hit, bounds
+    ORDER BY scope, q_label
+    """
+
+
+@register("table_maintenance_drift", _maint_drift_oracle())
+def table_maintenance_drift(spark, sf_dir):
+    """ONE planner sweep prices the metadata debts AND an attached drift
+    store, and one apply repairs both (r11 verdict item 8 — the
+    drift_stores= path, previously covered only by unit tests, now
+    oracle-differentialed). Fixture: the table_maintenance_cycle churn
+    (MOR appends + MOR delete → small-file, DV, and retention debt on
+    the table) beside a histogram store built on the low-price cohort
+    whose frozen edges then clamp the folded tail (clamp_rate 1.0 —
+    histstore's drift signal). plan_maintenance reports both in one
+    result: {{main: [compact, vacuum], store:prices:
+    [rebuild_hist_store]}}; apply_maintenance compacts, vacuums, AND
+    executes the state-sized histogram rebuild; the re-plan is clean on
+    every entry. The differential serves quantiles from the
+    planner-rebuilt store against DuckDB replaying a from-scratch build
+    over all rows — proving the rebuild re-froze exactly the edges a
+    fresh build would. Scale: the sweep is O(#files) metadata + KiB
+    store state; rewrites happen only when priced."""
+    from . import stats as _stats
+    from ..operators import histstore as HS
+    from ..operators import maintenance as MN
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("maintdrift", sf_dir)
+    tbl = root + "/orders"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    TF.create_table(
+        base.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(3, "o_orderstatus"),
+        tbl, partition_by="o_orderstatus",
+    )
+    TF.merge_into(
+        spark, tbl,
+        base.where(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_orderkey", F.col("o_orderkey") + 30000000),
+        on="o_orderkey", when_matched=None, write_mode="mor",
+    )
+    TF.delete_where(spark, tbl, "o_orderkey % 7 = 3", mode="mor")
+    # the attached store: frozen on the low cohort, then the tail folds
+    # in and every value clamps into the top bin
+    hb, store = root + "/hb", root + "/hist"
+    TF.create_table(
+        base.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .where(F.col("o_totalprice") < 150000),
+        hb,
+    )
+    HS.build_hist_store(
+        spark, hb, store,
+        part_col="o_orderpriority", value_col="o_totalprice",
+        key="o_orderkey", nbins=64,
+    )
+    TF.merge_into(
+        spark, hb,
+        base.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .where(F.col("o_totalprice") >= 150000),
+        on="o_orderkey", when_matched=None,
+    )
+    HS.refresh_hist_store(spark, store)
+    assert HS.drift_report(spark, store)["drifted"] is True
+
+    plan = MN.plan_maintenance(
+        tbl, max_files_per_partition=2.0, spark=spark,
+        drift_stores={"prices": ("hist", store)},
+    )
+    assert {a["op"] for a in plan["main"]["actions"]} == {
+        "compact", "vacuum"
+    }, plan
+    assert plan["store:prices"]["actions"][0]["op"] == "rebuild_hist_store"
+    res = MN.apply_maintenance(spark, tbl, plan)
+    assert res["main"]["compacted"] and res["main"]["vacuumed"], res
+    assert "rebuild_hist_store" in res["store:prices"]["executed"], res
+    plan2 = MN.plan_maintenance(
+        tbl, max_files_per_partition=2.0, spark=spark,
+        drift_stores={"prices": ("hist", store)},
+    )
+    assert plan2["main"]["actions"] == [], plan2
+    assert plan2["store:prices"]["actions"] == [], plan2
+    return _stats._hist_store_estimate_phase(spark, store)

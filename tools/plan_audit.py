@@ -91,6 +91,7 @@ BROADCAST_HINT_ALLOWED: dict[str, str] = {
     "range_join_price_bands": "fixed band table",
     "quantile_histogram_store": "bin-bounded store state (KiB)",
     "quantile_histogram_drift": "bin-bounded store state (KiB)",
+    "table_maintenance_drift": "bin-bounded store state (KiB)",
     "events_anomaly_zscore": "per-event-type stats (enum-bounded)",
     "graph_triangle_count": "1-row scalar aggregates",
     "graph_bfs_levels": "modulus-bounded 200-row edge relation",
