@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from . import table_format as TF
 from . import text as TXT
-from ..util import ensure_parallelism, global_rank
+from ..util import ensure_parallelism, global_rank, topk_ranked
 
 _META = "meta.json"
 
@@ -189,8 +189,9 @@ def bm25_probe(
             / F.lit(float(10**12))
         ).alias("score")
     )
-    ranked = global_rank(scored, [F.col("score").desc(), F.col("doc_id")])
-    return ranked.where(F.col("rank") <= top_k)
+    return topk_ranked(
+        scored, [F.col("score").desc(), F.col("doc_id")], top_k
+    )
 
 
 def phrase_probe(

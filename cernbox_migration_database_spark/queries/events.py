@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from ..functions.numeric import davg, dsum, dsum_decimal, dsum_expr
 from ..operators.asof import asof_join
-from ..util import ensure_parallelism, global_rank, tracked_persist
+from ..util import ensure_parallelism, global_rank, topk_ranked, tracked_persist
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from ._registry import _t, register
@@ -388,10 +388,11 @@ def events_top_transitions(spark, sf_dir):
         F.lead("event_type").over(w).alias("dst"),
     ).where(F.col("dst").isNotNull())
     c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
-    # two-pass offset rank (util.global_rank): no unpartitioned window,
-    # even though the aggregate is tiny (bounded by |event types|^2)
-    r = global_rank(c, [F.col("n").desc(), F.col("src"), F.col("dst")])
-    return r.where(F.col("rank") <= 20)
+    # bounded top-k rank (util.topk_ranked): TakeOrdered heaps, no
+    # unpartitioned window, no rank-offset job
+    return topk_ranked(
+        c, [F.col("n").desc(), F.col("src"), F.col("dst")], 20
+    )
 
 
 @register(
@@ -430,12 +431,11 @@ def market_basket_pairs(spark, sf_dir):
         .distinct()
     )
     cnt = pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("support"))
-    # two-pass offset rank over the aggregated pair table: ranking stays
-    # parallel however many distinct pairs the corpus produces
-    r = global_rank(
-        cnt, [F.col("support").desc(), F.col("p1"), F.col("p2")]
+    # bounded top-k rank over the aggregated pair table: per-partition
+    # top-100 heaps merge once, however many distinct pairs exist
+    return topk_ranked(
+        cnt, [F.col("support").desc(), F.col("p1"), F.col("p2")], 100
     )
-    return r.where(F.col("rank") <= 100)
 
 
 @register(

@@ -12,7 +12,7 @@ from ..operators import bpe as BPE
 from ..operators import langid as LID
 from ..operators import pii as PII
 from ..operators import text as TX
-from ..util import ensure_parallelism, global_rank, tracked_persist
+from ..util import ensure_parallelism, global_rank, topk_ranked, tracked_persist
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from ._registry import ORACLE, PHASED, QUERIES, _t, _versioned_scratch, register
@@ -769,8 +769,7 @@ def bm25_search(spark, sf_dir):
             / F.lit(float(10**12))
         ).alias("score")
     )
-    ranked = global_rank(scored, [F.col("score").desc(), F.col("doc_id")])
-    return ranked.where(F.col("rank") <= 50)
+    return topk_ranked(scored, [F.col("score").desc(), F.col("doc_id")], 50)
 
 
 @register("search_bm25_indexed", None)
@@ -1073,10 +1072,11 @@ def search_hybrid_rrf(spark, sf_dir):
             ).alias("rrf"),
         )
     )
-    ranked = global_rank(
-        fused, [F.col("rrf").desc(), F.col("doc_id")], rank_col="fused_rank"
+    ranked = topk_ranked(
+        fused, [F.col("rrf").desc(), F.col("doc_id")], 20,
+        rank_col="fused_rank",
     )
-    return ranked.where(F.col("fused_rank") <= 20).select(
+    return ranked.select(
         "doc_id", "lex_rank", "vec_rank", "rrf",
         F.col("fused_rank").cast("int").alias("fused_rank"),
     )

@@ -75,6 +75,32 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Data
     return with_id.withColumn(rank_col, rank.cast("long")).drop("_gr_mid")
 
 
+def topk_ranked(
+    df: DataFrame, order_cols: list, k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Global top-``k`` with materialized ranks 1..k — the bounded-output
+    sibling of :func:`global_rank` (r11 verdict item 4). When the caller
+    only keeps ``rank <= k``, the two-pass offset scheme is overkill:
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition top-k heaps merged once — no range-sampling exchange,
+    no persist, no driver count job), and the <= k survivors re-sort
+    inside ONE tiny partition where ``monotonically_increasing_id``
+    (pid 0 → ids 0..k-1) assigns the rank. Replaces
+    ``global_rank(df, cols).where(rank <= k)`` in the retrieval queries;
+    ``global_rank`` remains for FULL-relation ranking (shuffles,
+    curriculum quartiles) where no k bounds the output.
+
+    Same determinism contract: ``order_cols`` must be a total order
+    (tie-break on a key) or ranks are engine-unstable."""
+    from pyspark.sql import functions as F
+
+    top = df.orderBy(*order_cols).limit(int(k))
+    one = top.repartition(1).sortWithinPartitions(*order_cols)
+    return one.withColumn(
+        rank_col, (F.monotonically_increasing_id() + F.lit(1)).cast("long")
+    )
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only when the input has fewer partitions than the session's
     parallelism. A small parquet file arrives as 1 partition, which serializes
