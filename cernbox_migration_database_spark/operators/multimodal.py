@@ -16,10 +16,15 @@ Two codec tiers (round 9 — before that every non-fake branch was a stub):
   execute these for ``image/png`` / ``audio/wav`` / ``video/avi`` blobs —
   genuinely decoding real container bytes on executors, tested
   round-trip and end-to-end (queries ``multimodal_decode_real``,
-  ``multimodal_video_decode``, ``multimodal_video_frames``).
-* STUBBED, loud: formats whose codecs aren't in this environment (JPEG,
-  MP3, compressed video) raise NotImplementedError with the library to
-  install — the swap-in point for PIL/librosa/pyav.
+  ``multimodal_video_decode``, ``multimodal_video_frames``). Round 12
+  adds the first LOSSY format: baseline JPEG (operators/jpeg.py — Annex
+  K Huffman/quant tables, sampling factors, restart markers), so
+  ``image/jpeg`` decodes and dHashes with no external library
+  (query ``multimodal_decode_jpeg``).
+* STUBBED, loud: formats whose codecs aren't in this environment (MP3,
+  H.264, progressive JPEG) raise NotImplementedError naming the
+  ``decode_media(decoders=...)`` injection point — the swap-in point
+  for PIL/librosa/pyav.
 
 The deterministic ``fake=True`` tier remains for pipeline tests that
 want features as pure functions of the bytes.
@@ -363,6 +368,46 @@ def synthesize_media(
     )
 
 
+def synthesize_jpeg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL lossy blobs: UTF-8 document bytes as grayscale
+    pixels (width = n % 40 + 8, zero-padded last row), baseline-JPEG
+    encoded via operators/jpeg.py. Same oracle-checkable shape as
+    synthesize_media — dimensions are pure functions of the byte LENGTH —
+    but the payload round-trips through a genuinely LOSSY codec, so only
+    geometry (not pixels) is differentialed; mean-luma fidelity is pinned
+    by tests within the DC-quantization bound."""
+    import numpy as np
+
+    from .jpeg import jpeg_encode
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                w = len(raw) % 40 + 8
+                h = max(1, -(-len(raw) // w))
+                arr = np.zeros(w * h, dtype=np.uint8)
+                arr[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                rows.append(
+                    (mid, jpeg_encode(arr.reshape(h, w)), "image/jpeg",
+                     w, h, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "blob", "media_type", "width", "height",
+                    "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _synth, schema=MEDIA_META_SCHEMA
+    )
+
+
 def synthesize_video(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -421,13 +466,16 @@ def decode_media(
     ``fake=True`` derives deterministic pseudo-features from the raw bytes
     (so tests validate batching/schema). ``fake=False`` REALLY decodes:
     ``image/png`` through the stdlib zlib/five-filter decoder (width,
-    height, mean_luma from the reconstructed pixels), ``audio/wav``
-    through the stdlib ``wave`` reader (duration from the frame count,
-    mean_luma reused as mean normalized sample level), ``video/avi``
-    through the RIFF/DIB decoder above (width/height from the headers,
-    duration from frame count × frame interval, mean_luma averaged over
-    every decoded frame); other types raise NotImplementedError naming
-    the codec to install — the one genuinely environment-blocked branch.
+    height, mean_luma from the reconstructed pixels), ``image/jpeg``
+    through the bundled baseline-JPEG decoder (operators/jpeg.py —
+    dimensions exact, mean_luma from the reconstructed luma plane),
+    ``audio/wav`` through the stdlib ``wave`` reader (duration from the
+    frame count, mean_luma reused as mean normalized sample level),
+    ``video/avi`` through the RIFF/DIB decoder above (width/height from
+    the headers, duration from frame count × frame interval, mean_luma
+    averaged over every decoded frame); other types (MP3, H.264,
+    progressive JPEG) raise NotImplementedError naming the codec to
+    install — the genuinely environment-blocked branches.
 
     ``decoders`` is the PRODUCTION path through that branch (r10 verdict
     item 8): a ``{media_type: callable}`` injection point so plugging
@@ -464,6 +512,14 @@ def decode_media(
                             (mid, mtype, len(raw), sha, w, h,
                              None if luma is None else float(luma),
                              None if dur is None else int(dur))
+                        )
+                    elif mtype == "image/jpeg":
+                        from .jpeg import jpeg_decode
+
+                        w, h, y = jpeg_decode(raw)
+                        rows.append(
+                            (mid, mtype, len(raw), sha, w, h,
+                             float(y.mean()) / 255.0, None)
                         )
                     elif mtype == "image/png":
                         w, h, px = _png_decode(raw)
@@ -758,12 +814,17 @@ def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
                 pdf["media_id"], pdf["blob"], pdf["media_type"]
             ):
                 if not fake:
-                    if mtype != "image/png":
+                    if mtype == "image/png":
+                        _, _, px = _png_decode(bytes(blob))
+                    elif mtype == "image/jpeg":
+                        from .jpeg import jpeg_decode
+
+                        _, _, px = jpeg_decode(bytes(blob))
+                    else:
                         raise NotImplementedError(
                             f"real dHash: no decoder for {mtype!r} here; "
                             "install PIL on executors and add a branch"
                         )
-                    _, _, px = _png_decode(bytes(blob))
                     grid = _grid_9x8(px.astype(np.float64))
                     bits = (grid[:, 1:] < grid[:, :-1]).flatten()
                     out_ids.append(mid)

@@ -135,11 +135,13 @@ def test_decode_media_real_on_spark(spark):
 
 
 def test_decode_media_real_unknown_type_raises(spark):
+    # image/jpeg graduated to a builtin decoder in r12 — MP3 is the
+    # canonical still-unsupported type naming the injection point
     media = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff", "image/jpeg", None, None, None)],
+        [(1, b"\xff\xfb\x90\x00", "audio/mp3", None, None, None)],
         M.MEDIA_META_SCHEMA,
     )
-    with pytest.raises(Exception, match="image/jpeg"):
+    with pytest.raises(Exception, match="audio/mp3"):
         M.decode_media(media, fake=False).collect()
 
 
@@ -307,3 +309,154 @@ def test_decoder_injection_contract(spark):
         M.decode_media(
             mp3, fake=False, decoders={"image/jpeg": _fake_jpeg_decoder}
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (operators/jpeg.py, round 12)
+# ---------------------------------------------------------------------------
+
+from cernbox_migration_database_spark.operators import jpeg as J
+
+
+def test_jpeg_round_trip_dims_exact_and_luma_bounded():
+    """Dimensions must round-trip exactly; mean luma within the DC
+    quantization bound (Annex K q[0,0]=16 -> per-block mean error <= 8,
+    so well under 4/255 normalized for multi-block noise images)."""
+    for (h, w, seed) in [(8, 8, 1), (5, 13, 2), (24, 17, 3), (1, 100, 4),
+                         (64, 64, 5)]:
+        px = _rand_gray(h, w, seed)
+        blob = J.jpeg_encode(px)
+        w2, h2, y = J.jpeg_decode(blob)
+        assert (w2, h2) == (w, h)
+        assert y.shape == (h, w)
+        assert abs(float(y.mean()) - float(px.mean())) < 4.0
+    # smooth gradient: DCT-friendly, mean near-exact
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    _, _, y = J.jpeg_decode(J.jpeg_encode(grad))
+    assert abs(float(y.mean()) - float(grad.mean())) < 0.5
+
+
+def test_jpeg_spec_parity_pins():
+    """Constants a complementary encoder/decoder bug could not fake:
+    the DQT payload must be the famous Annex K luminance table in zigzag
+    order, and a flat-gray block's entropy data must be exactly the
+    spec codes DC-size-0 ('00') + EOB ('1010') + 1-padding = 0x2B."""
+    blob = J.jpeg_encode(np.full((8, 8), 128, dtype=np.uint8))
+    i = blob.index(b"\xff\xdb")
+    assert list(blob[i + 5 : i + 13]) == [16, 11, 12, 14, 12, 10, 16, 14]
+    s = blob.index(b"\xff\xda")
+    ln = int.from_bytes(blob[s + 2 : s + 4], "big")
+    assert blob[s + 2 + ln : blob.index(b"\xff\xd9")] == b"\x2b"
+
+
+def _seg(marker, payload):
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _tables():
+    dqt = bytes([0]) + bytes(
+        int(J._QUANT_LUMA.reshape(-1)[J._ZIGZAG[i]]) for i in range(64)
+    )
+    dht = (
+        bytes([0x00]) + bytes(J._DC_BITS) + bytes(J._DC_VALS)
+        + bytes([0x10]) + bytes(J._AC_BITS) + bytes(J._AC_VALS)
+    )
+    return dqt, dht
+
+
+def test_jpeg_decodes_restart_markers():
+    """Hand-assembled two-MCU file with DRI=1: flat MCU (0x2B), RST0,
+    flat MCU — the decoder must byte-align, consume the marker, reset
+    DC predictions, and reconstruct 16x8 of flat gray."""
+    dqt, dht = _tables()
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    blob = (
+        b"\xff\xd8" + _seg(0xFFDB, dqt) + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht) + _seg(0xFFDD, struct.pack(">H", 1))
+        + _seg(0xFFDA, sos) + b"\x2b\xff\xd0\x2b" + b"\xff\xd9"
+    )
+    w, h, y = J.jpeg_decode(blob)
+    assert (w, h) == (16, 8) and y.shape == (8, 16)
+    assert np.all(y == 128)
+
+
+def test_jpeg_decodes_420_subsampled_color():
+    """Hand-assembled 4:2:0 YCbCr file (Y 2x2, Cb/Cr 1x1; one 16x16
+    MCU = 4+1+1 flat blocks, 6x6 bits + padding): chroma blocks must be
+    entropy-consumed to keep bit position while only the luma plane
+    reconstructs."""
+    dqt, dht = _tables()
+    sof = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    # 6 flat blocks of '001010' then 1111 padding
+    bits = "001010" * 6 + "1111"
+    ent = int(bits, 2).to_bytes(5, "big")
+    blob = (
+        b"\xff\xd8" + _seg(0xFFDB, dqt) + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht) + _seg(0xFFDA, sos) + ent + b"\xff\xd9"
+    )
+    w, h, y = J.jpeg_decode(blob)
+    assert (w, h) == (16, 16) and y.shape == (16, 16)
+    assert np.all(y == 128)
+
+
+def test_jpeg_progressive_raises_loudly():
+    px = _rand_gray(8, 8, 9)
+    blob = bytearray(J.jpeg_encode(px))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="decoders="):
+        J.jpeg_decode(bytes(blob))
+
+
+def test_jpeg_text_payload_luma_tracks_source(spark):
+    """The synthesize_jpeg -> decode_media(fake=False) executor path:
+    dims match the length formula and decoded mean luma tracks the
+    padded payload mean within the DC quant bound."""
+    rows = [(i, f"doc {i} " + "payload " * (i % 7)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["media_id"]: r
+        for r in M.decode_media(
+            M.synthesize_jpeg(df), fake=False
+        ).collect()
+    }
+    for i, text in rows:
+        raw = text.encode()
+        w = len(raw) % 40 + 8
+        h = max(1, -(-len(raw) // w))
+        r = out[i]
+        assert (r["width"], r["height"]) == (w, h)
+        padded_mean = sum(raw) / (w * h)
+        assert abs(r["mean_luma"] * 255.0 - padded_mean) < 4.0, (i, r)
+
+
+def test_jpeg_phash_near_dup_contract(spark):
+    """perceptual_hash(fake=False) over JPEG blobs: a one-byte payload
+    corruption stays within small Hamming distance; a disjoint payload
+    does not (the contract the banded pairing relies on)."""
+    base = ("lorem ipsum dolor sit amet " * 12).encode()
+    tweaked = bytearray(base)
+    tweaked[17] ^= 0x04
+    other = bytes(reversed(base))
+    arrs = []
+    for payload in (base, bytes(tweaked), other):
+        w = len(payload) % 40 + 8
+        h = max(1, -(-len(payload) // w))
+        arr = np.zeros(w * h, dtype=np.uint8)
+        arr[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+        arrs.append(J.jpeg_encode(arr.reshape(h, w)))
+    df = spark.createDataFrame(
+        [(i, b, "image/jpeg") for i, b in enumerate(arrs)],
+        "media_id long, blob binary, media_type string",
+    )
+    hashes = {
+        r["media_id"]: r["phash"]
+        for r in M.perceptual_hash(df, fake=False).collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(hashes[0], hashes[1]) <= 8
+    assert ham(hashes[0], hashes[2]) > 8

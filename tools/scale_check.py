@@ -571,6 +571,62 @@ def ivfdrift_mode_main(argv: list[str]) -> int:
     return 0
 
 
+def replan_mode_main(argv: list[str]) -> int:
+    """--replan: replan_centroids latency vs HOT-CELL COUNT (r11 verdict
+    item 7). Since r12 every pick round is ONE grouped min_by job over
+    the union of hot-cell partitions, so a drift event naming 16 hot
+    cells must cost roughly what 1 does (same job count; more partitions
+    read per job). Builds one 32-cell index at sf, then times
+    replan_centroids(per_cell=2) for |hot| in {1, 4, 16} — the claim is
+    a sublinear latency ratio (16x cells well under 4x time), not
+    flatness to the millisecond."""
+    import tempfile
+
+    from cernbox_migration_database_spark.operators import ivfindex as IX
+    from cernbox_migration_database_spark.operators import similarity as S
+    from cernbox_migration_database_spark.operators import (
+        table_format as TF,
+    )
+
+    sf_dir = argv[0] if len(argv) > 0 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    runs = int(argv[1]) if len(argv) > 1 else 3
+    spark = get_spark(app_name="scale-check-replan")
+    work = tempfile.mkdtemp(prefix="cbx_replan_")
+    base, idx = os.path.join(work, "emb"), os.path.join(work, "idx")
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    TF.create_table(emb, base)
+    IX.build_ivf_index(spark, base, idx, S.seed_centroids(emb, k=32))
+    out = {}
+    for n_hot in (1, 4, 16):
+        times = []
+        for _ in range(runs + 1):  # first run is codegen warm-up
+            t0 = time.monotonic()
+            cents = IX.replan_centroids(
+                spark, idx, list(range(n_hot)), per_cell=2
+            )
+            times.append(time.monotonic() - t0)
+        assert len(cents) == 32 + 2 * n_hot, len(cents)
+        out[str(n_hot)] = round(statistics.median(times[1:]), 3)
+        U.release_persisted()
+    print(
+        json.dumps(
+            {
+                "metric": "scale_check_replan",
+                "sf_dir": sf_dir,
+                "load_avg": round(os.getloadavg()[0], 2),
+                "hot_cells_sec": out,
+                "ratio_16x_vs_1x": round(out["16"] / out["1"], 2),
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
 def lshindex_mode_main(argv: list[str]) -> int:
     """--lshindex: does the near-dup index keep probe cost flat while the
     corpus grows? Corpus at 1x and kx (replication-safe dedup replica —
@@ -1464,6 +1520,9 @@ def main() -> int:
     if "--ivfdrift" in argv:
         argv.remove("--ivfdrift")
         return ivfdrift_mode_main(argv)
+    if "--replan" in argv:
+        argv.remove("--replan")
+        return replan_mode_main(argv)
     if "--clusterindex" in argv:
         argv.remove("--clusterindex")
         return clusterindex_mode_main(argv)
