@@ -573,13 +573,15 @@ def ivfdrift_mode_main(argv: list[str]) -> int:
 
 def replan_mode_main(argv: list[str]) -> int:
     """--replan: replan_centroids latency vs HOT-CELL COUNT (r11 verdict
-    item 7). Since r12 every pick round is ONE grouped min_by job over
-    the union of hot-cell partitions, so a drift event naming 16 hot
-    cells must cost roughly what 1 does (same job count; more partitions
-    read per job). Builds one 32-cell index at sf, then times
+    item 7). Since r12 every pick round is ONE grouped min_by job over a
+    PERSISTED union of the hot-cell partitions, so a drift event naming
+    16 hot cells pays constant job count and one storage scan; the
+    residual growth is the data-proportional term (16x the member rows
+    flow through the per-round aggregate — unavoidable for an exact
+    greedy pick). Builds one 32-cell index at sf, then times
     replan_centroids(per_cell=2) for |hot| in {1, 4, 16} — the claim is
-    a sublinear latency ratio (16x cells well under 4x time), not
-    flatness to the millisecond."""
+    latency SUBLINEAR in hot-cell count (16x cells well under 16x
+    time), not flatness."""
     import tempfile
 
     from cernbox_migration_database_spark.operators import ivfindex as IX
