@@ -2557,3 +2557,94 @@ def table_maintenance_drift(spark, sf_dir):
     assert plan2["main"]["actions"] == [], plan2
     assert plan2["store:prices"]["actions"] == [], plan2
     return _stats._hist_store_estimate_phase(spark, store)
+
+
+@register(
+    "sql_frontend_lifecycle",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    cur AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM base),
+    br AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN price + 1000
+                  ELSE price END AS price
+      FROM cur)
+    SELECT cur.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(cur.price - base.o_totalprice
+                   AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0)
+             AS delta_cur,
+           (CAST(SUM(CAST(CAST(br.price - cur.price
+                   AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0)
+             AS delta_branch,
+           CAST(SUM(CASE WHEN cur.o_orderkey % 7 = 0
+                          AND cur.price <> base.o_totalprice
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM cur
+    JOIN base ON base.o_orderkey = cur.o_orderkey
+    JOIN br ON br.o_orderkey = cur.o_orderkey
+    GROUP BY cur.o_orderstatus
+    ORDER BY cur.o_orderstatus
+    """,
+)
+def sql_frontend_lifecycle(spark, sf_dir):
+    """SQL-STRING front end over the versioned catalog (sql.py — the
+    r11 verdict's one noted completeness gap): one plain SQL statement
+    joins the CURRENT snapshot, a TAGGED time-travel snapshot, a BRANCH
+    head, and the CHANGE FEED window, with every ``cbx.*`` reference
+    resolved to a pinned snapshot temp view and the rewritten string
+    handed VERBATIM to spark.sql — Catalyst parses, optimizes, and
+    executes; no second engine. The lifecycle (create → tag → price
+    update → branch → branch update) is built through the operator API,
+    then the entire readout happens through SQL text; the oracle
+    recomputes all four relations relationally from raw orders. The
+    n_changed column counts keys the CDF window names, proving the
+    changes() relation carries exactly the update cohort (minus
+    diff-invisible no-op updates, of which the *2 update has none for
+    nonzero prices)."""
+    from .. import sql as CBXSQL
+    from ..operators import table_format as TF
+
+    root = _versioned_scratch("sqlfe", sf_dir)
+    tbl = root + "/orders"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.create_table(base, tbl)
+    TF.create_tag(tbl, "baseline")
+    TF.update_where(
+        spark, tbl, "o_orderkey % 7 = 0",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    br = TF.create_branch(tbl, "exp")
+    TF.update_where(
+        spark, br, "o_orderkey % 11 = 0",
+        {"o_totalprice": "o_totalprice + 1000"},
+    )
+    cat = CBXSQL.SqlCatalog(spark, {"orders": (tbl, "o_orderkey")})
+    return cat.sql("""
+        SELECT cur.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               (CAST(SUM(CAST(CAST(cur.o_totalprice - base.o_totalprice
+                       AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS delta_cur,
+               (CAST(SUM(CAST(CAST(br.o_totalprice - cur.o_totalprice
+                       AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS delta_branch,
+               CAST(SUM(CASE WHEN ch.o_orderkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        FROM cbx.orders cur
+        JOIN cbx.orders@baseline base
+          ON base.o_orderkey = cur.o_orderkey
+        JOIN cbx.orders@exp br ON br.o_orderkey = cur.o_orderkey
+        LEFT JOIN (SELECT DISTINCT o_orderkey
+                   FROM cbx.changes(orders, 1, 2)) ch
+          ON ch.o_orderkey = cur.o_orderkey
+        GROUP BY cur.o_orderstatus
+        ORDER BY cur.o_orderstatus
+    """)
