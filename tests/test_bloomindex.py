@@ -193,3 +193,42 @@ def test_lookup_raises_when_index_lags_base(spark, tmp_path):
     BI.refresh_bloom_index(spark, idx)
     got = {r["id"] for r in BI.bloom_prune_lookup(spark, idx, [9999]).collect()}
     assert got == {9999}
+
+
+def test_streaming_sink_post_batch_keeps_index_probe_safe(spark, tmp_path):
+    """Live-pipeline wiring (the histstore/lshindex post_batch twin): a
+    streaming sink whose hook runs refresh_bloom_index keeps the index
+    fold-current through insert microbatches, so the probe's version-lag
+    guard never trips and lookups stay exact; a crash-replayed
+    microbatch is a txn-marked no-op the hook survives."""
+    from cernbox_migration_database_spark.streaming.table_sink import (
+        exactly_once_batch_writer,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.bloomindex.json")
+    TF.create_table(_base(spark), root, partition_by="day")
+    BI.create_bloom_index(spark, root, idx, key="id")
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            [Row(id=i, day=f"d{i % 5}", val=float(i)) for i in rows]
+        )
+
+    apply = exactly_once_batch_writer(
+        root, app_id="bloom", key="id",
+        post_batch=lambda sp: BI.refresh_bloom_index(sp, idx),
+    )
+    apply(_batch([1000, 1001]), 1)
+    apply(_batch([2002]), 2)
+    got = {
+        r["id"]
+        for r in BI.bloom_prune_lookup(
+            spark, idx, [1000, 1001, 2002, 7]
+        ).collect()
+    }
+    assert got == {1000, 1001, 2002, 7}
+    # crash-replay: merge no-ops, hook sees no new version, still exact
+    apply(_batch([2002]), 2)
+    got = {r["id"] for r in BI.bloom_prune_lookup(spark, idx, [2002]).collect()}
+    assert got == {2002}

@@ -142,3 +142,37 @@ def test_range_scan_raises_when_map_lags_base(spark, tmp_path):
     ZM.refresh_zone_map(spark, idx)
     got = {r["val"] for r in ZM.range_prune_scan(spark, idx, 9000.0, 10000.0).collect()}
     assert got == {9999.0}
+
+
+def test_streaming_sink_post_batch_keeps_map_scan_safe(spark, tmp_path):
+    """Streaming twin for the zone map: post_batch refresh keeps bounds
+    fold-current (the scan's version-lag guard never trips), widened
+    zones admit the new rows, and a replayed microbatch no-ops."""
+    from cernbox_migration_database_spark.streaming.table_sink import (
+        exactly_once_batch_writer,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "t.zonemap.json")
+    TF.create_table(_base(spark), root, partition_by="day")
+    ZM.create_zone_map(spark, root, idx, col="val", key="id")
+
+    apply = exactly_once_batch_writer(
+        root, app_id="zone", key="id",
+        post_batch=lambda sp: ZM.refresh_zone_map(sp, idx),
+    )
+    apply(
+        spark.createDataFrame([Row(id=9001, day="d1", val=9001.0)]), 1
+    )
+    apply(
+        spark.createDataFrame([Row(id=9002, day="d9", val=9002.0)]), 2
+    )
+    got = {
+        r["val"]
+        for r in ZM.range_prune_scan(spark, idx, 9000.0, 9100.0).collect()
+    }
+    assert got == {9001.0, 9002.0}
+    apply(  # crash-replay no-op
+        spark.createDataFrame([Row(id=9002, day="d9", val=9002.0)]), 2
+    )
+    assert ZM.range_prune_scan(spark, idx, 9000.0, 9100.0).count() == 2
