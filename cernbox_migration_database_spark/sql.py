@@ -17,6 +17,8 @@ Reference syntax (inside any SQL string):
 
 * ``cbx.<name>``              — the table's CURRENT committed snapshot
 * ``cbx.<name>@v<N>``         — time travel to version N
+* ``cbx.<name>@ts:<unix>``    — AS OF TIMESTAMP (the version current
+  at that unix time, integer or fractional seconds)
 * ``cbx.<name>@<ref>``        — a TAG (resolved first) or BRANCH head
 * ``cbx.changes(<name>, <from>, <to>)`` — the CDF window as a relation
   (table columns + ``_change_type``), keyed on the table's registered
@@ -51,7 +53,9 @@ _CHANGES = re.compile(
     r"\bcbx\.changes\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
     re.IGNORECASE,
 )
-_REF = re.compile(r"\bcbx\.([A-Za-z_]\w*)(?:@([\w][\w.-]*))?")
+_REF = re.compile(
+    r"\bcbx\.([A-Za-z_]\w*)(?:@(ts:\d+(?:\.\d+)?|[\w][\w.-]*))?"
+)
 
 
 class SqlCatalog:
@@ -95,6 +99,13 @@ class SqlCatalog:
         m = re.fullmatch(r"v(\d+)", ref)
         if m:
             v = int(m.group(1))
+            return self._view(
+                TF.read_table(self._spark, root, v), f"__cbx_{name}_v{v}"
+            )
+        m = re.fullmatch(r"ts:(\d+(?:\.\d+)?)", ref)
+        if m:
+            # AS OF TIMESTAMP: the version current at that unix time
+            v = TF.version_at(root, float(m.group(1)))
             return self._view(
                 TF.read_table(self._spark, root, v), f"__cbx_{name}_v{v}"
             )

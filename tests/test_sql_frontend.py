@@ -77,3 +77,22 @@ def test_changes_relation_and_errors(spark, tmp_path):
     keyless = SQL.SqlCatalog(spark, {"t": root})
     with pytest.raises(ValueError, match="merge key"):
         keyless.sql("SELECT * FROM cbx.changes(t, 1, 2)")
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """@ts:<unix> resolves to the version current at that instant —
+    the AS OF TIMESTAMP form through SQL text."""
+    import time
+
+    root = _mk(spark, tmp_path)
+    time.sleep(0.05)
+    t_between = time.time()
+    time.sleep(0.05)
+    TF.update_where(spark, root, "id = 1", {"val": "val + 100"})
+    cat = SQL.SqlCatalog(spark, {"t": root})
+    old = cat.sql(
+        f"SELECT val FROM cbx.t@ts:{t_between} WHERE id = 1"
+    ).first()["val"]
+    assert old == 10.0
+    now = cat.sql("SELECT val FROM cbx.t WHERE id = 1").first()["val"]
+    assert now == 110.0
