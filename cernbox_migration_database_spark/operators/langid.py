@@ -183,13 +183,35 @@ def _scores_from_norm(norm: Column) -> Column:
     return F.array(*sums)
 
 
+def _scores_sql(norm_sql: str) -> str:
+    """SQL-text rendering of :func:`_scores_from_norm` over a NAMED
+    column. Composing the ~320 Column operations of the score sums
+    through the Python Column API costs ~2.5 s of py4j round trips per
+    query BEFORE any execution (measured on the pipeline's langid stage,
+    r12); generating the same expressions as one SQL string and parsing
+    it with ``F.expr`` is milliseconds — the round-3 pq_encode lesson
+    (PLANS.md) applied to the langid scorer. Same integer arithmetic,
+    same results. Model bigrams are [a-z ]² so no SQL escaping needed."""
+    sums = []
+    for li in range(len(LANGS)):
+        terms = ["CAST(0 AS BIGINT)"]
+        for bg, scores in MODEL.items():
+            if scores[li]:
+                terms.append(
+                    f"CAST(regexp_count({norm_sql}, '(?={bg})') AS BIGINT)"
+                    f" * CAST({scores[li]} AS BIGINT)"
+                )
+        sums.append(" + ".join(terms))
+    return "array(" + ", ".join(sums) + ")"
+
+
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``lang_pred`` (argmax language) and ``lang_score`` (winning
     quantized log-odds sum, BIGINT) columns. The normalized text is
     materialized in its own projection so the 64 per-bigram counts share
     ONE regexp_replace evaluation instead of re-normalizing per count
     (measured ~1.5× on the pipeline's langid stage)."""
-    scores = _scores_from_norm(F.col("__lid_norm"))
+    scores = F.expr(_scores_sql("__lid_norm"))
     langs_lit = F.array(*[F.lit(x) for x in LANGS])
     best = F.array_max(scores)
     idx = F.array_position(scores, best)  # first max -> lang asc tie-break
@@ -213,14 +235,23 @@ def with_fluency(df: DataFrame, text_col: str = "text") -> DataFrame:
     # over the LM's known bigrams — codegen occurrence counts over one
     # materialized normalization instead of the interpreted per-element
     # HOF walk with a 280-entry literal-map scan
-    norm = F.col("__flu_norm")
+    # SQL-text rendering for the same reason as _scores_sql: the ~280-term
+    # Column-API sum cost seconds of py4j plan-build per query; one parsed
+    # SQL string is milliseconds. Identical integer arithmetic.
+    norm_sql = "__flu_norm"
+    norm = F.col(norm_sql)
     n = F.when(F.length(norm) >= 2, F.length(norm) - 1).otherwise(F.lit(0))
-    tot = n.cast("long") * F.lit(EN_FLOOR).cast("long")
+    terms = [
+        f"CAST(CASE WHEN length({norm_sql}) >= 2 THEN length({norm_sql}) - 1"
+        f" ELSE 0 END AS BIGINT) * CAST({EN_FLOOR} AS BIGINT)"
+    ]
     for bg, q in EN_LM.items():
         if q != EN_FLOOR:
-            tot = tot + F.regexp_count(norm, F.lit(f"(?={bg})")).cast(
-                "long"
-            ) * F.lit(q - EN_FLOOR).cast("long")
+            terms.append(
+                f"CAST(regexp_count({norm_sql}, '(?={bg})') AS BIGINT)"
+                f" * CAST({q - EN_FLOOR} AS BIGINT)"
+            )
+    tot = F.expr(" + ".join(terms))
     return (
         df.withColumn("__flu_norm", norm_expr(text_col))
         .withColumn("n_bigrams", n.cast("long"))

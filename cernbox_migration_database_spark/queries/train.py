@@ -14,7 +14,7 @@ from ..operators import pii as PII
 from ..operators import shard as SH
 from ..operators import sketches as SK
 from ..operators import text as TX
-from ..util import ensure_parallelism, global_rank, tracked_persist
+from ..util import ensure_parallelism, fanout_barrier, global_rank, tracked_persist
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from ._registry import PHASED, STAGE_TIMES, _t, _versioned_scratch, register
@@ -952,7 +952,15 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
 
     stages: dict[str, float] = {}
     t0 = _time.time()
-    docs = _t(spark, sf_dir, "documents")
+    # fan the scan out BEFORE the compute-heavy scan-local stages: a small
+    # corpus arrives as one file = ONE partition, which serializes the
+    # quality metrics, the 64-regex langid scoring and the PII redaction
+    # onto a single core (guide §2.5 input skew). A bare repartition is NOT
+    # enough — predicate pushdown moves the quality/langid filters back
+    # below the exchange (verified in the plan); fanout_barrier blocks the
+    # push with a persist, and is a no-op at real scale where the input is
+    # already parallel.
+    docs = fanout_barrier(_t(spark, sf_dir, "documents"))
     ok = TX.with_quality(docs).where(F.col("quality") == "ok")
     keep = LID.with_langid(ok).where(F.col("lang_pred") == F.col("lang"))
     red = tracked_persist(
@@ -988,10 +996,19 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1"
     )
-    sh = d2.select(
-        "doc_id",
-        is_eval.alias("__is_eval"),
-        D.shingles_from_tokens(TX.tokens("text"), 3).alias("s"),
+    # Persist the per-doc shingle arrays (the _shingle_sets discipline):
+    # without the barrier the shingle pipeline is inlined into THREE
+    # separate consumers — the bloom build, the semi-join's eval side and
+    # the probe side of the contamination scan — re-tokenizing the corpus
+    # once per consumer. ensure_parallelism first: d2 comes out of an
+    # AQE-coalesced join exchange (one ~KB partition at small scale), which
+    # would serialize the shingling onto one core.
+    sh = tracked_persist(
+        ensure_parallelism(d2).select(
+            "doc_id",
+            is_eval.alias("__is_eval"),
+            D.shingles_from_tokens(TX.tokens("text"), 3).alias("s"),
+        )
     )
     ex = sh.where(F.size("s") > 0).select(
         "doc_id", "__is_eval", F.explode("s").alias("g")
@@ -1029,8 +1046,11 @@ def _pipeline_pack(spark: SparkSession, survivors_path: str) -> DataFrame:
     carries per-shard doc/token/byte totals plus how many (lang, bin)
     packing units the shard's documents landed in."""
     d3 = spark.read.parquet(survivors_path)
+    # the survivors checkpoint is small-file-sized at bench scale (one scan
+    # partition) — fan out before the tokenization pass, as in the clean
+    # phase; no-op when the checkpoint is already well-partitioned
     base = tracked_persist(
-        d3.select(
+        ensure_parallelism(d3).select(
             "doc_id",
             "lang",
             F.size(TX.tokens("text")).cast("long").alias("n_tok"),

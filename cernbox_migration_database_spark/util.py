@@ -101,6 +101,25 @@ def topk_ranked(
     )
 
 
+def fanout_barrier(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """:func:`ensure_parallelism` plus a persist BARRIER, applied only when
+    a repartition was actually needed. Why the barrier: Catalyst pushes
+    deterministic filters below a round-robin exchange (PushDownPredicates
+    treats Repartition as transparent), so a compute-heavy scan-local
+    filter chain written ABOVE ``repartition(n)`` still executes on the
+    small input's original (often single) partition — the repartition
+    parallelizes nothing. Filters do not push through an InMemoryRelation,
+    so persisting the repartitioned rows forces the heavy expressions to
+    evaluate post-exchange at full parallelism (measured on the pipeline's
+    langid stage, r12: the filter sat below the exchange and ran 1-core).
+    At scale the input is already parallel and this is a no-op — nothing
+    is cached, nothing reshuffled."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return tracked_persist(df.repartition(target))
+    return df
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only when the input has fewer partitions than the session's
     parallelism. A small parquet file arrives as 1 partition, which serializes
