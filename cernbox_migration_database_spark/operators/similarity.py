@@ -235,16 +235,42 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sql_ref(c: Column | str) -> str:
+    """SQL rendering of a PLAIN column reference (every caller passes
+    ``F.col("name")`` or the name itself); used to assemble literal-heavy
+    expressions as parsed SQL text instead of py4j Column composition."""
+    if isinstance(c, str):
+        return c
+    s = c._jc.toString()  # "qs" for a bare reference
+    if not s.replace("_", "").isalnum():
+        raise ValueError(f"expected a plain column reference, got {s!r}")
+    return s
+
+
 def _centroid_cosines(
-    svec: Column, norm: Column, centroids: list[tuple[list[int], float]]
+    svec: Column | str, norm: Column | str,
+    centroids: list[tuple[list[int], float]],
 ) -> list[Column]:
     """One exact cosine per centroid; centroids are (scaled-long vector,
     norm) pairs embedded as literals — like plane_signs, evaluating them as
-    expressions per row would waste work Catalyst doesn't constant-fold."""
+    expressions per row would waste work Catalyst doesn't constant-fold.
+    The k × dim literal array is rendered as SQL TEXT and parsed once:
+    composing it from F.lit() Columns cost ~2 py4j round trips per element
+    (k=16, dim=64 → ~2000 calls ≈ seconds of driver time PER probe call,
+    measured r12 — the dominant cost of the warm ivf/ivfpq probe phases).
+    Identical expression semantics to dot_scaled(svec, literal-array)."""
+    s_sql = _sql_ref(svec)
+    norm = F.col(norm) if isinstance(norm, str) else norm
     out = []
     for csvec, cnorm in centroids:
-        carr = F.array(*[F.lit(int(v)).cast("long") for v in csvec])
-        out.append(dot_scaled(svec, carr) / (norm * F.lit(float(cnorm))))
+        vals = ",".join(f"{int(v)}L" for v in csvec)
+        dot = F.expr(
+            f"aggregate(zip_with({s_sql}, array({vals}), (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+        out.append(
+            dot.cast("double") / F.lit(_DOT_DIV) / (norm * F.lit(float(cnorm)))
+        )
     return out
 
 

@@ -152,12 +152,28 @@ def bloom_build(
                 F.array(*[bloom_pos(F.col("v"), i, m_bits) for i in range(k)])
             ).alias("p")
         )
-        .distinct()
+    )
+    # Fold positions into 64-bit words cluster-side (bit_or is idempotent,
+    # so the former distinct-positions pass is subsumed): the driver
+    # collects AT MOST m_bits/64 (word, bits) rows — 4 Ki rows for the
+    # default 2^18-bit filter — instead of up to m_bits position rows
+    # (256 Ki), and the map-side bit_or combine bounds the exchange the
+    # same way. Byte layout is unchanged: little-endian word w covers
+    # byte indexes 8w..8w+7, bit j of the word = position 64w + j.
+    words = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), p & 63)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
     )
     bitset = bytearray(m_bits // 8)
-    for r in pos.collect():
-        p = r["p"]
-        bitset[p >> 3] |= 1 << (p & 7)
+    for r in words.collect():
+        off = r["w"] * 8
+        chunk = (r["bits"] & ((1 << 64) - 1)).to_bytes(8, "little")
+        n = min(8, len(bitset) - off)
+        bitset[off : off + n] = chunk[:n]
     return bytes(bitset)
 
 
