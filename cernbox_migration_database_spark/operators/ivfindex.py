@@ -94,7 +94,7 @@ def build_ivf_index(
     docs = TF.read_table(spark, base_root, st["base_version"])
     TF.create_table(
         _assigned(docs, st), os.path.join(index_root, "cells"),
-        partition_by="cell",
+        partition_by="cell", distribute=True,
     )
     os.makedirs(index_root, exist_ok=True)
     # drift anchors (cell mass for PSI, mean quantization error) —

@@ -87,7 +87,7 @@ def build_ivfpq_index(
     docs = TF.read_table(spark, base_root, st["base_version"])
     TF.create_table(
         _index_rows(docs, st), os.path.join(index_root, "codes"),
-        partition_by="cell",
+        partition_by="cell", distribute=True,
     )
     os.makedirs(index_root, exist_ok=True)
     # drift anchor: per-cell population at build, for ivfpq_drift_report

@@ -112,7 +112,7 @@ def build_lsh_index(
     docs = TF.read_table(spark, base_root, st["base_version"])
     TF.create_table(
         _doc_bands(docs, st), os.path.join(index_root, "bands"),
-        partition_by="bucket",
+        partition_by="bucket", distribute=True,
     )
     os.makedirs(index_root, exist_ok=True)
     with open(os.path.join(index_root, _META), "w", encoding="utf-8") as fh:

@@ -78,7 +78,8 @@ def build_text_index(
     )
     postings = TF.with_bucket(_postings(toks), key="tok", n_buckets=n_buckets)
     TF.create_table(
-        postings, os.path.join(base, "postings"), partition_by="bucket"
+        postings, os.path.join(base, "postings"), partition_by="bucket",
+        distribute=True,  # one file per bucket (skew-splitting rebalance)
     )
     n_docs, total = (
         TF.read_table(spark, os.path.join(base, "postings"))
