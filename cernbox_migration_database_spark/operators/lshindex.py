@@ -65,8 +65,11 @@ def _band_rows(
 
 
 def _doc_bands(
-    docs: DataFrame, st: dict, with_bucket: bool = True
+    docs: DataFrame, st: dict, with_bucket: bool = True, sets_df=None
 ) -> DataFrame:
+    """``sets_df`` lets a caller that ALSO needs the documents' shingle
+    sets (probe verification) share one tokenize+persist instead of
+    re-shingling the same rows twice."""
     rows = _band_rows(
         minhash_signatures(
             docs,
@@ -74,6 +77,7 @@ def _doc_bands(
             id_col=st["id_col"],
             k=st["k"],
             num_hashes=st["num_hashes"],
+            sets_df=sets_df,
         ),
         st["id_col"],
         st["num_hashes"],
@@ -194,7 +198,12 @@ def probe_lsh_index(
     touches the non-candidate corpus."""
     st = _state(index_root)
     bands_root = os.path.join(index_root, "bands")
-    qb = _doc_bands(batch, st, with_bucket=True).select(
+    id_col = st["id_col"]
+    # one shingle pass for the batch, shared between signaturing and the
+    # exact-verify side below (was two independent tokenize+persist chains
+    # over the same rows)
+    sets_b = _shingle_sets(batch, st["text_col"], id_col, None, st["k"])
+    qb = _doc_bands(batch, st, with_bucket=True, sets_df=sets_b).select(
         F.col("doc_id").alias("query_id"), "band", "bv", "bucket"
     )
     # buckets to probe: metadata-sized (<= n_buckets) driver-side list,
@@ -206,7 +215,6 @@ def probe_lsh_index(
         if "/" in e["path"]
     }
     rels = [f"bucket={b}" for b in sorted(probe) if f"bucket={b}" in have]
-    id_col = st["id_col"]
     if not rels:
         t = batch.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
@@ -234,7 +242,7 @@ def probe_lsh_index(
         F.col("n_sh").alias("nc"),
         F.explode("sh").alias("shingle"),
     )
-    qs = _shingle_sets(batch, st["text_col"], id_col, None, st["k"]).select(
+    qs = sets_b.select(
         F.col(id_col).alias("query_id"),
         F.col("n_sh").alias("nq"),
         F.explode("sh").alias("shingle"),
