@@ -294,12 +294,28 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Public form of the persisted per-document shingle-set projection
+    (id, sh, n_sh) — lets a pipeline that needs the same shingles for a
+    LATER stage (e.g. decontamination after near-dedup) tokenize the
+    corpus once and share the cached sets."""
+    return _shingle_sets(df, text_col, id_col, None, k).select(
+        F.col(id_col), "sh", "n_sh"
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> exact Jaccard verification on candidates only.
@@ -311,10 +327,11 @@ def minhash_lsh_dedup(
     broadcast hint is a driver OOM at scale. AQE picks broadcast on its own
     whenever the candidate set measures under the auto-broadcast threshold,
     so small inputs keep the broadcast plan without the unsafe hint.
+    Pass ``sets_df`` (from :func:`shingle_sets`) to reuse an
+    already-persisted shingle projection instead of re-tokenizing.
     """
-    sets_df = _shingle_sets(df, text_col, id_col, None, k).select(
-        F.col(id_col), "sh", "n_sh"
-    )
+    if sets_df is None:
+        sets_df = shingle_sets(df, text_col, id_col, k)
     sigs = minhash_signatures(df, text_col, id_col, k, sets_df=sets_df)
     cands = lsh_candidate_pairs(sigs, id_col)
     sa = sets_df.select(

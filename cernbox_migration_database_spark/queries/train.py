@@ -982,7 +982,13 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     d1.count()
     stages["exact_dedup"] = round(_time.time() - t0, 3)
     t0 = _time.time()
-    near = D.minhash_lsh_dedup(d1, threshold=0.5)
+    # One shingle pass for stages 3 AND 4: the near-dedup and the
+    # decontamination both use k=3 shingles of the same (redacted) text,
+    # and d2 ⊆ d1 — so the persisted d1 shingle sets serve both. Before
+    # r12 stage 4 re-tokenized d2 from scratch (a second corpus-wide
+    # split+shingle+persist).
+    sets_d1 = D.shingle_sets(d1, "text", "doc_id", 3)
+    near = D.minhash_lsh_dedup(d1, threshold=0.5, sets_df=sets_d1)
     d2 = tracked_persist(
         d1.join(
             near.select(F.col("doc_b").alias("doc_id")).distinct(),
@@ -996,19 +1002,8 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1"
     )
-    # Persist the per-doc shingle arrays (the _shingle_sets discipline):
-    # without the barrier the shingle pipeline is inlined into THREE
-    # separate consumers — the bloom build, the semi-join's eval side and
-    # the probe side of the contamination scan — re-tokenizing the corpus
-    # once per consumer. ensure_parallelism first: d2 comes out of an
-    # AQE-coalesced join exchange (one ~KB partition at small scale), which
-    # would serialize the shingling onto one core.
-    sh = tracked_persist(
-        ensure_parallelism(d2).select(
-            "doc_id",
-            is_eval.alias("__is_eval"),
-            D.shingles_from_tokens(TX.tokens("text"), 3).alias("s"),
-        )
+    sh = sets_d1.join(d2.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", is_eval.alias("__is_eval"), F.col("sh").alias("s")
     )
     ex = sh.where(F.size("s") > 0).select(
         "doc_id", "__is_eval", F.explode("s").alias("g")
