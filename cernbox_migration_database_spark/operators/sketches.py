@@ -112,9 +112,20 @@ def bloom_pos(value: Column, i: int, m_bits: int) -> Column:
 
 
 def bloom_build(
-    keys: DataFrame, key_col: str, m_bits: int = 1 << 18, k: int = 4
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    assume_distinct: bool = False,
 ) -> str:
     """Build a Bloom filter bitset over the distinct values of ``key_col``.
+
+    ``assume_distinct=True`` skips the internal value-distinct shuffle when
+    the caller already holds a distinct (typically persisted) key relation —
+    the bit_or word fold is idempotent, so duplicate keys would only cost
+    the redundant exchange, never change the bitset; skipping it when the
+    input is known-distinct removes one corpus-scale shuffle (r13, guide
+    §2.4).
 
     Returns the bitset as ``m_bits / 8`` BYTES (low bit of byte ``p >> 3``
     = position, bit index ``p & 7``), ready to embed as a single BINARY
@@ -143,11 +154,11 @@ def bloom_build(
     """
     if m_bits % 8:
         raise ValueError(f"m_bits must be a multiple of 8, got {m_bits}")
+    vals = keys.select(F.col(key_col).alias("v")).where(F.col("v").isNotNull())
+    if not assume_distinct:
+        vals = vals.distinct()
     pos = (
-        keys.select(F.col(key_col).alias("v"))
-        .where(F.col("v").isNotNull())
-        .distinct()
-        .select(
+        vals.select(
             F.explode(
                 F.array(*[bloom_pos(F.col("v"), i, m_bits) for i in range(k)])
             ).alias("p")

@@ -14,7 +14,13 @@ from ..operators import pii as PII
 from ..operators import shard as SH
 from ..operators import sketches as SK
 from ..operators import text as TX
-from ..util import ensure_parallelism, fanout_barrier, global_rank, tracked_persist
+from ..util import (
+    ensure_parallelism,
+    fanout_barrier,
+    global_rank,
+    stage_checkpoint,
+    tracked_persist,
+)
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from ._registry import PHASED, STAGE_TIMES, _t, _versioned_scratch, register
@@ -942,15 +948,37 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     pipeline publishes for its downstream consumers) and returns the
     path.
 
-    Stage attribution (r10 verdict item 4): each stage boundary is a
-    tracked_persist the next stage reads anyway, so forcing it with a
-    count() here just MOVES the materialization to a timed point instead
-    of adding work — the recorded per-stage seconds land in
+    Stage attribution (r10 verdict item 4): each stage boundary is an
+    EAGER localCheckpoint the next stage reads anyway (r13 — see
+    util.stage_checkpoint: it materializes like the old persist+count AND
+    cuts the lineage so later stages stop re-analyzing the ~600-term
+    filter expressions per action), so the boundary is a timed point
+    without added work — the recorded per-stage seconds land in
     ``STAGE_TIMES['pipeline_pretraining_corpus']`` and bench.py commits
     them with the phases, making a multi-second build attributable."""
     import time as _time
 
     stages: dict[str, float] = {}
+    d3 = _pipeline_survivors(spark, sf_dir, stages)
+    t0 = stages.pop("_decon_t0")
+    out = _versioned_scratch("pipeline", sf_dir) + "/survivors"
+    d3.write.mode("overwrite").parquet(out)
+    stages["decontaminate_checkpoint"] = round(_time.time() - t0, 3)
+    STAGE_TIMES["pipeline_pretraining_corpus"] = stages
+    return out
+
+
+def _pipeline_survivors(
+    spark: SparkSession, sf_dir: str, stages: dict
+) -> DataFrame:
+    """Stages 1-5 as one frame ``(doc_id, lang, text)`` — the surviving
+    corpus ready for the checkpoint write. Split from
+    :func:`_pipeline_clean` so the plan of the build side is capturable
+    as evidence (plans/r13); stage seconds for the first four boundaries
+    land in ``stages``, with the stage-5 start time under ``_decon_t0``
+    (its cost is realized by the caller's write action)."""
+    import time as _time
+
     t0 = _time.time()
     # fan the scan out BEFORE the compute-heavy scan-local stages: a small
     # corpus arrives as one file = ONE partition, which serializes the
@@ -963,12 +991,18 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     docs = fanout_barrier(_t(spark, sf_dir, "documents"))
     ok = TX.with_quality(docs).where(F.col("quality") == "ok")
     keep = LID.with_langid(ok).where(F.col("lang_pred") == F.col("lang"))
-    red = tracked_persist(
+    # Stage boundaries are EAGER localCheckpoints, not persist+count: the
+    # quality/langid/redact stage carries ~600 expression terms, and with a
+    # plain persist every downstream action re-ANALYZES that subtree once
+    # per occurrence in its DAG (~0.5 s each, driver-side, single-threaded
+    # — measured r13; see util.stage_checkpoint). The checkpoint
+    # materializes the stage (the same job the old count() ran) and makes
+    # every later plan shallow.
+    red = stage_checkpoint(
         keep.select(
             "doc_id", "lang", PII.redact_pii(F.col("text")).alias("text")
         )
     )
-    red.count()  # materialize the persist at the stage boundary
     stages["filter_langid_redact"] = round(_time.time() - t0, 3)
     t0 = _time.time()
     keepers = (
@@ -976,10 +1010,9 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
         .groupBy("__fp")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    d1 = tracked_persist(
+    d1 = stage_checkpoint(
         red.join(keepers.select("doc_id"), "doc_id", "left_semi")
     )
-    d1.count()
     stages["exact_dedup"] = round(_time.time() - t0, 3)
     t0 = _time.time()
     # One shingle pass for stages 3 AND 4: the near-dedup and the
@@ -989,48 +1022,61 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str):
     # split+shingle+persist).
     sets_d1 = D.shingle_sets(d1, "text", "doc_id", 3)
     near = D.minhash_lsh_dedup(d1, threshold=0.5, sets_df=sets_d1)
-    d2 = tracked_persist(
+    # no .distinct() on the drop ids: left_anti tolerates duplicate right
+    # rows (a doc pairing with several smaller ids is dropped once either
+    # way), so the distinct was a pure extra shuffle (r13, guide §2.4)
+    d2 = stage_checkpoint(
         d1.join(
-            near.select(F.col("doc_b").alias("doc_id")).distinct(),
+            near.select(F.col("doc_b").alias("doc_id")),
             "doc_id",
             "left_anti",
         )
     )
-    d2.count()
     stages["near_dedup"] = round(_time.time() - t0, 3)
     t0 = _time.time()
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1"
     )
-    sh = sets_d1.join(d2.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id", is_eval.alias("__is_eval"), F.col("sh").alias("s")
+    # The d2-restricted shingle sets feed BOTH sides of the contamination
+    # check (eval shingles -> bloom + exact verify; train shingles ->
+    # probe). r12 evaluated this semi-join + explode THREE times (bloom
+    # build, verify right side, train side) because nothing between
+    # sets_d1 and the consumers was materialized; persisting the array
+    # form once (same row count as sets_d1 — the explode stays lazy and
+    # map-side per consumer) makes each side a cache read (r13, guide §5).
+    sh = stage_checkpoint(
+        sets_d1.join(d2.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", is_eval.alias("__is_eval"), F.col("sh").alias("s")
+        )
     )
     ex = sh.where(F.size("s") > 0).select(
         "doc_id", "__is_eval", F.explode("s").alias("g")
     )
-    # NO distinct on the eval shingles: both consumers tolerate
-    # duplicates — bloom_build reduces to distinct BIT POSITIONS
-    # map-side (ORing a bit twice is a no-op) and a left-semi join
-    # dedups its right side by construction — so the distinct was a
-    # pure extra corpus-scale shuffle+agg on the pipeline's dominant
-    # stage (r10 verdict item 4 stage budget)
-    evalg = ex.where("__is_eval").select("g")
+    # The DISTINCT eval shingles are what both consumers actually need
+    # (bloom_build reduced to distinct positions internally; the semi-join
+    # dedups its right side by construction) — computing the distinct ONCE
+    # and persisting it replaces r12's two independent corpus-scale
+    # evaluations of the eval posting list with one shuffle + two cache
+    # reads, and bloom_build(assume_distinct=True) skips its now-redundant
+    # internal distinct (r13, guide §2.4/§5). Size is bounded by the eval
+    # split's distinct shingle count — the same growth class as the
+    # persisted shingle sets themselves.
+    evalg = tracked_persist(ex.where("__is_eval").select("g").distinct())
     m_bits, k = 1 << 18, 4
-    words = SK.bloom_build(evalg, "g", m_bits=m_bits, k=k)
+    words = SK.bloom_build(
+        evalg, "g", m_bits=m_bits, k=k, assume_distinct=True
+    )
     contaminated = (
         ex.where(~F.col("__is_eval"))
         .select("doc_id", "g")
         .where(SK.bloom_contains(F.col("g"), words, m_bits, k))
         .join(evalg, "g", "left_semi")  # eval ~12.5% of corpus: no hint
         .select("doc_id")
-        .distinct()
+        # no .distinct(): the left_anti below dedups by construction
     )
     d3 = d2.where(~is_eval).join(contaminated, "doc_id", "left_anti")
-    out = _versioned_scratch("pipeline", sf_dir) + "/survivors"
-    d3.select("doc_id", "lang", "text").write.mode("overwrite").parquet(out)
-    stages["decontaminate_checkpoint"] = round(_time.time() - t0, 3)
-    STAGE_TIMES["pipeline_pretraining_corpus"] = stages
-    return out
+    stages["_decon_t0"] = t0
+    return d3.select("doc_id", "lang", "text")
 
 
 def _pipeline_pack(spark: SparkSession, survivors_path: str) -> DataFrame:

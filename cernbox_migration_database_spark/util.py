@@ -30,6 +30,31 @@ def release_persisted() -> int:
     return n
 
 
+def stage_checkpoint(df: DataFrame) -> DataFrame:
+    """EAGER ``localCheckpoint``: materialize ``df`` and cut its lineage at
+    a pipeline stage boundary.
+
+    Why not plain persist: Catalyst re-ANALYZES the full logical plan on
+    every new action — cache substitution happens after analysis — so a
+    multi-stage pipeline whose early stages carry huge expression trees
+    (the langid model's ~320-term scores, the PII regex chain) pays
+    ~0.5 s of driver-side plan processing PER downstream action PER
+    occurrence of the subtree in the DAG (measured r13: a trivial count
+    over the persisted-but-not-checkpointed dedup stage took 0.6 s vs
+    0.15 s checkpointed). localCheckpoint replaces the subtree with a
+    LogicalRDD leaf, so every later stage's plan is shallow. The
+    materialization doubles as the stage-boundary action the pipeline ran
+    anyway (persist + count).
+
+    Trade-offs (guide §5): checkpoint blocks are freed by the context
+    cleaner when the RDD goes unreferenced (same lifecycle the iterative
+    operators' per-round localCheckpoints already rely on), and a locally
+    checkpointed intermediate is not recomputable after executor loss —
+    at cluster scale a long pipeline would use a reliable checkpoint dir
+    for the same lineage cut."""
+    return df.localCheckpoint()
+
+
 def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
     """Materialized dense global row rank (1-based) by ``order_cols``
     WITHOUT a ``row_number`` over an unpartitioned window — which Spark

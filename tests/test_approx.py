@@ -102,6 +102,28 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     assert fp < 200
 
 
+def test_bloom_assume_distinct_bitset_byte_identical(spark):
+    """r13: ``assume_distinct=True`` (the caller already holds a distinct
+    key relation — the pipeline's persisted eval-shingle set) must produce
+    the byte-identical bitset the default distincting path builds, even
+    when the flag is (wrongly but harmlessly) set on input WITH
+    duplicates — the bit_or word fold is idempotent."""
+    from cernbox_migration_database_spark.operators import sketches as SK
+
+    m_bits, k = 1 << 14, 4
+    members = spark.range(500).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("g")
+    )
+    dup = members.unionAll(members)
+    ref = SK.bloom_build(members, "g", m_bits=m_bits, k=k)
+    assert SK.bloom_build(
+        members, "g", m_bits=m_bits, k=k, assume_distinct=True
+    ) == ref
+    assert SK.bloom_build(
+        dup, "g", m_bits=m_bits, k=k, assume_distinct=True
+    ) == ref
+
+
 def test_bloom_positions_match_duckdb(spark):
     """The md5-derived position arithmetic is bit-identical across engines —
     the property the bloom_decontaminate oracle rests on."""
