@@ -1379,8 +1379,12 @@ def merge_into(
     if write_mode not in ("cow", "mor"):
         raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    if check_cardinality:
-        assert_exactly_one(source, keys[0] if len(keys) == 1 else keys)
+    # The A2 cardinality assertion runs below: either fused into the
+    # touched-partition discovery job (partitioned COW fast path — one
+    # collect instead of three blocking driver jobs, r13 guide §5) or as
+    # the standalone pre-write check on every other path. Both raise the
+    # same ValueError BEFORE any version claim or write.
+    cardinality_checked = False
 
     base_v = current_version(root)
     if write_mode == "mor":
@@ -1426,15 +1430,14 @@ def merge_into(
         # DESTINATION partitions matched updates move rows to ∪ partitions
         # where inserts land. All are metadata-sized collects (bounded by
         # partition count, never table rows).
-        matched_parts = {
-            tuple(r)
-            for r in target.join(source.select(*keys).distinct(), keys, "left_semi")
+        matched_parts_df = (
+            target.join(source.select(*keys).distinct(), keys, "left_semi")
             .select(*pcols)
             .distinct()
-            .collect()
-        }
-        touched = set(matched_parts)
+        )
+        matched_parts: set | None = None
         if write_mode == "mor":
+            matched_parts = {tuple(r) for r in matched_parts_df.collect()}
             # Merge-on-read rewrites nothing, so the target scan only needs
             # the partitions holding a matched key (for the update/delete
             # images and the insert anti-detection: a source key matching
@@ -1474,9 +1477,81 @@ def merge_into(
             and (all_pcols_from_src or not update_can_move)
         )
         if fast_path and write_mode != "mor":
-            touched |= {
-                tuple(r) for r in source.select(*pcols).distinct().collect()
-            }
+            # ONE blocking job for the whole pre-write protocol (r13,
+            # guide §5 — the driver protocol was three sequential jobs:
+            # A2 cardinality collect, matched-partition collect,
+            # source-partition collect). The source side groups by the
+            # merge key (each group is one row when the A2 invariant
+            # holds, so first(pcol) is exact), re-aggregates per
+            # partition tuple carrying the max group size and one sample
+            # duplicate key, and unions with the matched target
+            # partitions; everything is still bounded by partition
+            # count, never table rows.
+            if check_cardinality:
+                extra = [c for c in pcols if c not in keys]
+                by_key = (
+                    source.select(*keys, *extra)
+                    .groupBy(*keys)
+                    .agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        *[F.first(c).alias(c) for c in extra],
+                    )
+                )
+                src_side = by_key.groupBy(*pcols).agg(
+                    F.max("__n").alias("__mx"),
+                    F.min(
+                        F.when(
+                            F.col("__n") > 1,
+                            F.struct(*[F.col(k) for k in keys]),
+                        )
+                    ).alias("__samp"),
+                )
+            else:
+                src_side = (
+                    source.select(*pcols)
+                    .distinct()
+                    .select(
+                        *pcols,
+                        F.lit(1).cast("long").alias("__mx"),
+                        F.lit(None)
+                        .cast(
+                            "struct<"
+                            + ", ".join(
+                                f"{k}: {source.schema[k].dataType.simpleString()}"
+                                for k in keys
+                            )
+                            + ">"
+                        )
+                        .alias("__samp"),
+                    )
+                )
+            samp_t = src_side.schema["__samp"].dataType
+            tgt_side = matched_parts_df.select(
+                *pcols,
+                F.lit(1).cast("long").alias("__mx"),
+                F.lit(None).cast(samp_t).alias("__samp"),
+            )
+            rows = src_side.unionByName(tgt_side).collect()
+            if check_cardinality:
+                dupes = [
+                    r["__samp"]
+                    for r in rows
+                    if r["__mx"] > 1 and r["__samp"] is not None
+                ][:5]
+                if dupes:
+                    shown = [
+                        d[keys[0]]
+                        if len(keys) == 1
+                        else tuple(d[k] for k in keys)
+                        for d in dupes
+                    ]
+                    raise ValueError(
+                        f"update set has duplicate keys: {shown}"
+                    )
+                cardinality_checked = True
+            touched = {tuple(r[c] for c in pcols) for r in rows}
+        elif write_mode != "mor":
+            touched = {tuple(r) for r in matched_parts_df.collect()}
         if not fast_path and update_can_move:
             pairs = target.join(
                 source.select(
@@ -1530,6 +1605,9 @@ def merge_into(
     else:
         touched = None
         keep = target
+
+    if check_cardinality and not cardinality_checked:
+        assert_exactly_one(source, keys[0] if len(keys) == 1 else keys)
 
     # Row disposition: target-only rows always survive; matched rows follow
     # when_matched; source-only rows follow when_not_matched. Distinguish
