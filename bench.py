@@ -90,6 +90,33 @@ PROBE_HEADLINE = [
 
 WARM_PASSES = 2
 
+# r12 verdict item 2: at sf0.1 the catalog queries are largely
+# fixed-cost-bound (8-core total ≈ 32-core total), so the driver's
+# low-core/high-core probe cannot distinguish "ignores $SPARK_GRAFT_CPUS"
+# from "nothing left to parallelize". The canary is a deliberately
+# COMPUTE-BOUND, fixed-size, 64-partition md5 fold whose wall time tracks
+# the session's real core count — its low/high ratio should sit near the
+# core ratio while the fixed-cost queries sit near 1.0.
+CANARY = "scaling_canary"
+
+
+def _scaling_canary(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4_000_000, 1, 64)
+    h = F.md5(F.col("id").cast("string"))
+    for _ in range(7):
+        h = F.md5(h)
+    # 32-bit slice: the ANSI long sum stays far from overflow (2^32 * 1.5M
+    # < 2^63)
+    return (
+        df.select(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("v")
+        )
+        .groupBy()
+        .sum("v")
+    )
+
 
 def _median_phases(entries: list[dict]) -> dict:
     """Median of per-pass phase dicts ({build, read[, stages]}): scalar
@@ -204,6 +231,11 @@ def single() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 out[name] = round(time.time() - t0, 3)
             U.release_persisted()
+        t0 = time.time()
+        _scaling_canary(spark).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[CANARY] = round(time.time() - t0, 3)
         return out, phases
 
     def probe_pass() -> dict[str, float]:
@@ -232,13 +264,24 @@ def single() -> None:
     warm_passes = [r[0] for r in warm_runs]
     warm = {
         name: round(statistics.median(p[name] for p in warm_passes), 3)
-        for name in HEADLINE
+        for name in [*HEADLINE, CANARY]
     }
     phase_warm = {
         name: _median_phases([r[1][name] for r in warm_runs])
         for name in phase_cold
     }
     load_end = os.getloadavg()[0]
+
+    # prove the session contract in the artifact (r12 verdict item 2:
+    # the driver could not distinguish "ignores $SPARK_GRAFT_CPUS" from
+    # "fixed-cost-bound" because the bench never recorded the effective
+    # master or parallelism)
+    sc = spark.sparkContext
+    exec_env = {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
 
     print(
         json.dumps(
@@ -257,6 +300,7 @@ def single() -> None:
                     "start": round(load_start, 2),
                     "end": round(load_end, 2),
                 },
+                "exec_env": exec_env,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -435,6 +479,7 @@ def protocol() -> None:
         "spread_cold": [min(colds), max(colds)],
         "spread_warm": [min(warms), max(warms)],
         "load_avg_per_run": [r.get("load_avg") for r in results],
+        "exec_env": results[0].get("exec_env"),
         "gate": {
             "max_load": max_load,
             "gate_loads": [r.get("gate_load") for r in results],
@@ -468,6 +513,7 @@ def protocol() -> None:
         "max_load": max(
             (r.get("load_avg") or {}).get("start", 0.0) for r in results
         ),
+        "exec_env": results[0].get("exec_env"),
         "gate": detail["gate"],
         "sf": results[0].get("sf"),
         "detail": "BENCH_DETAIL.json",

@@ -67,11 +67,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, block_col: str | None, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    k: int,
+    fanout: bool = True,
 ) -> DataFrame:
     # Three performance rules learned the hard way (each measured):
     #  1. repartition guard — a single-file input serializes everything
-    #     onto one core;
+    #     onto one core (``fanout=False`` skips it for BOUNDED probe
+    #     batches, where the repartition turns every consumer into a
+    #     32-task stage over a handful of rows — r13, guide §2.4);
     #  2. tokens materialized as a column — no CSE across HOF lambdas
     #     (see shingles_from_tokens);
     #  3. persist the bare shingle projection BEFORE deriving n_sh/filter —
@@ -81,7 +88,7 @@ def _shingle_sets(
     cols = [F.col(id_col), tokens(text_col).alias("__toks")]
     if block_col:
         cols.insert(1, F.col(block_col))
-    toked = ensure_parallelism(df).select(*cols)
+    toked = (ensure_parallelism(df) if fanout else df).select(*cols)
     keep = [id_col] + ([block_col] if block_col else [])
     sets = tracked_persist(
         toked.select(*keep, shingles_from_tokens(F.col("__toks"), k).alias("sh"))

@@ -515,7 +515,8 @@ def probe_ivf_index(
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
     cells_root = os.path.join(index_root, "cells")
     id_col = st["id_col"]
-    q = with_norm(queries, st["vec_col"]).select(
+    # fanout=False: bounded probe batch — see ivfpqindex.probe_ivfpq_index
+    q = with_norm(queries, st["vec_col"], fanout=False).select(
         F.col(id_col).alias("query_id"),
         F.col("svec").alias("qs"),
         F.col("norm").alias("qn"),
@@ -526,6 +527,12 @@ def probe_ivf_index(
             probe_cells(F.col("qs"), F.col("qn"), cents, nprobe)
         ).alias("cell"),
     )
+    # one evaluation of the k×dim centroid-literal expressions: the eager
+    # localCheckpoint materializes the nprobe-rows-per-query relation so
+    # the cell collect, the broadcast build and the final plan stop
+    # re-optimizing/re-evaluating the ~50 KB tree (r13, guide §3.3 — see
+    # ivfpqindex.probe_ivfpq_index)
+    probe = probe.localCheckpoint()
     want = {r["cell"] for r in probe.select("cell").distinct().collect()}
     have = {
         e["path"].split("/", 1)[0]

@@ -275,13 +275,32 @@ def probe_ivfpq_index(
     cents = [(list(c), float(n)) for c, n in st["centroids"]]
     codes_root = os.path.join(index_root, "codes")
     id_col = st["id_col"]
-    probe = with_norm(queries, st["vec_col"]).select(
+    # fanout=False: the probe batch is bounded (tens of rows) — fanning it
+    # to session parallelism made every consumer (cell collect, broadcast
+    # build, LUT) a 32-task stage over ~20 cached rows (r13, guide §2.4)
+    probe = with_norm(queries, st["vec_col"], fanout=False).select(
         F.col(id_col).alias("query_id"),
         F.explode(
             probe_cells(F.col("svec"), F.col("norm"), cents, nprobe)
         ).alias("cell"),
     )
-    want = {r["cell"] for r in probe.select("cell").distinct().collect()}
+    lut = pq_query_lut_flat(
+        queries,
+        st["codebooks"],
+        id_col=id_col,
+        vec_col=st["vec_col"],
+        fanout=False,
+    )
+    # Evaluate the literal-heavy query-side expressions ONCE: the probe's
+    # k×dim centroid cosines and the m×k LUT are ~50 KB expression trees,
+    # and every downstream job (cell collect, broadcast build, final plan)
+    # re-OPTIMIZED and re-evaluated them (~1 s/probe of driver+codegen
+    # time, measured r13). The eager localCheckpoint materializes the
+    # nprobe-rows-per-query relation and replaces the trees with a
+    # LogicalRDD leaf (guide §3.3: truncate huge plans); the cell collect
+    # below then reads the materialized rows.
+    plan = probe.join(lut, "query_id").localCheckpoint()
+    want = {r["cell"] for r in plan.select("cell").distinct().collect()}
     have = {
         e["path"].split("/", 1)[0]
         for e in TF.manifest(codes_root)
@@ -293,18 +312,19 @@ def probe_ivfpq_index(
         return spark.createDataFrame(
             [], f"query_id {t}, neighbor_id {t}, rank int, adc bigint"
         )
-    lut = pq_query_lut_flat(
-        queries, st["codebooks"], id_col=id_col, vec_col=st["vec_col"]
-    )
     k = len(st["codebooks"][0])
-    cand = (
+    # ONE broadcast: the per-query flat LUT rides on the (query_id, cell)
+    # probe relation BEFORE the scan join (both are query-side and
+    # metadata-sized — nprobe rows per query), so the code scan pays a
+    # single broadcast hash join instead of two sequential broadcast
+    # builds (two extra jobs + exchanges per probe; r12 verdict item 3,
+    # guide §3.1).
+    scored = (
         TF.scan_partitions(spark, codes_root, rels)
         .withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(plan), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-    )
-    scored = cand.join(F.broadcast(lut), "query_id").withColumn(
-        "adc", pq_adc_packed_expr(k)
+        .withColumn("adc", pq_adc_packed_expr(k))
     )
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (

@@ -201,10 +201,20 @@ def probe_lsh_index(
     id_col = st["id_col"]
     # one shingle pass for the batch, shared between signaturing and the
     # exact-verify side below (was two independent tokenize+persist chains
-    # over the same rows)
-    sets_b = _shingle_sets(batch, st["text_col"], id_col, None, st["k"])
-    qb = _doc_bands(batch, st, with_bucket=True, sets_df=sets_b).select(
-        F.col("doc_id").alias("query_id"), "band", "bv", "bucket"
+    # over the same rows); fanout=False — the probe batch is bounded, so
+    # the parallelism-guard repartition only inflated every downstream
+    # stage to 32 tasks (r13, guide §2.4)
+    sets_b = _shingle_sets(
+        batch, st["text_col"], id_col, None, st["k"], fanout=False
+    )
+    # eager localCheckpoint: the batch's band rows feed the bucket collect
+    # AND the candidate join — materializing the batch-sized relation once
+    # stops each consumer re-running the signature aggregation (r13,
+    # guide §3.3/§5)
+    qb = (
+        _doc_bands(batch, st, with_bucket=True, sets_df=sets_b)
+        .select(F.col("doc_id").alias("query_id"), "band", "bv", "bucket")
+        .localCheckpoint()
     )
     # buckets to probe: metadata-sized (<= n_buckets) driver-side list,
     # intersected with the partitions the manifest says exist
@@ -225,12 +235,17 @@ def probe_lsh_index(
     # — the same contract as probe_ivf_index/probe_ivfpq_index (and it
     # removes clusterindex replay's hidden reliance on its label
     # inner-join to drop them)
+    # checkpointed: the candidate-pair relation (bounded by batch ×
+    # colliding band rows) is consumed THREE times (corpus semi-join,
+    # verify semi-join — and each consumer would otherwise re-run the
+    # pruned scan + join + distinct)
     cands = (
         TF.scan_partitions(spark, bands_root, rels)
         .join(qb.drop("bucket"), ["band", "bv"])
         .select("query_id", F.col("doc_id").alias("corpus_id"))
         .where(F.col("query_id") != F.col("corpus_id"))
         .distinct()
+        .localCheckpoint()
     )
     corpus = TF.read_table(spark, st["base_root"], st["base_version"]).join(
         cands.select(F.col("corpus_id").alias(id_col)).distinct(),

@@ -73,19 +73,28 @@ def cosine_scaled(sa: Column, sb: Column, na: Column, nb: Column) -> Column:
     return dot_scaled(sa, sb) / (na * nb)
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", fanout: bool = True
+) -> DataFrame:
     """Adds the fixed-point vector (`svec`) and its L2 norm (`norm`).
 
     Persisted: downstream pairwise joins reference `svec` once per pair, and
     without materialization the scaling transform would re-run per pair
     (lineage recompute). Parallelism guard for single-file corpora. Tracked
     for release_persisted() so harness loops don't leak cached partitions.
-    """
-    return tracked_persist(
-        ensure_parallelism(df)
-        .withColumn("svec", scaled_vector(F.col(vec_col)))
-        .withColumn("norm", F.sqrt(dot_scaled(F.col("svec"), F.col("svec"))))
+
+    ``fanout=False`` skips BOTH the parallelism guard and the persist: a
+    BOUNDED probe batch (tens of query rows) gains nothing from a
+    repartition to session parallelism, and its scaling arithmetic is
+    cheaper to recompute per consumer than a cache materialization job
+    plus cache-read stages — the r12 probes ran 32-task stages over ~20
+    cached rows for the cell collect, the broadcast build AND the LUT
+    (r13, guide §2.4: remove shuffles and jobs the data doesn't need)."""
+    out = ensure_parallelism(df) if fanout else df
+    out = out.withColumn("svec", scaled_vector(F.col(vec_col))).withColumn(
+        "norm", F.sqrt(dot_scaled(F.col("svec"), F.col("svec")))
     )
+    return tracked_persist(out) if fanout else out
 
 
 def knn_bruteforce(
@@ -755,6 +764,7 @@ def pq_query_lut_flat(
     codebooks: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fanout: bool = True,
 ) -> DataFrame:
     """Per-query ADC lookup table, FLAT: (query_id, lut array<long>) with
     ``lut[s*k + j]`` (0-based) the exact scaled-long squared distance from
@@ -765,7 +775,7 @@ def pq_query_lut_flat(
     no per-candidate shuffle."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    q = ensure_parallelism(queries_df).withColumn(
+    q = (ensure_parallelism(queries_df) if fanout else queries_df).withColumn(
         "_sv", scaled_vector(F.col(vec_col))
     )
     entries = [

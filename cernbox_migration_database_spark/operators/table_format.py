@@ -781,6 +781,39 @@ def last_txn_entry(root: str, app_id: str) -> dict | None:
     return best
 
 
+# r13: per-process memo of INFERRED parquet schemas for snapshot reads.
+# A committed version directory is immutable (writers stage + rename, never
+# mutate), yet every spark.read.parquet() of it re-ran footer schema
+# inference as a 1-task driver job — one extra job per read_table /
+# scan_partitions execution, which the warm probe loops pay repeatedly
+# (guide §1.2 per-task work / §6 planning cost). The key pins the exact
+# read shape (dir or explicit file list) plus the directory mtime, so a
+# scratch-root recreate at the same path re-infers; a hit replays Spark's
+# own previously-inferred schema for byte-identical files — never a
+# hand-written one.
+_SNAPSHOT_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _memo_schema_parquet(reader, vdir: str, paths: list[str] | None):
+    """``reader.parquet(...)`` with schema inference memoized per
+    immutable (vdir, mtime, file-list) read shape."""
+    try:
+        mt = os.path.getmtime(vdir)
+    except OSError:
+        mt = 0.0
+    key = (vdir, mt, tuple(paths) if paths is not None else None)
+    sch = _SNAPSHOT_SCHEMA_CACHE.get(key)
+    if sch is not None:
+        reader = reader.schema(sch)
+    if paths is None:
+        df = reader.parquet(vdir)
+    else:
+        df = reader.option("basePath", vdir).parquet(*paths)
+    if sch is None:
+        _SNAPSHOT_SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -817,7 +850,10 @@ def read_table(
         if empty is not None:
             return empty
     df = _apply_renames(
-        _apply_dv(spark, reader.parquet(vdir), vdir, len(pcols)), renames
+        _apply_dv(
+            spark, _memo_schema_parquet(reader, vdir, None), vdir, len(pcols)
+        ),
+        renames,
     )
     # SUBSET select: the commit-recorded logical columns both fix the
     # column ORDER (partitioned reads surface partition columns last) and
@@ -2728,7 +2764,7 @@ def _read_file_list(spark, root: str, v: int, paths: list[str]) -> DataFrame:
     df = _apply_renames(
         _apply_dv(
             spark,
-            reader.option("basePath", vdir).parquet(*paths),
+            _memo_schema_parquet(reader, vdir, paths),
             vdir,
             len(pcols),
             rels=rels,
