@@ -601,13 +601,23 @@ def simhash64(
     Pure integer/string arithmetic (instr-based hex decode) so any engine
     reproduces it exactly.
 
-    Plan shape: ONE row per (doc, token) with 64 bit expressions, aggregated
-    by a single groupBy(doc) over 64 partial sums. The earlier formulation
-    exploded sequence(0,63) per token — same answer, but 64x the shuffle
-    rows; the vote-column form keeps the shuffle linear in token count and
-    every sum map-side combinable (a constant factor that dominates at
-    corpus scale). Vote sign uses sum(vote_j) = 2*sum(bit_j) - n_tokens, so
-    only 0/1 bits and one count are aggregated.
+    Plan shape: ONE row per (doc, token), aggregated by a single
+    groupBy(doc). The earlier formulation exploded sequence(0,63) per
+    token — same answer, but 64x the shuffle rows; the vote-column form
+    keeps the shuffle linear in token count and every sum map-side
+    combinable (a constant factor that dominates at corpus scale). Vote
+    sign uses sum(vote_j) = 2*sum(bit_j) - n_tokens, so only 0/1 bits and
+    one count are aggregated.
+
+    The 64 bit-sums are BIT-SLICE PACKED, 3 counters of 21 bits per
+    BIGINT (r12 verdict item 7): 22 packed sums + one count instead of 65
+    aggregation buffers — a third of the aggregate state and of the
+    generated-class size (the 65-agg codegen compile dominated the cold
+    run), with identical signatures (A/B-asserted on the sf0.1 corpus).
+    21-bit counters are exact up to 2^21-1 distinct tokens per document
+    (~2 M unique words — far beyond any real document; the per-doc count
+    would overflow the slice silently past that, so the width is chosen
+    for margin, not for the fixture).
     """
     toks = (
         ensure_parallelism(df)
@@ -631,12 +641,27 @@ def simhash64(
             return F.shiftright(F.col("h1"), 31 - j) % 2
         return F.shiftright(F.col("h2"), 63 - j) % 2
 
-    aggs = [F.sum(_bit(j)).alias(f"s{j}") for j in range(64)]
+    aggs = []
+    for q in range(22):
+        term = None
+        for slot, j in enumerate(
+            j for j in (3 * q, 3 * q + 1, 3 * q + 2) if j < 64
+        ):
+            t = F.shiftleft(_bit(j), 21 * slot)
+            term = t if term is None else term + t
+        aggs.append(F.sum(term).alias(f"p{q}"))
     aggs.append(F.count(F.lit(1)).alias("n_tok"))
     votes = toks.groupBy(id_col).agg(*aggs)
+
+    def _s(j: int) -> Column:
+        q, slot = divmod(j, 3)
+        return F.shiftright(F.col(f"p{q}"), 21 * slot).bitwiseAND(
+            F.lit((1 << 21) - 1)
+        )
+
     sig = F.concat(
         *[
-            F.when(2 * F.col(f"s{j}") - F.col("n_tok") >= 0, F.lit("1")).otherwise(
+            F.when(2 * _s(j) - F.col("n_tok") >= 0, F.lit("1")).otherwise(
                 F.lit("0")
             )
             for j in range(64)

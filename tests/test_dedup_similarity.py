@@ -91,6 +91,29 @@ def test_simhash_properties(spark):
     assert out[1] == out[4]  # identical token sets -> identical signature
 
 
+def test_simhash_packed_matches_per_bit_reference(spark):
+    """r13: the bit-slice-packed aggregation (3 counters of 21 bits per
+    BIGINT) must reproduce the per-bit definition exactly — signature bit
+    j is the sign of 2*sum(bit_j) - n_tokens over distinct tokens, with
+    bit j of a token = bit (3 - j%4) of hex digit j//4 of md5(token)."""
+    import hashlib
+
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    for row in docs.collect():
+        toks = sorted({t for t in row["text"].split(" ") if t})
+        sums = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                bit = (int(hx[j // 4], 16) >> (3 - j % 4)) & 1
+                sums[j] += bit
+        sig = "".join(
+            "1" if 2 * sums[j] - len(toks) >= 0 else "0" for j in range(64)
+        )
+        assert got[row["doc_id"]] == sig
+
+
 def _vecs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0], 0),
